@@ -1,0 +1,503 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface (SURVEY.md §2.8): scan, filter, project,
+  * hash/sort aggregation, broadcast + shuffle joins, semi/anti joins,
+  * window functions, rollup/cube, set ops, subquery patterns, pivot,
+  * top-k. All come from Catalyst; the point of each query is that the
+  * produced *plan* is the one we'd want at 100 TB (filters pushed to the
+  * parquet scan, small dimensions broadcast, partial aggregation before
+  * shuffle).
+  *
+  * Reference scope note: the reference engine itself has no relational
+  * operators (SURVEY.md §2.8) — this is the north-star query surface the
+  * Spark build adds on top of playback parity.
+  */
+object RelationalQueries {
+
+  private def li(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables(s, d, "customer")
+  private def part(s: SparkSession, d: String) = Tables(s, d, "part")
+  private def supp(s: SparkSession, d: String) = Tables(s, d, "supplier")
+  private def nat(s: SparkSession, d: String) = Tables(s, d, "nation")
+  private def reg(s: SparkSession, d: String) = Tables(s, d, "region")
+  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  private def ts(lit0: String): Column = to_timestamp(lit(lit0))
+
+  // --- q01: TPC-H Q1 pricing summary: scan → partial agg → final agg ---
+  private val q01 = GraftQuery(
+    "q01_pricing_summary",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+            .as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      round(avg(l_quantity), 4) AS avg_qty,
+      round(avg(l_extendedprice), 4) AS avg_price,
+      round(avg(l_discount), 6) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""),
+    bench = true)
+
+  // --- q02: selective filter + projection + deterministic top-k -------
+  private val q02 = GraftQuery(
+    "q02_filter_topk",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_quantity") >= 48 && col("l_discount") <= 0.02)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+    Some("""SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_quantity >= 48 AND l_discount <= 0.02
+    ORDER BY price DESC, l_orderkey, l_linenumber
+    LIMIT 100"""))
+
+  // --- q03: TPC-H Q3-style 3-way join; customer broadcast-able --------
+  private val q03 = GraftQuery(
+    "q03_shipping_priority",
+    (s, d) => {
+      val c = cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = ord(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val l = li(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(50)
+    },
+    Some("""SELECT l_orderkey,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 50"""),
+    bench = true)
+
+  // --- q04: fact ⋈ broadcast(dim) aggregation -------------------------
+  private val q04 = GraftQuery(
+    "q04_brand_volume",
+    (s, d) =>
+      li(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          round(sum("l_extendedprice"), 2).as("volume"))
+        .orderBy("p_brand"),
+    Some("""SELECT p_brand, count(*) AS n_lines,
+      round(sum(l_extendedprice), 2) AS volume
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand"""),
+    bench = true)
+
+  // --- q05: TPC-H Q5-style 6-way join with local-supplier predicate ---
+  private val q05 = GraftQuery(
+    "q05_local_supplier_volume",
+    (s, d) => {
+      val l = li(s, d)
+      val o = ord(s, d).filter(
+        col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val c = cust(s, d)
+      val su = supp(s, d)
+      val n = nat(s, d)
+      val r = reg(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem, orders, customer, supplier, nation, region
+    WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND o_custkey = c_custkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY n_name"""),
+    bench = true)
+
+  // --- q06: TPC-H Q6 single-pass filter-aggregate ---------------------
+  private val q06 = GraftQuery(
+    "q06_forecast_revenue",
+    (s, d) =>
+      li(s, d)
+        .filter(
+          col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+            col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+            col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24"""))
+
+  // --- q07: ranking window function, top-3 per group ------------------
+  private val q07 = GraftQuery(
+    "q07_top_customers_per_nation",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      cust(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_nationkey"), col("rn"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_nationkey", "rn")
+    },
+    Some("""SELECT c_nationkey, rn, c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+        row_number() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+    WHERE rn <= 3
+    ORDER BY c_nationkey, rn"""))
+
+  // --- q08: running-total window over an explicit ROWS frame ----------
+  private val q08 = GraftQuery(
+    "q08_running_supplier_qty",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li(s, d)
+        .filter(col("l_suppkey") <= 10)
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+      sum(l_quantity) OVER (PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+    FROM lineitem
+    WHERE l_suppkey <= 10
+    ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
+  // --- q09: exact distinct aggregation (expand + two-phase agg) -------
+  private val q09 = GraftQuery(
+    "q09_distinct_parts",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(*) AS n_lines,
+      count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""))
+
+  // --- q10: rollup grouping sets --------------------------------------
+  private val q10 = GraftQuery(
+    "q10_rollup_flag_status",
+    (s, d) =>
+      li(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  // --- q11: anti join (NOT EXISTS) ------------------------------------
+  private val q11 = GraftQuery(
+    "q11_customers_without_orders",
+    (s, d) =>
+      cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey"""))
+
+  // --- q12: semi join (EXISTS) ----------------------------------------
+  private val q12 = GraftQuery(
+    "q12_customers_with_urgent_orders",
+    (s, d) =>
+      cust(s, d)
+        .join(
+          ord(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey"""))
+
+  // --- q13: correlated-aggregate pattern (join against per-key agg) ---
+  private val q13 = GraftQuery(
+    "q13_orders_above_customer_avg",
+    (s, d) => {
+      val o = ord(s, d)
+      val custAvg = o.groupBy(col("o_custkey").as("ck"))
+        .agg(avg(col("o_totalprice")).as("avg_price"))
+      o.join(custAvg, col("o_custkey") === col("ck"))
+        .filter(col("o_totalprice") > col("avg_price") * 1.5)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey"""))
+
+  // --- q14: scalar expressions: CASE / string funcs / arithmetic ------
+  private val q14 = GraftQuery(
+    "q14_part_size_classes",
+    (s, d) =>
+      part(s, d)
+        .withColumn("size_class",
+          when(col("p_size") < 10, "small")
+            .when(col("p_size") < 30, "medium")
+            .otherwise("large"))
+        .withColumn("name_head", upper(substring(col("p_name"), 1, 5)))
+        .groupBy(col("size_class"), col("name_head"))
+        .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 4).as("avg_price"))
+        .orderBy("size_class", "name_head"),
+    Some("""SELECT
+      CASE WHEN p_size < 10 THEN 'small'
+           WHEN p_size < 30 THEN 'medium'
+           ELSE 'large' END AS size_class,
+      upper(substr(p_name, 1, 5)) AS name_head,
+      count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+    FROM part
+    GROUP BY 1, 2
+    ORDER BY size_class, name_head"""))
+
+  // --- q15: time bucketing on the events stream table -----------------
+  private val q15 = GraftQuery(
+    "q15_events_hourly",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type"""),
+    bench = true)
+
+  // --- q16: regex extraction from the JSON-ish props column -----------
+  // (reference: process_csv_data.py:74-81 pulls fields out of stringified
+  // dicts by hand; we use regexp_extract — R7 in SURVEY.md §2.3)
+  private val q16 = GraftQuery(
+    "q16_props_extract",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("k", regexp_extract(col("props"), "([0-9]+)", 1).cast("int"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+    Some("""SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k,
+      count(*) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY k"""))
+
+  // --- q17: grouped HAVING --------------------------------------------
+  private val q17 = GraftQuery(
+    "q17_nation_supplier_balance",
+    (s, d) =>
+      supp(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"), round(sum("s_acctbal"), 2).as("total_bal"))
+        .filter(col("n_supp") >= 2)
+        .orderBy("s_nationkey"),
+    Some("""SELECT s_nationkey, count(*) AS n_supp,
+      round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    HAVING count(*) >= 2
+    ORDER BY s_nationkey"""))
+
+  // --- q18: TPC-H Q18-style large-volume orders (agg → semi filter) ---
+  private val q18 = GraftQuery(
+    "q18_large_orders",
+    (s, d) => {
+      val big = li(s, d)
+        .groupBy(col("l_orderkey").as("lk"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 180)
+      ord(s, d)
+        .join(big, col("o_orderkey") === col("lk"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("totalprice"),
+          round(col("sum_qty"), 2).as("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
+      round(t.sum_qty, 2) AS sum_qty
+    FROM orders
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 180) t
+      ON o_orderkey = t.l_orderkey
+    ORDER BY o_orderkey"""),
+    bench = true)
+
+  // --- q19 / q20: set operations --------------------------------------
+  private val q19 = GraftQuery(
+    "q19_intersect_priorities",
+    (s, d) => {
+      val o = ord(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey")))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    ORDER BY o_custkey"""))
+
+  private val q20 = GraftQuery(
+    "q20_except_years",
+    (s, d) => {
+      val o = ord(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      y95.except(y96).orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996
+    ORDER BY o_custkey"""))
+
+  // --- q21: cube grouping sets ----------------------------------------
+  private val q21 = GraftQuery(
+    "q21_cube_segment_nation",
+    (s, d) =>
+      cust(s, d)
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+        .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first),
+    Some("""SELECT c_mktsegment, c_nationkey, count(*) AS n,
+      round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    GROUP BY CUBE (c_mktsegment, c_nationkey)
+    ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST"""))
+
+  // --- q22: TPC-H Q17-style below-average-quantity revenue ------------
+  private val q22 = GraftQuery(
+    "q22_small_quantity_revenue",
+    (s, d) => {
+      val l = li(s, d)
+      val avgQty = l.groupBy(col("l_partkey").as("pk"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_lim"))
+      l.join(broadcast(part(s, d).filter(col("p_brand") === "Brand#12")),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgQty, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("qty_lim"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+    Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""))
+
+  // --- q23: deterministic arg-max per group via ranking ---------------
+  private val q23 = GraftQuery(
+    "q23_peak_event_per_type",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("event_id"), round(col("value"), 2).as("peak"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, event_id, round(value, 2) AS peak
+    FROM (
+      SELECT event_type, event_id, value,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    ORDER BY event_type"""))
+
+  // --- q24: pivot (conditional aggregation) ---------------------------
+  private val q24 = GraftQuery(
+    "q24_daily_event_pivot",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("day"),
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+      count(*) FILTER (WHERE event_type = 'click') AS click,
+      count(*) FILTER (WHERE event_type = 'error') AS error,
+      count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY day"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+}

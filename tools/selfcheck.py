@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (dev tool only; the
+shipped library is pure Scala/Spark). Usage:
+
+  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+  python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+
+def norm(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        # normalize -0.0 and represent with enough digits
+        if v == 0:
+            v = 0.0
+        return repr(round(v, 9))
+    return str(v)
+
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    import hashlib
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        files = glob.glob(f"{path}/*.parquet")
+        if not files:
+            results[name] = "NO_OUTPUT"
+            continue
+        got = con.execute(
+            "SELECT * FROM read_parquet(?)", [files]).fetchall()
+        got_cols = [d[0] for d in con.description]
+        if name not in oracles:
+            results[name] = f"ROWS_ONLY({len(got)})"
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR: {e}"
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            results[name] = f"SCHEMA_MISMATCH spark={sorted(got_cols)} duck={sorted(exp_cols)}"
+        elif len(got) != len(exp):
+            results[name] = f"ROWCOUNT {len(got)} vs {len(exp)}"
+        elif table_hash(got, got_cols) != table_hash(exp, exp_cols):
+            results[name] = "HASH_MISMATCH"
+            # show first differing line for debugging
+            order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+            order_e = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+            g = sorted("|".join(norm(r[i]) for i in order_g) for r in got)
+            e = sorted("|".join(norm(r[i]) for i in order_e) for r in exp)
+            for a, b in zip(g, e):
+                if a != b:
+                    print(f"  [{name}] spark: {a}\n  [{name}] duck : {b}")
+                    break
+        else:
+            results[name] = f"OK({len(got)})"
+    npass = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
+    for k, v in results.items():
+        print(f"{'PASS' if v.startswith(('OK', 'ROWS_ONLY')) else 'FAIL'} {k}: {v}")
+    print(f"\n{npass}/{len(results)} pass")
+    return 0 if npass == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
