@@ -1,0 +1,139 @@
+package graft.preprocess
+
+import graft.sources.CsvPlayback.RowIdx
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark build of the offline preprocessing CLI
+  * (process_csv_data.py — "PD"): JSON-ish channel extraction
+  * (PD:55-84) and NaN repair (PD:87-148).
+  *
+  * Frames are expected to carry the reader's `_row_idx` file-order
+  * column; all window fills are ordered by it. The reference repairs
+  * per 10k-row chunk; we repair over the whole frame (a strict
+  * superset: interpolation endpoints see the true neighbors instead of
+  * chunk-boundary gaps).
+  *
+  * Scale note: the fills below use an un-partitioned ordered window,
+  * correct for the reference's single-file semantics. For 100 TB-scale
+  * series repair, partition the window by series key (e.g. device id) —
+  * the expressions are unchanged.
+  */
+object CleanCsv {
+
+  /** PD:74-81 — pull `channel1`/`channel2` out of a stringified-dict
+    * `reading` column like `{"channel1":0.0083,"channel2":0.0071}`,
+    * keeping `user_ts`. The reference splits by hand
+    * (`x.split(",")[0].split(":")[1]`); `regexp_extract` expresses the
+    * same thing natively (SURVEY.md §2.3 R7). */
+  def extractChannels(df: DataFrame): DataFrame = {
+    def field(c: Column, idx: Int): Column =
+      // idx-th comma-separated field, value after the ':', '}' stripped
+      regexp_replace(
+        element_at(split(element_at(split(c, ","), idx), ":"), 2), "\\}", "")
+    val keep = Seq(
+      field(col("reading"), 1).as("channel1"),
+      field(col("reading"), 2).as("channel2"),
+      col("user_ts"))
+    val cols = if (df.columns.contains(RowIdx)) keep :+ col(RowIdx) else keep
+    df.select(cols: _*)
+  }
+
+  /** PD:117-119 — whitespace-only strings become null. */
+  def blanksToNull(c: Column): Column =
+    when(trim(c.cast("string")) === "", lit(null)).otherwise(c)
+
+  private def orderedW = Window.orderBy(col(RowIdx))
+
+  /** PD:124-126 — `interpolate(method='linear', limit_direction='both')`:
+    * nulls between two known values are linearly interpolated by row
+    * distance; leading/trailing nulls take the nearest known value. */
+  def interpolateLinear(df: DataFrame, colName: String): DataFrame = {
+    val c = blanksToNull(col(colName)).cast("double")
+    val idx = col(RowIdx).cast("double")
+    val before = orderedW.rowsBetween(Window.unboundedPreceding, 0)
+    val after = orderedW.rowsBetween(0, Window.unboundedFollowing)
+    val prevVal = last(c, ignoreNulls = true).over(before)
+    val prevIdx = last(when(c.isNotNull, idx), ignoreNulls = true).over(before)
+    val nextVal = first(c, ignoreNulls = true).over(after)
+    val nextIdx = first(when(c.isNotNull, idx), ignoreNulls = true).over(after)
+    val filled = when(c.isNotNull, c)
+      .when(prevVal.isNull, nextVal) // leading nulls ← limit_direction='both'
+      .when(nextVal.isNull, prevVal) // trailing nulls
+      .otherwise(prevVal + (nextVal - prevVal) * (idx - prevIdx) / (nextIdx - prevIdx))
+    df.withColumn(colName, filled)
+  }
+
+  /** PD's `method='nearest'`: a null takes whichever known neighbor is
+    * closer by row distance (ties → the previous one, matching scipy's
+    * 'nearest' rounding-down at midpoints). */
+  def interpolateNearest(df: DataFrame, colName: String): DataFrame = {
+    val c = blanksToNull(col(colName)).cast("double")
+    val idx = col(RowIdx).cast("double")
+    val before = orderedW.rowsBetween(Window.unboundedPreceding, 0)
+    val after = orderedW.rowsBetween(0, Window.unboundedFollowing)
+    val prevVal = last(c, ignoreNulls = true).over(before)
+    val prevIdx = last(when(c.isNotNull, idx), ignoreNulls = true).over(before)
+    val nextVal = first(c, ignoreNulls = true).over(after)
+    val nextIdx = first(when(c.isNotNull, idx), ignoreNulls = true).over(after)
+    val filled = when(c.isNotNull, c)
+      .when(prevVal.isNull, nextVal)
+      .when(nextVal.isNull, prevVal)
+      .otherwise(when(idx - prevIdx <= nextIdx - idx, prevVal).otherwise(nextVal))
+    df.withColumn(colName, filled)
+  }
+
+  /** PD:128-130 — `fillna(col.rolling(2, min_periods=1).mean())`:
+    * a null takes the mean of the 2-row trailing window ignoring nulls,
+    * i.e. the previous value (or stays null if that is null too). */
+  def rollingMeanFill(df: DataFrame, colName: String): DataFrame = {
+    val c = blanksToNull(col(colName)).cast("double")
+    val w = orderedW.rowsBetween(-1, 0)
+    df.withColumn(colName, coalesce(c, avg(c).over(w)))
+  }
+
+  /** PD:132-134 — rolling median variant. Spark's `median` cannot run
+    * over a sliding frame, but over the reference's 2-row window the
+    * median of the ≤2 non-null values is exactly their mean, so the
+    * mean form is semantics-preserving (and codegen-friendly). */
+  def rollingMedianFill(df: DataFrame, colName: String): DataFrame = {
+    val c = blanksToNull(col(colName)).cast("double")
+    val w = orderedW.rowsBetween(-1, 0)
+    df.withColumn(colName, coalesce(c, avg(c).over(w)))
+  }
+
+  /** PD:113-116, 137-139 — drop columns whose values are all
+    * null/blank; PD's `choice != 'fill'` drops any column containing a
+    * null/blank. Returns the repaired frame. */
+  def repair(df: DataFrame, choice: String, method: String): DataFrame = {
+    val dataCols = df.columns.filter(_ != RowIdx)
+    val nullityAggs = dataCols.flatMap { name =>
+      val c = blanksToNull(col(name))
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${name}__nulls"),
+        count(lit(1)).as(s"${name}__total"))
+    }
+    val row = df.agg(nullityAggs.head, nullityAggs.tail: _*).head()
+    var out = df
+    var kept = df.columns.toSeq
+    dataCols.zipWithIndex.foreach { case (name, i) =>
+      val nulls = row.getLong(2 * i)
+      val total = row.getLong(2 * i + 1)
+      if (nulls > 0) {
+        if (nulls == total) kept = kept.filterNot(_ == name) // all-null column
+        else if (choice == "fill") {
+          out = method match {
+            // cubic spline falls back to linear (documented divergence;
+            // scipy-cubic needs a global solve that a window can't express)
+            case "linear" | "cubic" => interpolateLinear(out, name)
+            case "nearest" => interpolateNearest(out, name)
+            case "rolling_mean" => rollingMeanFill(out, name)
+            case "rolling_median" => rollingMedianFill(out, name)
+            case other => throw new IllegalArgumentException(s"unknown fill method '$other'")
+          }
+        } else kept = kept.filterNot(_ == name) // choice=drop: drop the column
+      }
+    }
+    out.select(kept.map(col): _*)
+  }
+}

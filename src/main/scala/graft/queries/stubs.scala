@@ -6,4 +6,3 @@ import graft.GraftQuery
 object TextQueries { val all: Seq[GraftQuery] = Seq.empty }
 object DedupQueries { val all: Seq[GraftQuery] = Seq.empty }
 object VectorQueries { val all: Seq[GraftQuery] = Seq.empty }
-object PlaybackQueries { val all: Seq[GraftQuery] = Seq.empty }
