@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpora.
+  *
+  * Design notes (scale-first):
+  *   - Exact dedup shuffles on a 128-bit content fingerprint, never on
+  *     the document text itself (short shuffle keys, no skew from long
+  *     values).
+  *   - MinHash signatures are computed per-row with higher-order
+  *     expressions (two xxhash64 evaluations per shingle, then an
+  *     arithmetic hash family) — zero shuffle until the band join.
+  *   - Candidate generation explodes `bands` rows per doc and joins on
+  *     (band, bandHash): shuffle volume is bands × docs small fixed-width
+  *     rows, the classic LSH trade. Verification joins signatures back
+  *     only for candidate pairs.
+  *   - SimHash packs a 64-bit signature and uses the pigeonhole block
+  *     join (4 × 16-bit blocks ⇒ hamming ≤ 3 pairs cannot be missed).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup, keep-first semantics: one surviving row per distinct
+    * `textCol` value, the one with the smallest `orderCol`. */
+  def exactKeepFirst(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(orderCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Exact-dup groups: fingerprint → (n_copies, keeper id). */
+  def dupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
+
+  // -------------------------------------------------------------- minhash
+
+  /** Adds `_shingles` and a `_minhash` array<long> signature.
+    *
+    * Hash family: each shingle is hashed once to a long
+    * (`xxhash64(shingle)`), then view i rehashes that long with the
+    * hash-function index as a second column — `xxhash64(h, i)` — an
+    * 8-byte hash per (shingle, i), fully codegen'd, no overflow, and a
+    * genuinely independent permutation per i. (A linear
+    * `a·h + b mod p` family can't be written overflow-free in ANSI-mode
+    * long arithmetic without losing the high bits that make the argmin
+    * vary with i.)
+    */
+  def withMinhash(df: DataFrame, textCol: String, numHashes: Int = 128,
+      shingleK: Int = 3): DataFrame = {
+    val sh = TextAnalysis.wordShingles(col(textCol), shingleK)
+    val sigCols = (0 until numHashes).map(i =>
+      array_min(transform(col("_hashes"), h => xxhash64(h, lit(i)))))
+    df.withColumn("_shingles", sh)
+      .withColumn("_hashes", transform(col("_shingles"), s => xxhash64(s)))
+      .withColumn("_minhash", array(sigCols: _*))
+      .drop("_hashes")
+  }
+
+  /** Explodes the signature into `bands` (bandIdx, bandHash) rows —
+    * docs sharing any band bucket become candidates. */
+  def lshBuckets(df: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val sigLen = // rows per band derived from the signature length
+      df.select(size(col("_minhash"))).head().getInt(0)
+    require(sigLen % bands == 0, s"bands=$bands must divide signature length $sigLen")
+    val r = sigLen / bands
+    df.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("_minhash"), b * r + 1, lit(r))))).as(Seq("band", "bandHash")))
+  }
+
+  /** Candidate pairs (a < b) from MinHash-LSH banding, verified with
+    * exact Jaccard over the shingle sets; keeps pairs ≥ `threshold`. */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = withMinhash(df, textCol, numHashes, shingleK)
+      .select(col(idCol), col("_shingles"), col("_minhash"))
+      .cache()
+    val buckets = lshBuckets(sigs, idCol, bands)
+    val l = buckets.toDF("a", "band_l", "hash_l")
+    val rt = buckets.toDF("b", "band_r", "hash_r")
+    val cands = l.join(rt,
+        col("band_l") === col("band_r") && col("hash_l") === col("hash_r") &&
+          col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val shA = sigs.select(col(idCol).as("a"), col("_shingles").as("sh_a"))
+    val shB = sigs.select(col(idCol).as("b"), col("_shingles").as("sh_b"))
+    cands.join(shA, "a").join(shB, "b")
+      .withColumn("jaccard", TextAnalysis.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of the token stream: bit k of the signature is the
+    * sign of Σ_tokens (±1 depending on bit k of xxhash64(token)).
+    * Single pass over the tokens with a 64-counter array accumulator. */
+  def simhash64(text: Column): Column = {
+    val masks = array((0 until 64).map(k => lit(1L << k)): _*)
+    val hs = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val counts = aggregate(hs, array_repeat(lit(0L), 64), (acc, h) =>
+      zip_with(acc, masks, (c, m) =>
+        c + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Near-dup pairs with hamming(simhash) ≤ maxHamming, found by the
+    * pigeonhole block join: split the 64-bit signature into
+    * `maxHamming+1` blocks; any pair within the bound shares ≥1 exact
+    * block → join on (blockIdx, blockValue), then verify with
+    * bit_count(xor). */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blockBits = 64 / nBlocks
+    val sigs = df.select(col(idCol), simhash64(col(textCol)).as("_simhash")).cache()
+    val blockCols = (0 until nBlocks).map(b =>
+      shiftrightunsigned(col("_simhash"), b * blockBits)
+        .bitwiseAND(lit((1L << blockBits) - 1)))
+    val blocks = sigs.select(col(idCol), col("_simhash"),
+      posexplode(array(blockCols: _*)).as(Seq("block", "blockVal")))
+    val l = blocks.toDF("a", "sim_a", "block_l", "val_l")
+    val rt = blocks.toDF("b", "sim_b", "block_r", "val_r")
+    l.join(rt, col("block_l") === col("block_r") && col("val_l") === col("val_r") &&
+        col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --------------------------------------------------- exact n-gram jaccard
+
+  /** Exact n-gram Jaccard over explicit candidate pairs: a baseline /
+    * verification operator. `pairs` must have columns (a, b). */
+  def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      TextAnalysis.wordShingles(col(textCol), shingleK).as("_sh"))
+    pairs
+      .join(sh.select(col(idCol).as("a"), col("_sh").as("sh_a")), "a")
+      .join(sh.select(col(idCol).as("b"), col("_sh").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        TextAnalysis.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+}

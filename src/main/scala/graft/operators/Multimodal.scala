@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: media payloads are
+  * opaque `binary` columns travelling next to typed metadata; decode /
+  * feature-extraction runs batched per partition.
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): [[FakeCodec]] is a deterministic stand-in with the same
+  * shape a real decoder would have. Everything around it — schema,
+  * batch iteration, partition sizing, output typing — is real Spark
+  * plumbing: swap `FakeCodec.decode` for an actual JNI/FFI decoder and
+  * nothing else changes.
+  *
+  * Scale notes: payloads stay off the shuffle path (feature extraction
+  * is map-side); `repartitionForPayloads` sizes partitions by byte
+  * budget, not row count, so a 100 TB corpus of skewed media sizes
+  * still yields bounded-memory tasks.
+  */
+object Multimodal {
+
+  /** Canonical multimodal record schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true))), nullable = true)))
+
+  /** STUB decoder: a real build would call an image/audio codec here
+    * (the `???`-equivalent is the deterministic fake below, so the
+    * pipeline is testable end-to-end). */
+  object FakeCodec {
+    /** "Decodes" a payload into a fixed-length feature vector: byte
+      * histogram moments — deterministic, shape-compatible with a real
+      * embedding head. */
+    def decode(payload: Array[Byte], dim: Int = 8): Array[Double] = {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % dim) += (payload(i) & 0xff) / 255.0
+        i += 1
+      }
+      if (payload.length > 0) {
+        var j = 0
+        while (j < dim) { out(j) /= math.max(1, payload.length / dim); j += 1 }
+      }
+      out
+    }
+
+    /** STUB frame sampler: returns `n` evenly spaced frame offsets. */
+    def sampleFrames(nFrames: Int, n: Int): Array[Int] =
+      if (nFrames <= 0 || n <= 0) Array.empty
+      else Array.tabulate(math.min(n, nFrames))(i => i * nFrames / math.min(n, nFrames))
+  }
+
+  /** Batched per-partition feature extraction — the mapInPandas-shaped
+    * step: one decoder instance per partition (amortized init), rows
+    * streamed through it. Output: (media_id, kind, features array). */
+  def extractFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val kindIdx = df.schema.fieldIndex("kind")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { it =>
+      // decoder/codec init would happen once per partition here
+      it.map { r =>
+        Row(r.getLong(idIdx), r.getString(kindIdx),
+          FakeCodec.decode(r.getAs[Array[Byte]](payloadIdx), dim).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Payload-size-aware repartitioning: target ≤ `bytesPerPartition`
+    * of media per task regardless of row-size skew. */
+  def repartitionForPayloads(df: DataFrame, bytesPerPartition: Long): DataFrame = {
+    val totalBytes = df.agg(sum(length(col("payload")))).head().getLong(0)
+    val parts = math.max(1, (totalBytes / bytesPerPartition).toInt)
+    df.repartition(parts)
+  }
+
+  /** Builds a deterministic multimodal frame from the documents table
+    * (text bytes as stand-in payloads) — the fixture generator for
+    * tests and demo queries. */
+  def syntheticMedia(spark: SparkSession, documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      (when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit(64).as("width"), lit(64).as("height"),
+        lit(16000).as("sample_rate"),
+        (col("n_chars") % 100).cast("int").as("n_frames")).as("meta"))
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.functions.Vec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact baseline — broadcast the (small) query
+  *     set against the corpus; O(N·Q·d) distributed work, no shuffle of
+  *     the corpus, one window per query for the top-k.
+  *   - [[lshTopK]]: the scale path — random-hyperplane signatures bucket
+  *     the corpus; queries probe their own bucket plus all 1-bit
+  *     neighbors (multiprobe), so candidate volume is ~N·(nbits+1)/2^nbits
+  *     per query instead of N.
+  *
+  * Cosine is computed as a dot product of pre-normalized vectors: one
+  * fused codegen loop per pair.
+  */
+object Similarity {
+
+  /** Adds `_unit` (normalized embedding). Rows with zero norm are
+    * dropped (cosine undefined). */
+  def withUnit(df: DataFrame, embCol: String): DataFrame = {
+    val emb = Vec.asDouble(col(embCol))
+    df.withColumn("_norm", Vec.norm(emb))
+      .filter(col("_norm") > 0)
+      .withColumn("_unit", transform(emb, x => x / col("_norm")))
+      .drop("_norm")
+  }
+
+  /** Exact top-k neighbors for each query row (excluding self-matches
+    * by id). Ranking is on cosine rounded to `roundTo` decimals with id
+    * as tiebreak — fully deterministic across engines. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val c = withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
+    val q = withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit").as("u_q"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Vec.dot(col("u_c"), col("u_q")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Top `limit` most-similar pairs (a < b) — exact, for bounded corpora
+    * or within-bucket refinement. */
+  def topPairs(df: DataFrame, idCol: String, embCol: String, limit: Int,
+      roundTo: Int = 6): DataFrame = {
+    val u = withUnit(df, embCol)
+    val l = u.select(col(idCol).as("a"), col("_unit").as("u_a"))
+    val r = u.select(col(idCol).as("b"), col("_unit").as("u_b"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"), round(Vec.dot(col("u_a"), col("u_b")), roundTo).as("cosine"))
+      .orderBy(col("cosine").desc, col("a"), col("b"))
+      .limit(limit)
+  }
+
+  /** LSH-bucketed approximate top-k: `tables` independent hyperplane
+    * signatures key the corpus; each query probes, per table, its own
+    * bucket plus all 1-bit flips (multiprobe). Candidate volume per
+    * query ≈ N · tables · (nbits+1) / 2^nbits; recall per neighbor is
+    * 1-(1-p)^tables where p is the per-table probe hit rate. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nbits: Int = 12, tables: Int = 4,
+      seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    val dim = corpus.select(size(col(embCol))).head().getInt(0)
+    val planeSets = (0 until tables).map(t => Vec.randomPlanes(nbits, dim, seed + t))
+    def sigs(unit: org.apache.spark.sql.Column) = planeSets.zipWithIndex.map {
+      case (planes, t) => struct(lit(t).as("t"), Vec.hyperplaneSignature(unit, planes).as("sig"))
+    }
+    val c = withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"),
+        explode(array(sigs(col("_unit")): _*)).as("_ts"))
+      .select(col("neighbor_id"), col("u_c"), col("_ts.t").as("_t"), col("_ts.sig").as("_sig"))
+    // multiprobe masks: own bucket + every 1-bit neighbor bucket
+    val masks = lit(0L) +: (0 until nbits).map(b => lit(1L << b))
+    val qBase = withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit").as("u_q"),
+        explode(array(sigs(col("_unit")): _*)).as("_ts"))
+    val q = qBase.select(col("query_id"), col("u_q"), col("_ts.t").as("_t"),
+      explode(array(masks.map(m => col("_ts.sig").bitwiseXOR(m)): _*)).as("_sig"))
+    val scored = c.join(q, Seq("_t", "_sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("u_c"), col("u_q"))
+      .distinct() // a pair may collide in several tables/probes
+      .withColumn("cosine", round(Vec.dot(col("u_c"), col("u_q")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

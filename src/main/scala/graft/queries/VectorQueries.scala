@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search query surface over the `embeddings` table
+  * (array<float>, dim 64): exact brute-force cosine top-k as the
+  * baseline, LSH-bucketed ANN as the scale path, near-dup detection
+  * over planted perturbed vectors.
+  */
+object VectorQueries {
+
+  // --- v01: exact cosine top-k ----------------------------------------
+  private val v01 = GraftQuery(
+    "v01_cosine_topk",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+        FROM u q, u c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+    WHERE rank <= 5 ORDER BY query_id, rank"""),
+    bench = true)
+
+  // --- v02: globally most-similar pairs -------------------------------
+  private val v02 = GraftQuery(
+    "v02_similar_pairs",
+    (s, d) =>
+      Similarity.topPairs(Tables(s, d, "embeddings"), "vec_id", "embedding", limit = 20),
+    Some("""WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+      round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+    FROM u a, u b WHERE a.vec_id < b.vec_id
+    ORDER BY cosine DESC, a, b LIMIT 20"""))
+
+  // --- v03: LSH-bucketed ANN (scale path; approximate by design, so
+  //     covered rows-only here and vs brute force in SimilaritySpec) ---
+  private val v03 = GraftQuery(
+    "v03_ann_lsh",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5, nbits = 6)
+        .orderBy("query_id", "rank")
+    },
+    None,
+    bench = true)
+
+  // --- v04: embedding near-dup detection over planted perturbations ---
+  private val v04 = GraftQuery(
+    "v04_embedding_neardup",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val perturbed = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          expr("transform(sequence(1, 64), i -> " +
+            "CAST(element_at(embedding, i) AS DOUBLE) + " +
+            "0.1 * CAST(element_at(embedding, 65 - i) AS DOUBLE))").as("embedding"))
+      val all = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(perturbed)
+      val l = Similarity.withUnit(all, "embedding")
+        .select(col("vec_id").as("a"), col("_unit").as("u_a"))
+      val r = Similarity.withUnit(all, "embedding")
+        .select(col("vec_id").as("b"), col("_unit").as("u_b"))
+      l.join(r, col("a") < col("b"))
+        .withColumn("cosine", round(graft.functions.Vec.dot(col("u_a"), col("u_b")), 6))
+        .filter(col("cosine") >= 0.9)
+        .select(col("a"), col("b"), col("cosine"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+        list_transform(generate_series(1, 64),
+          i -> CAST(embedding[i] AS DOUBLE) + 0.1 * CAST(embedding[65 - i] AS DOUBLE))
+      FROM embeddings WHERE vec_id < 5)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+      round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+    FROM base a, base b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.9
+    ORDER BY a, b"""))
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04)
+}

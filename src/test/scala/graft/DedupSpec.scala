@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame =
+    Tables(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+
+  private lazy val withNearDups: DataFrame = {
+    val near = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text"))
+    docs.unionByName(near)
+  }
+
+  test("exact keep-first removes planted exact copies only") {
+    val exact = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val all = docs.unionByName(exact)
+    val kept = Dedup.exactKeepFirst(all, "text", "doc_id")
+    assert(kept.count() == docs.count())
+    assert(kept.filter(col("doc_id") >= 2000000).count() == 0)
+  }
+
+  /** Brute-force ground truth: all pairs with exact shingle-Jaccard ≥ t. */
+  private def bruteForcePairs(df: DataFrame, threshold: Double): Set[(Long, Long)] = {
+    val ids = df.select("doc_id").as[Long].collect().sorted
+    val allPairs = (for (i <- ids; j <- ids if i < j) yield (i, j)).toSeq
+      .toDF("a", "b")
+    Dedup.jaccardForPairs(allPairs, df, "doc_id", "text")
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+  }
+
+  test("minhash LSH output equals brute-force jaccard>=0.5 ground truth " +
+      "(incl. the corpus's own near-dups and the planted ones)") {
+    val got = Dedup.minhashNearDupPairs(withNearDups, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val expected = bruteForcePairs(withNearDups, 0.5)
+    val planted = (0L until 10L).map(i => (i, i + 1000000)).toSet
+    assert(planted.subsetOf(expected), "sanity: planted pairs are true near-dups")
+    assert(got == expected)
+  }
+
+  test("minhash jaccard estimates are close to exact jaccard") {
+    val got = Dedup.minhashNearDupPairs(withNearDups, "doc_id", "text")
+      .select("a", "jaccard").as[(Long, Double)].collect().toMap
+    assert(got.values.forall(j => j > 0.8 && j <= 1.0))
+  }
+
+  test("simhash block join finds exactly the hamming<=3 ground truth") {
+    val pairs = Dedup.simhashNearDupPairs(withNearDups, "doc_id", "text", maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // ground truth from the signatures themselves (pigeonhole join must
+    // be lossless within the bound)
+    val sigs = withNearDups
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect()
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+    assert(pairs.nonEmpty, "short word-salad docs: at least some planted pairs land within hamming 3")
+  }
+
+  test("simhash of identical text is identical; near-dup is close") {
+    val d = Seq((1L, "spark table scan join"), (2L, "spark table scan join"),
+      (3L, "spark table scan join extra")).toDF("doc_id", "text")
+    val sigs = d.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 16)
+  }
+
+  test("shingles: set semantics, short docs fall back to whole text") {
+    val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = d.select(col("doc_id"),
+      TextAnalysis.wordShingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq("a b"))
+  }
+
+  test("jaccard for explicit pairs") {
+    val pairs = Seq((0L, 1000000L)).toDF("a", "b")
+    val j = Dedup.jaccardForPairs(pairs, withNearDups, "doc_id", "text")
+      .select("jaccard").head().getDouble(0)
+    assert(j > 0.8 && j < 1.0)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.syntheticMedia(spark,
+    Tables(spark, "/root/testdata/sf0.001", "documents"))
+
+  test("synthetic media frame matches the canonical schema shape") {
+    assert(media.columns.toSeq == Seq("media_id", "kind", "payload", "meta"))
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val kinds = media.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("feature extraction is deterministic, fixed-dim, partition-batched") {
+    val f1 = Multimodal.extractFeatures(media, dim = 8)
+    assert(f1.schema("features").dataType.typeName == "array")
+    val rows = f1.orderBy("media_id").limit(3).collect()
+    assert(rows.forall(_.getSeq[Double](2).length == 8))
+    val again = Multimodal.extractFeatures(media, dim = 8)
+      .orderBy("media_id").limit(3).collect()
+    assert(rows.map(_.getSeq[Double](2)).toSeq == again.map(_.getSeq[Double](2)).toSeq)
+  }
+
+  test("payload-size-aware repartitioning bounds bytes per task") {
+    val parts = Multimodal.repartitionForPayloads(media, bytesPerPartition = 4096)
+      .rdd.getNumPartitions
+    assert(parts >= 2, "50 docs x ~250B should split into multiple partitions")
+  }
+
+  test("frame sampler stub: even spacing, bounds respected") {
+    assert(Multimodal.FakeCodec.sampleFrames(100, 4).toSeq == Seq(0, 25, 50, 75))
+    assert(Multimodal.FakeCodec.sampleFrames(2, 5).toSeq == Seq(0, 1))
+    assert(Multimodal.FakeCodec.sampleFrames(0, 5).isEmpty)
+  }
+}

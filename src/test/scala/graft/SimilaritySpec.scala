@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.Vec
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val d = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0))).toDF("a", "b")
+    val got = d.select(round(Vec.cosine(col("a"), col("b")), 9)).as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("brute-force top-k: k rows per query, ranked by cosine desc") {
+    val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5)
+    val rows = topk.collect()
+    assert(rows.length == 15)
+    val perQuery = rows.groupBy(_.getLong(0))
+    perQuery.values.foreach { rs =>
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cos == cos.sorted.reverse, "ranks ordered by cosine desc")
+    }
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "no self matches")
+  }
+
+  test("LSH ANN recall vs brute force is reasonable at this scale") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nbits = 6, tables = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low for 4 tables x 1-bit multiprobe at dim 64")
+  }
+
+  test("hyperplane signature is deterministic and balanced-ish") {
+    val planes = Vec.randomPlanes(6, 64)
+    val sigs = Similarity.withUnit(emb, "embedding")
+      .select(Vec.hyperplaneSignature(col("_unit"), planes).as("s"))
+      .as[Long].collect()
+    assert(sigs.toSet.size > 8, "signatures spread over buckets")
+    val again = Similarity.withUnit(emb, "embedding")
+      .select(Vec.hyperplaneSignature(col("_unit"), planes).as("s"))
+      .as[Long].collect()
+    assert(sigs.toSeq == again.toSeq)
+  }
+}

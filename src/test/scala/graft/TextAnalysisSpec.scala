@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count and avg length") {
+    val d = Seq("the cat  sat", "a").toDF("text")
+    val got = d.select(
+      TextAnalysis.tokenCount(col("text")),
+      round(TextAnalysis.avgTokenLen(col("text")), 4))
+      .as[(Int, Double)].collect().toSeq
+    assert(got == Seq((3, 3.0), (1, 1.0))) // "thecatsat" = 9 chars / 3 tokens
+  }
+
+  test("char ratios") {
+    val d = Seq("ab12!?").toDF("text")
+    val got = d.select(
+      round(TextAnalysis.digitRatio(col("text")), 4),
+      round(TextAnalysis.punctRatio(col("text")), 4))
+      .as[(Double, Double)].head()
+    assert(got == ((0.3333, 0.3333)))
+  }
+
+  test("stopword ratio and quality score") {
+    val good = "the quick brown fox jumps over the lazy dog and runs to a barn"
+    val noisy = "x9 $$ 77 !! 3j 99 ## @@ 11 zz"
+    val d = Seq(good, noisy).toDF("text")
+    val got = d.select(TextAnalysis.qualityScore(col("text"))).as[Double].collect()
+    assert(got(0) > got(1), s"quality(good)=${got(0)} should beat quality(noisy)=${got(1)}")
+  }
+
+  test("langid heuristic picks profile languages deterministically") {
+    val d = Seq(
+      "the cat is in the house and a dog",
+      "der hund ist nicht die katze und das haus",
+      "el perro que los gatos por una casa",
+      "le chien et les chats des maisons est une",
+      "コンピュータ").toDF("text")
+    val got = d.select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "fr", "other"))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val d = Seq(("A  b\tC", "a b c"), ("x", "y")).toDF("t1", "t2")
+    val got = d.select(
+      (TextAnalysis.fingerprint(col("t1")) === TextAnalysis.fingerprint(col("t2"))).as("eq"))
+      .as[Boolean].collect().toSeq
+    assert(got == Seq(true, false))
+  }
+}
