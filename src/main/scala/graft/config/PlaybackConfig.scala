@@ -140,6 +140,56 @@ final case class PlaybackConfig(
 
 object PlaybackConfig {
 
+  /** Round-trips the config through DataSourceV2 string options (the
+    * reference's JSON config keys, csvplayback.py:53-236). */
+  def toOptions(cfg: PlaybackConfig): Map[String, String] = Map(
+    "assetName" -> cfg.assetName,
+    "csvDirName" -> cfg.csvDirName,
+    "csvFileName" -> cfg.csvFileName,
+    "headerMethod" -> cfg.headerMethod.key,
+    "dataPointForCombine" -> cfg.dataPointForCombine,
+    "noOfRows" -> cfg.noOfRows.toString,
+    "variableCols" -> cfg.variableCols.toString,
+    "columnMethod" -> cfg.columnMethod.key,
+    "autoGeneratePrefix" -> cfg.autoGeneratePrefix,
+    "useColumns" -> cfg.useColumns,
+    "rowIndexForColumnNames" -> cfg.rowIndexForColumnNames.toString,
+    "ingestMode" -> cfg.ingestMode.key,
+    "sampleRate" -> cfg.sampleRate.toString,
+    "burstInterval" -> cfg.burstInterval.toString,
+    "timestampStyle" -> cfg.timestampStyle.key,
+    "timestampCol" -> cfg.timestampCol,
+    "timestampFormat" -> cfg.timestampFormat,
+    "ignoreNaN" -> cfg.ignoreNaN.key,
+    "postProcessMethod" -> cfg.postProcessMethod.key,
+    "suffixName" -> cfg.suffixName)
+
+  def fromOptions(opts: Map[String, String]): PlaybackConfig = {
+    val ci = opts.map { case (k, v) => k.toLowerCase -> v }
+    def s(k: String, dflt: String) = ci.getOrElse(k.toLowerCase, dflt)
+    PlaybackConfig(
+      assetName = s("assetName", "vibration"),
+      csvDirName = s("csvDirName", "FLEDGE_DATA"),
+      csvFileName = s("csvFileName", ""),
+      headerMethod = Enums.HeaderMethod.from(s("headerMethod", "do_not_skip")),
+      dataPointForCombine = s("dataPointForCombine", "metadata"),
+      noOfRows = s("noOfRows", "1").toInt,
+      variableCols = s("variableCols", "false").toBoolean,
+      columnMethod = Enums.ColumnMethod.from(s("columnMethod", "pick_from_file")),
+      autoGeneratePrefix = s("autoGeneratePrefix", "column"),
+      useColumns = s("useColumns", ""),
+      rowIndexForColumnNames = s("rowIndexForColumnNames", "0").toInt,
+      ingestMode = Enums.IngestMode.from(s("ingestMode", "burst")),
+      sampleRate = s("sampleRate", "8000").toInt,
+      burstInterval = s("burstInterval", "1000").toInt,
+      timestampStyle = Enums.TimestampStyle.from(s("timestampStyle", "current time")),
+      timestampCol = s("timestampCol", ""),
+      timestampFormat = s("timestampFormat", "%Y-%m-%d %H:%M:%S.%f%z"),
+      ignoreNaN = Enums.NaNPolicy.from(s("ignoreNaN", "ignore")),
+      postProcessMethod = Enums.PostProcess.from(s("postProcessMethod", "continue_playing")),
+      suffixName = s("suffixName", ".tmp")).validated
+  }
+
   /** `FLEDGE_DATA`-prefixed directory expansion (csvplayback.py:35-37,
     * 488-494): `FLEDGE_DATA` → `$FLEDGE_ROOT/data`, `FLEDGE_DATA/x` →
     * `$FLEDGE_ROOT/data/x`. */
