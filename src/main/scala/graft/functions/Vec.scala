@@ -17,7 +17,15 @@ object Vec {
   /** Cast an `array<float>` column to `array<double>` for stable math. */
   def asDouble(a: Column): Column = a.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — custom fused-loop expression ([[HashExpressions.VecDot]]);
+    * the HOF formulation (`aggregate(zip_with(...))`) is interpreted
+    * per element and an order of magnitude slower. Top-level use only;
+    * inside lambdas use [[dotHof]]. */
+  def dot(a: Column, b: Column): Column = HashExpressions.vec_dot(a, b)
+
+  /** Higher-order-function dot product — the pure-builtin reference
+    * implementation (used in tests to cross-check VecDot). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -55,12 +55,9 @@ object Dedup {
   def withMinhash(df: DataFrame, textCol: String, numHashes: Int = 128,
       shingleK: Int = 3): DataFrame = {
     val sh = TextAnalysis.wordShingles(col(textCol), shingleK)
-    val sigCols = (0 until numHashes).map(i =>
-      array_min(transform(col("_hashes"), h => xxhash64(h, lit(i)))))
     df.withColumn("_shingles", sh)
-      .withColumn("_hashes", transform(col("_shingles"), s => xxhash64(s)))
-      .withColumn("_minhash", array(sigCols: _*))
-      .drop("_hashes")
+      .withColumn("_minhash",
+        graft.functions.HashExpressions.minhash64(col("_shingles"), numHashes))
   }
 
   /** Explodes the signature into `bands` (bandIdx, bandHash) rows —
@@ -102,16 +99,10 @@ object Dedup {
 
   /** 64-bit SimHash of the token stream: bit k of the signature is the
     * sign of Σ_tokens (±1 depending on bit k of xxhash64(token)).
-    * Single pass over the tokens with a 64-counter array accumulator. */
-  def simhash64(text: Column): Column = {
-    val masks = array((0 until 64).map(k => lit(1L << k)): _*)
-    val hs = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val counts = aggregate(hs, array_repeat(lit(0L), 64), (acc, h) =>
-      zip_with(acc, masks, (c, m) =>
-        c + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+    * Runs as a custom expression — one tight loop per row (the
+    * higher-order-function formulation is interpreted per element). */
+  def simhash64(text: Column): Column =
+    graft.functions.HashExpressions.simhash64(TextAnalysis.tokens(text))
 
   /** Near-dup pairs with hamming(simhash) ≤ maxHamming, found by the
     * pigeonhole block join: split the 64-bit signature into
