@@ -103,6 +103,26 @@ object CleanCsv {
     df.withColumn(colName, coalesce(c, avg(c).over(w)))
   }
 
+  /** K5 (PD:76,81,141-144): the preprocessing CLI's CSV output — one
+    * header, data appended. Spark writes a directory of parts; headers
+    * are per-file, so a single-header contract means one part
+    * (`coalesce(1)`) for small outputs or header-less parts merged by
+    * the consumer for large ones. */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.drop(RowIdx).write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** The full preprocessing CLI (PD:150-153): channel extraction then
+    * optional NaN repair, written as CSV. */
+  def process(df: DataFrame, outPath: String, choice: String = "ignore",
+      method: String = "linear"): Unit = {
+    val clean = extractChannels(df)
+    val repaired = if (method != "ignore" && choice != "ignore")
+      repair(clean, choice, method) else clean
+    writeCsv(repaired, outPath)
+  }
+
   /** PD:113-116, 137-139 — drop columns whose values are all
     * null/blank; PD's `choice != 'fill'` drops any column containing a
     * null/blank. Returns the repaired frame. */

@@ -1,0 +1,126 @@
+package graft
+
+import graft.config.{Enums, PlaybackConfig}
+import Enums._
+import graft.sources.CsvPlayback
+import graft.timefmt.Strftime
+import org.scalacheck.Gen
+
+import java.nio.file.Files
+
+/** Property-based invariants (SURVEY.md §5 item 3), driven by raw
+  * ScalaCheck generators with a fixed seed (deterministic, and Spark
+  * jobs are slow so each property runs 8 generated cases, not 100). */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[T](gen: Gen[T], n: Int = 8)(f: T => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    var done = 0
+    var attempts = 0
+    while (done < n && attempts < n * 20) {
+      gen.apply(Gen.Parameters.default.withSize(20), seed).foreach { v => f(v); done += 1 }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(done == n, s"generator too sparse: $done/$n cases")
+  }
+
+  private val cell: Gen[String] = Gen.oneOf(
+    Gen.choose(-1000, 1000).map(_.toString),
+    Gen.choose(0.0, 1.0).map(d => f"$d%.4f"),
+    Gen.alphaStr.map(_.take(6)))
+
+  private def writeTemp(content: String): String = {
+    val p = Files.createTempFile("prop", ".csv")
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("fixed CSV: row count preserved, header names preserved") {
+    val table = for {
+      nCols <- Gen.choose(1, 5)
+      names <- Gen.listOfN(nCols, Gen.identifier.map(_.take(8))).map(_.distinct)
+      if names.nonEmpty
+      nRows <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(names.length, cell))
+    } yield (names, rows)
+    forAll(table) { case (names, rows) =>
+      val csv = (names.mkString(",") +: rows.map(_.mkString(","))).mkString("\n") + "\n"
+      val df = CsvPlayback.readFile(spark, PlaybackConfig(), writeTemp(csv))
+      assert(df.count() == rows.length)
+      assert(df.columns.filterNot(_ == "_row_idx").toSeq == names)
+    }
+  }
+
+  test("ragged CSV: pivot never emits empty values; datapoint count = non-empty fields") {
+    val table = for {
+      nRows <- Gen.choose(1, 10)
+      rows <- Gen.listOfN(nRows, Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(cell, Gen.const("")))))
+      if rows.forall(_.exists(_.nonEmpty)) // pandas drops fully-empty rows anyway
+    } yield rows
+    forAll(table) { rows =>
+      val csv = rows.map(_.mkString(",")).mkString("\n") + "\n"
+      val cfg = PlaybackConfig(variableCols = true)
+      val df = CsvPlayback.readFile(spark, cfg, writeTemp(csv))
+      val got = df.collect()
+      assert(got.forall(_.getString(2).nonEmpty), "no empty datapoint values")
+      val expected = rows.map(_.count(_.nonEmpty)).sum
+      assert(got.length == expected)
+      // datapoint names carry the original position
+      assert(got.forall(_.getString(1).startsWith("column_")))
+    }
+  }
+
+  test("useColumns rename+select equals rename-then-project by hand") {
+    val table = for {
+      nCols <- Gen.choose(2, 5)
+      nRows <- Gen.choose(1, 8)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(nCols, Gen.choose(0, 99)))
+      dropIdx <- Gen.choose(0, nCols - 1)
+    } yield (nCols, rows, dropIdx)
+    forAll(table) { case (nCols, rows, dropIdx) =>
+      val header = (0 until nCols).map(i => s"orig$i").mkString(",")
+      val csv = (header +: rows.map(_.mkString(","))).mkString("\n") + "\n"
+      val names = (0 until nCols).map(i => if (i == dropIdx) "" else s"c$i")
+      val cfg = PlaybackConfig(columnMethod = ColumnMethod.Explicit,
+        useColumns = names.mkString(","))
+      val df = CsvPlayback.readFile(spark, cfg, writeTemp(csv))
+      val expectCols = names.filter(_.nonEmpty)
+      assert(df.columns.filterNot(_ == "_row_idx").toSeq == expectCols)
+      // values survive the positional relabel
+      val firstKept = (0 until nCols).filter(_ != dropIdx).head
+      val got = df.orderBy("_row_idx").select(expectCols.head).collect().map(_.get(0).toString)
+      assert(got.toSeq == rows.map(_(firstKept).toString))
+    }
+  }
+
+  test("strftime translation round-trips random timestamps") {
+    val instants = Gen.choose(0L, 4102444800L) // 1970..2100
+    forAll(instants) { epochSec =>
+      val micro = (epochSec % 1000000L).max(0)
+      val odt = java.time.Instant.ofEpochSecond(epochSec, micro * 1000)
+        .atOffset(java.time.ZoneOffset.UTC)
+      val fmt = Strftime.toJava("%Y-%m-%d %H:%M:%S.%f%z")
+      val s = odt.format(java.time.format.DateTimeFormatter.ofPattern(fmt))
+      val back = java.time.OffsetDateTime.parse(s,
+        java.time.format.DateTimeFormatter.ofPattern(fmt))
+      assert(back.toInstant == odt.toInstant)
+    }
+  }
+
+  test("NaN violation count = hand count of null/whitespace cells") {
+    val dirtyCell = Gen.frequency(4 -> cell, 1 -> Gen.const(""), 1 -> Gen.const(" "))
+    val table = for {
+      nRows <- Gen.choose(1, 8)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(3, dirtyCell))
+    } yield rows
+    forAll(table) { rows =>
+      val csv = ("a,b,c" +: rows.map(_.mkString(","))).mkString("\n") + "\n"
+      val df = CsvPlayback.readFile(spark, PlaybackConfig(), writeTemp(csv))
+      val v = graft.sources.NaNReport.violations(df)
+      val expected = (0 until 3).map(i => rows.count(r => r(i).isEmpty || r(i).trim.isEmpty))
+      assert(Seq(v("a"), v("b"), v("c")) == expected)
+    }
+  }
+}
