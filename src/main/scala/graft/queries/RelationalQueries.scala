@@ -497,7 +497,87 @@ object RelationalQueries {
     GROUP BY 1
     ORDER BY day"""))
 
+  // --- q25: sessionization (lag + running sum of session starts) ------
+  private val q25 = GraftQuery(
+    "q25_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L ||
+            lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round((max(col("us")) - min(col("us"))) / 1e6, 3).as("duration_sec"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 OR
+                  lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, us,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t)
+    SELECT user_id, session_id, count(*) AS n_events,
+      round((max(us) - min(us)) / 1e6, 3) AS duration_sec
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""),
+    bench = true)
+
+  // --- q26: as-of join (most recent click before each error) ----------
+  // Spark lacks ASOF JOIN; the union + running-last trick expresses it
+  // shuffle-once (no range join explosion). DuckDB has native ASOF.
+  private val q26 = GraftQuery(
+    "q26_asof_click_before_error",
+    (s, d) => {
+      val e = ev(s, d).filter(col("event_type").isin("click", "error"))
+      // clicks sort before errors at equal timestamps (ASOF includes ties)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), when(col("event_type") === "error", 1).otherwise(0),
+          col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_us",
+          last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          round((unix_micros(col("ts")) - col("click_us")) / 1e6, 3).as("lag_sec"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, c.event_id AS click_id,
+      round((epoch_us(e.ts) - epoch_us(c.ts)) / 1e6, 3) AS lag_sec
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    ORDER BY e.event_id"""))
+
+  // --- q27: approximate sketches (HLL distinct, quantile sketch) ------
+  // algorithms are engine-specific → rows-only gate; SketchSpec asserts
+  // accuracy against exact values
+  private val q27 = GraftQuery(
+    "q27_approx_stats",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          round(percentile_approx(col("value"), lit(0.5), lit(1000)), 2).as("p50"),
+          round(percentile_approx(col("value"), lit(0.95), lit(1000)), 2).as("p95"))
+        .orderBy("event_type"),
+    None)
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q26, q27)
 }
