@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.HashExpressions.{MinHash64, SimHash64, VecDot}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers the engine's custom Catalyst expressions as SQL functions,
+  * so `spark.sql("SELECT vec_dot(a, b) ...")` works next to the Column
+  * API. Install via
+  * `spark.builder.withExtensions(new GraftExtensions)` or at runtime
+  * with [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("minhash64",
+      new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(shingles) => MinHash64(shingles, 128)
+        case Seq(shingles, n) => MinHash64(shingles, intLit(n, "numHashes"))
+        case _ => throw new IllegalArgumentException("minhash64(shingles[, numHashes])")
+      }),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens) => SimHash64(tokens)
+        case _ => throw new IllegalArgumentException("simhash64(tokens)")
+      }),
+    ("vec_dot",
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VecDot(a, b)
+        case _ => throw new IllegalArgumentException("vec_dot(a, b)")
+      }))
+
+  /** Runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

@@ -25,6 +25,7 @@ object QueryRegistry {
       queries.TextQueries.all ++
       queries.DedupQueries.all ++
       queries.VectorQueries.all ++
+      queries.SamplingQueries.all ++
       queries.PlaybackQueries.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything here is content-hash driven, not RNG driven: the same row
+  * lands in the same sample/split on every run, on every cluster size,
+  * with no shuffle (pure map-side filters) — the property that matters
+  * when a 100 TB corpus is re-materialized incrementally.
+  *
+  * Two hash families: `xxhash64` for in-engine keys (fast), `md5` hex
+  * prefixes where cross-engine reproducibility matters (md5 is
+  * bit-identical everywhere).
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a key column (xxhash64-based —
+    * fast path; not portable across engines). */
+  def hashBucket(key: Column, buckets: Int, salt: String = "graft"): Column =
+    pmod(xxhash64(key.cast("string"), lit(salt)), lit(buckets))
+
+  /** Portable bucket in [0, 256) — first md5 hex byte of the key. */
+  def md5Bucket256(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** Deterministic uniform sample of ~fraction of rows, keyed on
+    * `key` (map-side filter; no shuffle, no RNG). */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(md5Bucket256(key) < (fraction * 256).round.toInt)
+
+  /** Train/val/test assignment by hash bucket. Default 80/10/10. */
+  def assignSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = md5Bucket256(key)
+    val trainLim = (256 * trainPct) / 100
+    val valLim = (256 * (trainPct + valPct)) / 100
+    when(b < trainLim, "train").when(b < valLim, "val").otherwise("test")
+  }
+
+  /** Per-stratum fractions (e.g. downsample dominant languages).
+    * Missing strata keep everything. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      fractions: Map[String, Double]): DataFrame = {
+    val lim = fractions.foldLeft(lit(256)) { case (acc, (s, f)) =>
+      when(stratum === s, (f * 256).round.toInt).otherwise(acc)
+    }
+    df.filter(md5Bucket256(key) < lim)
+  }
+
+  /** Deterministic k-row uniform subset: order by content hash, take k.
+    * (The distributed analogue of reservoir sampling with a fixed
+    * seed; one shuffle of keys only if a total order is demanded —
+    * Spark's TakeOrderedAndProject keeps it a per-partition top-k
+    * merge, no full sort.) */
+  def deterministicTakeK(df: DataFrame, key: Column, k: Int): DataFrame =
+    df.orderBy(md5(key.cast("string"))).limit(k)
+}
