@@ -104,6 +104,61 @@ object HashExpressions {
     override def prettyName: String = "vec_dot"
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme): polynomial
+    * rolling hash over character k-grams of the normalized text, then
+    * the minimum hash of every w-gram window, deduplicated — a
+    * position-robust fingerprint set whose overlap localizes shared
+    * passages (unlike one whole-document digest). */
+  case class Winnow(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 2 && w >= 1, "winnow needs k >= 2, w >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val n = s.length
+      if (n < k) return new GenericArrayData(Array(hashRange(s, 0, n)))
+      val nGrams = n - k + 1
+      val grams = new Array[Long](nGrams)
+      // rolling polynomial hash base 257 over chars (wrapping arithmetic)
+      val B = 257L
+      var pow = 1L
+      var i = 1
+      while (i < k) { pow *= B; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + s.charAt(i); i += 1 }
+      grams(0) = finalize(h)
+      i = 1
+      while (i < nGrams) {
+        h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+        grams(i) = finalize(h)
+        i += 1
+      }
+      // winnow: min of each window of w grams, dedup consecutive picks
+      val out = scala.collection.mutable.LinkedHashSet[Long]()
+      var start = 0
+      while (start <= nGrams - math.min(w, nGrams)) {
+        var m = Long.MaxValue
+        var j = start
+        val end = math.min(start + w, nGrams)
+        while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
+        out += m
+        start += 1
+      }
+      new GenericArrayData(out.toArray.sorted)
+    }
+    // xxhash-style avalanche so the weak polynomial bits spread
+    private def finalize(h: Long): Long = XXH64.hashLong(h, 42L)
+    private def hashRange(s: String, from: Int, until: Int): Long = {
+      var h = 0L
+      var i = from
+      while (i < until) { h = h * 257L + s.charAt(i); i += 1 }
+      finalize(h)
+    }
+    override protected def withNewChildInternal(c: Expression): Winnow = copy(child = c)
+    override def prettyName: String = "winnow"
+  }
+
   // Column wrappers (Spark 4 classic API: Column no longer wraps a
   // catalyst Expression directly — see GraftBridge)
   import GraftBridge.{column, expression}
@@ -112,4 +167,6 @@ object HashExpressions {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def vec_dot(a: Column, b: Column): Column =
     column(VecDot(expression(a), expression(b)))
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
+    column(Winnow(expression(text), k, w))
 }

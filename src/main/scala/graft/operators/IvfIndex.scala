@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.Vec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse k-means
+  * quantizer partitions the corpus into `nlist` cells; each query scans
+  * only its `nprobe` nearest cells.
+  *
+  * Scale design: the quantizer trains on a bounded driver-side sample
+  * (Lloyd's on ≤ `sampleSize` unit vectors — seconds of driver CPU for
+  * any corpus size); centroids ship to executors as literals inside the
+  * assignment expression, so cell assignment is map-side with zero
+  * shuffle. The search itself shuffles only (cell, id, unit) rows for
+  * the probed cells.
+  *
+  * Candidate volume per query ≈ N · nprobe / nlist vs N for brute
+  * force; recall is governed by nprobe/nlist like any IVF index.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+  }
+
+  /** Lloyd's k-means on a deterministic sample of unit vectors. */
+  def train(df: DataFrame, embCol: String, nlist: Int, iters: Int = 10,
+      sampleSize: Int = 2048): Model = {
+    val sample = Similarity.withUnit(df, embCol)
+      .select(col("_unit"))
+      .orderBy(md5(col("_unit").cast("string"))) // deterministic subset
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val k = math.min(nlist, sample.length)
+    var centroids = sample.take(k).map(_.clone())
+    val dim = sample.head.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * centroids(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          val m = sums(c)
+          val norm = math.sqrt(m.map(x => x * x).sum)
+          if (norm == 0) old else m.map(_ / norm)
+        }
+      }
+    }
+    Model(centroids)
+  }
+
+  /** Cells ranked by centroid similarity, as array<struct<d,i>> sorted
+    * descending — head is the assignment, first nprobe are the probes. */
+  private def rankedCells(unit: Column, model: Model): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(Vec.dot(unit, array(c.map(lit): _*)).as("d"), lit(i).as("i"))
+    }
+    sort_array(array(scored: _*), asc = false)
+  }
+
+  def assignCell(unit: Column, model: Model): Column =
+    element_at(rankedCells(unit, model), 1).getField("i")
+
+  /** Approximate top-k via IVF probing. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    val model = train(corpus, embCol, nlist)
+    val c = Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"),
+        assignCell(col("_unit"), model).as("_cell"))
+    val q = Similarity.withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit").as("u_q"),
+        explode(transform(
+          slice(rankedCells(col("_unit"), model), 1, nprobe),
+          s => s.getField("i"))).as("_cell"))
+    val scored = c.join(q, Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Vec.dot(col("u_c"), col("u_q")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

@@ -84,6 +84,13 @@ object TextAnalysis {
   /** xxhash64 fingerprint — the cheap in-engine form for shuffles/keys. */
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
 
+  /** Winnowing fingerprint set (rolling-hash k-grams, window minima):
+    * overlap between two documents' sets localizes shared passages —
+    * the passage-level dedup signal a whole-document digest can't give.
+    * See [[graft.functions.HashExpressions.Winnow]]. */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.functions.HashExpressions.winnow(normalized(text), k, w)
+
   /** k-word shingles of the token stream; documents shorter than k
     * tokens contribute their whole (normalized) token string as a
     * single shingle. Distinct-ified (set semantics for Jaccard).

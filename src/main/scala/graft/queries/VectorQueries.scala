@@ -93,5 +93,18 @@ object VectorQueries {
       AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.9
     ORDER BY a, b"""))
 
-  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04)
+  // --- v05: IVF-probed ANN (coarse k-means quantizer; approximate by
+  //     design → rows-only here, recall pinned in IvfSpec) -------------
+  private val v05 = GraftQuery(
+    "v05_ann_ivf",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      graft.operators.IvfIndex.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+    None,
+    bench = true)
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.HashExpressions
+import graft.operators.{IvfIndex, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class IvfWinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("IVF training is deterministic; centroids are unit-ish") {
+    val m1 = IvfIndex.train(emb, "embedding", nlist = 8)
+    val m2 = IvfIndex.train(emb, "embedding", nlist = 8)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    m1.centroids.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+  }
+
+  test("IVF cell assignment partitions the corpus") {
+    val model = IvfIndex.train(emb, "embedding", nlist = 8)
+    val cells = Similarity.withUnit(emb, "embedding")
+      .select(IvfIndex.assignCell(col("_unit"), model).as("c"))
+      .groupBy("c").count().collect()
+    assert(cells.map(_.getLong(1)).sum == emb.count())
+    assert(cells.length > 2, "multiple cells populated")
+  }
+
+  test("IVF recall vs brute force is reasonable at nprobe=4/nlist=16") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = IvfIndex.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall below 0.5 for nprobe/nlist = 1/4")
+  }
+
+  test("winnowing: identical text → identical fingerprints; shared passage → overlap") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, s"prefix one $passage suffix alpha"),
+      (2L, s"completely different start $passage and another ending"),
+      (3L, "nothing in common with the others at all zebra quantum")).toDF("id", "text")
+    val fps = d.select(col("id"), TextAnalysis.winnowFingerprints(col("text")).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val shared12 = fps(1L).toSet & fps(2L).toSet
+    val shared13 = fps(1L).toSet & fps(3L).toSet
+    assert(shared12.size > 5, s"shared passage yields shared fingerprints: ${shared12.size}")
+    assert(shared13.size < shared12.size / 2, "unrelated docs share far fewer")
+  }
+
+  test("winnowing: fingerprint count scales sub-linearly (window minima)") {
+    val d = Seq("a b c d e f g h i j k l m n o p q r s t u v w x y z").toDF("text")
+    val fp = d.select(TextAnalysis.winnowFingerprints(col("text"), 5, 4).as("f"))
+      .as[Seq[Long]].head()
+    val textLen = 51
+    assert(fp.length < textLen - 4, s"winnowing selects a subset: ${fp.length}")
+    assert(fp == fp.sorted && fp.distinct == fp, "sorted distinct set")
+  }
+
+  test("winnow handles short text (below k) via whole-string hash") {
+    val d = Seq("ab").toDF("text")
+    val fp = d.select(HashExpressions.winnow(col("text"), 5, 4).as("f"))
+      .as[Seq[Long]].head()
+    assert(fp.length == 1)
+  }
+}
