@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state beyond windowed aggregation
+  * (`flatMapGroupsWithState`): per-key logic that windows can't
+  * express. The reference has no analogue — this is north-star
+  * streaming capability on top of the playback source.
+  */
+object StatefulOps {
+
+  final case class Keyed(key: String, tsMicros: Long, value: Double)
+  final case class Gap(key: String, fromMicros: Long, toMicros: Long, gapMicros: Long)
+
+  /** Emits a [[Gap]] whenever consecutive readings of a key are more
+    * than `maxGapMicros` apart — the sensor-dropout detector a playback
+    * consumer wants. State per key = last seen timestamp. */
+  def gapDetect(input: Dataset[Keyed], maxGapMicros: Long): Dataset[Gap] = {
+    implicit val gapEnc = Encoders.product[Gap]
+    implicit val longEnc = Encoders.scalaLong
+    input
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Keyed], state: GroupState[Long]) => {
+          val sorted = rows.toSeq.sortBy(r => r.tsMicros)
+          var last = if (state.exists) state.get else Long.MinValue
+          val gaps = Seq.newBuilder[Gap]
+          sorted.foreach { r =>
+            if (last != Long.MinValue && r.tsMicros - last > maxGapMicros)
+              gaps += Gap(key, last, r.tsMicros, r.tsMicros - last)
+            last = math.max(last, r.tsMicros)
+          }
+          if (last != Long.MinValue) state.update(last)
+          gaps.result().iterator
+        })
+  }
+
+  /** Adapter: a playback readings frame → [[Keyed]] dataset. */
+  def keyed(df: DataFrame, keyCol: String, tsCol: String, valueCol: String): Dataset[Keyed] = {
+    implicit val enc = Encoders.product[Keyed]
+    df.select(
+        col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("tsMicros"),
+        col(valueCol).cast("double").as("value"))
+      .as[Keyed]
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.ScaleOps
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("bucketed")
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val ord = Tables(spark, "/root/testdata/sf0.001", "orders")
+    ScaleOps.writeBucketed(li, "li_b", "l_orderkey", 4, s"$wh/li")
+    ScaleOps.writeBucketed(ord, "ord_b", "o_orderkey", 4, s"$wh/ord")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(sum("l_quantity").as("q"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinRegion = plan.split("HashAggregate").last // below the agg
+      val exchangesBeforeJoin = "Exchange hashpartitioning".r
+        .findAllIn(joinRegion).length
+      assert(exchangesBeforeJoin == 0,
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
+  test("salted join result equals plain join") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity", "l_linenumber")
+    val ord = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val plain = li.join(ord, "l_orderkey")
+      .select("l_orderkey", "l_linenumber", "o_orderstatus")
+      .as[(Long, Int, String)].collect().toSet
+    val salted = ScaleOps.saltedJoin(li, ord, "l_orderkey", salts = 8)
+      .select("l_orderkey", "l_linenumber", "o_orderstatus")
+      .as[(Long, Int, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("salted join spreads a hot key over multiple salts") {
+    val hot = Seq.fill(1000)((1L, "x")).toDF("k", "v")
+    val salts = hot.withColumn("_salt",
+      pmod(xxhash64(struct(col("k"), col("v"))), lit(8)))
+      .select("_salt").distinct().count()
+    // all rows identical → same salt; realistic rows differ. Use index:
+    val hotIdx = (0 until 1000).map(i => (1L, s"x$i")).toDF("k", "v")
+    val saltSpread = hotIdx.withColumn("_salt",
+      pmod(xxhash64(struct(col("k"), col("v"))), lit(8)))
+      .select("_salt").distinct().count()
+    assert(saltSpread == 8, s"distinct rows of a hot key spread over all salts (got $saltSpread)")
+    assert(salts == 1, "degenerate identical rows collapse to one salt (documented)")
+  }
+
+  test("key skew profile surfaces the heavy keys") {
+    val df = (Seq.fill(90)(("hot", 1)) ++ Seq.tabulate(10)(i => (s"k$i", 1)))
+      .toDF("key", "v")
+    val prof = ScaleOps.keySkewProfile(df, "key", topN = 3).collect()
+    assert(prof.head.getString(0) == "hot")
+    assert(prof.head.getDouble(2) == 0.9)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.streaming.StatefulOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap detection across micro-batches keeps per-key state") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Keyed]
+    val gaps = StatefulOps.gapDetect(input.toDS(), maxGapMicros = 1000000L) // 1s
+    val q = gaps.writeStream.format("memory").queryName("gaps")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      // batch 1: a steady, then silence
+      input.addData(
+        StatefulOps.Keyed("a", 0L, 1.0),
+        StatefulOps.Keyed("a", 500000L, 1.0),
+        StatefulOps.Keyed("b", 0L, 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM gaps").count() == 0)
+      // batch 2: 'a' resumes 3s later (gap!), 'b' stays regular
+      input.addData(
+        StatefulOps.Keyed("a", 3500000L, 1.0),
+        StatefulOps.Keyed("b", 800000L, 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT key, fromMicros, toMicros, gapMicros FROM gaps")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(got == Seq(("a", 500000L, 3500000L, 3000000L)),
+        s"one gap, across the batch boundary, state remembered: $got")
+    } finally q.stop()
+  }
+
+  test("within-batch gaps are detected too") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Keyed]
+    val gaps = StatefulOps.gapDetect(input.toDS(), maxGapMicros = 100L)
+    val q = gaps.writeStream.format("memory").queryName("gaps2")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StatefulOps.Keyed("k", 0L, 1.0),
+        StatefulOps.Keyed("k", 50L, 1.0),
+        StatefulOps.Keyed("k", 500L, 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT gapMicros FROM gaps2").as[Long].collect().toSeq
+      assert(got == Seq(450L))
+    } finally q.stop()
+  }
+}
