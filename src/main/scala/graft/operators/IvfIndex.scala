@@ -83,9 +83,13 @@ object IvfIndex {
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       roundTo: Int = 6): DataFrame = {
     val model = train(corpus, embCol, nlist)
-    val c = Similarity.withUnit(corpus, embCol)
-      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"),
-        assignCell(col("_unit"), model).as("_cell"))
+    // materialize units before the 16-way centroid scoring: otherwise
+    // the normalization expression is re-evaluated inside every VecDot
+    val units = Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
+      .cache()
+    val c = units.select(col("neighbor_id"), col("u_c"),
+      assignCell(col("u_c"), model).as("_cell"))
     val q = Similarity.withUnit(queries, embCol)
       .select(col(idCol).as("query_id"), col("_unit").as("u_q"),
         explode(transform(

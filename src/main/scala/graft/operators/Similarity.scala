@@ -75,9 +75,14 @@ object Similarity {
     def sigs(unit: org.apache.spark.sql.Column) = planeSets.zipWithIndex.map {
       case (planes, t) => struct(lit(t).as("t"), Vec.hyperplaneSignature(unit, planes).as("sig"))
     }
-    val c = withUnit(corpus, embCol)
-      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"),
-        explode(array(sigs(col("_unit")): _*)).as("_ts"))
+    // materialize units before the tables*nbits plane dots (else the
+    // normalization expression re-evaluates inside every dot product)
+    val cUnits = withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
+      .cache()
+    val c = cUnits
+      .select(col("neighbor_id"), col("u_c"),
+        explode(array(sigs(col("u_c")): _*)).as("_ts"))
       .select(col("neighbor_id"), col("u_c"), col("_ts.t").as("_t"), col("_ts.sig").as("_sig"))
     // multiprobe masks: own bucket + every 1-bit neighbor bucket
     val masks = lit(0L) +: (0 until nbits).map(b => lit(1L << b))
