@@ -109,5 +109,43 @@ object TextQueries {
       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
     FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05)
+  // --- t06: the full curation pipeline in one plan --------------------
+  // quality gate → exact dedup (keep-first) → deterministic split →
+  // per-(lang, split) counts. The composition a training-data pipeline
+  // actually runs; every stage is the operator verified individually
+  // above, and the whole plan stays map-side except the dedup shuffle
+  // and final count.
+  private val t06 = GraftQuery(
+    "t06_curation_pipeline",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val quality = docs.filter(
+        TextAnalysis.stopwordRatio(col("text"), stop) >= 0.03 &&
+          col("n_chars").between(50, 520))
+      val deduped = graft.operators.Dedup.exactKeepFirst(quality, "text", "doc_id")
+      deduped
+        .withColumn("split", graft.operators.Sampling.assignSplit(col("doc_id")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    },
+    Some(s"""WITH quality AS (
+      SELECT * FROM documents
+      WHERE CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+          t -> t IN ($stopSql))) AS DOUBLE)
+          / len(string_split_regex(trim(text), '\\s+')) >= 0.03
+        AND n_chars BETWEEN 50 AND 520),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM quality) WHERE rn = 1)
+    SELECT lang,
+      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+           ELSE 'test' END AS split,
+      count(*) AS n
+    FROM deduped GROUP BY 1, 2 ORDER BY lang, split"""),
+    bench = true)
+
+  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06)
 }
