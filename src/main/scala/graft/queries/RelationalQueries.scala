@@ -513,7 +513,9 @@ object RelationalQueries {
         .groupBy(col("user_id"), col("session_id"))
         .agg(
           count(lit(1)).as("n_events"),
-          round((max(col("us")) - min(col("us"))) / 1e6, 3).as("duration_sec"))
+          // exact integer µs (not round(µs/1e6, 3)): float half-way ties
+          // round differently in Spark (HALF_UP) vs DuckDB → hash drift
+          (max(col("us")) - min(col("us"))).as("duration_us"))
         .orderBy("user_id", "session_id")
     },
     Some("""WITH t AS (
@@ -528,7 +530,7 @@ object RelationalQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM t)
     SELECT user_id, session_id, count(*) AS n_events,
-      round((max(us) - min(us)) / 1e6, 3) AS duration_sec
+      max(us) - min(us) AS duration_us
     FROM s GROUP BY user_id, session_id
     ORDER BY user_id, session_id"""),
     bench = true)
