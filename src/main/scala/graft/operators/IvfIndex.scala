@@ -25,12 +25,18 @@ object IvfIndex {
     def nlist: Int = centroids.length
   }
 
-  /** Lloyd's k-means on a deterministic sample of unit vectors. */
+  /** Lloyd's k-means on a deterministic sample of unit vectors.
+    *
+    * The sample key is `xxhash64` of the raw embedding bytes — a cheap
+    * per-row hash (vs e.g. md5 of the stringified array, which pays an
+    * array→string render per row). `orderBy(...).limit(n)` compiles to
+    * `TakeOrderedAndProject`: a per-partition heap + driver merge, no
+    * full sort and no shuffle — the pattern survives a 100 TB corpus. */
   def train(df: DataFrame, embCol: String, nlist: Int, iters: Int = 10,
       sampleSize: Int = 2048): Model = {
     val sample = Similarity.withUnit(df, embCol)
       .select(col("_unit"))
-      .orderBy(md5(col("_unit").cast("string"))) // deterministic subset
+      .orderBy(xxhash64(col("_unit"))) // deterministic subset, cheap key
       .limit(sampleSize)
       .collect()
       .map(_.getSeq[Double](0).toArray)
