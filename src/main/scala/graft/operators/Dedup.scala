@@ -129,6 +129,54 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------- connected components
+
+  /** Connected components over an undirected edge list — the dup-group
+    * clustering step after near-dup pair generation: documents joined by
+    * a chain of near-dup edges form one group, and the component label
+    * (min member id) picks the canonical keeper.
+    *
+    * `edges` must have long columns (a, b); `nodes` one long column
+    * `node` (include isolated nodes so singletons surface). Returns
+    * (node, component).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own and its neighbors' labels; converges in
+    * O(component diameter) rounds, each round one shuffle join + one
+    * aggregation. That is the standard MapReduce-CC shape; near-dup
+    * graphs have tiny diameters (dup clusters are dense), so rounds
+    * stay single-digit at any corpus size. For adversarial long-chain
+    * graphs switch to large-star/small-star — same join primitives.
+    * `localCheckpoint` truncates lineage each round so plans don't grow
+    * unboundedly with iterations.
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("component"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("component")).as("_nbr"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(labels("node"),
+          least(col("component"), coalesce(col("_nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("component", "_old"), "node")
+        .filter(col("component") =!= col("_old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   // --------------------------------------------------- exact n-gram jaccard
 
   /** Exact n-gram Jaccard over explicit candidate pairs: a baseline /

@@ -82,6 +82,18 @@ object DedupQueries {
         .orderBy("a", "b"),
     None)
 
+  /** SQL mirror of [[TextAnalysis.wordShingles]] (k=3) as a CTE body
+    * over a table `p(doc_id, text)` — shared by the d05/d07 oracles. */
+  private val shingleCteSql =
+    """SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(1, len(string_split_regex(trim(text), '\s+')) - 2)),
+        i -> CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+          THEN string_split_regex(trim(text), '\s+')[i] || ' ' ||
+               string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text), '\s+')[i+2]
+          ELSE array_to_string(string_split_regex(trim(text), '\s+'), ' ') END)) AS sh
+        FROM p"""
+
   // --- d05: exact n-gram Jaccard for the planted pairs ----------------
   private val d05 = GraftQuery(
     "d05_ngram_jaccard",
@@ -94,14 +106,7 @@ object DedupQueries {
         .orderBy("a")
     },
     Some(s"""WITH p AS ($plantedSql),
-      sh AS (SELECT doc_id, list_distinct(list_transform(
-        generate_series(1, greatest(1, len(string_split_regex(trim(text), '\\s+')) - 2)),
-        i -> CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
-          THEN string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-               string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-               string_split_regex(trim(text), '\\s+')[i+2]
-          ELSE array_to_string(string_split_regex(trim(text), '\\s+'), ' ') END)) AS sh
-        FROM p)
+      sh AS ($shingleCteSql)
       SELECT a.doc_id AS a, b.doc_id AS b,
         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
@@ -122,5 +127,61 @@ object DedupQueries {
     },
     None) // decode stub: engine-specific, covered by MultimodalSpec
 
-  val all: Seq[GraftQuery] = Seq(d01, d02, d03, d04, d05, d06)
+  // --- d07: dup-group clustering (near-dup edges → connected
+  //     components). Edges chain id → id+1M → id+2M without the direct
+  //     (id, id+2M) pair, so grouping them requires actual transitive
+  //     propagation; ids 10..19 are isolated singletons. The oracle
+  //     replays the same edge derivation and closes it with a recursive
+  //     CTE — an exact, engine-independent check of the clustering. ---
+  private val d07 = GraftQuery(
+    "d07_dup_components",
+    (s, d) => {
+      val p = planted(s, d)
+      val base = Tables(s, d, "documents").select("doc_id")
+      val lo = base.filter(col("doc_id") < 10)
+      val pairs = lo.select(col("doc_id").as("a"), (col("doc_id") + 1000000).as("b"))
+        .unionByName(lo.select((col("doc_id") + 1000000).as("a"),
+          (col("doc_id") + 2000000).as("b")))
+      val edges = Dedup.jaccardForPairs(pairs, p, "doc_id", "text", shingleK = 3)
+        .filter(col("jaccard") >= 0.5)
+        .select("a", "b")
+      val nodes = base.filter(col("doc_id") < 20).select(col("doc_id").as("node"))
+        .unionByName(lo.select((col("doc_id") + 1000000).as("node")))
+        .unionByName(lo.select((col("doc_id") + 2000000).as("node")))
+      Dedup.connectedComponents(edges, nodes)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",",
+            transform(sort_array(collect_list(col("node"))),
+              x => x.cast("string"))).as("members"))
+        .orderBy("component")
+    },
+    Some(s"""WITH RECURSIVE p AS ($plantedSql),
+      sh AS ($shingleCteSql),
+      cand(a, b) AS (
+        SELECT doc_id, doc_id + 1000000 FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 1000000, doc_id + 2000000 FROM documents WHERE doc_id < 10),
+      edges AS (
+        SELECT c.a, c.b FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+      nodes AS (
+        SELECT doc_id AS node FROM documents WHERE doc_id < 20
+        UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id < 10
+        UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id < 10),
+      sym AS (SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
+      SELECT component, count(*) AS n_docs,
+        string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+      FROM (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+      GROUP BY component ORDER BY component"""))
+
+  val all: Seq[GraftQuery] = Seq(d01, d02, d03, d04, d05, d06, d07)
 }

@@ -93,4 +93,23 @@ class DedupSpec extends SparkSpec {
       .select("jaccard").head().getDouble(0)
     assert(j > 0.8 && j < 1.0)
   }
+
+  test("connected components: chains merge transitively, singletons survive") {
+    // 1-2-3 chained (no direct 1-3 edge), 4-5 pair, 6 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
+    val comp = Dedup.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("connected components: long path needs multiple propagation rounds") {
+    val n = 12
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val nodes = (1 to n).map(_.toLong).toDF("node")
+    val comp = Dedup.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L))
+    assert(comp.size == n)
+  }
 }
