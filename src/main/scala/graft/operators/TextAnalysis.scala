@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -115,5 +116,60 @@ object TextAnalysis {
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - inter).cast("double")
+  }
+
+  // ------------------------------------------------------- PII redaction
+
+  /** (tag, regex) pairs applied in order by [[redactPii]]. Patterns are
+    * deliberately RE2-compatible (no backrefs/lookarounds) so the same
+    * strings run in Java regex and RE2-family engines identically.
+    * EMAIL runs before URL so an address is tagged even when a URL
+    * follows it in the fold. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "URL" -> "https?://[\\w./-]+",
+    "PHONE" -> "\\+\\d{1,2}[ -]\\d{3}-\\d{4}",
+    "IP" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Replace each PII match with its `[TAG]` — pure map-side
+    * `regexp_replace` fold, codegen'd, no shuffle: scales linearly with
+    * input splits. */
+  def redactPii(text: Column,
+      patterns: Seq[(String, String)] = piiPatterns): Column =
+    patterns.foldLeft(text) { case (c, (tag, re)) =>
+      regexp_replace(c, re, s"[$tag]")
+    }
+
+  /** Number of matches of `re` in the raw text. */
+  def countPattern(text: Column, re: String): Column =
+    regexp_count(text, lit(re)).cast("long")
+
+  // --------------------------------------------------------------- tf-idf
+
+  /** Top-k tf-idf terms per document: tf = term count in doc, idf =
+    * ln(N / df). Two shuffle aggregations (doc-term tf, then term df)
+    * plus one broadcast join of the df table back onto tf — the vocab
+    * side is orders of magnitude smaller than the corpus, so the join
+    * never shuffles the tf rows (at extreme vocabularies AQE would fall
+    * back to a shuffle join; the plan stays correct either way).
+    * Ranking is on the ROUNDED score with the term as tiebreak, so
+    * downstream hash-comparison is engine-independent. `docCount` is
+    * one distributed count job, passed in as a literal. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      docCount: Long, roundTo: Int = 6): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(docCount.toDouble) / col("df")), roundTo))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"),
+        col("term"), col("tfidf"))
   }
 }

@@ -147,5 +147,82 @@ object TextQueries {
     FROM deduped GROUP BY 1, 2 ORDER BY lang, split"""),
     bench = true)
 
-  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06)
+  // --- t07: PII redaction --------------------------------------------
+  // The synthetic corpus carries no PII, so the query weaves a
+  // deterministic contact block (derived from doc_id) into each doc;
+  // the operator then counts and redacts it. The oracle replays the
+  // same injection and regexes — the patterns are RE2-safe so the
+  // exact same strings run on both engines.
+  private val t07 = {
+    val Seq(email, url, phone, ip) = TextAnalysis.piiPatterns.map(_._2)
+    GraftQuery(
+      "t07_pii_redact",
+      (s, d) => {
+        val id = col("doc_id").cast("string")
+        val contact = concat(col("text"),
+          lit(" contact u"), id, lit("@example.com via https://example.com/u/"),
+          id, lit(" or +1 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0.0."), pmod(col("doc_id"), lit(256)).cast("string"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), contact.as("t"))
+          .select(col("doc_id"),
+            TextAnalysis.countPattern(col("t"), email).as("n_email"),
+            TextAnalysis.countPattern(col("t"), url).as("n_url"),
+            TextAnalysis.countPattern(col("t"), phone).as("n_phone"),
+            TextAnalysis.countPattern(col("t"), ip).as("n_ip"),
+            md5(TextAnalysis.redactPii(col("t"))).as("redacted_fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+        SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+          '@example.com via https://example.com/u/' || CAST(doc_id AS VARCHAR) ||
+          ' or +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS t
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(t, '$email')) AS n_email,
+        len(regexp_extract_all(t, '$url')) AS n_url,
+        len(regexp_extract_all(t, '$phone')) AS n_phone,
+        len(regexp_extract_all(t, '$ip')) AS n_ip,
+        md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+          '$email', '[EMAIL]', 'g'),
+          '$url', '[URL]', 'g'),
+          '$phone', '[PHONE]', 'g'),
+          '$ip', '[IP]', 'g')) AS redacted_fp
+      FROM t ORDER BY doc_id"""))
+  }
+
+  // --- t08: top tf-idf terms per document -----------------------------
+  // df spans the whole corpus; the reported docs are cut after ranking
+  // (identically on both sides) to bound the output.
+  private val t08 = GraftQuery(
+    "t08_tfidf",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val n = docs.count() // one count job; shipped as a plan literal
+      TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3, docCount = n)
+        .filter(col("doc_id") < 100)
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id, t.term,
+        round(t.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df),
+          6) AS tfidf
+      FROM tfc t JOIN dfc d USING (term)),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+        row_number() OVER (PARTITION BY doc_id
+          ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, rank, term, tfidf FROM ranked
+    WHERE rank <= 3 AND doc_id < 100
+    ORDER BY doc_id, rank"""))
+
+  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }

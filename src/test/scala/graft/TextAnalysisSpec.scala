@@ -50,4 +50,30 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Boolean].collect().toSeq
     assert(got == Seq(true, false))
   }
+
+  test("pii redaction tags every pattern family and counts matches") {
+    val d = Seq(
+      "mail a.b+c@test.org or visit https://x.org/p/1 call +1 555-1234 ip 10.0.0.7 end"
+    ).toDF("text")
+    val red = d.select(TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].head()
+    assert(red == "mail [EMAIL] or visit [URL] call [PHONE] ip [IP] end")
+    val counts = d.select(
+      TextAnalysis.piiPatterns.map { case (tag, re) =>
+        TextAnalysis.countPattern(col("text"), re).as(tag)
+      }: _*).head()
+    assert((0 until 4).map(counts.getLong) == Seq(1L, 1L, 1L, 1L))
+  }
+
+  test("tfidf ranks a doc's distinctive term above corpus-wide terms") {
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "alpha epsilon epsilon epsilon")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 1, docCount = 3)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // 'alpha' appears everywhere → idf 0; the per-doc distinctive term
+    // wins (doc 1: gamma tf=1·ln3 ≈ 1.10 beats beta tf=2·ln1.5 ≈ 0.81)
+    assert(top == Map(1L -> "gamma", 2L -> "delta", 3L -> "epsilon"))
+  }
 }
