@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / splitting for training-data pipelines.
@@ -55,4 +56,23 @@ object Sampling {
     * merge, no full sort.) */
   def deterministicTakeK(df: DataFrame, key: Column, k: Int): DataFrame =
     df.orderBy(md5(key.cast("string"))).limit(k)
+
+  /** Balance strata (e.g. languages) to the size of the smallest one:
+    * rank rows within each stratum by md5(key) — portable across
+    * engines and stable across runs — and keep the first `cap` per
+    * stratum. The cap is one tiny aggregation (a row per stratum)
+    * collapsed to a scalar; the ranking shuffles once on the stratum
+    * key. Skewed strata are exactly the point here (that's why one
+    * balances), so at extreme scale swap row_number for the md5-prefix
+    * threshold trick of [[stratifiedSample]] with per-stratum
+    * fractions cap/count — same result distributionally, no per-
+    * stratum sort. */
+  def balancedByStratum(df: DataFrame, stratum: Column, key: Column): DataFrame = {
+    val cap = df.groupBy(stratum.as("_st")).agg(count(lit(1)).as("_n"))
+      .agg(min(col("_n"))).head().getLong(0)
+    val w = Window.partitionBy(stratum).orderBy(md5(key.cast("string")), key)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
 }

@@ -62,5 +62,62 @@ object SamplingQueries {
       ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 25)
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(s01, s02, s03, s04)
+  // --- s05: language-balanced resampling ------------------------------
+  // Every language capped at the size of the smallest one; kept rows
+  // are the md5-first `cap` per language. The ids_fp digest pins the
+  // exact kept set, not just its size.
+  private val s05 = GraftQuery(
+    "s05_language_balanced",
+    (s, d) =>
+      Sampling.balancedByStratum(
+          Tables(s, d, "documents"), col("lang"), col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(col("doc_id"))),
+              x => x.cast("string")))).as("ids_fp"))
+        .orderBy("lang"),
+    Some("""WITH ranked AS (
+      SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents),
+    kept AS (
+      SELECT lang, doc_id FROM ranked
+      WHERE rn <= (SELECT min(n) FROM
+        (SELECT count(*) AS n FROM documents GROUP BY lang)))
+    SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+      md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_fp
+    FROM kept GROUP BY lang ORDER BY lang"""))
+
+  // --- p13 (registered here with the sampling/batching family):
+  // token-budget sequence packing, sharded by source --------------------
+  private val s06 = GraftQuery(
+    "s06_pack_sequences",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("tok"))
+      graft.operators.Packing
+        .packByBudget(docs, col("source"), col("doc_id"), col("tok"), budget = 512)
+        .groupBy(col("source"), col("_pack").as("pack"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+        .orderBy("source", "pack")
+    },
+    Some("""WITH t AS (
+      SELECT source, doc_id,
+        len(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, tok,
+        coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t)
+    SELECT source, CAST(floor(before / 512.0) AS BIGINT) AS pack,
+      count(*) AS n_docs, sum(tok) AS sum_tokens
+    FROM c GROUP BY 1, 2 ORDER BY source, pack"""))
+
+  val all: Seq[GraftQuery] = Seq(s01, s02, s03, s04, s05, s06)
 }

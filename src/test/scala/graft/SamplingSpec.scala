@@ -47,6 +47,35 @@ class SamplingSpec extends SparkSpec {
     assert(after("en") < before("en"))
   }
 
+  test("balancedByStratum caps every stratum at the smallest one") {
+    val df = ((1 to 40).map(i => (i.toLong, "big")) ++
+      (41 to 50).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val out = Sampling.balancedByStratum(df, col("grp"), col("id"))
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("big" -> 10L, "small" -> 10L))
+    // determinism: same subset on every run
+    val a = Sampling.balancedByStratum(df, col("grp"), col("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.balancedByStratum(df, col("grp"), col("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("packByBudget: packs never split mid-doc, shards pack independently") {
+    val df = Seq(
+      ("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 300L), ("s1", 4L, 50L),
+      ("s2", 1L, 600L)).toDF("src", "id", "tok")
+    val packs = operators.Packing
+      .packByBudget(df, col("src"), col("id"), col("tok"), budget = 512)
+      .select(col("src"), col("id"), col("_pack")).as[(String, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    // s1: before = 0, 300, 600, 900 → packs 0, 0, 1, 1
+    assert(packs == Map(
+      ("s1", 1L) -> 0L, ("s1", 2L) -> 0L, ("s1", 3L) -> 1L, ("s1", 4L) -> 1L,
+      ("s2", 1L) -> 0L))
+  }
+
   test("SQL registration: custom expressions callable from spark.sql") {
     GraftExtensions.register(spark)
     val dot = spark.sql(
