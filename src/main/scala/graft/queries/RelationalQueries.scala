@@ -553,11 +553,13 @@ object RelationalQueries {
           last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true).over(w))
         .filter(col("event_type") === "error")
         .select(col("event_id"), col("user_id"), col("click_id"),
-          round((unix_micros(col("ts")) - col("click_us")) / 1e6, 3).as("lag_sec"))
+          // exact integer µs (same rationale as q25: round(µs/1e6, 3)
+          // resolves half-way ties differently across engines)
+          (unix_micros(col("ts")) - col("click_us")).as("lag_us"))
         .orderBy("event_id")
     },
     Some("""SELECT e.event_id, e.user_id, c.event_id AS click_id,
-      round((epoch_us(e.ts) - epoch_us(c.ts)) / 1e6, 3) AS lag_sec
+      epoch_us(e.ts) - epoch_us(c.ts) AS lag_us
     FROM (SELECT * FROM events WHERE event_type = 'error') e
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON e.user_id = c.user_id AND e.ts >= c.ts
@@ -578,8 +580,53 @@ object RelationalQueries {
         .orderBy("event_type"),
     None)
 
+  // --- q28: time-range join (clicks in the 5 min before each error) ---
+  // A naive theta-join (user matches AND ts in range) can't hash-
+  // partition. Bucketing time into 5-min bins turns it into an
+  // equi-join on (user_id, bin) with a 2-bin probe per error — shuffle
+  // volume is O(events), the exact filter runs post-join, and the plan
+  // scales like any hash join. The histogram output keeps the result
+  // bounded at any SF.
+  private val q28 = GraftQuery(
+    "q28_range_join_histogram",
+    (s, d) => {
+      val winUs = 300000000L // 5 min in µs
+      val base = ev(s, d).withColumn("us", unix_micros(col("ts")))
+      val e = base.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("us").as("e_us"))
+        .withColumn("bin", expr(s"e_us div $winUs"))
+      val eb = e.withColumn("probe", explode(array(col("bin"), col("bin") - 1)))
+      val c = base.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("c_us"))
+        .withColumn("probe", expr(s"c_us div $winUs"))
+      // a click lives in exactly one bin and an error probes two distinct
+      // bins, so each qualifying (error, click) pair joins exactly once
+      val perError = eb.join(c, Seq("user_id", "probe"))
+        .filter(col("c_us") <= col("e_us") && col("c_us") > col("e_us") - winUs)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_before"))
+      e.select(col("event_id")).join(perError, Seq("event_id"), "left")
+        .select(coalesce(col("n_before"), lit(0L)).as("n_before"))
+        .groupBy(col("n_before"))
+        .agg(count(lit(1)).as("n_errors"))
+        .orderBy("n_before")
+    },
+    Some("""WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'error'),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'click'),
+    per AS (
+      SELECT e.event_id, count(c.us) AS n_before
+      FROM e LEFT JOIN c ON c.user_id = e.user_id
+        AND c.us <= e.us AND c.us > e.us - 300000000
+      GROUP BY e.event_id)
+    SELECT n_before, count(*) AS n_errors
+    FROM per GROUP BY n_before ORDER BY n_before"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27)
+    q25, q26, q27, q28)
 }

@@ -106,5 +106,42 @@ object VectorQueries {
     None,
     bench = true)
 
-  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05)
+  // --- v06: int8 symmetric quantization -------------------------------
+  // Per-vector scale = max|x|/127; codes are round(x/scale). The scale
+  // is materialized as its own projection column first, so the lambda
+  // references an attribute — not a re-evaluated sub-expression — and
+  // each row computes it once (the HOF-lambda re-evaluation trap).
+  // Integer outputs (sum of codes, saturation count) hash exactly; the
+  // only float reported is the 6-dp scale.
+  private val v06 = GraftQuery(
+    "v06_embedding_quantize",
+    (s, d) => {
+      val e = col("embedding").cast("array<double>")
+      Tables(s, d, "embeddings")
+        .filter(col("vec_id") < 50)
+        .withColumn("_scale", array_max(transform(e, x => abs(x))) / lit(127.0))
+        .withColumn("_q",
+          transform(e, x => round(x / col("_scale")).cast("long")))
+        .select(col("vec_id"),
+          round(col("_scale"), 6).as("scale"),
+          aggregate(col("_q"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+          size(filter(col("_q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 50),
+    s AS (
+      SELECT vec_id, e,
+        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM b),
+    q AS (
+      SELECT vec_id, scale,
+        list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+      FROM s)
+    SELECT vec_id, round(scale, 6) AS scale,
+      CAST(list_sum(qv) AS BIGINT) AS sum_q,
+      len(list_filter(qv, x -> abs(x) = 127)) AS n_sat
+    FROM q ORDER BY vec_id"""))
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06)
 }
