@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * superset: interpolation endpoints see the true neighbors instead of
   * chunk-boundary gaps).
   *
-  * Scale note: the fills below use an un-partitioned ordered window,
-  * correct for the reference's single-file semantics. For 100 TB-scale
-  * series repair, partition the window by series key (e.g. device id) —
-  * the expressions are unchanged.
+  * Each fill takes an optional `seriesKeys` partition list: empty
+  * reproduces the reference's single-file global order (fine for one
+  * file, a single-partition window at scale); non-empty partitions the
+  * window by series key (e.g. device id) so a 100 TB repair runs one
+  * bounded window per series, fully parallel. The fill expressions are
+  * identical in both modes.
   */
 object CleanCsv {
 
@@ -44,16 +46,19 @@ object CleanCsv {
   def blanksToNull(c: Column): Column =
     when(trim(c.cast("string")) === "", lit(null)).otherwise(c)
 
-  private def orderedW = Window.orderBy(col(RowIdx))
+  private def orderedW(seriesKeys: Seq[Column]) =
+    if (seriesKeys.isEmpty) Window.orderBy(col(RowIdx))
+    else Window.partitionBy(seriesKeys: _*).orderBy(col(RowIdx))
 
   /** PD:124-126 — `interpolate(method='linear', limit_direction='both')`:
     * nulls between two known values are linearly interpolated by row
     * distance; leading/trailing nulls take the nearest known value. */
-  def interpolateLinear(df: DataFrame, colName: String): DataFrame = {
+  def interpolateLinear(df: DataFrame, colName: String,
+      seriesKeys: Seq[Column] = Nil): DataFrame = {
     val c = blanksToNull(col(colName)).cast("double")
     val idx = col(RowIdx).cast("double")
-    val before = orderedW.rowsBetween(Window.unboundedPreceding, 0)
-    val after = orderedW.rowsBetween(0, Window.unboundedFollowing)
+    val before = orderedW(seriesKeys).rowsBetween(Window.unboundedPreceding, 0)
+    val after = orderedW(seriesKeys).rowsBetween(0, Window.unboundedFollowing)
     val prevVal = last(c, ignoreNulls = true).over(before)
     val prevIdx = last(when(c.isNotNull, idx), ignoreNulls = true).over(before)
     val nextVal = first(c, ignoreNulls = true).over(after)
@@ -68,11 +73,12 @@ object CleanCsv {
   /** PD's `method='nearest'`: a null takes whichever known neighbor is
     * closer by row distance (ties → the previous one, matching scipy's
     * 'nearest' rounding-down at midpoints). */
-  def interpolateNearest(df: DataFrame, colName: String): DataFrame = {
+  def interpolateNearest(df: DataFrame, colName: String,
+      seriesKeys: Seq[Column] = Nil): DataFrame = {
     val c = blanksToNull(col(colName)).cast("double")
     val idx = col(RowIdx).cast("double")
-    val before = orderedW.rowsBetween(Window.unboundedPreceding, 0)
-    val after = orderedW.rowsBetween(0, Window.unboundedFollowing)
+    val before = orderedW(seriesKeys).rowsBetween(Window.unboundedPreceding, 0)
+    val after = orderedW(seriesKeys).rowsBetween(0, Window.unboundedFollowing)
     val prevVal = last(c, ignoreNulls = true).over(before)
     val prevIdx = last(when(c.isNotNull, idx), ignoreNulls = true).over(before)
     val nextVal = first(c, ignoreNulls = true).over(after)
@@ -87,9 +93,10 @@ object CleanCsv {
   /** PD:128-130 — `fillna(col.rolling(2, min_periods=1).mean())`:
     * a null takes the mean of the 2-row trailing window ignoring nulls,
     * i.e. the previous value (or stays null if that is null too). */
-  def rollingMeanFill(df: DataFrame, colName: String): DataFrame = {
+  def rollingMeanFill(df: DataFrame, colName: String,
+      seriesKeys: Seq[Column] = Nil): DataFrame = {
     val c = blanksToNull(col(colName)).cast("double")
-    val w = orderedW.rowsBetween(-1, 0)
+    val w = orderedW(seriesKeys).rowsBetween(-1, 0)
     df.withColumn(colName, coalesce(c, avg(c).over(w)))
   }
 
@@ -97,9 +104,10 @@ object CleanCsv {
     * over a sliding frame, but over the reference's 2-row window the
     * median of the ≤2 non-null values is exactly their mean, so the
     * mean form is semantics-preserving (and codegen-friendly). */
-  def rollingMedianFill(df: DataFrame, colName: String): DataFrame = {
+  def rollingMedianFill(df: DataFrame, colName: String,
+      seriesKeys: Seq[Column] = Nil): DataFrame = {
     val c = blanksToNull(col(colName)).cast("double")
-    val w = orderedW.rowsBetween(-1, 0)
+    val w = orderedW(seriesKeys).rowsBetween(-1, 0)
     df.withColumn(colName, coalesce(c, avg(c).over(w)))
   }
 

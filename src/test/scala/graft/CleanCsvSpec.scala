@@ -62,4 +62,20 @@ class CleanCsvSpec extends SparkSpec {
     val repaired = CleanCsv.repair(nan, choice = "drop", method = "linear")
     assert(repaired.columns.toSeq == Seq("_row_idx"))
   }
+
+  test("seriesKeys partition: interpolation stays within each series") {
+    import spark.implicits._
+    // two interleaved series; s2's null must NOT see s1's neighbors
+    val df = Seq(
+      ("s1", 0L, Some(0.0)), ("s2", 1L, Some(100.0)),
+      ("s1", 2L, None), ("s2", 3L, None),
+      ("s1", 4L, Some(4.0)), ("s2", 5L, Some(104.0)))
+      .toDF("dev", "_row_idx", "v")
+    val got = CleanCsv.interpolateLinear(df, "v", seriesKeys = Seq(col("dev")))
+      .select("dev", "_row_idx", "v")
+      .as[(String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got(("s1", 2L)) == 2.0)   // between 0 @0 and 4 @4
+    assert(got(("s2", 3L)) == 102.0) // between 100 @1 and 104 @5
+  }
 }
