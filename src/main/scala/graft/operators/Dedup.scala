@@ -39,6 +39,37 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
 
+  /** Exact dedup, keep-best semantics: one surviving row per distinct
+    * `textCol` value — the one ranking first by `better` (e.g. quality
+    * score descending), with `orderCol` as the deterministic tiebreak.
+    * Same single-shuffle shape as [[exactKeepFirst]]; only the window
+    * order changes. */
+  def exactKeepBest(df: DataFrame, textCol: String, better: Column,
+      orderCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(better, col(orderCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Benchmark decontamination: which `train` docs share at least one
+    * k-word shingle with any `eval` doc. Both sides explode to
+    * (shingle, id) pairs and meet in one equi-join on the shingle
+    * string — the standard n-gram-overlap contamination check, fully
+    * hash-partitionable (shuffle key = shingle). Returns
+    * (train id, n_shared distinct shingles). With k ≥ 5 incidental
+    * collisions vanish and surviving matches are real leakage. */
+  def contaminated(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 5): DataFrame = {
+    def sh(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_sh"))
+    sh(train, "train_id")
+      .join(sh(eval, "eval_id").select(col("_sh")).distinct(), "_sh")
+      .groupBy(col("train_id"))
+      .agg(count_distinct(col("_sh")).as("n_shared"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Adds `_shingles` and a `_minhash` array<long> signature.

@@ -102,14 +102,20 @@ object TextAnalysis {
     * the split per shingle element — ~60× slower on real documents.)
     * zip_with pads the shorter side with null and `concat` propagates
     * it, so padded tails drop out in the filter. */
-  def wordShingles(text: Column, k: Int): Column = {
+  def wordShingles(text: Column, k: Int): Column =
+    array_distinct(wordShinglesAll(text, k))
+
+  /** Like [[wordShingles]] but keeps duplicate shingles (multiset
+    * semantics) — repetition analysis needs exactly the counts that the
+    * set form erases. */
+  def wordShinglesAll(text: Column, k: Int): Column = {
     val ts = tokens(text)
     val n = size(ts)
     val shifted = (1 until k).map(j => slice(ts, lit(j + 1), greatest(n - j, lit(0))))
     val combined = shifted.foldLeft(ts)((acc, s) =>
       zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
     val sh = filter(combined, x => x.isNotNull)
-    array_distinct(when(n >= k, sh).otherwise(array(concat_ws(" ", ts))))
+    when(n >= k, sh).otherwise(array(concat_ws(" ", ts)))
   }
 
   /** Exact Jaccard similarity of two (distinct) shingle arrays. */

@@ -183,5 +183,85 @@ object DedupQueries {
       FROM (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
       GROUP BY component ORDER BY component"""))
 
-  val all: Seq[GraftQuery] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  // --- d08: exact dedup, keep-BEST copy (quality-ranked) ---------------
+  // Same planted exact copies as d01, but survivors are chosen by
+  // longest-doc-first (a stand-in quality score derivable on both
+  // engines), id ascending as tiebreak. Exercises the window-order
+  // variant of dedup a curation pipeline actually wants: keep the
+  // best copy, not the first.
+  private val d08 = GraftQuery(
+    "d08_exact_keep_best",
+    (s, d) => {
+      // copies share text ⇒ same length; score = n_tokens + (id mod 7)
+      // gives copies of one text different, deterministic "qualities"
+      val scored = planted(s, d)
+        .withColumn("score",
+          TextAnalysis.tokenCount(col("text")).cast("long") +
+            pmod(col("doc_id"), lit(7)))
+      Dedup.exactKeepBest(scored, "text", col("score").desc, "doc_id")
+        .select(col("doc_id"), col("score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH p AS ($plantedSql),
+      scored AS (
+        SELECT doc_id, text,
+          len(string_split_regex(trim(text), '\\s+')) + doc_id % 7 AS score
+        FROM p)
+      SELECT doc_id, score FROM (
+        SELECT doc_id, score, row_number() OVER (
+          PARTITION BY text ORDER BY score DESC, doc_id) AS rn
+        FROM scored)
+      WHERE rn = 1 ORDER BY doc_id"""))
+
+  // --- d09: benchmark decontamination ----------------------------------
+  // Eval set = docs 0..4; train = docs 5+ plus the near-dup mutations
+  // (+1M) of docs 0..9. Only mutations 1000000..1000004 descend from
+  // eval texts, so they are the leakage the 5-gram overlap must find
+  // (and k=5 keeps incidental word-soup collisions out).
+  private val d09 = GraftQuery(
+    "d09_contamination",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val eval = docs.filter(col("doc_id") < 5)
+      val near = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      val train = docs.filter(col("doc_id") >= 5).unionByName(near)
+      Dedup.contaminated(train, eval, "doc_id", "text", shingleK = 5)
+        .orderBy("train_id")
+    },
+    Some("""WITH ev AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 5),
+      train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 5
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' graftdup'
+        FROM documents WHERE doc_id < 10),
+      shev AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+          generate_series(1, greatest(1, len(string_split_regex(trim(text), '\s+')) - 4)),
+          i -> CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 5
+            THEN string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                 string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                 string_split_regex(trim(text), '\s+')[i+2] || ' ' ||
+                 string_split_regex(trim(text), '\s+')[i+3] || ' ' ||
+                 string_split_regex(trim(text), '\s+')[i+4]
+            ELSE array_to_string(string_split_regex(trim(text), '\s+'), ' ') END))) AS sh
+        FROM ev),
+      shtr AS (
+        SELECT doc_id AS train_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(1, len(string_split_regex(trim(text), '\s+')) - 4)),
+          i -> CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 5
+            THEN string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                 string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                 string_split_regex(trim(text), '\s+')[i+2] || ' ' ||
+                 string_split_regex(trim(text), '\s+')[i+3] || ' ' ||
+                 string_split_regex(trim(text), '\s+')[i+4]
+            ELSE array_to_string(string_split_regex(trim(text), '\s+'), ' ') END))) AS sh
+        FROM train)
+      SELECT train_id, count(DISTINCT sh) AS n_shared
+      FROM shtr JOIN shev USING (sh)
+      GROUP BY train_id ORDER BY train_id"""))
+
+  val all: Seq[GraftQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }

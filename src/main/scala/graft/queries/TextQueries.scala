@@ -224,5 +224,80 @@ object TextQueries {
     WHERE rank <= 3 AND doc_id < 100
     ORDER BY doc_id, rank"""))
 
-  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  // --- t09: corpus quality-rule bundle (Gopher-style gates) -----------
+  // One pass, one row: per-rule violation counts + docs passing all.
+  // Every rule is a map-side expression over existing primitives; the
+  // whole query is a single aggregation regardless of corpus size.
+  private val t09 = GraftQuery(
+    "t09_quality_rules",
+    (s, d) => {
+      val toks = TextAnalysis.tokenCount(col("text"))
+      val awl = TextAnalysis.avgTokenLen(col("text"))
+      val stopToks = size(filter(TextAnalysis.tokens(col("text")),
+        t => t.isInCollection(stop)))
+      val tooShort = toks < 8
+      val tooLong = toks > 1024
+      val badWordLen = !(awl >= 2.0 && awl <= 12.0)
+      val noStop = stopToks < 2
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      Tables(s, d, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        cnt(tooShort).as("n_too_short"),
+        cnt(tooLong).as("n_too_long"),
+        cnt(badWordLen).as("n_bad_word_len"),
+        cnt(noStop).as("n_no_stopwords"),
+        cnt(!tooShort && !tooLong && !badWordLen && !noStop).as("n_pass"))
+    },
+    Some(s"""WITH m AS (
+      SELECT
+        len(string_split_regex(trim(text), '\\s+')) AS toks,
+        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+          / len(string_split_regex(trim(text), '\\s+')) AS awl,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+          t -> t IN ($stopSql))) AS stop_toks
+      FROM documents)
+    SELECT count(*) AS n_docs,
+      count(*) FILTER (WHERE toks < 8) AS n_too_short,
+      count(*) FILTER (WHERE toks > 1024) AS n_too_long,
+      count(*) FILTER (WHERE NOT (awl >= 2.0 AND awl <= 12.0)) AS n_bad_word_len,
+      count(*) FILTER (WHERE stop_toks < 2) AS n_no_stopwords,
+      count(*) FILTER (WHERE toks >= 8 AND toks <= 1024
+        AND awl >= 2.0 AND awl <= 12.0 AND stop_toks >= 2) AS n_pass
+    FROM m"""))
+
+  // --- t10: repetition detection (top-bigram ratio per doc) ------------
+  // max(count of any word bigram) / total bigrams — the Gopher/C4-style
+  // repetition signal. Needs multiset shingles (wordShinglesAll); rank
+  // on the rounded ratio with doc_id tiebreak for a stable top-20.
+  private val t10 = GraftQuery(
+    "t10_repetition",
+    (s, d) => {
+      val grams = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordShinglesAll(col("text"), 2)).as("g"))
+      grams.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top"), sum(col("c")).as("tot"))
+        .select(col("doc_id"),
+          round(col("top") / col("tot"), 6).as("rep_ratio"))
+        .orderBy(col("rep_ratio").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH grams AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(1, len(string_split_regex(trim(text), '\s+')) - 1)),
+        i -> CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 2
+          THEN string_split_regex(trim(text), '\s+')[i] || ' ' ||
+               string_split_regex(trim(text), '\s+')[i+1]
+          ELSE array_to_string(string_split_regex(trim(text), '\s+'), ' ') END)) AS g
+      FROM documents),
+    counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    per AS (SELECT doc_id, max(c) AS top, sum(c) AS tot
+      FROM counts GROUP BY doc_id)
+    SELECT doc_id, round(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rep_ratio
+    FROM per ORDER BY rep_ratio DESC, doc_id LIMIT 20"""))
+
+  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }

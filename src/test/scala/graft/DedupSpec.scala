@@ -94,6 +94,26 @@ class DedupSpec extends SparkSpec {
     assert(j > 0.8 && j < 1.0)
   }
 
+  test("keep-best dedup keeps the highest-scored copy of each text") {
+    val df = Seq(
+      (1L, "same text", 5L), (2L, "same text", 9L), (3L, "same text", 9L),
+      (4L, "other", 1L)).toDF("id", "text", "score")
+    val kept = Dedup.exactKeepBest(df, "text", col("score").desc, "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L)) // score 9 wins; id 2 beats id 3 on tiebreak
+  }
+
+  test("contamination finds only train docs sharing a 5-gram with eval") {
+    val eval = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zz one two three four five yy"), // shares 'one two three four five'
+      (2L, "one three five two four six")    // same words, no shared 5-gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminated(train, eval, "doc_id", "text", shingleK = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L))
+  }
+
   test("connected components: chains merge transitively, singletons survive") {
     // 1-2-3 chained (no direct 1-3 edge), 4-5 pair, 6 isolated
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")

@@ -51,6 +51,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(true, false))
   }
 
+  test("wordShinglesAll keeps duplicates that wordShingles drops") {
+    val d = Seq("a b a b a").toDF("text")
+    val all = d.select(TextAnalysis.wordShinglesAll(col("text"), 2))
+      .as[Seq[String]].head()
+    val set = d.select(TextAnalysis.wordShingles(col("text"), 2))
+      .as[Seq[String]].head()
+    assert(all == Seq("a b", "b a", "a b", "b a"))
+    assert(set == Seq("a b", "b a"))
+  }
+
   test("pii redaction tags every pattern family and counts matches") {
     val d = Seq(
       "mail a.b+c@test.org or visit https://x.org/p/1 call +1 555-1234 ip 10.0.0.7 end"
