@@ -46,4 +46,18 @@ object StatefulOps {
         col(valueCol).cast("double").as("value"))
       .as[Keyed]
   }
+
+  /** Streaming exact dedup: drop rows whose `textCol` content
+    * fingerprint was already seen, with state bounded by the event-time
+    * watermark on `tsCol` (duplicates arriving later than `delay` after
+    * the original may re-emit — the standard watermarked-dedup
+    * contract). Keys the state on the 128-bit fingerprint, never the
+    * document text, so state size per doc is constant. The streaming
+    * twin of [[graft.operators.Dedup.exactKeepFirst]]. */
+  def streamingDedup(df: DataFrame, textCol: String, tsCol: String,
+      delay: String): DataFrame =
+    df.withColumn("_fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicates("_fp")
+      .drop("_fp")
 }

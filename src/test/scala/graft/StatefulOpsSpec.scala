@@ -49,4 +49,25 @@ class StatefulOpsSpec extends SparkSpec {
       assert(got == Seq(450L))
     } finally q.stop()
   }
+
+  test("streaming dedup drops in-batch and cross-batch duplicates") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val deduped = StatefulOps.streamingDedup(df, "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      input.addData((ts(0), "alpha"), (ts(1), "alpha"), (ts(2), "beta"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sdedup").count() == 2)
+      // cross-batch duplicate (within watermark) still dropped
+      input.addData((ts(3), "alpha"), (ts(4), "gamma"))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM sdedup").as[String]
+        .collect().sorted.toSeq
+      assert(texts == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
 }
