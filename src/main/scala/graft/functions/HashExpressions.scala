@@ -159,6 +159,90 @@ object HashExpressions {
     override def prettyName: String = "winnow"
   }
 
+  /** k-word shingles of an array<string> token stream, space-joined —
+    * the shingle constructor for the dedup family. The array-builtin
+    * formulation (k-1 chained zip_with lambdas) interprets one
+    * expression tree per shingle element; this is one loop per row.
+    * `distinct = true` keeps first-occurrence order (array_distinct
+    * semantics). Fewer than k tokens → one shingle: all tokens joined
+    * (the short-doc fallback the Jaccard operators rely on). */
+  case class NGrams(child: Expression, k: Int, distinct: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1, "k >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    private val sep = UTF8String.fromString(" ")
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < k) {
+        val all = new Array[UTF8String](n)
+        var i = 0
+        while (i < n) { all(i) = arr.getUTF8String(i); i += 1 }
+        return new GenericArrayData(Array[Any](UTF8String.concatWs(sep, all: _*)))
+      }
+      val m = n - k + 1
+      val parts = new Array[UTF8String](k)
+      if (distinct) {
+        val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+        var i = 0
+        while (i < m) {
+          var j = 0
+          while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+          seen.add(UTF8String.concatWs(sep, parts: _*))
+          i += 1
+        }
+        val out = new Array[Any](seen.size)
+        val it = seen.iterator()
+        var i2 = 0
+        while (it.hasNext) { out(i2) = it.next(); i2 += 1 }
+        new GenericArrayData(out)
+      } else {
+        val out = new Array[Any](m)
+        var i = 0
+        while (i < m) {
+          var j = 0
+          while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+          out(i) = UTF8String.concatWs(sep, parts: _*)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): NGrams = copy(child = c)
+    override def prettyName: String = "ngrams"
+  }
+
+  /** Per-row gram-multiplicity stats of an array<string>:
+    * struct(top = count of the most frequent element, tot = total
+    * elements). The repetition-detection statistic — computed row-local
+    * with one hash map, because a per-document statistic must never
+    * explode the corpus into a (doc, gram) shuffle to count within one
+    * row. Empty arrays yield (0, 0). */
+  case class TopGramStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("top", IntegerType, nullable = false),
+      StructField("tot", IntegerType, nullable = false)))
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+      var top = 0
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val c = counts.merge(s, 1, (a, b) => a + b)
+        if (c > top) top = c
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](top, n))
+    }
+    override protected def withNewChildInternal(c: Expression): TopGramStats =
+      copy(child = c)
+    override def prettyName: String = "gram_stats"
+  }
+
   // Column wrappers (Spark 4 classic API: Column no longer wraps a
   // catalyst Expression directly — see GraftBridge)
   import GraftBridge.{column, expression}
@@ -169,4 +253,8 @@ object HashExpressions {
     column(VecDot(expression(a), expression(b)))
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     column(Winnow(expression(text), k, w))
+  def ngrams(tokens: Column, k: Int, distinct: Boolean): Column =
+    column(NGrams(expression(tokens), k, distinct))
+  def gram_stats(grams: Column): Column =
+    column(TopGramStats(expression(grams)))
 }

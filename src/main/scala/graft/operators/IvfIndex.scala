@@ -81,8 +81,16 @@ object IvfIndex {
     sort_array(array(scored: _*), asc = false)
   }
 
-  def assignCell(unit: Column, model: Model): Column =
-    element_at(rankedCells(unit, model), 1).getField("i")
+  /** Top-1 cell without the sort: array_max over (d, i) structs is a
+    * linear scan per row (same lexicographic order the sort used) —
+    * corpus-side assignment touches every row, so it shouldn't pay an
+    * O(nlist log nlist) sort for a max. */
+  def assignCell(unit: Column, model: Model): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(Vec.dot(unit, array(c.map(lit): _*)).as("d"), lit(i).as("i"))
+    }
+    array_max(array(scored: _*)).getField("i")
+  }
 
   /** Approximate top-k via IVF probing. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

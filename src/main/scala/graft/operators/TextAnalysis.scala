@@ -103,19 +103,27 @@ object TextAnalysis {
     * zip_with pads the shorter side with null and `concat` propagates
     * it, so padded tails drop out in the filter. */
   def wordShingles(text: Column, k: Int): Column =
-    array_distinct(wordShinglesAll(text, k))
+    graft.functions.HashExpressions.ngrams(tokens(text), k, distinct = true)
 
   /** Like [[wordShingles]] but keeps duplicate shingles (multiset
     * semantics) — repetition analysis needs exactly the counts that the
     * set form erases. */
-  def wordShinglesAll(text: Column, k: Int): Column = {
+  def wordShinglesAll(text: Column, k: Int): Column =
+    graft.functions.HashExpressions.ngrams(tokens(text), k, distinct = false)
+
+  /** Pure-builtin shingle reference (k-1 chained zip_with lambdas) —
+    * kept as the cross-check for the NGrams expression in tests; the
+    * HOF lambdas evaluate interpreted per element, so the hot paths use
+    * [[wordShingles]]/[[wordShinglesAll]] instead. */
+  def wordShinglesHof(text: Column, k: Int, distinct: Boolean = true): Column = {
     val ts = tokens(text)
     val n = size(ts)
     val shifted = (1 until k).map(j => slice(ts, lit(j + 1), greatest(n - j, lit(0))))
     val combined = shifted.foldLeft(ts)((acc, s) =>
       zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
     val sh = filter(combined, x => x.isNotNull)
-    when(n >= k, sh).otherwise(array(concat_ws(" ", ts)))
+    val all = when(n >= k, sh).otherwise(array(concat_ws(" ", ts)))
+    if (distinct) array_distinct(all) else all
   }
 
   /** Exact Jaccard similarity of two (distinct) shingle arrays. */
@@ -149,6 +157,26 @@ object TextAnalysis {
   /** Number of matches of `re` in the raw text. */
   def countPattern(text: Column, re: String): Column =
     regexp_count(text, lit(re)).cast("long")
+
+  // ------------------------------------------------------------- chunking
+
+  /** Context-window chunking: split each doc's token stream into
+    * `chunkSize`-token windows starting every `stride` tokens
+    * (overlapping when stride < chunkSize) — the sliding-window prep
+    * that turns documents into LM training sequences. Pure map-side
+    * sequence/posexplode/slice: no shuffle, output rows ≈
+    * tokens/stride per doc, embarrassingly parallel at any corpus
+    * size. Returns (idCol, chunk_idx, chunk_tokens). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")
+    df.withColumn("_ts", tokens(col(textCol)))
+      .select(col(idCol), col("_ts"),
+        posexplode(sequence(lit(0), greatest(size(col("_ts")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("_ts"), col("_start") + 1, lit(chunkSize)).as("chunk_tokens"))
+  }
 
   // --------------------------------------------------------------- tf-idf
 

@@ -623,7 +623,8 @@ object RelationalQueries {
         AND c.us <= e.us AND c.us > e.us - 300000000
       GROUP BY e.event_id)
     SELECT n_before, count(*) AS n_errors
-    FROM per GROUP BY n_before ORDER BY n_before"""))
+    FROM per GROUP BY n_before ORDER BY n_before"""),
+    bench = true)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,

@@ -119,5 +119,28 @@ object SamplingQueries {
       count(*) AS n_docs, sum(tok) AS sum_tokens
     FROM c GROUP BY 1, 2 ORDER BY source, pack"""))
 
-  val all: Seq[GraftQuery] = Seq(s01, s02, s03, s04, s05, s06)
+  // --- s07: sliding-window chunking (64-token chunks, stride 48) ------
+  private val s07 = GraftQuery(
+    "s07_chunk_windows",
+    (s, d) =>
+      graft.operators.TextAnalysis.chunk(
+          Tables(s, d, "documents").filter(col("doc_id") < 20),
+          "doc_id", "text", chunkSize = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk_tokens")).cast("long").as("n_tok"),
+          element_at(col("chunk_tokens"), 1).as("first_tok"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents WHERE doc_id < 20),
+    c AS (
+      SELECT doc_id, ts,
+        unnest(generate_series(0, greatest(len(ts) - 1, 0), 48)) AS start
+      FROM t)
+    SELECT doc_id, start // 48 AS chunk_idx,
+      len(ts[start + 1 : least(start + 64, len(ts))]) AS n_tok,
+      ts[start + 1] AS first_tok
+    FROM c ORDER BY doc_id, chunk_idx"""))
+
+  val all: Seq[GraftQuery] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }

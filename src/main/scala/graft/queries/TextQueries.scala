@@ -268,23 +268,22 @@ object TextQueries {
 
   // --- t10: repetition detection (top-bigram ratio per doc) ------------
   // max(count of any word bigram) / total bigrams — the Gopher/C4-style
-  // repetition signal. Needs multiset shingles (wordShinglesAll); rank
-  // on the rounded ratio with doc_id tiebreak for a stable top-20.
+  // repetition signal. A per-document statistic must never explode the
+  // corpus into a (doc, gram) shuffle just to count within one row:
+  // TopGramStats computes (top, tot) row-locally, so the whole query is
+  // a map-side scan + TakeOrdered top-20 — no shuffle at any SF. Rank
+  // on the rounded ratio with doc_id tiebreak for a stable cut.
   private val t10 = GraftQuery(
     "t10_repetition",
-    (s, d) => {
-      val grams = Tables(s, d, "documents")
+    (s, d) =>
+      Tables(s, d, "documents")
         .select(col("doc_id"),
-          explode(TextAnalysis.wordShinglesAll(col("text"), 2)).as("g"))
-      grams.groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("top"), sum(col("c")).as("tot"))
+          graft.functions.HashExpressions.gram_stats(
+            TextAnalysis.wordShinglesAll(col("text"), 2)).as("gs"))
         .select(col("doc_id"),
-          round(col("top") / col("tot"), 6).as("rep_ratio"))
+          round(col("gs.top").cast("double") / col("gs.tot"), 6).as("rep_ratio"))
         .orderBy(col("rep_ratio").desc, col("doc_id"))
-        .limit(20)
-    },
+        .limit(20),
     Some("""WITH grams AS (
       SELECT doc_id, unnest(list_transform(
         generate_series(1, greatest(1, len(string_split_regex(trim(text), '\s+')) - 1)),
@@ -297,7 +296,8 @@ object TextQueries {
     per AS (SELECT doc_id, max(c) AS top, sum(c) AS tot
       FROM counts GROUP BY doc_id)
     SELECT doc_id, round(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rep_ratio
-    FROM per ORDER BY rep_ratio DESC, doc_id LIMIT 20"""))
+    FROM per ORDER BY rep_ratio DESC, doc_id LIMIT 20"""),
+    bench = true)
 
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }

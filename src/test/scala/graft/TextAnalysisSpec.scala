@@ -51,6 +51,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(true, false))
   }
 
+  test("NGrams expression matches the pure-builtin HOF shingles on the corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    for (k <- Seq(2, 3, 5); distinct <- Seq(true, false)) {
+      val fast = if (distinct) TextAnalysis.wordShingles(col("text"), k)
+        else TextAnalysis.wordShinglesAll(col("text"), k)
+      val mismatches = docs.select(
+        fast.as("a"), TextAnalysis.wordShinglesHof(col("text"), k, distinct).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(mismatches == 0, s"k=$k distinct=$distinct")
+    }
+    // short-doc fallback parity
+    val shorts = Seq("a b", "x", "").toDF("text")
+    val m = shorts.select(TextAnalysis.wordShingles(col("text"), 3).as("a"),
+      TextAnalysis.wordShinglesHof(col("text"), 3).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(m == 0)
+  }
+
+  test("gram_stats matches explode+groupBy reference on the corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val fast = docs.select(col("doc_id"),
+      graft.functions.HashExpressions.gram_stats(
+        TextAnalysis.wordShinglesAll(col("text"), 2)).as("gs"))
+      .select(col("doc_id"), col("gs.top").as("top"), col("gs.tot").as("tot"))
+    val ref = docs
+      .select(col("doc_id"), explode(TextAnalysis.wordShinglesAll(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").cast("int").as("top"), sum("c").cast("int").as("tot"))
+    assert(fast.exceptAll(ref).count() == 0 && ref.exceptAll(fast).count() == 0)
+  }
+
   test("wordShinglesAll keeps duplicates that wordShingles drops") {
     val d = Seq("a b a b a").toDF("text")
     val all = d.select(TextAnalysis.wordShinglesAll(col("text"), 2))
