@@ -212,6 +212,37 @@ object HashExpressions {
     override def prettyName: String = "ngrams"
   }
 
+  /** `size(array_intersect(a, b))` computed without materializing the
+    * intersection array: right side into a hash set, one counting scan
+    * over the left (distinct matches). String arrays without null
+    * elements only — [[graft.plans.IntersectSizeRewrite]] pattern-
+    * matches exactly that shape out of Jaccard-style plans. */
+  case class IntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val la = a.asInstanceOf[ArrayData]
+      val ra = b.asInstanceOf[ArrayData]
+      val rn = ra.numElements()
+      val rset = new java.util.HashSet[UTF8String](rn * 2)
+      var i = 0
+      while (i < rn) { rset.add(ra.getUTF8String(i)); i += 1 }
+      val seen = new java.util.HashSet[UTF8String]()
+      var c = 0
+      val ln = la.numElements()
+      i = 0
+      while (i < ln) {
+        val s = la.getUTF8String(i)
+        if (rset.contains(s) && seen.add(s)) c += 1
+        i += 1
+      }
+      java.lang.Integer.valueOf(c)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectSize =
+      copy(left = l, right = r)
+    override def prettyName: String = "intersect_size"
+  }
+
   /** Per-row gram-multiplicity stats of an array<string>:
     * struct(top = count of the most frequent element, tot = total
     * elements). The repetition-detection statistic — computed row-local
