@@ -82,6 +82,18 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Column-level frame sampling: `n` evenly spaced offsets into an
+    * `nFrames`-frame payload — same integer arithmetic as
+    * [[FakeCodec.sampleFrames]] but as a pure expression
+    * (sequence/transform), so planning a 100 TB frame-extraction job
+    * never leaves the declarative plan. Empty for nFrames <= 0. */
+  def frameSampleOffsets(nFrames: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val take = least(lit(n), nFrames)
+    when(nFrames <= 0 || lit(n) <= 0, array().cast("array<int>"))
+      .otherwise(transform(sequence(lit(0), take - 1),
+        i => (i * nFrames.cast("long") / take.cast("long")).cast("int")))
+  }
+
   /** Payload-size-aware repartitioning: target ≤ `bytesPerPartition`
     * of media per task regardless of row-size skew. */
   def repartitionForPayloads(df: DataFrame, bytesPerPartition: Long): DataFrame = {

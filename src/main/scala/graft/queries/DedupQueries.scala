@@ -127,6 +127,32 @@ object DedupQueries {
     },
     None) // decode stub: engine-specific, covered by MultimodalSpec
 
+  // --- d10: multimodal frame sampling (pure-expression offsets) -------
+  // Evenly spaced frame offsets per "video" payload — the plan-level
+  // twin of the codec stub's sampler, fully oracle-checkable since the
+  // offset arithmetic is plain integer math over the metadata column.
+  private val d10 = GraftQuery(
+    "d10_frame_sample",
+    (s, d) => {
+      val media = graft.operators.Multimodal.syntheticMedia(s, Tables(s, d, "documents"))
+        .filter(col("kind") === "video" && col("media_id") < 100)
+      media.select(col("media_id"), col("meta.n_frames").as("n_frames"),
+          concat_ws(",", transform(
+            graft.operators.Multimodal.frameSampleOffsets(col("meta.n_frames"), 4),
+            x => x.cast("string"))).as("offsets"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+      CAST(n_chars % 100 AS INT) AS n_frames,
+      CASE WHEN n_chars % 100 <= 0 THEN ''
+        ELSE array_to_string(list_transform(
+          generate_series(0, least(4, CAST(n_chars % 100 AS INT)) - 1),
+          i -> CAST(i * (n_chars % 100) // least(4, n_chars % 100) AS INT)), ',')
+      END AS offsets
+    FROM documents
+    WHERE doc_id % 3 = 2 AND doc_id < 100
+    ORDER BY media_id"""))
+
   // --- d07: dup-group clustering (near-dup edges → connected
   //     components). Edges chain id → id+1M → id+2M without the direct
   //     (id, id+2M) pair, so grouping them requires actual transitive
@@ -263,5 +289,5 @@ object DedupQueries {
       FROM shtr JOIN shev USING (sh)
       GROUP BY train_id ORDER BY train_id"""))
 
-  val all: Seq[GraftQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  val all: Seq[GraftQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 }

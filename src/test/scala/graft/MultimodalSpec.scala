@@ -36,4 +36,15 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.FakeCodec.sampleFrames(2, 5).toSeq == Seq(0, 1))
     assert(Multimodal.FakeCodec.sampleFrames(0, 5).isEmpty)
   }
+
+  test("frameSampleOffsets column matches FakeCodec.sampleFrames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(0, 1, 2, 3, 4, 7, 50, 99).toDF("nf")
+    val got = df.select(col("nf"),
+      Multimodal.frameSampleOffsets(col("nf"), 4).as("off"))
+      .as[(Int, Seq[Int])].collect().toMap
+    for ((nf, off) <- got)
+      assert(off == Multimodal.FakeCodec.sampleFrames(nf, 4).toSeq, s"nf=$nf")
+  }
 }
