@@ -288,4 +288,6 @@ object HashExpressions {
     column(NGrams(expression(tokens), k, distinct))
   def gram_stats(grams: Column): Column =
     column(TopGramStats(expression(grams)))
+  def intersect_size(a: Column, b: Column): Column =
+    column(IntersectSize(expression(a), expression(b)))
 }

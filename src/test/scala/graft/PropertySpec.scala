@@ -123,4 +123,54 @@ class PropertySpec extends SparkSpec {
       assert(Seq(v("a"), v("b"), v("c")) == expected)
     }
   }
+
+  // ------------------------- custom text kernels vs builtin reference
+
+  private val tokenGen: Gen[List[String]] = Gen.choose(0, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf(
+      Gen.oneOf("a", "b", "ab", "x1"),          // collisions likely
+      Gen.alphaStr.map(s => if (s.isEmpty) "z" else s.take(5)),
+      Gen.const("héllo"), Gen.const("日本"))))   // non-ASCII
+
+  test("NGrams == scala sliding-window reference on random token lists") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    forAll(Gen.zip(tokenGen, Gen.choose(1, 4))) { case (toks, k) =>
+      val text = toks.mkString(" ")
+      val df = Seq(text).toDF("text")
+      val got = df.select(
+        graft.operators.TextAnalysis.wordShinglesAll(col("text"), k))
+        .as[Seq[String]].head()
+      // tokens("") splits to [""] — mirror that in the reference
+      val refToks = text.trim.split("\\s+").toSeq
+      val want = if (refToks.length < k) Seq(refToks.mkString(" "))
+        else refToks.sliding(k).map(_.mkString(" ")).toSeq
+      assert(got == want, s"k=$k toks=$toks")
+    }
+  }
+
+  test("IntersectSize == size(array_intersect) on random string arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    forAll(Gen.zip(tokenGen, tokenGen)) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val fast = df.select(graft.functions.HashExpressions
+        .intersect_size(col("a"), col("b"))).as[Int].head()
+      assert(fast == (a.toSet & b.toSet).size, s"a=$a b=$b")
+    }
+  }
+
+  test("TopGramStats == max-multiplicity/total on random arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    forAll(tokenGen) { toks =>
+      val df = Seq(toks).toDF("g")
+      val got = df.select(graft.functions.HashExpressions.gram_stats(col("g")).as("gs"))
+        .select(col("gs.top"), col("gs.tot")).as[(Int, Int)].head()
+      val want = (
+        if (toks.isEmpty) 0 else toks.groupBy(identity).values.map(_.size).max,
+        toks.size)
+      assert(got == want, s"toks=$toks")
+    }
+  }
 }
