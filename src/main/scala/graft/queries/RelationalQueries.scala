@@ -626,8 +626,58 @@ object RelationalQueries {
     FROM per GROUP BY n_before ORDER BY n_before"""),
     bench = true)
 
+  // --- q29: distribution windows (ntile + percent_rank per nation) ----
+  // Partitioned by nation so the ranking never needs a global
+  // single-partition window; percent_rank is ranked on the raw balance
+  // with custkey tiebreak (ties in acctbal resolve identically on both
+  // engines), and only integer/rounded outputs are emitted.
+  private val q29 = GraftQuery(
+    "q29_balance_quartiles",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      cust(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("c_nationkey"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("c_acctbal")), 2).as("min_bal"),
+          round(max(col("c_acctbal")), 2).as("max_bal"))
+        .orderBy("c_nationkey", "quartile")
+    },
+    Some("""SELECT c_nationkey, quartile, count(*) AS n,
+      round(min(c_acctbal), 2) AS min_bal,
+      round(max(c_acctbal), 2) AS max_bal
+    FROM (
+      SELECT c_nationkey, c_acctbal, ntile(4) OVER (
+        PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      FROM customer)
+    GROUP BY c_nationkey, quartile
+    ORDER BY c_nationkey, quartile"""))
+
+  // --- q30: GROUPING SETS with grouping flags -------------------------
+  private val q30 = GraftQuery(
+    "q30_grouping_sets",
+    (s, d) => {
+      li(s, d).createOrReplaceTempView("g30_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+          grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+          count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM g30_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+          l_linestatus NULLS FIRST""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      CAST(grouping(l_linestatus) AS INT) AS g_status,
+      count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+      l_linestatus NULLS FIRST"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28)
+    q25, q26, q27, q28, q29, q30)
 }
