@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.functions.Vec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding compression + fast
+  * approximate scoring: split each unit vector into `m` subvectors,
+  * k-means each subspace to `k` centroids (driver-side sample, like
+  * [[IvfIndex]]), store each vector as `m` small codes. Approximate
+  * cosine of (query, doc) is the sum over subspaces of
+  * dot(query_sub, centroid(code_sub)) — m table lookups + small dots
+  * instead of a full-dimension product, and the corpus shrinks from
+  * `dim` floats to `m` bytes per row.
+  *
+  * Scale design mirrors IVF: codebooks train on a bounded driver
+  * sample and ship as literals inside the encode/score expressions, so
+  * both encoding and ADC scoring are map-side with zero shuffle; the
+  * only shuffle is the final per-query top-k.
+  */
+object PqIndex {
+
+  /** codebooks(s)(j) = centroid j of subspace s (length dim/m each). */
+  final case class Model(m: Int, dsub: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Per-subspace Lloyd's k-means over a deterministic sample. */
+  def train(df: DataFrame, embCol: String, m: Int = 8, k: Int = 16,
+      iters: Int = 8, sampleSize: Int = 2048): Model = {
+    val sample = Similarity.withUnit(df, embCol)
+      .select(col("_unit"))
+      .orderBy(xxhash64(col("_unit")))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val kk = math.min(k, subs.length)
+      var cents = subs.take(kk).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(kk)(new Array[Double](dsub))
+        val counts = new Array[Int](kk)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            var dist = 0.0; var i = 0
+            while (i < dsub) { val t = v(i) - cents(c)(i); dist += t * t; i += 1 }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }
+    Model(m, dsub, codebooks)
+  }
+
+  private def subvec(unit: Column, model: Model, s: Int): Column =
+    slice(unit, s * model.dsub + 1, model.dsub)
+
+  /** PQ codes of a unit vector: per subspace, the centroid minimizing
+    * L2 distance — argmax of (2·dot − ‖c‖²) since the subvector norm is
+    * constant per row. array_max over (score, j) structs: linear scan,
+    * no sort (same shape as [[IvfIndex.assignCell]]). */
+  def encode(unit: Column, model: Model): Column = {
+    val codes = (0 until model.m).map { s =>
+      val scored = model.codebooks(s).zipWithIndex.map { case (c, j) =>
+        val cNorm2 = c.map(x => x * x).sum
+        struct((Vec.dot(subvec(unit, model, s), array(c.map(lit): _*)) * 2 - cNorm2).as("d"),
+          lit(j).as("j"))
+      }
+      array_max(array(scored: _*)).getField("j")
+    }
+    array(codes: _*)
+  }
+
+  /** Asymmetric-distance approximate cosine: query stays full-precision,
+    * doc is its codes — Σ_s dot(q_sub, centroid_s(code_s)), expressed as
+    * per-subspace literal codebook lookup + small dot. */
+  def adcScore(qUnit: Column, codes: Column, model: Model): Column =
+    (0 until model.m).map { s =>
+      val cb = array(model.codebooks(s).map(c => array(c.map(lit): _*)): _*)
+      Vec.dot(subvec(qUnit, model, s),
+        element_at(cb, element_at(codes, s + 1) + 1))
+    }.reduce(_ + _)
+
+  /** Approximate top-k via PQ-ADC pruning + exact re-rank (the
+    * standard two-stage retrieval): the cheap ADC pass cuts each
+    * query's candidates to `k·rerankFactor` over the compressed codes;
+    * only those survivors pay a full-precision dot product. At corpus
+    * scale the expensive arithmetic touches `k·rerankFactor` rows per
+    * query instead of N. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, m: Int = 8, nCentroids: Int = 16,
+      rerankFactor: Int = 20, roundTo: Int = 6): DataFrame = {
+    val model = train(corpus, embCol, m, nCentroids)
+    val cUnits = Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
+      .cache()
+    val encoded = cUnits.select(col("neighbor_id"),
+      encode(col("u_c"), model).as("_codes"))
+    val q = Similarity.withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit").as("u_q"))
+    val scored = encoded.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_cosine",
+        round(adcScore(col("u_q"), col("_codes"), model), roundTo))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id"))
+    val cands = scored.withColumn("_ar", row_number().over(wAdc))
+      .filter(col("_ar") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"), col("u_q"))
+    val exact = cands.join(cUnits, "neighbor_id")
+      .withColumn("cosine", round(Vec.dot(col("u_q"), col("u_c")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

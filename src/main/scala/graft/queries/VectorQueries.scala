@@ -143,5 +143,17 @@ object VectorQueries {
       len(list_filter(qv, x -> abs(x) = 127)) AS n_sat
     FROM q ORDER BY vec_id"""))
 
-  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06)
+  // --- v07: product-quantization ADC top-k (approximate by design →
+  //     rows-only; recall + compression pinned in PqSpec) --------------
+  private val v07 = GraftQuery(
+    "v07_ann_pq",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      graft.operators.PqIndex.pqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, m = 16, nCentroids = 16)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07)
 }

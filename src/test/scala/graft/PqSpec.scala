@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{PqIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("codes are valid and compress to m small ints") {
+    val model = PqIndex.train(emb, "embedding", m = 16, k = 16)
+    assert(model.codebooks.length == 16 && model.dsub == 4)
+    val codes = Similarity.withUnit(emb, "embedding")
+      .select(PqIndex.encode(col("_unit"), model).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 16 && c.forall(j => j >= 0 && j < 16)))
+  }
+
+  test("ADC reconstruction approximates true cosine") {
+    val model = PqIndex.train(emb, "embedding", m = 16, k = 16)
+    val u = Similarity.withUnit(emb, "embedding").limit(50).cache()
+    val pairs = u.select(col("vec_id").as("a"), col("_unit").as("u_a"),
+        PqIndex.encode(col("_unit"), model).as("c_a"))
+      .crossJoin(u.select(col("vec_id").as("b"), col("_unit").as("u_b")).limit(5))
+      .filter(col("a") =!= col("b"))
+      .select(
+        graft.functions.Vec.dot(col("u_a"), col("u_b")).as("exact"),
+        PqIndex.adcScore(col("u_b"), col("c_a"), model).as("approx"))
+      .as[(Double, Double)].collect()
+    val mae = pairs.map { case (e, a) => math.abs(e - a) }.sum / pairs.length
+    assert(mae < 0.15, s"mean abs error $mae")
+  }
+
+  test("PQ top-k recall against brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = PqIndex.pqTopK(emb, queries, "vec_id", "embedding", k = 5, m = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // keys is a Set — map to a Seq first or equal recalls collapse
+    val recall = exact.keys.toSeq.map(q =>
+      (exact(q) & approx.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
+      .sum / exact.size
+    assert(recall >= 0.8, s"recall@5 = $recall")
+  }
+}
