@@ -289,5 +289,34 @@ object DedupQueries {
       FROM shtr JOIN shev USING (sh)
       GROUP BY train_id ORDER BY train_id"""))
 
-  val all: Seq[GraftQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+  // --- d11: passage-level overlap via winnowing fingerprints ----------
+  // Planted: doc +1M keeps the original's first 30 tokens and replaces
+  // the tail — whole-document digests see distinct docs, but the shared
+  // passage shows up as overlapping winnow fingerprints. Rolling-hash
+  // values aren't SQL-expressible → rows-only here; the winnow scheme
+  // itself is pinned in IvfWinnowSpec.
+  private val d11 = GraftQuery(
+    "d11_passage_overlap",
+    (s, d) => {
+      val base = Tables(s, d, "documents")
+        .select("doc_id", "text").filter(col("doc_id") < 10)
+      val shared = base.select(col("doc_id"),
+        concat(
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 30)),
+          lit(" totally different tail "),
+          col("doc_id").cast("string")).as("text"))
+      val fpA = base.select(col("doc_id").as("a"),
+        TextAnalysis.winnowFingerprints(col("text")).as("fp_a"))
+      val fpB = shared.select(col("doc_id").as("a"),
+        TextAnalysis.winnowFingerprints(col("text")).as("fp_b"))
+      fpA.join(fpB, "a")
+        .select(col("a"),
+          size(array_intersect(col("fp_a"), col("fp_b"))).as("shared_fps"),
+          size(col("fp_a")).as("n_a"), size(col("fp_b")).as("n_b"))
+        .orderBy("a")
+    },
+    None)
+
+  val all: Seq[GraftQuery] =
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
 }

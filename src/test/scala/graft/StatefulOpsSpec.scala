@@ -50,6 +50,31 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows close after inactivity gap + watermark") {
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val sessions = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "5 seconds").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      input.addData((ts(0), "u1"), (ts(2), "u1"), (ts(3), "u2"))
+      q.processAllAvailable()
+      // nothing closed yet: watermark at 3s, sessions open until gap+5s
+      assert(spark.sql("SELECT * FROM sess").count() == 0)
+      input.addData((ts(60), "u1")) // advances watermark past both sessions
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user, n FROM sess").as[(String, Long)]
+        .collect().toSet
+      assert(got == Set(("u1", 2L), ("u2", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-batch and cross-batch duplicates") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
