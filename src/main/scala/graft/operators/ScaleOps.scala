@@ -39,6 +39,23 @@ object ScaleOps {
     saltedBig.join(explodedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Two-stage salted aggregation for skewed grouping keys: stage one
+    * aggregates on (key, salt) so a hot key's reduce work spreads over
+    * `salts` tasks; stage two re-aggregates the tiny (keys × salts)
+    * intermediate. Exact for algebraic aggregates (sum/count here —
+    * min/max/avg decompose the same way). Spark's hash aggregate
+    * already computes map-side partials; explicit salting additionally
+    * splits a hot key's reducer, which AQE can't do for aggregations. */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+      salts: Int): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salts)))
+    salted.groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_s"), count(lit(1)).as("_c"))
+      .groupBy(col(key))
+      .agg(sum(col("_s")).as("sum_value"), sum(col("_c")).as("n"))
+  }
+
   /** Key-frequency probe for deciding salting / AQE skew thresholds:
     * top-n heaviest keys with their share of the table. */
   def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {

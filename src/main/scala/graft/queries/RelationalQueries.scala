@@ -676,8 +676,26 @@ object RelationalQueries {
     ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
       l_linestatus NULLS FIRST"""))
 
+  // --- q31: salted two-stage aggregation over a skewed key ------------
+  // event_type has 5 hot values — the shape where one reducer owns a
+  // whole key. The salted plan spreads each key over 16 reducers and
+  // re-aggregates; the oracle is the plain GROUP BY, proving the
+  // decomposition is exact.
+  private val q31 = GraftQuery(
+    "q31_salted_skew_agg",
+    (s, d) =>
+      graft.operators.ScaleOps
+        .saltedSumCount(ev(s, d).select("event_type", "value"),
+          "event_type", "value", salts = 16)
+        .select(col("event_type"),
+          round(col("sum_value"), 2).as("sum_value"), col("n"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, round(sum(value), 2) AS sum_value,
+      count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30)
+    q25, q26, q27, q28, q29, q30, q31)
 }
