@@ -23,9 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
 object HashExpressions {
 
   /** MinHash signature of an array<string> shingle set: element i is
-    * min over shingles of xxhash64(xxhash64(shingle), seed=i). Same
-    * family as the HOF formulation in spirit; one string hash per
-    * shingle, then numHashes cheap long-mixes. */
+    * min over shingles of g_i(shingle), with the Kirsch–Mitzenmacher
+    * two-hash family g_i(x) = h1(x) + i·h2(x) (h2 forced odd so every
+    * g_i is a bijection on 2^64, wrapping arithmetic intended) — two
+    * string hashes per shingle instead of numHashes remixes, with the
+    * same pairwise-independence guarantees the banding analysis needs. */
   case class MinHash64(child: Expression, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -36,11 +38,13 @@ object HashExpressions {
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 77L) | 1L
+        var g = h1
         var j = 0
         while (j < numHashes) {
-          val g = XXH64.hashLong(h, j.toLong)
           if (g < sig(j)) sig(j) = g
+          g += h2
           j += 1
         }
         i += 1
@@ -83,9 +87,13 @@ object HashExpressions {
     override def prettyName: String = "simhash64"
   }
 
-  /** Dot product of two array<double> columns — one fused loop. */
+  /** Dot product of two array<double> columns — one fused loop. The
+    * hottest kernel (every ANN scoring pair), so unlike the other
+    * expressions here it implements real `doGenCode`: the loop inlines
+    * into whole-stage codegen with no interpreted dispatch and no
+    * codegen-fallback boundary splitting the surrounding stage. */
   case class VecDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -99,6 +107,21 @@ object HashExpressions {
       }
       java.lang.Double.valueOf(acc)
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |${ev.value} = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value} += $x.getDouble($i) * $y.getDouble($i);
+           |}
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
       copy(left = l, right = r)
     override def prettyName: String = "vec_dot"
