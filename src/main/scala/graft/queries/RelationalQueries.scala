@@ -694,8 +694,72 @@ object RelationalQueries {
       count(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // --- q32: ordered funnel (view → click → purchase) ------------------
+  // Stage N's earliest qualifying timestamp gates stage N+1 — the
+  // standard per-stage join-back shape; every join hash-partitions on
+  // user_id, integer-µs outputs only.
+  private val q32 = GraftQuery(
+    "q32_funnel",
+    (s, d) => {
+      val base = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val v = base.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val c = base.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") >= col("v_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+      val p = base.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") >= col("c_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy("stage")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, min(us) AS v_us FROM e
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.us) AS c_us FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.us >= v.v_us GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.us) AS p_us FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.us >= c.c_us GROUP BY 1)
+    SELECT '1_view' AS stage, count(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', count(*) FROM c
+    UNION ALL SELECT '3_purchase', count(*) FROM p
+    ORDER BY stage"""))
+
+  // --- q33: retention cohorts (first-seen day × day offset) -----------
+  private val q33 = GraftQuery(
+    "q33_retention_cohorts",
+    (s, d) => {
+      val days = ev(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      days.join(cohort, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"), col("user_id"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset").cast("long").as("day_offset"), col("n_users"))
+        .orderBy("cohort", "day_offset")
+    },
+    Some("""WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    coh AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+      day - cohort_day AS day_offset, count(DISTINCT user_id) AS n_users
+    FROM d JOIN coh USING (user_id)
+    WHERE day - cohort_day <= 7
+    GROUP BY 1, 2 ORDER BY cohort, day_offset"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33)
 }
