@@ -758,8 +758,37 @@ object RelationalQueries {
     WHERE day - cohort_day <= 7
     GROUP BY 1, 2 ORDER BY cohort, day_offset"""))
 
+  // --- q34: full outer join presence matrix ---------------------------
+  private val q34 = GraftQuery(
+    "q34_full_outer_presence",
+    (s, d) => {
+      val c = cust(s, d).select(col("c_custkey"))
+      val o = ord(s, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+            .when(col("o_custkey").isNull, "customer_only")
+            .otherwise("order_only").as("presence"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .groupBy(col("presence"))
+        .agg(count(lit(1)).as("n"), sum(col("n_orders")).as("total_orders"))
+        .orderBy("presence")
+    },
+    Some("""SELECT presence, count(*) AS n, sum(n_orders) AS total_orders
+    FROM (
+      SELECT CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
+                  THEN 'both'
+                  WHEN o.o_custkey IS NULL THEN 'customer_only'
+                  ELSE 'order_only' END AS presence,
+        coalesce(o.n_orders, 0) AS n_orders
+      FROM customer c
+      FULL OUTER JOIN (
+        SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+        ON c.c_custkey = o.o_custkey)
+    GROUP BY presence ORDER BY presence"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
 }
