@@ -80,21 +80,30 @@ object Similarity {
     val cUnits = withUnit(corpus, embCol)
       .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
       .cache()
+    // signatures only — the unit vector does not ride through the
+    // bands×corpus explode (it re-joins after candidate dedup)
     val c = cUnits
-      .select(col("neighbor_id"), col("u_c"),
-        explode(array(sigs(col("u_c")): _*)).as("_ts"))
-      .select(col("neighbor_id"), col("u_c"), col("_ts.t").as("_t"), col("_ts.sig").as("_sig"))
+      .select(col("neighbor_id"), explode(array(sigs(col("u_c")): _*)).as("_ts"))
+      .select(col("neighbor_id"), col("_ts.t").as("_t"), col("_ts.sig").as("_sig"))
     // multiprobe masks: own bucket + every 1-bit neighbor bucket
     val masks = lit(0L) +: (0 until nbits).map(b => lit(1L << b))
-    val qBase = withUnit(queries, embCol)
-      .select(col(idCol).as("query_id"), col("_unit").as("u_q"),
-        explode(array(sigs(col("_unit")): _*)).as("_ts"))
-    val q = qBase.select(col("query_id"), col("u_q"), col("_ts.t").as("_t"),
+    val qUnits = withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit").as("u_q"))
+      .cache()
+    val qBase = qUnits
+      .select(col("query_id"), explode(array(sigs(col("u_q")): _*)).as("_ts"))
+    val q = qBase.select(col("query_id"), col("_ts.t").as("_t"),
       explode(array(masks.map(m => col("_ts.sig").bitwiseXOR(m)): _*)).as("_sig"))
-    val scored = c.join(q, Seq("_t", "_sig"))
+    // dedup collisions on the NARROW id pair, then re-join the vectors:
+    // the distinct shuffle moves two longs per candidate, not two
+    // full-dimension unit vectors
+    val pairs = c.join(q, Seq("_t", "_sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("u_c"), col("u_q"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct() // a pair may collide in several tables/probes
+    val scored = pairs
+      .join(cUnits, "neighbor_id")
+      .join(broadcast(qUnits), "query_id")
       .withColumn("cosine", round(Vec.dot(col("u_c"), col("u_q")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
