@@ -57,6 +57,26 @@ object Sampling {
   def deterministicTakeK(df: DataFrame, key: Column, k: Int): DataFrame =
     df.orderBy(md5(key.cast("string"))).limit(k)
 
+  /** Temperature-style source mixing: stratum `s` keeps fraction
+    * `(n_min / n_s)^temp` — temp 1 balances all strata to the smallest,
+    * temp 0 keeps everything, in between flattens the source
+    * distribution the way LM-pretraining mixtures do. Map-side hash
+    * filter against a per-stratum threshold computed from one tiny
+    * counts aggregate (broadcast back); no RNG and no per-stratum sort.
+    * With temp = 0.5 the fraction is a single sqrt — exactly rounded in
+    * IEEE, so thresholds reproduce bit-identically across engines. */
+  def temperatureMixture(df: DataFrame, stratum: Column, key: Column,
+      temp: Double = 0.5): DataFrame = {
+    val counts = df.groupBy(stratum.as("_stx")).agg(count(lit(1)).as("_n"))
+    val nMin = counts.agg(min(col("_n"))).head().getLong(0)
+    val frac = pow(lit(nMin.toDouble) / col("_n"), lit(temp))
+    val lim = counts.select(col("_stx"),
+      round(frac * 256).cast("int").as("_lim"))
+    df.join(broadcast(lim), stratum === col("_stx"))
+      .filter(md5Bucket256(key) < col("_lim"))
+      .drop("_stx", "_lim")
+  }
+
   /** Balance strata (e.g. languages) to the size of the smallest one:
     * rank rows within each stratum by md5(key) — portable across
     * engines and stable across runs — and keep the first `cap` per

@@ -142,5 +142,38 @@ object SamplingQueries {
       ts[start + 1] AS first_tok
     FROM c ORDER BY doc_id, chunk_idx"""))
 
-  val all: Seq[GraftQuery] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  // --- s08: temperature source mixture (temp = 0.5 → sqrt fractions) --
+  // Downsamples big sources toward the smallest by (n_min/n_s)^0.5; the
+  // oracle recomputes the same thresholds — sqrt is IEEE exact-rounded,
+  // so 256·frac rounds identically on both engines.
+  private val s08 = GraftQuery(
+    "s08_source_mixture",
+    (s, d) =>
+      Sampling.temperatureMixture(
+          Tables(s, d, "documents"), col("source"), col("doc_id"), temp = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_after"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(col("doc_id"))),
+              x => x.cast("string")))).as("ids_fp"))
+        .orderBy("source"),
+    Some("""WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source),
+    lim AS (
+      SELECT source,
+        CAST(round(sqrt(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n) * 256)
+          AS INT) AS lim
+      FROM counts),
+    kept AS (
+      -- 2-char lowercase hex compares like the numeric bucket; lim=256
+      -- (the smallest source keeps everything) needs the explicit guard
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN lim USING (source)
+      WHERE lim.lim >= 256
+         OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < printf('%02x', lim.lim))
+    SELECT source, count(*) AS n_after,
+      md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_fp
+    FROM kept GROUP BY source ORDER BY source"""))
+
+  val all: Seq[GraftQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }
