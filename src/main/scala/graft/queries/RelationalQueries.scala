@@ -787,8 +787,28 @@ object RelationalQueries {
         ON c.c_custkey = o.o_custkey)
     GROUP BY presence ORDER BY presence"""))
 
+  // --- q35: exact quartiles per group (continuous interpolation) ------
+  // The exact counterpart of q27's sketches: both engines compute the
+  // same linearly interpolated order statistic; means of two doubles
+  // are IEEE-identical, and rounding happens after.
+  private val q35 = GraftQuery(
+    "q35_exact_quartiles",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 4).as("p25"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.75)"), 4).as("p75"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+      round(quantile_cont(value, 0.25), 4) AS p25,
+      round(quantile_cont(value, 0.5), 4) AS p50,
+      round(quantile_cont(value, 0.75), 4) AS p75
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
 }
