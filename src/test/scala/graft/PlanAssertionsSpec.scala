@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-shape regression guards: the properties that make these plans
+  * scale (filters pushed to the parquet scan, pruned read schemas,
+  * broadcast joins for small dimensions, shuffle-free map-side
+  * statistics) asserted against the executed plans, so a refactor that
+  * silently de-optimizes a query fails here rather than at 100 TB.
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = QueryRegistry.queryMap(name)(spark, sf)
+    df.count() // finalize AQE so the audited plan is the executed one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q06: filters and projection reach the parquet scan") {
+    val plan = executedPlan("q06_forecast_revenue")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(500))
+    // 4 of lineitem's 16 columns read
+    val schema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).get.group(1)
+    assert(schema.split(",").length == 4, schema)
+  }
+
+  test("q03: small filtered dimension joins broadcast") {
+    val plan = executedPlan("q03_shipping_priority")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("t10: per-doc statistic plans with no shuffle at all") {
+    val plan = executedPlan("t10_repetition")
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("deterministic sample operator is a pure map-side filter") {
+    // the registry query adds an ORDER BY for the oracle; the operator
+    // itself must not shuffle
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Sampling.deterministicSample(
+      Tables(spark, sf, "documents"), col("doc_id"), 0.1)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("jaccard queries run the rewritten count-only intersect kernel") {
+    val plan = executedPlan("d05_ngram_jaccard")
+    assert(plan.contains("intersect_size"), plan.take(800))
+  }
+}
