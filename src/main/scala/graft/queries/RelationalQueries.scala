@@ -807,8 +807,25 @@ object RelationalQueries {
       round(quantile_cont(value, 0.75), 4) AS p75
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // --- q36: second-moment aggregates per group ------------------------
+  private val q36 = GraftQuery(
+    "q36_value_moments",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      round(stddev_samp(l_quantity), 4) AS sd_qty,
+      round(var_samp(l_discount), 6) AS var_disc,
+      round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
 }
