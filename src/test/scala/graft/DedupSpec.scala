@@ -123,6 +123,20 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("connected components: empty edges, self-loops, duplicate edges") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    // no edges → all singletons
+    val none = Dedup.connectedComponents(
+      spark.emptyDataset[(Long, Long)].toDF("a", "b"), nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(none == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // self-loop and duplicate edges are harmless
+    val edges = Seq((2L, 2L), (2L, 3L), (2L, 3L), (3L, 2L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("connected components: long path needs multiple propagation rounds") {
     val n = 12
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")

@@ -62,6 +62,37 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("temperatureMixture: temp=0 keeps all, higher temp flattens more") {
+    val df = ((1 to 200).map(i => (i.toLong, "big")) ++
+      (201 to 210).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    def kept(temp: Double): Map[String, Long] =
+      Sampling.temperatureMixture(df, col("grp"), col("id"), temp)
+        .groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t0 = kept(0.0)
+    assert(t0 == Map("big" -> 200L, "small" -> 10L)) // temp 0 = identity
+    val t5 = kept(0.5)
+    val t1 = kept(1.0)
+    assert(t5("small") == 10 && t1("small") == 10) // smallest keeps all
+    assert(t1("big") <= t5("big") && t5("big") < 200) // monotone flattening
+    assert(kept(0.5) == kept(0.5)) // deterministic
+  }
+
+  test("chunk: stride wider than doc yields one chunk; overlap preserved") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "a b c"), (2L, (1 to 10).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "chunk_tokens")
+      .as[(Long, Long, Seq[String])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(1L) == Seq(Seq("a", "b", "c")))
+    // doc 2: starts 0,3,6,9 → 4-token windows, last truncated
+    assert(got(2L) == Seq(
+      Seq("w1", "w2", "w3", "w4"), Seq("w4", "w5", "w6", "w7"),
+      Seq("w7", "w8", "w9", "w10"), Seq("w10")))
+  }
+
   test("packByBudget: packs never split mid-doc, shards pack independently") {
     val df = Seq(
       ("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 300L), ("s1", 4L, 50L),
