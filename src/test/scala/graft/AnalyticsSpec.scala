@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-built fixtures for the product-analytics queries (q32/q33) —
+  * the DuckDB oracle checks them at scale; these pin the semantics on
+  * cases small enough to reason through.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("funnel stages gate on the earliest qualifying prior stage") {
+    // u1 completes in order; u2 clicks BEFORE viewing (must not count
+    // past stage 1); u3 views only
+    val ev = Seq(
+      (ts(10), 1L, "view"), (ts(20), 1L, "click"), (ts(30), 1L, "purchase"),
+      (ts(5), 2L, "click"), (ts(10), 2L, "view"), (ts(40), 2L, "purchase"),
+      (ts(10), 3L, "view"))
+      .toDF("ts", "user_id", "event_type")
+    ev.createOrReplaceTempView("funnel_fixture")
+    val base = ev.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = base.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = base.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") >= col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = base.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") >= col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    assert(v.count() == 3) // u1, u2, u3 all viewed
+    assert(c.as[(Long, Long)].collect().map(_._1).toSet == Set(1L)) // only u1 clicked after viewing
+    assert(p.as[(Long, Long)].collect().map(_._1).toSet == Set(1L))
+  }
+
+  test("retention offsets count distinct users per cohort day") {
+    val day = 86400L
+    val ev = Seq(
+      (ts(0), 1L), (ts(day), 1L), (ts(day), 1L),   // u1: day0 cohort, back day1
+      (ts(0), 2L),                                  // u2: day0 only
+      (ts(day), 3L), (ts(3 * day), 3L))             // u3: day1 cohort, back day3
+      .toDF("ts", "user_id")
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val got = days.join(cohort, "user_id")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort_day")).as("off"), col("user_id"))
+      .groupBy("cohort", "off").agg(count_distinct(col("user_id")).as("n"))
+      .as[(String, Int, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got(("1970-01-01", 0)) == 2) // u1 + u2 in day-0 cohort
+    assert(got(("1970-01-01", 1)) == 1) // u1 retained next day
+    assert(got(("1970-01-02", 0)) == 1) // u3 cohort
+    assert(got(("1970-01-02", 2)) == 1) // u3 back at offset 2
+  }
+}
