@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.HashExpressions.{MinHash64, SimHash64, VecDot}
+import graft.functions.HashExpressions.{IntersectSize, MinHash64, NGrams, SimHash64, TopGramStats, VecDot, Winnow}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -48,6 +48,31 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => VecDot(a, b)
         case _ => throw new IllegalArgumentException("vec_dot(a, b)")
+      }),
+    ("ngrams",
+      new ExpressionInfo(classOf[NGrams].getName, "ngrams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, k) => NGrams(toks, intLit(k, "k"), distinct = true)
+        case _ => throw new IllegalArgumentException("ngrams(tokens, k)")
+      }),
+    ("gram_stats",
+      new ExpressionInfo(classOf[TopGramStats].getName, "gram_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(grams) => TopGramStats(grams)
+        case _ => throw new IllegalArgumentException("gram_stats(grams)")
+      }),
+    ("intersect_size",
+      new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => IntersectSize(a, b)
+        case _ => throw new IllegalArgumentException("intersect_size(a, b)")
+      }),
+    ("winnow",
+      new ExpressionInfo(classOf[Winnow].getName, "winnow"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => Winnow(text, 5, 4)
+        case Seq(text, k, w) => Winnow(text, intLit(k, "k"), intLit(w, "w"))
+        case _ => throw new IllegalArgumentException("winnow(text[, k, w])")
       }))
 
   /** Runtime registration into an existing session. */

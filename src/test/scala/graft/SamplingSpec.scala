@@ -118,5 +118,17 @@ class SamplingSpec extends SparkSpec {
     val mh = spark.sql(
       "SELECT size(minhash64(array('x y z', 'y z w'), 64)) AS n").head().getInt(0)
     assert(mh == 64)
+    val ng = spark.sql(
+      "SELECT ngrams(array('a','b','c'), 2) AS g").head().getSeq[String](0)
+    assert(ng == Seq("a b", "b c"))
+    val gs = spark.sql(
+      "SELECT gram_stats(array('x','x','y')).top AS t").head().getInt(0)
+    assert(gs == 2)
+    val is = spark.sql(
+      "SELECT intersect_size(array('a','b'), array('b','c')) AS n").head().getInt(0)
+    assert(is == 1)
+    val wn = spark.sql(
+      "SELECT size(winnow('abcdefghij', 4, 3)) AS n").head().getInt(0)
+    assert(wn > 0)
   }
 }
