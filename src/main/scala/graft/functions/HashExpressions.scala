@@ -297,6 +297,72 @@ object HashExpressions {
     override def prettyName: String = "gram_stats"
   }
 
+  /** Product-quantization encode: per subspace, the centroid index
+    * maximizing 2·dot − ‖c‖² (argmin L2). One loop per row over
+    * m×k×dsub — the Column-composition alternative re-evaluates a
+    * subvector `slice` per (subspace × centroid), i.e. m·k array
+    * allocations per row. Ties pick the lowest centroid index. */
+  case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    private val m = codebooks.length
+    private val dsub = codebooks(0)(0).length
+    private val cNorm2 = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[ArrayData]
+      val out = new Array[Any](m)
+      var s = 0
+      while (s < m) {
+        val base = s * dsub
+        val cb = codebooks(s)
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var j = 0
+        while (j < cb.length) {
+          val c = cb(j)
+          var dot = 0.0
+          var i = 0
+          while (i < dsub) { dot += u.getDouble(base + i) * c(i); i += 1 }
+          val score = 2 * dot - cNorm2(s)(j)
+          if (score > bestScore) { bestScore = score; best = j }
+          j += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+    override def prettyName: String = "pq_encode"
+  }
+
+  /** Asymmetric-distance PQ score: Σ_s dot(query_sub_s, centroid_s(code_s))
+    * — m codebook lookups + small dots, one loop per (query, codes) pair. */
+  case class PqAdcScore(left: Expression, right: Expression,
+      codebooks: Array[Array[Array[Double]]])
+      extends BinaryExpression with CodegenFallback {
+    private val m = codebooks.length
+    private val dsub = codebooks(0)(0).length
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(q: Any, codes: Any): Any = {
+      val u = q.asInstanceOf[ArrayData]
+      val cd = codes.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var s = 0
+      while (s < m) {
+        val c = codebooks(s)(cd.getInt(s))
+        val base = s * dsub
+        var i = 0
+        while (i < dsub) { acc += u.getDouble(base + i) * c(i); i += 1 }
+        s += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+      copy(left = l, right = r)
+    override def prettyName: String = "pq_adc_score"
+  }
+
   // Column wrappers (Spark 4 classic API: Column no longer wraps a
   // catalyst Expression directly — see GraftBridge)
   import GraftBridge.{column, expression}
@@ -313,4 +379,9 @@ object HashExpressions {
     column(TopGramStats(expression(grams)))
   def intersect_size(a: Column, b: Column): Column =
     column(IntersectSize(expression(a), expression(b)))
+  def pq_encode(unit: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqEncode(expression(unit), codebooks))
+  def pq_adc_score(qUnit: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqAdcScore(expression(qUnit), expression(codes), codebooks))
 }

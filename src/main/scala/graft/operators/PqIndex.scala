@@ -67,34 +67,19 @@ object PqIndex {
     Model(m, dsub, codebooks)
   }
 
-  private def subvec(unit: Column, model: Model, s: Int): Column =
-    slice(unit, s * model.dsub + 1, model.dsub)
-
   /** PQ codes of a unit vector: per subspace, the centroid minimizing
     * L2 distance — argmax of (2·dot − ‖c‖²) since the subvector norm is
-    * constant per row. array_max over (score, j) structs: linear scan,
-    * no sort (same shape as [[IvfIndex.assignCell]]). */
-  def encode(unit: Column, model: Model): Column = {
-    val codes = (0 until model.m).map { s =>
-      val scored = model.codebooks(s).zipWithIndex.map { case (c, j) =>
-        val cNorm2 = c.map(x => x * x).sum
-        struct((Vec.dot(subvec(unit, model, s), array(c.map(lit): _*)) * 2 - cNorm2).as("d"),
-          lit(j).as("j"))
-      }
-      array_max(array(scored: _*)).getField("j")
-    }
-    array(codes: _*)
-  }
+    * constant per row. Runs as the [[graft.functions.HashExpressions.PqEncode]]
+    * kernel: one loop per row, no per-(subspace × centroid) slice
+    * allocations (ties pick the lowest centroid index). */
+  def encode(unit: Column, model: Model): Column =
+    graft.functions.HashExpressions.pq_encode(unit, model.codebooks)
 
   /** Asymmetric-distance approximate cosine: query stays full-precision,
-    * doc is its codes — Σ_s dot(q_sub, centroid_s(code_s)), expressed as
-    * per-subspace literal codebook lookup + small dot. */
+    * doc is its codes — Σ_s dot(q_sub, centroid_s(code_s)), one
+    * lookup+small-dot loop per pair. */
   def adcScore(qUnit: Column, codes: Column, model: Model): Column =
-    (0 until model.m).map { s =>
-      val cb = array(model.codebooks(s).map(c => array(c.map(lit): _*)): _*)
-      Vec.dot(subvec(qUnit, model, s),
-        element_at(cb, element_at(codes, s + 1) + 1))
-    }.reduce(_ + _)
+    graft.functions.HashExpressions.pq_adc_score(qUnit, codes, model.codebooks)
 
   /** Approximate top-k via PQ-ADC pruning + exact re-rank (the
     * standard two-stage retrieval): the cheap ADC pass cuts each

@@ -153,7 +153,8 @@ object VectorQueries {
           "vec_id", "embedding", k = 5, m = 16, nCentroids = 16)
         .orderBy("query_id", "rank")
     },
-    None)
+    None,
+    bench = true)
 
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07)
 }
