@@ -526,8 +526,9 @@ object RelationalQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT user_id, us,
-        sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_id
       FROM t)
     SELECT user_id, session_id, count(*) AS n_events,
       max(us) - min(us) AS duration_us
@@ -774,7 +775,8 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_orders")).as("total_orders"))
         .orderBy("presence")
     },
-    Some("""SELECT presence, count(*) AS n, sum(n_orders) AS total_orders
+    Some("""SELECT presence, count(*) AS n,
+      CAST(sum(n_orders) AS BIGINT) AS total_orders
     FROM (
       SELECT CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
                   THEN 'both'

@@ -116,7 +116,7 @@ object SamplingQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
       FROM t)
     SELECT source, CAST(floor(before / 512.0) AS BIGINT) AS pack,
-      count(*) AS n_docs, sum(tok) AS sum_tokens
+      count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
     FROM c GROUP BY 1, 2 ORDER BY source, pack"""))
 
   // --- s07: sliding-window chunking (64-token chunks, stride 48) ------
