@@ -3,7 +3,7 @@ package graft.sources
 import graft.config.Enums._
 import graft.config.PlaybackConfig
 import graft.schema.UseColumns
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch core of the playback engine: parses one CSV file into the
@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   * data-row index in file order — used by the order-sensitive timestamp
   * styles (T2/T5) and interpolation fills. Downstream drops it.
   *
-  * Scale note: the line-index pass is a single `zipWithIndex` over the
-  * text scan (no shuffle); gz/bz2 files are inherently single-split, and
-  * plain CSV stays splittable through Spark's CSV reader when no
-  * header-index trickery is needed.
+  * Scale note: one distributed text scan with `zipWithIndex` (plus its
+  * cheap per-partition line-count pre-job — no parse, no shuffle), one
+  * codegen'd `from_csv` projection; schema inference reads only a
+  * driver-side head sample, never a second full pass. gz/bz2 files are
+  * inherently single-split.
   */
 object CsvPlayback {
 
@@ -67,14 +68,22 @@ object CsvPlayback {
       .toDF("value", RowIdx)
   }
 
-  /** Parses CSV content (already stripped of skipped/header lines) with
-    * Spark's CSV parser, schema inferred, preserving file order via a
-    * re-attached `_row_idx`. */
-  private def parseCsv(spark: SparkSession, lines: Dataset[String],
-      header: Boolean): DataFrame = {
+  /** Rows of the head sample used for schema inference. */
+  val InferSampleLines = 1000
+
+  /** Schema inference from a driver-side head sample: Spark's own CSV
+    * inference (the exact code `spark.read.csv(inferSchema=true)` runs)
+    * over the first [[InferSampleLines]] data lines. One tiny local job
+    * at read build — never a second distributed pass over the file,
+    * which is what `inferSchema=true` on the full scan would cost at
+    * 100 GB. Pandas' chunked reader infers per-chunk anyway
+    * (csvplayback.py:638-641), so a head sample is no less faithful. */
+  def inferFromHead(spark: SparkSession, path: String, dataStart: Int,
+      sampleLines: Int = InferSampleLines): org.apache.spark.sql.types.StructType = {
     import spark.implicits._
-    val df = spark.read
-      .option("header", header.toString)
+    val sample = headLines(spark, path, dataStart + sampleLines).drop(dataStart)
+    spark.read
+      .option("header", "false")
       .option("inferSchema", "true")
       // pandas does not parse dates unless told to (parse_dates); keep
       // date-looking fields as strings by making the inference formats
@@ -83,14 +92,22 @@ object CsvPlayback {
       .option("dateFormat", "'graft-never'")
       // RFC4180 "" quote escaping, like pandas (Spark defaults to \)
       .option("escape", "\"")
-      .csv(lines)
-    // map-side only: csv parse of a Dataset[String] preserves order
-    val schema = df.schema
-    val indexed = df.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
-    }
-    spark.createDataFrame(indexed,
-      schema.add(RowIdx, org.apache.spark.sql.types.LongType))
+      .csv(spark.createDataset(sample))
+      .schema
+  }
+
+  /** Parses pre-indexed data lines with one codegen'd `from_csv` against
+    * the head-inferred schema, `_row_idx` carried straight through — the
+    * single-pass shape the streaming path uses. (The old form re-parsed
+    * through `spark.read.csv` and re-indexed with `rdd.zipWithIndex`:
+    * three passes and an RDD boundary that broke whole-stage codegen.) */
+  private def parseCsv(lines: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val opts = Map("escape" -> "\"")
+    lines
+      .select(from_csv(col("value"), schema, opts).as("_p"), col(RowIdx))
+      .select(schema.fieldNames.map(f => col("_p").getField(f).as(f)).toIndexedSeq
+        :+ col(RowIdx): _*)
   }
 
   /** The full batch read: schema mode + header method + metadata +
@@ -116,23 +133,24 @@ object CsvPlayback {
           val spec = cfg.parsedUseColumns
           // pandas header=0: first post-skip line is consumed as the
           // (discarded) header, names relabel positionally
+          val dataStart = skip + 1
           val lines = indexedLines(spark, path)
-            .filter(col(RowIdx) >= skip + 1)
-            .select("value").as[String]
-          val parsed = parseCsv(spark, lines, header = false)
+            .filter(col(RowIdx) >= dataStart)
+            .withColumn(RowIdx, col(RowIdx) - dataStart)
+          val parsed = parseCsv(lines, inferFromHead(spark, path, dataStart))
           applySpec(parsed, spec)
         case ColumnMethod.PickFromFile =>
           val headerIdx = skip + cfg.rowIndexForColumnNames
-          val all = indexedLines(spark, path)
-          val headerLine = all.filter(col(RowIdx) === headerIdx)
-            .select("value").as[String].head()
+          val headerLine = headLines(spark, path, headerIdx + 1).last
           val names = headerLine.split(",", -1).toSeq
-          val lines = all.filter(col(RowIdx) > headerIdx)
-            .select("value").as[String]
-          val parsed = parseCsv(spark, lines, header = false)
+          val lines = indexedLines(spark, path)
+            .filter(col(RowIdx) > headerIdx)
+            .withColumn(RowIdx, col(RowIdx) - (headerIdx + 1))
+          val schema = inferFromHead(spark, path, headerIdx + 1)
+          require(schema.length == names.length,
+            s"header declares ${names.length} columns, data has ${schema.length}")
+          val parsed = parseCsv(lines, schema)
           val dataCols = parsed.columns.filter(_ != RowIdx)
-          require(dataCols.length == names.length,
-            s"header declares ${names.length} columns, data has ${dataCols.length}")
           parsed.select(
             dataCols.zip(names).map { case (c, n) => col(c).as(n) } :+ col(RowIdx): _*)
       }

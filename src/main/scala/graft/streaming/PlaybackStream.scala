@@ -30,9 +30,9 @@ object PlaybackStream {
       .load()
 
   /** Driver-side schema resolution from the file head: column names per
-    * the config's schema mode; all columns string-typed at parse, casts
-    * applied after (pandas-style inference is not available streaming —
-    * explicit `useColumns` types are, and untyped columns stay strings). */
+    * the config's schema mode; untyped columns get their types inferred
+    * from a head sample (see [[inferDtypes]]), explicit `useColumns`
+    * types win. */
   def resolveColumns(spark: SparkSession, cfg: PlaybackConfig, path: String): Seq[String] = {
     if (cfg.variableCols)
       return Seq.empty // ragged mode pivots, no fixed columns
@@ -78,10 +78,14 @@ object PlaybackStream {
         val parseNames = names.zipWithIndex.map { case (n, i) => if (n.isEmpty) s"_drop$i" else n }
         val parseSchema = StructType(parseNames.map(StructField(_, StringType)))
         val opts = Map("escape" -> "\"")
+        val inferred: Map[String, DataType] =
+          if (names.exists(n => n.nonEmpty && !spec.dtypes.contains(n)))
+            inferDtypes(spark, cfg, file, parseNames)
+          else Map.empty
         val withCols = base.withColumn("_parsed",
           from_csv(col("value"), parseSchema, opts))
         val kept = names.filter(_.nonEmpty).map { n =>
-          spec.dtypes.get(n) match {
+          spec.dtypes.get(n).orElse(inferred.get(n).filter(_ != StringType)) match {
             case Some(dt) => col("_parsed")(n).cast(dt).as(n)
             case None => col("_parsed")(n).as(n)
           }
@@ -89,14 +93,54 @@ object PlaybackStream {
         withCols.select(kept ++ Seq(col("row_idx"), col("pos_in_batch"), col("emit_ts")): _*)
       }
 
+    val validated = withReportNaN(parsed, cfg)
+
     val withMeta = cfg.headerMethod match {
       case HeaderMethod.PassInDatapoint =>
         val meta = CsvPlayback.headLines(spark, file, cfg.noOfRows).mkString("_")
-        parsed.withColumn(cfg.dataPointForCombine, lit(meta))
-      case _ => parsed
+        validated.withColumn(cfg.dataPointForCombine, lit(meta))
+      case _ => validated
     }
 
     applyTimestampStyle(spark, cfg, withMeta, file)
+  }
+
+  /** Streaming twin of the batch `ignoreNaN=report` stage
+    * (csvplayback.py:681-691, validated per chunk before the timestamp
+    * rewrite, fixed-column modes only — same call order here): each
+    * datapoint column is wrapped in a codegen'd null/blank guard that
+    * `raise_error`s with the reference's message on the first offending
+    * value. The failure surfaces through ANY sink (foreachBatch or
+    * `startTo`) and terminates the query — the reference's
+    * plugin_shutdown — with no extra per-batch aggregation job; the
+    * check rides the existing parse projection. */
+  private def withReportNaN(df: DataFrame, cfg: PlaybackConfig): DataFrame = {
+    if (cfg.ignoreNaN != NaNPolicy.Report || cfg.variableCols) return df
+    val internal = Set("row_idx", "pos_in_batch", "emit_ts")
+    val checked = df.columns.map { c =>
+      if (internal(c)) col(c)
+      else {
+        val s = col(c).cast("string")
+        when(col(c).isNull || (length(s) > 0 && trim(s) === ""),
+          raise_error(lit(s"There are NaN / missing values in the CSV file: $c")))
+          .otherwise(col(c)).as(c)
+      }
+    }
+    df.select(checked.toIndexedSeq: _*)
+  }
+
+  /** Driver-side dtype inference for untyped columns: Spark's own CSV
+    * inference run over a head sample of data lines — the streaming
+    * stand-in for pandas' chunked inference (csvplayback.py:638-641),
+    * and byte-for-byte the same inference code the batch reader uses
+    * ([[CsvPlayback]]'s `parseCsv`), so batch and stream dtypes agree.
+    * One tiny local job at stream build, never per-batch. */
+  def inferDtypes(spark: SparkSession, cfg: PlaybackConfig, path: String,
+      parseNames: Seq[String]): Map[String, DataType] = {
+    val dataStart = CsvPlaybackStream.dataStartLine(cfg)
+    CsvPlayback.inferFromHead(spark, path, dataStart).fields.zipWithIndex.collect {
+      case (f, i) if i < parseNames.length => parseNames(i) -> f.dataType
+    }.toMap
   }
 
   /** The four timestamp styles on the stream (SURVEY.md §2.4). */

@@ -45,8 +45,9 @@ class PlaybackStreamSpec extends SparkSpec {
     val rows = spark.sql("SELECT row_idx, channel1 FROM replay ORDER BY row_idx").collect()
     assert(rows.map(_.getLong(0)).toSeq == (0L until rows.length).toSeq,
       "row_idx is gapless and monotone across replays")
-    // channel1 repeats with period 3 (same file looped)
-    val c1 = rows.map(_.getString(1))
+    // channel1 repeats with period 3 (same file looped); inference makes
+    // it a double now — compare boxed values
+    val c1 = rows.map(_.get(1))
     assert(c1(0) == c1(3) && c1(1) == c1(4))
   }
 
@@ -158,6 +159,51 @@ class PlaybackStreamSpec extends SparkSpec {
       while (count("late") < 3 && System.currentTimeMillis() < deadline) Thread.sleep(100)
       assert(count("late") >= 3, "late-arriving file played")
     } finally raw.stop()
+  }
+
+  test("streaming ignoreNaN=report stops the query with the reference's message (csvplayback.py:681-691)") {
+    val dir = stage("nan_blank.csv")
+    val cfg = PlaybackConfig(csvDirName = dir.toString, csvFileName = "nan_blank",
+      ignoreNaN = NaNPolicy.Report, postProcessMethod = PostProcess.ContinuePlaying)
+    val q = PlaybackStream.readings(spark, cfg)
+      .writeStream.format("memory").queryName("nanrep")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(30000)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("There are NaN / missing values in the CSV file")),
+        s"query failed with the reference's error: ${messages(ex)}")
+      assert(!q.isActive, "report mode shut the stream down")
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("streaming dtype inference matches the batch reader (csvplayback.py:638-641)") {
+    val dir = stage("vibration.csv")
+    val cfg = PlaybackConfig(csvDirName = dir.toString, csvFileName = "vibration",
+      postProcessMethod = PostProcess.ContinuePlaying)
+    val batch = graft.sources.CsvPlayback.readFile(spark, cfg,
+      dir.resolve("vibration.csv").toString)
+    val streamed = PlaybackStream.readings(spark, cfg)
+    val batchTypes = batch.schema.fields
+      .filter(f => f.name != graft.sources.CsvPlayback.RowIdx)
+      .map(f => f.name -> f.dataType).toMap
+    val streamTypes = streamed.schema.fields
+      .filter(f => batchTypes.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
+    assert(streamTypes == batchTypes,
+      s"streamed dtypes $streamTypes == batch-inferred $batchTypes")
+    assert(streamTypes("channel1") == org.apache.spark.sql.types.DoubleType,
+      "numeric playback columns are numeric, not strings")
+    // and the streamed VALUES parse as the typed batch values
+    runStream(cfg, "dtyped", () => count("dtyped") >= 3)
+    val got = spark.sql("SELECT channel1 FROM dtyped ORDER BY row_idx LIMIT 3")
+      .collect().map(_.getDouble(0)).toSeq
+    val want = batch.orderBy(graft.sources.CsvPlayback.RowIdx)
+      .select("channel1").collect().map(_.getDouble(0)).toSeq
+    assert(got == want)
   }
 
   test("T5 sample-delta timestamps are monotone on the stream") {
