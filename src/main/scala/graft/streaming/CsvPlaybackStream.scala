@@ -46,9 +46,121 @@ object CsvPlaybackStream {
   val SHORT_NAME = "csvplayback"
 
   /** Sub-partition granularity: a batch range splits into ~SUB_SPLIT-row
-    * partitions, and the driver's seek index records the byte offset of
-    * every SUB_SPLIT-th data line so readers position in O(1). */
+    * partitions, and the seek index records the byte offset of every
+    * SUB_SPLIT-th line so readers position in O(1). */
   val SUB_SPLIT = 16384L
+
+  /** Byte-range size for the distributed index-build job. */
+  val INDEX_RANGE_BYTES: Long = 32L * 1024 * 1024
+
+  /** Per-byte-range line summary from the index job: number of line
+    * starts owned by the range, plus the byte offset of every
+    * [[SUB_SPLIT]]-th of them (range-relative ordinals). */
+  case class SplitLines(startByte: Long, nLines: Long, offsets: Array[Long])
+
+  /** Seek structure for one file: total physical lines plus, per range,
+    * the first physical line number it owns and its offset samples.
+    * [[offsetFor]] resolves a physical line to (seekByte, linesToSkip)
+    * with skip < SUB_SPLIT — same reader cost as a dense global index,
+    * but built by a parallel job instead of a driver scan. */
+  case class FileLineIndex(totalLines: Long,
+      splits: Array[(Long, SplitLines)]) {
+    def offsetFor(physicalLine: Long): Option[(Long, Long)] = {
+      if (splits.isEmpty) return None
+      // last split whose first owned line is <= physicalLine
+      var lo = 0
+      var hi = splits.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (splits(mid)._1 <= physicalLine) lo = mid else hi = mid - 1
+      }
+      val (startLine, s) = splits(lo)
+      val relIn = physicalLine - startLine
+      if (relIn >= s.nLines || s.offsets.isEmpty) return None
+      val oIdx = math.min(relIn / SUB_SPLIT, s.offsets.length - 1).toInt
+      Some((s.offsets(oIdx), relIn - oIdx * SUB_SPLIT))
+    }
+  }
+
+  /** Builds the line index with ONE Spark job over byte-range splits of
+    * the file — each task scans its range for line starts (a start at
+    * byte s is owned by the range containing s; tasks peek one byte
+    * before their range to decide ownership of their first offset, so no
+    * start is double-counted) and ships back a constant-size summary.
+    * The driver merges summaries: first-trigger latency is O(file size /
+    * cluster cores) + a tiny merge, not a single-threaded whole-file
+    * read (the r2 verdict's top scale-killer). Compressed files are
+    * unsplittable: one task streams the codec and only the line count
+    * comes back (readers line-skip from 0, as before). */
+  def buildLineIndex(sc: org.apache.spark.SparkContext, path: String): FileLineIndex = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    if (fileLen == 0)
+      throw new java.io.EOFException(s"CSV file $path has zero length")
+    val compressed =
+      new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p) != null
+    val subSplit = SUB_SPLIT
+    if (compressed) {
+      // unsplittable: one task, count only
+      val n = sc.parallelize(Seq(path), 1).map { pth =>
+        val hp = new org.apache.hadoop.fs.Path(pth)
+        val c = new org.apache.hadoop.conf.Configuration()
+        val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(c).getCodec(hp)
+        val in = new java.io.BufferedInputStream(
+          codec.createInputStream(hp.getFileSystem(c).open(hp)), 1 << 20)
+        try {
+          var lines = 0L
+          var prev = -1
+          var b = in.read()
+          var any = b >= 0
+          while (b >= 0) { if (b == '\n') lines += 1; prev = b; b = in.read() }
+          if (any && prev != '\n') lines += 1 // trailing line without newline
+          lines
+        } finally in.close()
+      }.collect().head
+      FileLineIndex(n, Array.empty)
+    } else {
+      val ranges = (0L until fileLen by INDEX_RANGE_BYTES)
+        .map(st => (st, math.min(st + INDEX_RANGE_BYTES, fileLen)))
+      val summaries = sc.parallelize(ranges, ranges.length).map { case (st, en) =>
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val c = new org.apache.hadoop.conf.Configuration()
+        val raw = hp.getFileSystem(c).open(hp)
+        try {
+          val readFrom = if (st == 0) 0L else st - 1
+          raw.seek(readFrom)
+          val in = new java.io.BufferedInputStream(raw, 1 << 20)
+          val offs = scala.collection.mutable.ArrayBuffer[Long]()
+          var n = 0L
+          def recordStart(at: Long): Unit = {
+            if (n % subSplit == 0) offs += at
+            n += 1
+          }
+          var pos = readFrom
+          var b = in.read()
+          // ownership of the range's first byte as a line start
+          if (st == 0) { recordStart(0L) }
+          else if (b == '\n' && st < en) { recordStart(st) }
+          if (st != 0) { pos += 1; b = in.read() } // consumed the peek byte
+          while (b >= 0 && pos < en) {
+            if (b == '\n' && pos + 1 < en) recordStart(pos + 1)
+            pos += 1
+            b = in.read()
+          }
+          SplitLines(st, n, offs.toArray)
+        } finally raw.close()
+      }.collect().sortBy(_.startByte)
+      var acc = 0L
+      val indexed = summaries.map { s =>
+        val first = acc
+        acc += s.nLines
+        (first, s)
+      }
+      FileLineIndex(acc, indexed.filter(_._2.nLines > 0))
+    }
+  }
 
   /** First physical data line of the file for a config (header lines
     * consumed before data starts, csvplayback.py:579-659). */
@@ -99,57 +211,15 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
   private val dir = PlaybackConfig.resolveDataDir(cfg.csvDirName)
   private val replay = cfg.postProcessMethod == PostProcess.ContinuePlaying
 
-  // driver-side per-file state
+  // driver-side per-file state (the index itself is built distributed,
+  // see CsvPlaybackStream.buildLineIndex; only the merged summaries
+  // live here)
   private var currentFile: Option[String] = None
   private var fileRows: Long = 0L        // data rows in the current file
   private var fileStartOffset: Long = 0L // totalRows when this file began
   private var lastEmitMicros: Long = 0L
-  // byte offset of every SUB_SPLIT-th data line (plain files only) —
-  // lets partition readers seek instead of line-skipping from 0
-  private var seekIndex: Array[Long] = Array.emptyLongArray
-
-  /** One pass over the file: counts data rows and (for uncompressed
-    * files) records the byte offset of every SUB_SPLIT-th data line.
-    * UTF-8-safe: '\n' bytes cannot occur inside multi-byte sequences. */
-  private def countDataLines(path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val fs = p.getFileSystem(conf)
-    if (fs.getFileStatus(p).getLen == 0)
-      throw new java.io.EOFException(s"CSV file $path has zero length")
-    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
-    val compressed = codec != null
-    val raw = fs.open(p)
-    val in = new java.io.BufferedInputStream(
-      if (compressed) codec.createInputStream(raw) else raw, 1 << 20)
-    val dataStart = CsvPlaybackStream.dataStartLine(cfg)
-    val idx = scala.collection.mutable.ArrayBuffer[Long]()
-    try {
-      var lineNo = 0L   // current line index (0-based)
-      var byteOff = 0L  // offset of the current position
-      var lineStart = 0L
-      var dataLines = 0L
-      var b = in.read()
-      var sawAny = b >= 0
-      while (b >= 0) {
-        if (lineNo >= dataStart && (lineNo - dataStart) % CsvPlaybackStream.SUB_SPLIT == 0 &&
-            byteOff == lineStart && !compressed)
-          idx += lineStart
-        if (b == '\n') {
-          if (lineNo >= dataStart) dataLines += 1
-          lineNo += 1
-          lineStart = byteOff + 1
-        }
-        byteOff += 1
-        b = in.read()
-      }
-      // trailing line without newline (its offset was recorded when
-      // its first byte was seen)
-      if (sawAny && byteOff > lineStart && lineNo >= dataStart) dataLines += 1
-      seekIndex = if (compressed) Array.emptyLongArray else idx.toArray
-      dataLines
-    } finally in.close()
-  }
+  private var lineIndex: CsvPlaybackStream.FileLineIndex =
+    CsvPlaybackStream.FileLineIndex(0L, Array.empty)
 
   /** FileFinder semantics (csvplayback.py:503-517): alphabetically
     * first match; absent → no progress this trigger. */
@@ -161,7 +231,12 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
   private def ensureFile(): Unit = {
     if (currentFile.isEmpty) {
       currentFile = findFile()
-      currentFile.foreach { f => fileRows = countDataLines(f) }
+      currentFile.foreach { f =>
+        lineIndex = CsvPlaybackStream.buildLineIndex(
+          org.apache.spark.SparkContext.getOrCreate(), f)
+        fileRows = math.max(0L,
+          lineIndex.totalLines - CsvPlaybackStream.dataStartLine(cfg))
+      }
     }
   }
 
@@ -227,10 +302,11 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     while (cur < e) {
       val rel = (cur - fileStartOffset) % fileRows
       val take = math.min(math.min(e - cur, fileRows - rel), subSplit)
-      val k = (rel / subSplit).toInt
       val (seekByte, skipLines) =
-        if (k < seekIndex.length) (seekIndex(k), rel - k * subSplit)
-        else (-1L, dataStart + rel) // compressed: line-skip from 0
+        lineIndex.offsetFor(dataStart + rel) match {
+          case Some((off, skip)) => (off, skip)
+          case None => (-1L, dataStart + rel) // compressed: line-skip from 0
+        }
       parts += PlaybackInputPartition(path, dataStart, rel, rel + take, cur, s,
         emitTs, seekByte, skipLines)
       cur += take
