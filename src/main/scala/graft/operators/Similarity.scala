@@ -49,10 +49,23 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Hard cap on [[topPairs]] input size: the all-pairs join is O(N²)
+    * by construction, so pointing it at an unbounded corpus is always a
+    * mistake — [[lshNearDupPairs]] is the scale path. */
+  val TopPairsMaxRows = 100000L
+
   /** Top `limit` most-similar pairs (a < b) — exact, for bounded corpora
-    * or within-bucket refinement. */
+    * or within-bucket refinement. Enforces its bounded-corpus contract
+    * with an eager row-count probe (one cheap count job): an input
+    * larger than `maxRows` fails fast with a pointer to the linear
+    * alternative instead of launching a quadratic join. */
   def topPairs(df: DataFrame, idCol: String, embCol: String, limit: Int,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, maxRows: Long = TopPairsMaxRows): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"topPairs is an exact all-pairs O(N²) baseline, capped at maxRows=$maxRows " +
+        s"rows (got $n). For large corpora use Similarity.lshNearDupPairs " +
+        "(banded LSH candidates + exact verify) instead.")
     val u = withUnit(df, embCol)
     val l = u.select(col(idCol).as("a"), col("_unit").as("u_a"))
     val r = u.select(col(idCol).as("b"), col("_unit").as("u_b"))
@@ -60,6 +73,48 @@ object Similarity {
       .select(col("a"), col("b"), round(Vec.dot(col("u_a"), col("u_b")), roundTo).as("cosine"))
       .orderBy(col("cosine").desc, col("a"), col("b"))
       .limit(limit)
+  }
+
+  /** All pairs (a < b) with cosine ≥ `threshold` — the linear-shuffle
+    * near-dup path: banded hyperplane-LSH candidate generation + exact
+    * dot-product verification.
+    *
+    * Each vector gets `bands` independent `bandBits`-bit signatures; a
+    * pair becomes a candidate iff some band's signature matches exactly
+    * (equi-join on (band, sig) — never an all-pairs join). Verification
+    * re-joins unit vectors for candidates only, so the wide vectors stay
+    * off the band shuffle. Output is EXACT w.r.t. the threshold on the
+    * verified side; the LSH stage can only miss, with probability
+    * (1 - p^bandBits)^bands per pair, p = 1 - arccos(cos)/π. Defaults
+    * (12 bits × 128 bands): a pair at cosine 0.90 is missed with
+    * p < 5e-10, while an unrelated pair (cosine ≈ 0) survives to
+    * verification with p ≈ 3% — tune `bandBits` up (and `bands` with
+    * it) to sharpen the filter for very large corpora. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, bandBits: Int = 12, bands: Int = 128,
+      seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val planeSets = (0 until bands).map(b => Vec.randomPlanes(bandBits, dim, seed + 7000 + b))
+    val units = withUnit(df, embCol)
+      .select(col(idCol).as("_id"), col("_unit"))
+      .cache()
+    // (id, band, signature) triples — three narrow columns per row
+    val sigs = units.select(col("_id"),
+        explode(array(planeSets.zipWithIndex.map { case (planes, b) =>
+          struct(lit(b).as("b"), Vec.hyperplaneSignature(col("_unit"), planes).as("sig"))
+        }: _*)).as("_bs"))
+      .select(col("_id"), col("_bs.b").as("_band"), col("_bs.sig").as("_sig"))
+    val cand = sigs.select(col("_id").as("a"), col("_band"), col("_sig"))
+      .join(sigs.select(col("_id").as("b"), col("_band"), col("_sig")), Seq("_band", "_sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct() // a pair may collide in several bands
+    cand
+      .join(units.select(col("_id").as("a"), col("_unit").as("u_a")), "a")
+      .join(units.select(col("_id").as("b"), col("_unit").as("u_b")), "b")
+      .withColumn("cosine", round(Vec.dot(col("u_a"), col("u_b")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
   }
 
   /** LSH-bucketed approximate top-k: `tables` independent hyperplane

@@ -69,14 +69,10 @@ object VectorQueries {
       val all = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
         .unionByName(perturbed)
-      val l = Similarity.withUnit(all, "embedding")
-        .select(col("vec_id").as("a"), col("_unit").as("u_a"))
-      val r = Similarity.withUnit(all, "embedding")
-        .select(col("vec_id").as("b"), col("_unit").as("u_b"))
-      l.join(r, col("a") < col("b"))
-        .withColumn("cosine", round(graft.functions.Vec.dot(col("u_a"), col("u_b")), 6))
-        .filter(col("cosine") >= 0.9)
-        .select(col("a"), col("b"), col("cosine"))
+      // banded-LSH candidates + exact verify — same output as the
+      // all-pairs oracle at this threshold (miss p < 5e-10 per true
+      // pair), but a linear (band, sig) equi-join instead of O(N²)
+      Similarity.lshNearDupPairs(all, "vec_id", "embedding", threshold = 0.9)
         .orderBy("a", "b")
     },
     Some("""WITH base AS (

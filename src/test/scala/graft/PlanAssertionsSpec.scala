@@ -51,4 +51,10 @@ class PlanAssertionsSpec extends SparkSpec {
     val plan = executedPlan("d05_ngram_jaccard")
     assert(plan.contains("intersect_size"), plan.take(800))
   }
+
+  test("v04 near-dup generates candidates by equi-join, never all-pairs") {
+    val plan = executedPlan("v04_embedding_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
 }

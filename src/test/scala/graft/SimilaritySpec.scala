@@ -42,6 +42,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low for 4 tables x 1-bit multiprobe at dim 64")
   }
 
+  test("lshNearDupPairs matches the exact all-pairs result at threshold 0.9") {
+    // plant perturbed twins like v04 does, then compare against the
+    // exact O(N²) computation on this bounded corpus
+    val perturbed = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "CAST(element_at(embedding, i) AS DOUBLE) + " +
+          "0.1 * CAST(element_at(embedding, 65 - i) AS DOUBLE))").as("embedding"))
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(perturbed)
+    val u = Similarity.withUnit(all, "embedding")
+    val exact = u.select(col("vec_id").as("a"), col("_unit").as("u_a"))
+      .join(u.select(col("vec_id").as("b"), col("_unit").as("u_b")), col("a") < col("b"))
+      .select(col("a"), col("b"), round(Vec.dot(col("u_a"), col("u_b")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(all, "vec_id", "embedding", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture plants at least the 5 twin pairs")
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("topPairs refuses an over-budget corpus with a pointer to the scale path") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.topPairs(emb, "vec_id", "embedding", limit = 5, maxRows = 10)
+    }
+    assert(ex.getMessage.contains("lshNearDupPairs"))
+  }
+
   test("hyperplane signature is deterministic and balanced-ish") {
     val planes = Vec.randomPlanes(6, 64)
     val sigs = Similarity.withUnit(emb, "embedding")
