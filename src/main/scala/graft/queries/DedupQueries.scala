@@ -43,7 +43,9 @@ object DedupQueries {
         .select(col("doc_id"))
         .orderBy("doc_id"),
     Some(s"""SELECT doc_id FROM (
-      SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      SELECT doc_id, row_number() OVER (
+        PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
       FROM ($plantedSql))
     WHERE rn = 1 ORDER BY doc_id"""),
     bench = true)
@@ -57,19 +59,48 @@ object DedupQueries {
         count(lit(1)).as("n_docs"),
         countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"))
     },
-    Some(s"""SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct
+    Some(s"""SELECT count(*) AS n_docs,
+      count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+        AS n_distinct
       FROM ($plantedSql)"""))
 
-  // --- d03: MinHash-LSH near-dup pairs (candidates not SQL-expressible;
-  //     exact expectations asserted in DedupSpec) ----------------------
+  /** SQL mirror of [[TextAnalysis.wordShingles]] (k=3) as a CTE body
+    * over a table `p(doc_id, text)` — shared by the d03/d05/d07
+    * oracles. (Defined before first use: object vals initialize in
+    * declaration order.) */
+  private val shingleCteSql =
+    """SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(1, len(string_split_regex(trim(text), '\s+')) - 2)),
+        i -> CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+          THEN string_split_regex(trim(text), '\s+')[i] || ' ' ||
+               string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text), '\s+')[i+2]
+          ELSE array_to_string(string_split_regex(trim(text), '\s+'), ' ') END)) AS sh
+        FROM p"""
+
+  // --- d03: MinHash-LSH near-dup pairs --------------------------------
+  // Oracle-checkable even though LSH is probabilistic: candidates are
+  // exact-verified against true Jaccard, and at r = 128/64 = 2 rows per
+  // band a pair at the 0.5 threshold is missed with (1-0.5²)⁶⁴ < 1e-8 —
+  // so the output equals the oracle's exhaustive "all pairs with
+  // Jaccard ≥ 0.5" while the engine only ever equi-joins band buckets.
   private val d03 = GraftQuery(
     "d03_minhash_neardup",
     (s, d) =>
       Dedup.minhashNearDupPairs(
           planted(s, d).filter(col("doc_id") < 2000000), // exact copies excluded: near-dup op
-          "doc_id", "text", numHashes = 128, bands = 32, threshold = 0.5)
+          "doc_id", "text", numHashes = 128, bands = 64, threshold = 0.5)
         .orderBy("a", "b"),
-    None,
+    Some(s"""WITH p0 AS ($plantedSql),
+      p AS (SELECT * FROM p0 WHERE doc_id < 2000000),
+      sh AS ($shingleCteSql),
+      j AS (
+        SELECT a.doc_id AS a, b.doc_id AS b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT a, b, round(jac, 4) AS jaccard FROM j
+      WHERE jac >= 0.5 ORDER BY a, b"""),
     bench = true)
 
   // --- d04: SimHash hamming near-dup pairs ----------------------------
@@ -81,18 +112,6 @@ object DedupQueries {
           "doc_id", "text", maxHamming = 3)
         .orderBy("a", "b"),
     None)
-
-  /** SQL mirror of [[TextAnalysis.wordShingles]] (k=3) as a CTE body
-    * over a table `p(doc_id, text)` — shared by the d05/d07 oracles. */
-  private val shingleCteSql =
-    """SELECT doc_id, list_distinct(list_transform(
-        generate_series(1, greatest(1, len(string_split_regex(trim(text), '\s+')) - 2)),
-        i -> CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
-          THEN string_split_regex(trim(text), '\s+')[i] || ' ' ||
-               string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
-               string_split_regex(trim(text), '\s+')[i+2]
-          ELSE array_to_string(string_split_regex(trim(text), '\s+'), ' ') END)) AS sh
-        FROM p"""
 
   // --- d05: exact n-gram Jaccard for the planted pairs ----------------
   private val d05 = GraftQuery(
@@ -235,7 +254,8 @@ object DedupQueries {
         FROM p)
       SELECT doc_id, score FROM (
         SELECT doc_id, score, row_number() OVER (
-          PARTITION BY text ORDER BY score DESC, doc_id) AS rn
+          PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+          ORDER BY score DESC, doc_id) AS rn
         FROM scored)
       WHERE rn = 1 ORDER BY doc_id"""))
 
