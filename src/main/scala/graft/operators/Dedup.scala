@@ -205,6 +205,14 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // partially-propagated labels are silently WRONG — refuse to return
+    // them; callers hitting this on adversarial long-chain graphs should
+    // raise maxIters (or switch to large-star/small-star)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIters rounds; " +
+          "labels would be partially propagated. Raise maxIters " +
+          "(rounds needed = O(max component diameter)).")
     labels
   }
 

@@ -70,8 +70,10 @@ object Sampling {
     val counts = df.groupBy(stratum.as("_stx")).agg(count(lit(1)).as("_n"))
     val nMin = counts.agg(min(col("_n"))).head().getLong(0)
     val frac = pow(lit(nMin.toDouble) / col("_n"), lit(temp))
+    // clamp to ≥ 1: a stratum more than ~512× the smallest would round
+    // to a zero keep-bucket and vanish; thin it to 1/256 instead
     val lim = counts.select(col("_stx"),
-      round(frac * 256).cast("int").as("_lim"))
+      greatest(round(frac * 256).cast("int"), lit(1)).as("_lim"))
     df.join(broadcast(lim), stratum === col("_stx"))
       .filter(md5Bucket256(key) < col("_lim"))
       .drop("_stx", "_lim")

@@ -161,8 +161,9 @@ object SamplingQueries {
       SELECT source, count(*) AS n FROM documents GROUP BY source),
     lim AS (
       SELECT source,
-        CAST(round(sqrt(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n) * 256)
-          AS INT) AS lim
+        greatest(CAST(round(
+          sqrt(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n) * 256)
+          AS INT), 1) AS lim
       FROM counts),
     kept AS (
       -- 2-char lowercase hex compares like the numeric bucket; lim=256

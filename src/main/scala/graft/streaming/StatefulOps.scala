@@ -51,13 +51,17 @@ object StatefulOps {
     * fingerprint was already seen, with state bounded by the event-time
     * watermark on `tsCol` (duplicates arriving later than `delay` after
     * the original may re-emit — the standard watermarked-dedup
-    * contract). Keys the state on the 128-bit fingerprint, never the
-    * document text, so state size per doc is constant. The streaming
-    * twin of [[graft.operators.Dedup.exactKeepFirst]]. */
+    * contract). `dropDuplicatesWithinWatermark` is the variant that
+    * actually evicts state once the watermark passes a fingerprint's
+    * event time — plain `dropDuplicates` on a non-watermark key keeps
+    * state forever (unbounded growth on a long-running stream). Keys
+    * the state on the 128-bit fingerprint, never the document text, so
+    * state size per doc is constant. The streaming twin of
+    * [[graft.operators.Dedup.exactKeepFirst]]. */
   def streamingDedup(df: DataFrame, textCol: String, tsCol: String,
       delay: String): DataFrame =
     df.withColumn("_fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, delay)
-      .dropDuplicates("_fp")
+      .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 }
