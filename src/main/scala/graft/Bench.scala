@@ -35,8 +35,8 @@ object Bench {
 
     // steady-state timing: first run pays Janino/JIT compilation of each
     // query's unique expression trees (one-time per cluster lifetime);
-    // the reported number is the min of two post-warmup runs (halves
-    // scheduler/GC run-to-run noise without hiding real cost)
+    // the reported number is the min of three post-warmup runs (r2's
+    // min-of-two still let one noisy pair show as a phantom regression)
     val results = QueryRegistry.benchNames.map { name =>
       def once(): Long =
         try QueryRegistry.queryMap(name)(spark, sfDir).count()
@@ -48,9 +48,8 @@ object Bench {
         val n = once()
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val (s1, n) = timed()
-      val (s2, _) = timed()
-      name -> (math.min(s1, s2), n)
+      val runs = Seq.fill(3)(timed())
+      name -> (runs.map(_._1).min, runs.head._2)
     }
 
     val qs = results.map { case (k, (sec, _)) => "\"" + k + f"""":$sec%.3f""" }
