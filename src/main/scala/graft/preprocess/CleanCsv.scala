@@ -90,6 +90,46 @@ object CleanCsv {
     df.withColumn(colName, filled)
   }
 
+  /** PD:124-126 — `interpolate(method='cubic', limit_direction='both')`:
+    * a true not-a-knot cubic spline through each series' known points
+    * ([[Spline]]), evaluated at the null row indices; edge nulls clamp
+    * to the nearest known value.
+    *
+    * Unlike the window fills, a spline is a GLOBAL solve per series, so
+    * this runs as one `flatMapGroups` over the narrow
+    * (series, _row_idx, value) projection — a single shuffle of three
+    * scalar columns — and the filled values equi-join back onto the
+    * frame. A series' points must fit one executor (the reference holds
+    * a whole pandas chunk in memory the same way); partition 100 TB by
+    * `seriesKeys` so each group is one device/sensor series, never the
+    * whole corpus. */
+  def interpolateCubic(df: DataFrame, colName: String,
+      seriesKeys: Seq[Column] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyExpr =
+      if (seriesKeys.isEmpty) lit("")
+      else concat_ws("", seriesKeys.map(_.cast("string")): _*)
+    val c = blanksToNull(col(colName)).cast("double")
+    val filled = df.select(keyExpr.as("_sk"), col(RowIdx).cast("long").as("_x"), c.as("_y"))
+      .as[(String, Long, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: String, it: Iterator[(String, Long, Option[Double])]) =>
+        val rows = it.toArray.sortBy(_._2)
+        val known = rows.collect { case (_, x, Some(y)) => (x.toDouble, y) }
+        if (known.isEmpty) rows.map { case (_, x, _) => (k, x, Option.empty[Double]) }.iterator
+        else {
+          val eval = Spline.notAKnot(known.map(_._1), known.map(_._2))
+          rows.map { case (_, x, yo) => (k, x, Some(yo.getOrElse(eval(x.toDouble)))) }.iterator
+        }
+      }
+      .toDF("_sk2", "_x", "_filled")
+    df.withColumn("_sk", keyExpr)
+      .join(filled, col("_sk") === col("_sk2") && col(RowIdx) === col("_x"))
+      .withColumn(colName, col("_filled"))
+      .drop("_sk", "_sk2", "_x", "_filled")
+  }
+
   /** PD:128-130 — `fillna(col.rolling(2, min_periods=1).mean())`:
     * a null takes the mean of the 2-row trailing window ignoring nulls,
     * i.e. the previous value (or stays null if that is null too). */
@@ -151,9 +191,8 @@ object CleanCsv {
         if (nulls == total) kept = kept.filterNot(_ == name) // all-null column
         else if (choice == "fill") {
           out = method match {
-            // cubic spline falls back to linear (documented divergence;
-            // scipy-cubic needs a global solve that a window can't express)
-            case "linear" | "cubic" => interpolateLinear(out, name)
+            case "linear" => interpolateLinear(out, name)
+            case "cubic" => interpolateCubic(out, name)
             case "nearest" => interpolateNearest(out, name)
             case "rolling_mean" => rollingMeanFill(out, name)
             case "rolling_median" => rollingMedianFill(out, name)

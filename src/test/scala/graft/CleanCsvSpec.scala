@@ -37,6 +37,58 @@ class CleanCsvSpec extends SparkSpec {
     assert(vals(df, "v2") == Seq(10.0, 10.0, 40.0, 40.0))
   }
 
+  test("cubic interpolation reproduces an exact cubic (not-a-knot property)") {
+    // a not-a-knot spline through samples of a cubic polynomial IS that
+    // polynomial — a natural spline would fail this, so it pins the
+    // boundary condition scipy's interp1d(kind='cubic') uses
+    // (PD:124-126). y = x³ − 2x² + 3 sampled at x ∈ {0,1,2,4,5,7},
+    // nulls at x ∈ {3,6}.
+    import spark.implicits._
+    def poly(x: Double) = x * x * x - 2 * x * x + 3
+    val rows = (0 to 7).map { x =>
+      (x.toLong, if (x == 3 || x == 6) None else Some(poly(x.toDouble)))
+    }
+    val df = rows.toDF("_row_idx", "v")
+    val got = vals(CleanCsv.interpolateCubic(df, "v"), "v")
+    (0 to 7).foreach { x =>
+      assert(math.abs(got(x).asInstanceOf[Double] - poly(x.toDouble)) < 1e-9,
+        s"at x=$x: ${got(x)} vs ${poly(x.toDouble)}")
+    }
+  }
+
+  test("cubic interpolation matches the independently-solved golden fixture") {
+    // golden values from a dense numpy solve of the not-a-knot system
+    // (tools/gen_spline_golden note): knots x ∈ {0,1,2,4,5,7,8,9},
+    // y = {1.0,2.5,1.8,3.2,4.1,2.0,0.5,1.2}, nulls at x ∈ {3,6}
+    import spark.implicits._
+    val ys = Map(0 -> 1.0, 1 -> 2.5, 2 -> 1.8, 4 -> 3.2, 5 -> 4.1,
+      7 -> 2.0, 8 -> 0.5, 9 -> 1.2)
+    val rows = (0 to 9).map(x => (x.toLong, ys.get(x)))
+    val df = rows.toDF("_row_idx", "v")
+    val got = vals(CleanCsv.interpolateCubic(df, "v"), "v")
+    assert(math.abs(got(3).asInstanceOf[Double] - 2.0727732793522273) < 1e-12)
+    assert(math.abs(got(6).asInstanceOf[Double] - 3.5660425101214575) < 1e-12)
+    ys.foreach { case (x, y) => assert(got(x) == y, s"known point $x preserved") }
+  }
+
+  test("cubic interpolation: edge nulls clamp, short series fall back linear") {
+    import spark.implicits._
+    // leading/trailing nulls around 4+ knots clamp to nearest known
+    val edge = Seq((0L, None), (1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)),
+      (4L, Some(4.0)), (5L, None)).toDF("_row_idx", "v")
+    assert(vals(CleanCsv.interpolateCubic(edge, "v"), "v") ==
+      Seq(1.0, 1.0, 2.0, 3.0, 4.0, 4.0))
+    // 2 known points: linear fallback (scipy would refuse kind='cubic')
+    val two = Seq((0L, Some(1.0)), (1L, None), (2L, Some(3.0))).toDF("_row_idx", "v")
+    assert(vals(CleanCsv.interpolateCubic(two, "v"), "v") == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("repair(method=cubic) fills through the spline path") {
+    val repaired = CleanCsv.repair(interp, choice = "fill", method = "cubic")
+    // v1: 1.0, null@1, 3.0, 4.0 — 3 known points → linear fallback → 2.0
+    assert(vals(repaired, "v1") == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
   test("rolling mean fill: previous value (PD:128-130)") {
     val df = CleanCsv.rollingMeanFill(interp, "v1")
     assert(vals(df, "v1") == Seq(1.0, 1.0, 3.0, 4.0))
