@@ -61,6 +61,23 @@ class PlaybackIndexSpec extends SparkSpec {
       check(content, range)
   }
 
+  test("offsetFor beyond SUB_SPLIT: seek sample + residual skip lands exactly") {
+    // 40k lines > 2×SUB_SPLIT exercises the sampled-offset + skip path
+    val n = 40000
+    val content = (0 until n).map(i => s"r$i").mkString("\n") + "\n"
+    val path = write(content)
+    val idx = CsvPlaybackStream.buildLineIndex(spark.sparkContext, path, 64 * 1024L)
+    assert(idx.totalLines == n)
+    val starts = naiveLineStarts(content.getBytes("UTF-8"))
+    val startToLine = starts.zipWithIndex.toMap
+    for (line <- Seq(0, 1, 16383, 16384, 16385, 32768, 39999)) {
+      val Some((seek, skip)) = idx.offsetFor(line.toLong)
+      val seekLine = startToLine(seek)
+      assert(skip < CsvPlaybackStream.SUB_SPLIT, s"line $line: skip $skip bounded")
+      assert(seekLine + skip == line, s"line $line: seek line $seekLine + skip $skip")
+    }
+  }
+
   test("empty file still raises EOF (S6 guard)") {
     val path = write("")
     intercept[java.io.EOFException] {
