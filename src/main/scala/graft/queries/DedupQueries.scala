@@ -337,6 +337,60 @@ object DedupQueries {
     },
     None)
 
+  // --- d12: end-to-end embedding dedup groups -------------------------
+  // The composition a curation pipeline actually runs: banded-LSH
+  // near-dup pair generation over embeddings (v04's corpus with planted
+  // perturbed twins) → connected components → one summary row per dup
+  // group. Every stage is the scale path (equi-join candidates, min-
+  // label propagation); the oracle replays it exhaustively: all-pairs
+  // cosine ≥ 0.9 closed with a recursive CTE.
+  private val d12 = GraftQuery(
+    "d12_embedding_dedup_groups",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val perturbed = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          expr("transform(sequence(1, 64), i -> " +
+            "CAST(element_at(embedding, i) AS DOUBLE) + " +
+            "0.1 * CAST(element_at(embedding, 65 - i) AS DOUBLE))").as("embedding"))
+      val all = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(perturbed)
+      val edges = graft.operators.Similarity
+        .lshNearDupPairs(all, "vec_id", "embedding", threshold = 0.9)
+        .select(col("a"), col("b"))
+      val nodes = all.select(col("vec_id").as("node"))
+      Dedup.connectedComponents(edges, nodes)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          concat_ws(",",
+            transform(sort_array(collect_list(col("node"))),
+              x => x.cast("string"))).as("members"))
+        .filter(col("n_members") >= 2)
+        .orderBy("component")
+    },
+    Some("""WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+        list_transform(generate_series(1, 64),
+          i -> CAST(embedding[i] AS DOUBLE) + 0.1 * CAST(embedding[65 - i] AS DOUBLE))
+      FROM embeddings WHERE vec_id < 5),
+    edges AS (
+      SELECT a.vec_id AS a, b.vec_id AS b FROM base a, base b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.9),
+    sym AS (SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM base
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
+    SELECT component, count(*) AS n_members,
+      string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    GROUP BY component HAVING count(*) >= 2 ORDER BY component"""))
+
   val all: Seq[GraftQuery] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
 }
