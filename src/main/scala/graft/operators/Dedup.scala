@@ -126,6 +126,49 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** [[contaminated]] with a Bloom prefilter — the 100 TB shape: the
+    * train side is never shuffled at all. The eval set's distinct
+    * shingles build one Bloom filter (Spark's own
+    * `BloomFilterAggregate` over `xxhash64`, one small job); the
+    * serialized filter rides into the scan as a literal and
+    * `BloomFilterMightContain` (codegen'd, the same expression Spark's
+    * runtime row-level filters inject) drops ~(1−fpp) of train shingles
+    * map-side. Only surviving candidates — true leaks plus the fpp
+    * sliver — reach the exact equi-join verify, so the output is
+    * IDENTICAL to [[contaminated]] (false positives die in the join)
+    * while the shuffle shrinks from every-train-shingle to
+    * candidates-only. */
+  def contaminatedBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 5,
+      expectedEvalShingles: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val evalSh = eval
+      .select(explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_sh"))
+      .distinct()
+      .cache()
+    val nItems =
+      if (expectedEvalShingles > 0) expectedEvalShingles
+      else math.max(evalSh.count(), 1L)
+    val bloomBytes = evalSh
+      .select(GraftBridge.column(
+        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("_sh"))), nItems)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      GraftBridge.expression(xxhash64(col("_sh")))))
+    train
+      .select(col(idCol).as("train_id"),
+        explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_sh"))
+      .filter(mightContain) // map-side: no shuffle of the train corpus
+      .join(evalSh, "_sh")  // exact verify kills the fpp sliver
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("_sh")).as("n_shared"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the token stream: bit k of the signature is the

@@ -264,15 +264,21 @@ object DedupQueries {
   // (+1M) of docs 0..9. Only mutations 1000000..1000004 descend from
   // eval texts, so they are the leakage the 5-gram overlap must find
   // (and k=5 keeps incidental word-soup collisions out).
+  /** The d09/d13 train/eval construction, shared by both
+    * decontamination variants. */
+  private def contaminationSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables(s, d, "documents").select("doc_id", "text")
+    val eval = docs.filter(col("doc_id") < 5)
+    val near = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text"))
+    (docs.filter(col("doc_id") >= 5).unionByName(near), eval)
+  }
+
   private val d09 = GraftQuery(
     "d09_contamination",
     (s, d) => {
-      val docs = Tables(s, d, "documents").select("doc_id", "text")
-      val eval = docs.filter(col("doc_id") < 5)
-      val near = docs.filter(col("doc_id") < 10)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" graftdup")).as("text"))
-      val train = docs.filter(col("doc_id") >= 5).unionByName(near)
+      val (train, eval) = contaminationSides(s, d)
       Dedup.contaminated(train, eval, "doc_id", "text", shingleK = 5)
         .orderBy("train_id")
     },
@@ -391,6 +397,20 @@ object DedupQueries {
     FROM (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
     GROUP BY component HAVING count(*) >= 2 ORDER BY component"""))
 
+  // --- d13: decontamination via broadcast Bloom prefilter -------------
+  // Same output as d09 (the exact join kills Bloom false positives), so
+  // it shares d09's oracle verbatim — what changes is the plan: the
+  // train corpus is filtered map-side by BloomFilterMightContain and
+  // never shuffled in full. The scale variant a 100 TB sweep would run.
+  private val d13 = GraftQuery(
+    "d13_contamination_bloom",
+    (s, d) => {
+      val (train, eval) = contaminationSides(s, d)
+      Dedup.contaminatedBloom(train, eval, "doc_id", "text", shingleK = 5)
+        .orderBy("train_id")
+    },
+    d09.oracle)
+
   val all: Seq[GraftQuery] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
 }

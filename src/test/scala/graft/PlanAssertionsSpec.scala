@@ -52,6 +52,11 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("intersect_size"), plan.take(800))
   }
 
+  test("d13 decontamination prefilters the train side with a Bloom probe") {
+    val plan = executedPlan("d13_contamination_bloom")
+    assert(plan.contains("might_contain"), plan.take(800))
+  }
+
   test("v04 near-dup generates candidates by equi-join, never all-pairs") {
     val plan = executedPlan("v04_embedding_neardup")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
