@@ -363,9 +363,59 @@ object HashExpressions {
     override def prettyName: String = "pq_adc_score"
   }
 
+  /** All banded hyperplane signatures of an array<double> unit vector
+    * in ONE loop: element b is the `bandBits`-bit sign signature of the
+    * vector against Gaussian planes derived from `seed + b` — generated
+    * lazily per executor JVM, never serialized into the plan. (The
+    * literal-plane formulation embedded bands×bits 64-double arrays as
+    * separate dot expressions: 8+ MiB task binaries and minutes of
+    * Janino on wide configs.) Plane values replicate
+    * [[graft.functions.Vec.randomPlanes]] exactly — `Random(seed)`
+    * Gaussians drawn plane-major — so signatures are bit-identical to
+    * the per-plane form at the same seeds. */
+  case class BandedHyperplaneSigs(child: Expression, bandBits: Int,
+      bands: Int, dim: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(bandBits >= 1 && bandBits <= 63, "1..63 bits per band")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val planes: Array[Array[Double]] =
+      Array.tabulate(bands) { b =>
+        val rnd = new scala.util.Random(seed + b)
+        Array.fill(bandBits * dim)(rnd.nextGaussian())
+      }
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = math.min(dim, v.numElements())
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        val p = planes(b)
+        var sig = 0L
+        var j = 0
+        while (j < bandBits) {
+          val off = j * dim
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += v.getDouble(i) * p(off + i); i += 1 }
+          if (acc > 0) sig |= (1L << j)
+          j += 1
+        }
+        out(b) = sig
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): BandedHyperplaneSigs =
+      copy(child = c)
+    override def prettyName: String = "banded_hyperplane_sigs"
+  }
+
   // Column wrappers (Spark 4 classic API: Column no longer wraps a
   // catalyst Expression directly — see GraftBridge)
   import GraftBridge.{column, expression}
+  def banded_hyperplane_sigs(unit: Column, bandBits: Int, bands: Int,
+      dim: Int, seed: Long): Column =
+    column(BandedHyperplaneSigs(expression(unit), bandBits, bands, dim, seed))
   def minhash64(shingles: Column, numHashes: Int): Column =
     column(MinHash64(expression(shingles), numHashes))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))

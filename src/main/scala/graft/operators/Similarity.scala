@@ -94,16 +94,16 @@ object Similarity {
       threshold: Double, bandBits: Int = 12, bands: Int = 128,
       seed: Long = 42L, roundTo: Int = 6): DataFrame = {
     val dim = df.select(size(col(embCol))).head().getInt(0)
-    val planeSets = (0 until bands).map(b => Vec.randomPlanes(bandBits, dim, seed + 7000 + b))
     val units = withUnit(df, embCol)
       .select(col(idCol).as("_id"), col("_unit"))
       .cache()
-    // (id, band, signature) triples — three narrow columns per row
+    // (id, band, signature) triples — three narrow columns per row; one
+    // kernel computes all bands' signatures (no plane literals: the
+    // bands×bits 64-double arrays made 8+ MiB task binaries)
     val sigs = units.select(col("_id"),
-        explode(array(planeSets.zipWithIndex.map { case (planes, b) =>
-          struct(lit(b).as("b"), Vec.hyperplaneSignature(col("_unit"), planes).as("sig"))
-        }: _*)).as("_bs"))
-      .select(col("_id"), col("_bs.b").as("_band"), col("_bs.sig").as("_sig"))
+      posexplode(graft.functions.HashExpressions
+        .banded_hyperplane_sigs(col("_unit"), bandBits, bands, dim, seed + 7000))
+        .as(Seq("_band", "_sig")))
     val cand = sigs.select(col("_id").as("a"), col("_band"), col("_sig"))
       .join(sigs.select(col("_id").as("b"), col("_band"), col("_sig")), Seq("_band", "_sig"))
       .filter(col("a") < col("b"))
@@ -126,10 +126,10 @@ object Similarity {
       embCol: String, k: Int, nbits: Int = 12, tables: Int = 4,
       seed: Long = 42L, roundTo: Int = 6): DataFrame = {
     val dim = corpus.select(size(col(embCol))).head().getInt(0)
-    val planeSets = (0 until tables).map(t => Vec.randomPlanes(nbits, dim, seed + t))
-    def sigs(unit: org.apache.spark.sql.Column) = planeSets.zipWithIndex.map {
-      case (planes, t) => struct(lit(t).as("t"), Vec.hyperplaneSignature(unit, planes).as("sig"))
-    }
+    // one kernel call emits every table's signature (planes derived
+    // from the seed per executor — no plane literals in the plan)
+    def sigs(unit: org.apache.spark.sql.Column) =
+      graft.functions.HashExpressions.banded_hyperplane_sigs(unit, nbits, tables, dim, seed)
     // materialize units before the tables*nbits plane dots (else the
     // normalization expression re-evaluates inside every dot product)
     val cUnits = withUnit(corpus, embCol)
@@ -138,17 +138,16 @@ object Similarity {
     // signatures only — the unit vector does not ride through the
     // bands×corpus explode (it re-joins after candidate dedup)
     val c = cUnits
-      .select(col("neighbor_id"), explode(array(sigs(col("u_c")): _*)).as("_ts"))
-      .select(col("neighbor_id"), col("_ts.t").as("_t"), col("_ts.sig").as("_sig"))
+      .select(col("neighbor_id"), posexplode(sigs(col("u_c"))).as(Seq("_t", "_sig")))
     // multiprobe masks: own bucket + every 1-bit neighbor bucket
     val masks = lit(0L) +: (0 until nbits).map(b => lit(1L << b))
     val qUnits = withUnit(queries, embCol)
       .select(col(idCol).as("query_id"), col("_unit").as("u_q"))
       .cache()
     val qBase = qUnits
-      .select(col("query_id"), explode(array(sigs(col("u_q")): _*)).as("_ts"))
-    val q = qBase.select(col("query_id"), col("_ts.t").as("_t"),
-      explode(array(masks.map(m => col("_ts.sig").bitwiseXOR(m)): _*)).as("_sig"))
+      .select(col("query_id"), posexplode(sigs(col("u_q"))).as(Seq("_t", "_sigq")))
+    val q = qBase.select(col("query_id"), col("_t"),
+      explode(array(masks.map(m => col("_sigq").bitwiseXOR(m)): _*)).as("_sig"))
     // dedup collisions on the NARROW id pair, then re-join the vectors:
     // the distinct shuffle moves two longs per candidate, not two
     // full-dimension unit vectors
