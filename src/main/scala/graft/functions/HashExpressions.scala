@@ -410,9 +410,42 @@ object HashExpressions {
     override def prettyName: String = "banded_hyperplane_sigs"
   }
 
+  /** Band bucket keys of a minhash signature: element b is a 64-bit
+    * hash of signature rows [b·r, (b+1)·r) — the LSH banding join key.
+    * One loop per row instead of `transform(sequence, b =>
+    * xxhash64(slice(sig, …)))`, whose lambda applications are
+    * interpreted and whose slices allocate per band. Any deterministic
+    * mix works here (equal slices ⇒ equal keys is the only property
+    * banding needs); this chains XXH64.hashLong. */
+  case class MinHashBandKeys(child: Expression, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val sig = input.asInstanceOf[ArrayData]
+      val n = sig.numElements()
+      val r = n / bands
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 42L
+        var j = b * r
+        val end = j + r
+        while (j < end) { h = XXH64.hashLong(sig.getLong(j), h); j += 1 }
+        out(b) = h
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashBandKeys =
+      copy(child = c)
+    override def prettyName: String = "minhash_band_keys"
+  }
+
   // Column wrappers (Spark 4 classic API: Column no longer wraps a
   // catalyst Expression directly — see GraftBridge)
   import GraftBridge.{column, expression}
+  def minhash_band_keys(sig: Column, bands: Int): Column =
+    column(MinHashBandKeys(expression(sig), bands))
   def banded_hyperplane_sigs(unit: Column, bandBits: Int, bands: Int,
       dim: Int, seed: Long): Column =
     column(BandedHyperplaneSigs(expression(unit), bandBits, bands, dim, seed))

@@ -92,15 +92,17 @@ object Dedup {
   }
 
   /** Explodes the signature into `bands` (bandIdx, bandHash) rows —
-    * docs sharing any band bucket become candidates. */
+    * docs sharing any band bucket become candidates. Band keys come
+    * from one kernel loop per row ([[graft.functions.HashExpressions
+    * .MinHashBandKeys]]); the HOF `transform` + `slice` form evaluated
+    * its lambda interpreted and allocated a slice per band. */
   def lshBuckets(df: DataFrame, idCol: String, bands: Int): DataFrame = {
     val sigLen = // rows per band derived from the signature length
       df.select(size(col("_minhash"))).head().getInt(0)
     require(sigLen % bands == 0, s"bands=$bands must divide signature length $sigLen")
-    val r = sigLen / bands
     df.select(col(idCol), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("_minhash"), b * r + 1, lit(r))))).as(Seq("band", "bandHash")))
+      graft.functions.HashExpressions.minhash_band_keys(col("_minhash"), bands))
+      .as(Seq("band", "bandHash")))
   }
 
   /** Candidate pairs (a < b) from MinHash-LSH banding, verified with
