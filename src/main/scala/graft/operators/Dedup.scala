@@ -261,6 +261,80 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — the scale path for adversarial graphs.
+    *
+    * [[connectedComponents]] propagates min labels one hop per round,
+    * so a chain component of diameter D needs D rounds; this variant
+    * rewires the edge set itself each round and converges in
+    * O(log² n) rounds on ANY topology:
+    *
+    *   - large-star: every node u links its LARGER neighbors to
+    *     m = min(Γ(u) ∪ u) — long tails fold onto local minima.
+    *   - small-star: with edges directed high→low, every node u links
+    *     its smaller neighbors (and itself) to its minimum neighbor —
+    *     shallow trees flatten into stars.
+    *
+    * Both steps are one groupBy(min) + one equi-join over fixed-width
+    * (long, long) edges, and both strictly preserve connectivity, so
+    * the fixpoint is a star per component rooted at the component min.
+    * Edge multiplicity never exceeds the input edge count, so per-round
+    * shuffle volume is bounded by the original |E|. `localCheckpoint`
+    * truncates lineage per round.
+    *
+    * Same contract as [[connectedComponents]]: `edges` long columns
+    * (a, b), `nodes` one long column `node`; returns (node, component).
+    */
+  def connectedComponentsStar(edges: DataFrame, nodes: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    // canonicalize: directed high→low, no self-loops, no dup edges
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star: for each node u over the SYMMETRIC neighborhood,
+      // m = min(Γ(u) ∪ u); emit (v, m) for neighbors v > u
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val largeMin = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      val afterLarge = sym.join(largeMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ high→low
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // small-star: edges already high→low; for each node u,
+      // m = min of its smaller neighbors; relink them all (and u) to m
+      val smallMin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = afterLarge.join(smallMin, "u")
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val changed = next.except(e).count() + e.except(next).count()
+      e = next
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge after $maxIters rounds " +
+          "(expected O(log² n)); raise maxIters.")
+    // fixpoint is a star per component: every non-root points at the
+    // component min; roots and isolated nodes label themselves
+    nodes.join(e.select(col("u").as("node"), col("v").as("_root")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("_root"), col("node")).as("component"))
+  }
+
   // --------------------------------------------------- exact n-gram jaccard
 
   /** Exact n-gram Jaccard over explicit candidate pairs: a baseline /

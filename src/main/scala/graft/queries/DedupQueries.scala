@@ -193,7 +193,7 @@ object DedupQueries {
       val nodes = base.filter(col("doc_id") < 20).select(col("doc_id").as("node"))
         .unionByName(lo.select((col("doc_id") + 1000000).as("node")))
         .unionByName(lo.select((col("doc_id") + 2000000).as("node")))
-      Dedup.connectedComponents(edges, nodes)
+      Dedup.connectedComponentsStar(edges, nodes)
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_docs"),
           concat_ws(",",
@@ -347,9 +347,9 @@ object DedupQueries {
   // The composition a curation pipeline actually runs: banded-LSH
   // near-dup pair generation over embeddings (v04's corpus with planted
   // perturbed twins) → connected components → one summary row per dup
-  // group. Every stage is the scale path (equi-join candidates, min-
-  // label propagation); the oracle replays it exhaustively: all-pairs
-  // cosine ≥ 0.9 closed with a recursive CTE.
+  // group. Every stage is the scale path (equi-join candidates,
+  // large-star/small-star contraction); the oracle replays it
+  // exhaustively: all-pairs cosine ≥ 0.9 closed with a recursive CTE.
   private val d12 = GraftQuery(
     "d12_embedding_dedup_groups",
     (s, d) => {
@@ -366,7 +366,7 @@ object DedupQueries {
         .lshNearDupPairs(all, "vec_id", "embedding", threshold = 0.9)
         .select(col("a"), col("b"))
       val nodes = all.select(col("vec_id").as("node"))
-      Dedup.connectedComponents(edges, nodes)
+      Dedup.connectedComponentsStar(edges, nodes)
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"),
           concat_ws(",",

@@ -146,4 +146,50 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L))
     assert(comp.size == n)
   }
+
+  test("star CC: chains merge transitively, singletons survive") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
+    val comp = Dedup.connectedComponentsStar(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("star CC: empty edges, self-loops, duplicate and reversed edges") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val none = Dedup.connectedComponentsStar(
+      spark.emptyDataset[(Long, Long)].toDF("a", "b"), nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(none == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val edges = Seq((2L, 2L), (2L, 3L), (2L, 3L), (3L, 2L)).toDF("a", "b")
+    val comp = Dedup.connectedComponentsStar(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("star CC: 200-node path converges in O(log n) rounds, not O(diameter)") {
+    // min-label propagation would need ~200 rounds here; the star
+    // alternation must finish within 12 (each double-round roughly
+    // halves the remaining tree height)
+    val n = 200
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val nodes = (1 to n).map(_.toLong).toDF("node")
+    val comp = Dedup.connectedComponentsStar(edges, nodes, maxIters = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L))
+    assert(comp.size == n)
+  }
+
+  test("star CC agrees with min-label CC on a pseudo-random graph") {
+    // deterministic pseudo-random edges over 60 nodes (LCG, fixed seed)
+    var s = 12345L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); math.abs(s) }
+    val nodes = (0L until 60L).toDF("node")
+    val edges = (1 to 45).map { _ => (next() % 60, next() % 60) }.toDF("a", "b")
+    val star = Dedup.connectedComponentsStar(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    val label = Dedup.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(star == label)
+  }
 }
