@@ -171,6 +171,40 @@ object Dedup {
       .agg(countDistinct(col("_sh")).as("n_shared"))
   }
 
+  // ----------------------------------------------------------- line dedup
+
+  /** Corpus-level exact line dedup — the C4-style boilerplate pass:
+    * every distinct physical line of text survives exactly once across
+    * the whole corpus, at its first (id, line-position) occurrence;
+    * repeated boilerplate (nav headers, cookie banners, license
+    * footers) vanishes from every later document.
+    *
+    * Shape: posexplode lines → keep-first window per distinct line →
+    * ordered reassembly per doc. The window shuffle key is
+    * `md5(line)` — fixed 128-bit width regardless of line length, so
+    * long boilerplate lines don't produce fat shuffle keys (the same
+    * trade [[exactKeepFirst]] makes for whole documents); reassembly
+    * shuffles (id, pos, line) once more on the id. Docs whose every
+    * line is someone else's duplicate drop out of the result (their
+    * `clean_text` would be empty).
+    *
+    * Returns (idCol, n_kept, clean_text) — kept-line count and the
+    * surviving lines rejoined in original order.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_line")))
+    val w = Window.partitionBy(md5(col("_line"))).orderBy(col(idCol), col("_pos"))
+    lines.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            x => x.getField("_line")),
+          "\n").as("clean_text"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the token stream: bit k of the signature is the

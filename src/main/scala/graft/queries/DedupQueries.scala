@@ -411,6 +411,48 @@ object DedupQueries {
     },
     d09.oracle)
 
+  // --- d14: corpus-level line dedup (C4-style boilerplate pass) -------
+  // The driver corpus is single-line, so the query plants multi-line
+  // docs: a unique header line, a boilerplate line and a footer line
+  // shared by all 50 docs, and the doc's own text snippet. Line dedup
+  // must keep the shared lines only in doc 0 and every unique line
+  // where it stands — exactly reproducible in SQL, so fully
+  // hash-checked.
+  private val d14 = GraftQuery(
+    "d14_line_dedup",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("header "), col("doc_id")),
+            lit("subscribe to our newsletter"),
+            substring(col("text"), 1, 80),
+            lit("(c) example corp all rights reserved")).as("text"))
+      Dedup.lineDedup(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          'header ' || doc_id || chr(10) ||
+          'subscribe to our newsletter' || chr(10) ||
+          substr(text, 1, 80) || chr(10) ||
+          '(c) example corp all rights reserved' AS text
+        FROM documents WHERE doc_id < 50),
+      lines AS (
+        SELECT doc_id,
+          unnest(string_split(text, chr(10))) AS line,
+          unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+        FROM docs),
+      kept AS (
+        SELECT doc_id, pos, line,
+          row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM lines)
+      SELECT doc_id, count(*) AS n_kept,
+        string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM kept WHERE rn = 1
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14)
 }

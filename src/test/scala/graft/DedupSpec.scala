@@ -180,6 +180,35 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == n)
   }
 
+  test("line dedup keeps each distinct line at its first occurrence only") {
+    val docs = Seq(
+      (1L, "a\nb\nshared"),
+      (2L, "shared\nc"),
+      (3L, "b\nd"),
+      (4L, "x\nx")). // within-doc duplicate: second copy goes too
+      toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, "a\nb\nshared"), // first doc keeps everything
+      (2L, 1L, "c"),            // 'shared' already seen in doc 1
+      (3L, 1L, "d"),            // 'b' already seen in doc 1
+      (4L, 1L, "x")))
+  }
+
+  test("line dedup drops docs made entirely of seen lines, keeps blank-line identity") {
+    val docs = Seq(
+      (1L, "only\n\nlines"), // contains an empty line
+      (2L, "only\nlines"),   // fully covered by doc 1 → absent from output
+      (3L, "\nfresh")).      // its empty line is doc 1's; 'fresh' survives
+      toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 3L, "only\n\nlines"), (3L, 1L, "fresh")))
+  }
+
   test("star CC agrees with min-label CC on a pseudo-random graph") {
     // deterministic pseudo-random edges over 60 nodes (LCG, fixed seed)
     var s = 12345L
