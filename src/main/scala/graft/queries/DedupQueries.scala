@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GraftQuery, Tables}
 import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication query surface over the `documents` table.
@@ -453,6 +454,64 @@ object DedupQueries {
       FROM kept WHERE rn = 1
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // --- d15: end-to-end near-dup curation (the full pipeline) ----------
+  // What a curation run actually executes, as ONE query: MinHash-LSH
+  // near-dup pair generation (exact-verified Jaccard ≥ 0.5, so exact
+  // copies AND mutations edge together) → large-star/small-star
+  // clustering → keep-BEST survivor per cluster by quality score
+  // (d08's deterministic stand-in). Every stage is the 100 TB shape:
+  // banded equi-join candidates, fixed-width edge contraction, one
+  // window per cluster. The oracle replays it exhaustively — all-pairs
+  // Jaccard, recursive-CTE closure, the same quality rank.
+  private val d15 = GraftQuery(
+    "d15_neardup_keep_best",
+    (s, d) => {
+      val p = planted(s, d)
+      val edges = Dedup.minhashNearDupPairs(p, "doc_id", "text",
+          numHashes = 128, bands = 64, threshold = 0.5)
+        .select(col("a"), col("b"))
+      val nodes = p.select(col("doc_id").as("node"))
+      val comp = Dedup.connectedComponentsStar(edges, nodes)
+      val scored = p.select(col("doc_id").as("node"),
+        (TextAnalysis.tokenCount(col("text")).cast("long") +
+          pmod(col("doc_id"), lit(7))).as("score"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("score").desc, col("node"))
+      comp.join(scored, "node")
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("component"))))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("component"), col("node").as("keeper"),
+          col("score"), col("n_members"))
+        .orderBy("component")
+    },
+    Some(s"""WITH RECURSIVE p AS ($plantedSql),
+      sh AS ($shingleCteSql),
+      edges AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      sym AS (SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM p
+        UNION
+        SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+      comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+      scored AS (SELECT doc_id,
+          len(string_split_regex(trim(text), '\\s+')) + doc_id % 7 AS score
+        FROM p),
+      ranked AS (
+        SELECT c.component, c.node AS keeper, s.score,
+          count(*) OVER (PARTITION BY c.component) AS n_members,
+          row_number() OVER (
+            PARTITION BY c.component ORDER BY s.score DESC, c.node) AS rn
+        FROM comp c JOIN scored s ON s.doc_id = c.node)
+      SELECT component, keeper, score, n_members
+      FROM ranked WHERE rn = 1 ORDER BY component"""))
+
   val all: Seq[GraftQuery] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+      d11, d12, d13, d14, d15)
 }
