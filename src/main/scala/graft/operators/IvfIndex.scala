@@ -92,6 +92,12 @@ object IvfIndex {
     array_max(array(scored: _*)).getField("i")
   }
 
+  /** The `nprobe` nearest cell ids for a query vector, as array<int> —
+    * the query side of IVF probing ([[ivfTopK]] and the IVF-PQ
+    * composition both explode this). */
+  def probeCells(unit: Column, model: Model, nprobe: Int): Column =
+    transform(slice(rankedCells(unit, model), 1, nprobe), s => s.getField("i"))
+
   /** Approximate top-k via IVF probing. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
@@ -106,9 +112,7 @@ object IvfIndex {
       assignCell(col("u_c"), model).as("_cell"))
     val q = Similarity.withUnit(queries, embCol)
       .select(col(idCol).as("query_id"), col("_unit").as("u_q"),
-        explode(transform(
-          slice(rankedCells(col("_unit"), model), 1, nprobe),
-          s => s.getField("i"))).as("_cell"))
+        explode(probeCells(col("_unit"), model, nprobe)).as("_cell"))
     val scored = c.join(q, Seq("_cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(Vec.dot(col("u_c"), col("u_q")), roundTo))

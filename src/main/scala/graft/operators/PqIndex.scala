@@ -81,6 +81,55 @@ object PqIndex {
   def adcScore(qUnit: Column, codes: Column, model: Model): Column =
     graft.functions.HashExpressions.pq_adc_score(qUnit, codes, model.codebooks)
 
+  /** IVF-PQ two-stage ANN — the composition production vector indexes
+    * run (the FAISS IndexIVFPQ shape): the coarse quantizer restricts
+    * each query to its `nprobe` nearest cells, so candidates drop to
+    * ≈ N·nprobe/nlist rows; PQ-ADC scores those candidates over the
+    * compressed codes (m table lookups per pair, no full-dimension
+    * arithmetic); only the ADC top `k·rerankFactor` survivors pay a
+    * full-precision dot product.
+    *
+    * Both models train on bounded driver samples and ride the plan as
+    * literals — cell assignment, encoding and ADC scoring are all
+    * map-side. Shuffles move (cell, id, codes) rows and the per-query
+    * top-k windows only; the full-width unit vectors re-join for the
+    * tiny re-rank set alone. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, nCentroids: Int = 16, rerankFactor: Int = 20,
+      roundTo: Int = 6): DataFrame = {
+    val ivf = IvfIndex.train(corpus, embCol, nlist)
+    val pq = train(corpus, embCol, m, nCentroids)
+    val cUnits = Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
+      .cache()
+    // the "index": one narrow (cell, codes) row per doc, built map-side
+    val encoded = cUnits.select(col("neighbor_id"),
+      IvfIndex.assignCell(col("u_c"), ivf).as("_cell"),
+      encode(col("u_c"), pq).as("_codes"))
+    // each doc lives in exactly one cell and probes are distinct, so
+    // (query, neighbor) candidates are already unique — no dedup pass
+    val q = Similarity.withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit").as("u_q"),
+        explode(IvfIndex.probeCells(col("_unit"), ivf, nprobe)).as("_cell"))
+    val scored = encoded.join(q, Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_cosine",
+        round(adcScore(col("u_q"), col("_codes"), pq), roundTo))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id"))
+    val cands = scored.withColumn("_ar", row_number().over(wAdc))
+      .filter(col("_ar") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"), col("u_q"))
+    val exact = cands.join(cUnits, "neighbor_id")
+      .withColumn("cosine", round(Vec.dot(col("u_q"), col("u_c")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Approximate top-k via PQ-ADC pruning + exact re-rank (the
     * standard two-stage retrieval): the cheap ADC pass cuts each
     * query's candidates to `k·rerankFactor` over the compressed codes;

@@ -152,5 +152,20 @@ object VectorQueries {
     None,
     bench = true)
 
-  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07)
+  // --- v08: IVF-PQ two-stage ANN (coarse cells + compressed ADC +
+  //     exact re-rank — the production index composition; approximate
+  //     by design → rows-only, recall pinned in PqSpec) ----------------
+  private val v08 = GraftQuery(
+    "v08_ann_ivfpq",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      graft.operators.PqIndex.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+          m = 16, nCentroids = 16)
+        .orderBy("query_id", "rank")
+    },
+    None,
+    bench = true)
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08)
 }

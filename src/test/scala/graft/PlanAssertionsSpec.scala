@@ -62,4 +62,16 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
+
+  test("d14 line dedup: map-side keep-first, filter pushed to the scan") {
+    val plan = executedPlan("d14_line_dedup")
+    // row_number()<=1 runs as WindowGroupLimit with a Partial phase
+    // BEFORE the line-hash exchange: each map task forwards at most one
+    // row per distinct line, so boilerplate repeated a billion times
+    // shuffles once per task, not once per occurrence
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined, plan.take(1200))
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]"),
+      plan.take(1200))
+  }
 }

@@ -46,4 +46,36 @@ class PqSpec extends SparkSpec {
       .sum / exact.size
     assert(recall >= 0.8, s"recall@5 = $recall")
   }
+
+  test("IVF-PQ top-k recall against brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = PqIndex.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 8, m = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map(q =>
+      (exact(q) & approx.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
+      .sum / exact.size
+    // IVF restriction stacks on PQ approximation; at nprobe=8/16 the
+    // cell filter should cost little extra recall over PQ alone
+    assert(recall >= 0.72, s"recall@5 = $recall")
+  }
+
+  test("IVF-PQ candidates per query shrink with the cell restriction") {
+    // with k and rerankFactor unbounded the output IS the probed-cell
+    // candidate set, so its size per query exposes the IVF cut:
+    // nprobe=4 of 16 cells must leave well under the whole corpus
+    val queries = emb.filter(col("vec_id") < 3)
+    val n = emb.count()
+    val out = PqIndex.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = Int.MaxValue / 2, nlist = 16, nprobe = 4, m = 16, rerankFactor = 1)
+    val perQuery = out.groupBy("query_id").count()
+      .select("count").as[Long].collect()
+    assert(perQuery.length == 3)
+    perQuery.foreach(c =>
+      assert(c < (n * 0.8).toLong, s"candidates $c vs corpus $n: cell cut missing"))
+  }
 }
