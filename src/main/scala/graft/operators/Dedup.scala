@@ -181,10 +181,13 @@ object Dedup {
     *
     * Shape: posexplode lines → keep-first window per distinct line →
     * ordered reassembly per doc. The window shuffle key is
-    * `md5(line)` — fixed 128-bit width regardless of line length, so
-    * long boilerplate lines don't produce fat shuffle keys (the same
-    * trade [[exactKeepFirst]] makes for whole documents); reassembly
-    * shuffles (id, pos, line) once more on the id. Docs whose every
+    * `(md5(line), xxhash64(line))` — fixed 192-bit width regardless of
+    * line length, so long boilerplate lines don't produce fat shuffle
+    * keys (the same trade [[exactKeepFirst]] makes for whole
+    * documents), and pairing two independent digests means dropping a
+    * distinct line corpus-wide requires a simultaneous collision in
+    * both (md5 alone is collision-constructible); reassembly shuffles
+    * (id, pos, line) once more on the id. Docs whose every
     * line is someone else's duplicate drop out of the result (their
     * `clean_text` would be empty).
     *
@@ -194,7 +197,8 @@ object Dedup {
   def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_line")))
-    val w = Window.partitionBy(md5(col("_line"))).orderBy(col(idCol), col("_pos"))
+    val w = Window.partitionBy(md5(col("_line")), xxhash64(col("_line")))
+      .orderBy(col(idCol), col("_pos"))
     lines.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .groupBy(col(idCol))
@@ -328,6 +332,7 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    var eCount = e.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -353,9 +358,15 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      val changed = next.except(e).count() + e.except(next).count()
+      // both sides are distinct sets, so set equality ⟺ equal size
+      // AND next ⊆ e: one count over the fresh checkpoint plus (only
+      // when sizes tie) a short-circuiting anti-join probe, instead of
+      // two full except().count() scans per round
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = next
-      converged = changed == 0
+      eCount = nextCount
       i += 1
     }
     if (!converged)

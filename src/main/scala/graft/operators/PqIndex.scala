@@ -93,7 +93,14 @@ object PqIndex {
     * literals — cell assignment, encoding and ADC scoring are all
     * map-side. Shuffles move (cell, id, codes) rows and the per-query
     * top-k windows only; the full-width unit vectors re-join for the
-    * tiny re-rank set alone. */
+    * tiny re-rank set alone.
+    *
+    * The cached unit-vector intermediate is plan-keyed and
+    * session-owned (same lifetime as the caches in [[Similarity]] and
+    * [[IvfIndex]]): repeat invocations over the same corpus reuse one
+    * entry rather than accumulating; callers cycling through many
+    * distinct corpora should `spark.catalog.clearCache()` between
+    * them. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, nCentroids: Int = 16, rerankFactor: Int = 20,
@@ -119,7 +126,7 @@ object PqIndex {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cosine").desc, col("neighbor_id"))
     val cands = scored.withColumn("_ar", row_number().over(wAdc))
-      .filter(col("_ar") <= k * rerankFactor)
+      .filter(col("_ar") <= k.toLong * rerankFactor)
       .select(col("query_id"), col("neighbor_id"), col("u_q"))
     val exact = cands.join(cUnits, "neighbor_id")
       .withColumn("cosine", round(Vec.dot(col("u_q"), col("u_c")), roundTo))
@@ -154,7 +161,7 @@ object PqIndex {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cosine").desc, col("neighbor_id"))
     val cands = scored.withColumn("_ar", row_number().over(wAdc))
-      .filter(col("_ar") <= k * rerankFactor)
+      .filter(col("_ar") <= k.toLong * rerankFactor)
       .select(col("query_id"), col("neighbor_id"), col("u_q"))
     val exact = cands.join(cUnits, "neighbor_id")
       .withColumn("cosine", round(Vec.dot(col("u_q"), col("u_c")), roundTo))

@@ -71,7 +71,12 @@ class PlanAssertionsSpec extends SparkSpec {
     // shuffles once per task, not once per occurrence
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
     assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined, plan.take(1200))
-    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]"),
+    // match each pushed filter on its own: the exact ordering and
+    // punctuation inside PushedFilters is datasource explain formatting
+    // that a Spark upgrade may reshuffle without a behavior change
+    assert("PushedFilters: \\[[^\\]]*IsNotNull\\(doc_id\\)".r.findFirstIn(plan).isDefined,
+      plan.take(1200))
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(doc_id,50\\)".r.findFirstIn(plan).isDefined,
       plan.take(1200))
   }
 }
