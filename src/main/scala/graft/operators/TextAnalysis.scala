@@ -206,4 +206,86 @@ object TextAnalysis {
       .select(col(idCol), col("rank").cast("long").as("rank"),
         col("term"), col("tfidf"))
   }
+
+  // ------------------------------------------------------- bigram LM
+
+  /** Lowercased token bigrams as (w1, w2) structs — row-local, no
+    * shuffle: the two shifted slices of one token array zipped
+    * together. Empty for docs with fewer than two tokens. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(lower(text))
+    val n = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** Bigram language-model scoring — the KenLM/CCNet-style perplexity
+    * quality filter: train add-k-smoothed bigram probabilities
+    * P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V) on `train`, then score each
+    * doc in `docs` by its mean negative log-likelihood (low = fluent /
+    * in-domain, high = noise). `vocabSize` (V = distinct train tokens)
+    * ships as a plan literal from one driver-side agg job.
+    *
+    * Scale shape: both count tables are corpus-sized, so the score
+    * joins are shuffle hash/sort-merge on fixed-width word keys with
+    * map-side partial counts on both builds — nothing is collected or
+    * broadcast. Unseen bigrams/contexts coalesce to 0 (the smoothing
+    * keeps the log finite), so held-out scoring works unchanged. The
+    * final per-doc mean shuffles only (id, logp). */
+  def bigramLmScore(docs: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, vocabSize: Long, addK: Double = 0.5,
+      roundTo: Int = 6): DataFrame = {
+    def explodedBigrams(df: DataFrame, extra: Column*): DataFrame =
+      df.select(extra :+ explode(bigrams(col(textCol))).as("_bg"): _*)
+        .select(extra :+ col("_bg.w1").as("w1") :+ col("_bg.w2").as("w2"): _*)
+    val bigramCounts = explodedBigrams(train)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("_cb"))
+    val contextCounts = train
+      .select(explode(tokens(lower(col(textCol)))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("_cu"))
+    explodedBigrams(docs, col(idCol))
+      .join(bigramCounts, Seq("w1", "w2"), "left")
+      .join(contextCounts, Seq("w1"), "left")
+      .withColumn("_lp",
+        log((coalesce(col("_cb"), lit(0L)) + lit(addK)) /
+          (coalesce(col("_cu"), lit(0L)) + lit(addK * vocabSize))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("_lp")), roundTo).as("avg_nll"))
+  }
+
+  // ------------------------------------------------------------ BM25
+
+  /** BM25 keyword retrieval — top-k docs for a bag of query terms
+    * (Robertson/Sparck-Jones idf, k1/b length normalization).
+    * `docCount` and `avgDl` ship as plan literals from one driver-side
+    * agg job over the corpus.
+    *
+    * Scale shape: the token explode filters to the query's terms
+    * BEFORE any shuffle, so only matching (id, term) rows leave the
+    * map side — selectivity |terms|/|vocab|; df is a tiny per-term
+    * aggregate that broadcasts back; doc length joins on the id key;
+    * the global top-k is TakeOrderedAndProject (per-partition heaps,
+    * k rows to the driver), never a full sort. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, docCount: Long, avgDl: Double,
+      k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): DataFrame = {
+    val dl = docs.select(col(idCol), tokenCount(col(textCol)).cast("double").as("_dl"))
+    val tf = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .withColumn("_idf",
+        log((lit(docCount.toDouble) - col("_df") + 0.5) / (col("_df") + 0.5) + 1))
+      .withColumn("_s",
+        col("_idf") * (col("_tf") * (k1 + 1)) /
+          (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / avgDl)))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")), roundTo).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

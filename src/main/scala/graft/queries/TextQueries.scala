@@ -299,5 +299,71 @@ object TextQueries {
     FROM per ORDER BY rep_ratio DESC, doc_id LIMIT 20"""),
     bench = true)
 
-  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  // --- t11: bigram-LM perplexity scoring (KenLM/CCNet-style filter) ---
+  // Self-scoring run: the corpus is both train and eval side; V ships
+  // as a plan literal from one distinct-count job (mirrored by the
+  // oracle's vocab subquery).
+  private val t11 = GraftQuery(
+    "t11_bigram_lm",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val v = docs
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .agg(countDistinct(col("w"))).head().getLong(0)
+      TextAnalysis.bigramLmScore(docs, docs, "doc_id", "text", vocabSize = v)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+    uni AS (
+      SELECT w1, count(*) AS cu FROM (
+        SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    big AS (
+      SELECT w1, w2, count(*) AS cb FROM (
+        SELECT t[g] AS w1, t[g + 1] AS w2
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS g FROM toks))
+      GROUP BY 1, 2),
+    docbi AS (
+      SELECT doc_id, t[g] AS w1, t[g + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS g FROM toks))
+    SELECT doc_id, count(*) AS n_bigrams,
+      round(-avg(ln((coalesce(cb, 0) + 0.5) /
+        (coalesce(cu, 0) + 0.5 * (SELECT v FROM vocab)))), 6) AS avg_nll
+    FROM docbi LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
+    GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
+  // --- t12: BM25 keyword retrieval ------------------------------------
+  // Corpus stats (N, avgdl) ship as plan literals from one agg job;
+  // 'dup' is the rare high-idf term, 'spark'/'vector' mid-frequency.
+  private val t12 = GraftQuery(
+    "t12_bm25",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val stats = docs
+        .agg(count(lit(1)), avg(TextAnalysis.tokenCount(col("text")))).head()
+      TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queryTerms = Seq("dup", "spark", "vector"), k = 10,
+        docCount = stats.getLong(0), avgDl = stats.getDouble(1))
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl
+      FROM documents),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('dup', 'spark', 'vector') GROUP BY 1, 2),
+    dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+    sc AS (
+      SELECT t.doc_id,
+        ln((n - df + 0.5) / (df + 0.5) + 1)
+          * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+      FROM tfc t JOIN dfc USING (term) JOIN dl USING (doc_id), stats)
+    SELECT doc_id, round(sum(s), 4) AS score FROM sc
+    GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }

@@ -119,4 +119,49 @@ class TextAnalysisSpec extends SparkSpec {
     // wins (doc 1: gamma tf=1·ln3 ≈ 1.10 beats beta tf=2·ln1.5 ≈ 0.81)
     assert(top == Map(1L -> "gamma", 2L -> "delta", 3L -> "epsilon"))
   }
+
+  test("bigrams: shifted-slice zip, lowercased, empty under two tokens") {
+    val d = Seq("The cat SAT", "solo", "", "a b").toDF("text")
+    val got = d.select(TextAnalysis.bigrams(col("text")).cast("array<struct<w1:string,w2:string>>"))
+      .as[Seq[(String, String)]].collect().toSeq
+    assert(got == Seq(
+      Seq(("the", "cat"), ("cat", "sat")),
+      Nil, Nil,
+      Seq(("a", "b"))))
+  }
+
+  test("bigram LM: repeated bigram scores lower NLL than a rare one") {
+    // train corpus: "a b" appears 3×, "a c" once; V=3, k=0.5
+    val train = Seq((1L, "a b a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val eval = Seq((10L, "a b"), (11L, "a c"), (12L, "q z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(eval, train, "doc_id", "text", vocabSize = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // P(b|a) = (3+.5)/(4+1.5), P(c|a) = (1+.5)/(4+1.5); unseen context
+    // "q z" coalesces both counts to 0 → P = .5/1.5, still finite
+    assert(math.abs(got(10L) - -math.log(3.5 / 5.5)) < 1e-6)
+    assert(math.abs(got(11L) - -math.log(1.5 / 5.5)) < 1e-6)
+    assert(math.abs(got(12L) - -math.log(0.5 / 1.5)) < 1e-6)
+    // the dominant train bigram is cheapest; note add-k gives the
+    // UNSEEN context a shallow denominator (0+1.5), so it lands
+    // between the two seen ones — the classic add-k overestimate
+    assert(got(10L) < got(12L) && got(12L) < got(11L))
+  }
+
+  test("bm25: rare term outranks common, length norm breaks tf ties") {
+    val docs = Seq(
+      (1L, "rare word word word"),
+      (2L, "common word word word"),
+      (3L, "common word"),
+      (4L, "common filler filler filler filler filler filler")).toDF("doc_id", "text")
+    val stats = docs.agg(count(lit(1)),
+      avg(TextAnalysis.tokenCount(col("text")))).head()
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("rare", "common"), k = 4,
+      docCount = stats.getLong(0), avgDl = stats.getDouble(1))
+      .as[(Long, Double)].collect().toSeq
+    // 'rare' (df=1) beats 'common' (df=3) on idf; among the common
+    // docs the shortest (3) scores highest, the longest (4) lowest
+    assert(got.map(_._1) == Seq(1L, 3L, 2L, 4L))
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+  }
 }
