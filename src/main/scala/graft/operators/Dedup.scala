@@ -380,6 +380,47 @@ object Dedup {
         coalesce(col("_root"), col("node")).as("component"))
   }
 
+  // ------------------------------------------------------- SemDeDup
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means clustering + within-cluster cosine
+    * pruning. Embeddings are clustered (the [[IvfIndex]] coarse
+    * quantizer — deterministic sampled Lloyd's, centroids as plan
+    * literals), pairs are generated ONLY inside a cluster, and cosine
+    * ≥ `threshold` pairs are closed into duplicate groups
+    * ([[connectedComponentsStar]]); each group keeps its min-id
+    * representative.
+    *
+    * The cluster restriction is what makes near-dup pruning tractable
+    * at corpus scale: candidate generation is an equi-join on the cell
+    * id, so comparisons drop from N²/2 to Σ|cell|²/2 — tune `nlist`
+    * so cells stay bounded (√N cells of √N docs each is the classic
+    * setting). Cross-cluster near-dups are the recall trade the paper
+    * accepts; raise `nlist` recall via the [[Similarity.lshNearDupPairs]]
+    * banded path when that trade is wrong for the corpus.
+    *
+    * Returns every doc with its duplicate-group label and survivor
+    * flag: (idCol, cell, component, kept). */
+  def semDedup(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nlist: Int = 16, roundTo: Int = 6): DataFrame = {
+    val ivf = IvfIndex.train(df, embCol, nlist)
+    val cells = Similarity.withUnit(df, embCol)
+      .select(col(idCol).cast("long").as("_id"), col("_unit"),
+        IvfIndex.assignCell(col("_unit"), ivf).as("cell"))
+    val left = cells.select(col("cell"), col("_id").as("a"), col("_unit").as("_ua"))
+    val right = cells.select(col("cell"), col("_id").as("b"), col("_unit").as("_ub"))
+    val edges = left.join(right, "cell")
+      .filter(col("a") < col("b"))
+      .filter(round(graft.functions.Vec.dot(col("_ua"), col("_ub")), roundTo)
+        >= threshold)
+      .select(col("a"), col("b"))
+    val comp = connectedComponentsStar(edges, cells.select(col("_id").as("node")))
+    cells.select(col("_id").as("node"), col("cell"))
+      .join(comp, "node")
+      .select(col("node").as(idCol), col("cell"), col("component"),
+        (col("node") === col("component")).as("kept"))
+  }
+
   // --------------------------------------------------- exact n-gram jaccard
 
   /** Exact n-gram Jaccard over explicit candidate pairs: a baseline /

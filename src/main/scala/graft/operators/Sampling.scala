@@ -89,6 +89,24 @@ object Sampling {
     * threshold trick of [[stratifiedSample]] with per-stratum
     * fractions cap/count — same result distributionally, no per-
     * stratum sort. */
+  /** Per-group quality cap — the per-domain limit every web-corpus
+    * pipeline applies (at most `k` docs per domain/source, best
+    * first): rank inside each group by the caller's quality order and
+    * keep ranks ≤ k.
+    *
+    * Scale shape: `row_number() <= k` compiles to WindowGroupLimit
+    * with a Partial phase, so each map task forwards at most k rows
+    * per group BEFORE the group-key exchange — a mega-domain with a
+    * billion pages shuffles k rows per task, not a billion. Order
+    * columns must be a total order within a group (tie-break on a
+    * unique id) for deterministic output. */
+  def perGroupCap(df: DataFrame, group: Column, k: Int, order: Column*): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order: _*)
+    df.withColumn("_gr", row_number().over(w))
+      .filter(col("_gr") <= k)
+      .drop("_gr")
+  }
+
   def balancedByStratum(df: DataFrame, stratum: Column, key: Column): DataFrame = {
     val cap = df.groupBy(stratum.as("_st")).agg(count(lit(1)).as("_n"))
       .agg(min(col("_n"))).head().getLong(0)

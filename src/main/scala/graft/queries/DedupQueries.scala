@@ -511,7 +511,53 @@ object DedupQueries {
       SELECT component, keeper, score, n_members
       FROM ranked WHERE rn = 1 ORDER BY component"""))
 
+  // --- d16: SemDeDup — k-means clusters + within-cluster pruning ------
+  // Same planted near-dups as d12; the engine restricts pair
+  // generation to k-means cells (the SemDeDup trade), the oracle
+  // replays the EXACT closure — all-pairs cosine ≥ 0.9 + recursive
+  // CTE — so a hash match certifies the cluster restriction lost no
+  // pair on this corpus (a perturbed copy lands in its original's
+  // cell). DedupSpec pins the same property on hand-built clusters.
+  private val d16 = GraftQuery(
+    "d16_semdedup",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val perturbed = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          expr("transform(sequence(1, 64), i -> " +
+            "CAST(element_at(embedding, i) AS DOUBLE) + " +
+            "0.1 * CAST(element_at(embedding, 65 - i) AS DOUBLE))").as("embedding"))
+      val all = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(perturbed)
+      Dedup.semDedup(all, "vec_id", "embedding", threshold = 0.9, nlist = 8)
+        .select(col("vec_id"), col("component"),
+          col("kept").cast("int").as("kept"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+        list_transform(generate_series(1, 64),
+          i -> CAST(embedding[i] AS DOUBLE) + 0.1 * CAST(embedding[65 - i] AS DOUBLE))
+      FROM embeddings WHERE vec_id < 5),
+    edges AS (
+      SELECT a.vec_id AS a, b.vec_id AS b FROM base a, base b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.9),
+    sym AS (SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM base
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
+    SELECT node AS vec_id, component,
+      CAST(node = component AS INT) AS kept
+    FROM (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-      d11, d12, d13, d14, d15)
+      d11, d12, d13, d14, d15, d16)
 }

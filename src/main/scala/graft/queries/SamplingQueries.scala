@@ -176,5 +176,21 @@ object SamplingQueries {
       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_fp
     FROM kept GROUP BY source ORDER BY source"""))
 
-  val all: Seq[GraftQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  // --- s09: per-source quality cap ------------------------------------
+  // At most 20 docs per source, longest first — the per-domain limit
+  // of a web-corpus pipeline. WindowGroupLimit keeps the shuffle at
+  // ≤ 20 rows per source per map task.
+  private val s09 = GraftQuery(
+    "s09_source_cap",
+    (s, d) =>
+      Sampling.perGroupCap(Tables(s, d, "documents"), col("source"), 20,
+        col("n_chars").desc, col("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("source", "doc_id"),
+    Some("""SELECT doc_id, source, n_chars FROM documents
+      QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 20
+      ORDER BY source, doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

@@ -221,4 +221,36 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(star == label)
   }
+
+  test("semDedup groups planted semantic dups, keeps min-id survivors") {
+    // two well-separated semantic clusters in 8-d; ids 0/1/2 are
+    // near-copies of each other (cluster A), 10/11 near-copies
+    // (cluster B), 20 a lone far-out doc
+    def v(base: Array[Double], eps: Double): Seq[Double] =
+      base.zipWithIndex.map { case (x, i) => x + eps * (if (i % 2 == 0) 1 else -1) * 0.01 }
+    val a = Array(1.0, 0, 0, 0, 1.0, 0, 0, 0)
+    val b = Array(0, 1.0, 0, 0, 0, 1.0, 0, 0)
+    val c = Array(0, 0, 1.0, -1.0, 0, 0, 1.0, 0)
+    val rows = Seq(
+      0L -> v(a, 0), 1L -> v(a, 1), 2L -> v(a, 2),
+      10L -> v(b, 0), 11L -> v(b, 3),
+      20L -> v(c, 0))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(df, "vec_id", "embedding",
+      threshold = 0.95, nlist = 2)
+      .as[(Long, Int, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(got(0L) == ((0L, true)))
+    assert(got(1L) == ((0L, false)) && got(2L) == ((0L, false)))
+    assert(got(10L) == ((10L, true)) && got(11L) == ((10L, false)))
+    assert(got(20L) == ((20L, true))) // singleton keeps itself
+    // near-copies share their original's k-means cell (the property
+    // that makes the within-cell restriction lose nothing here)
+    val cells = Dedup.semDedup(df, "vec_id", "embedding",
+      threshold = 0.95, nlist = 2)
+      .as[(Long, Int, Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(cells(0L) == cells(1L) && cells(1L) == cells(2L))
+    assert(cells(10L) == cells(11L))
+  }
 }

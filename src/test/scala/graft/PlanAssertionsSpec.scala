@@ -79,4 +79,10 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*LessThan\\(doc_id,50\\)".r.findFirstIn(plan).isDefined,
       plan.take(1200))
   }
+
+  test("s09 source cap: per-group limit runs map-side before the exchange") {
+    val plan = executedPlan("s09_source_cap")
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined, plan.take(1200))
+  }
 }

@@ -131,4 +131,16 @@ class SamplingSpec extends SparkSpec {
       "SELECT size(winnow('abcdefghij', 4, 3)) AS n").head().getInt(0)
     assert(wn > 0)
   }
+
+  test("perGroupCap keeps the k best per group, all of an under-k group") {
+    val df = Seq(
+      ("x", 1L, 50L), ("x", 2L, 90L), ("x", 3L, 70L), ("x", 4L, 90L),
+      ("y", 5L, 10L)).toDF("source", "doc_id", "quality")
+    val got = operators.Sampling
+      .perGroupCap(df, col("source"), 2, col("quality").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    // x: quality 90 ties (ids 2,4) break on doc_id → {2, 4}; y keeps
+    // its only row despite k=2
+    assert(got == Set(2L, 4L, 5L))
+  }
 }
