@@ -33,13 +33,23 @@ object IvfIndex {
     * `TakeOrderedAndProject`: a per-partition heap + driver merge, no
     * full sort and no shuffle — the pattern survives a 100 TB corpus. */
   def train(df: DataFrame, embCol: String, nlist: Int, iters: Int = 10,
-      sampleSize: Int = 2048): Model = {
-    val sample = Similarity.withUnit(df, embCol)
+      sampleSize: Int = 2048): Model =
+    train(sampleUnits(df, embCol, sampleSize), nlist, iters)
+
+  /** The deterministic unit-vector sample the trainers share — one
+    * TakeOrderedAndProject job; composite indexes (IVF-PQ) collect it
+    * once and feed both trainers instead of paying two corpus scans. */
+  def sampleUnits(df: DataFrame, embCol: String,
+      sampleSize: Int = 2048): Array[Array[Double]] =
+    Similarity.withUnit(df, embCol)
       .select(col("_unit"))
       .orderBy(xxhash64(col("_unit"))) // deterministic subset, cheap key
       .limit(sampleSize)
       .collect()
       .map(_.getSeq[Double](0).toArray)
+
+  /** Lloyd's on an already-collected sample (see [[sampleUnits]]). */
+  def train(sample: Array[Array[Double]], nlist: Int, iters: Int): Model = {
     require(sample.nonEmpty, "empty corpus")
     val k = math.min(nlist, sample.length)
     var centroids = sample.take(k).map(_.clone())

@@ -27,13 +27,13 @@ object PqIndex {
 
   /** Per-subspace Lloyd's k-means over a deterministic sample. */
   def train(df: DataFrame, embCol: String, m: Int = 8, k: Int = 16,
-      iters: Int = 8, sampleSize: Int = 2048): Model = {
-    val sample = Similarity.withUnit(df, embCol)
-      .select(col("_unit"))
-      .orderBy(xxhash64(col("_unit")))
-      .limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+      iters: Int = 8, sampleSize: Int = 2048): Model =
+    train(IvfIndex.sampleUnits(df, embCol, sampleSize), m, k, iters)
+
+  /** Per-subspace Lloyd's on an already-collected sample (see
+    * [[IvfIndex.sampleUnits]]). */
+  def train(sample: Array[Array[Double]], m: Int, k: Int,
+      iters: Int): Model = {
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -105,8 +105,9 @@ object PqIndex {
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, nCentroids: Int = 16, rerankFactor: Int = 20,
       roundTo: Int = 6): DataFrame = {
-    val ivf = IvfIndex.train(corpus, embCol, nlist)
-    val pq = train(corpus, embCol, m, nCentroids)
+    val sample = IvfIndex.sampleUnits(corpus, embCol)
+    val ivf = IvfIndex.train(sample, nlist, iters = 10)
+    val pq = train(sample, m, nCentroids, iters = 8)
     val cUnits = Similarity.withUnit(corpus, embCol)
       .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
       .cache()
