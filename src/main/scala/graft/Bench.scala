@@ -23,7 +23,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the repeat runs re-cache identical plans by
+    // design (CacheManager dedups them), and the resulting WARN spam
+    // is the only thing WARN level ever printed here
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warmup: touch every table once
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
