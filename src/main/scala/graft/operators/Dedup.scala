@@ -421,6 +421,88 @@ object Dedup {
         (col("node") === col("component")).as("kept"))
   }
 
+  // ---------------------------------------------- duplicated substring spans
+
+  /** Duplicated-substring spans (the Lee et al. 2022, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better"
+    * semantics): any window of `k` consecutive tokens whose text occurs
+    * more than once corpus-wide is a duplicate; the corpus-first
+    * occurrence (minimum (doc, position)) is kept and every other
+    * occurrence is marked for removal. Overlapping and adjacent removal
+    * windows within a document merge into maximal spans, so the result
+    * is the minimal set of (doc, [span_start, span_end)) token ranges a
+    * curation pass would cut.
+    *
+    * The published implementation builds a suffix array over the
+    * concatenated corpus; distributed suffix-array construction is
+    * far heavier than this rolling-window shape, which keeps the same
+    * fixed-length-window semantics: one narrow (window-md5, doc, pos)
+    * row per token position, a map-side-partial min-occurrence
+    * aggregate per window hash, and a join back restricted to hashes
+    * seen more than once. Shuffle volume is linear in corpus tokens
+    * with fixed-width 128-bit keys — document text itself never
+    * shuffles — and a boilerplate window repeated 10⁹ times skews
+    * neither the aggregate (partial min/count per map task) nor the
+    * join (AQE skew split on the duplicated-hash side). The final
+    * span merge is a per-document window over removal rows only.
+    */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "window length k must be >= 2 tokens")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val wins = df
+      .filter(size(toks) >= k) // shorter docs hold no length-k window
+      .select(col(idCol).as("_id"),
+        posexplode(graft.functions.HashExpressions.ngrams(toks, k, distinct = false))
+          .as(Seq("_pos", "_gram")))
+      .select(col("_id"), col("_pos"), md5(col("_gram")).as("_h"))
+    val dupFirsts = wins
+      .groupBy("_h")
+      .agg(min(struct(col("_id"), col("_pos"))).as("_keep"),
+        count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+      .select(col("_h"), col("_keep"))
+    val removal = wins.join(dupFirsts, "_h")
+      .filter(struct(col("_id"), col("_pos")) =!= col("_keep"))
+      .select(col("_id"), col("_pos").as("_start"),
+        (col("_pos") + k).as("_end"))
+    // gaps-and-islands: a window opens a new span iff no earlier
+    // removal window in the doc reaches its start position
+    val w = Window.partitionBy("_id").orderBy("_start")
+    val priorMax = max(col("_end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val island = sum(when(priorMax >= col("_start"), 0).otherwise(1))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    removal
+      .withColumn("_island", island)
+      .groupBy(col("_id"), col("_island"))
+      .agg(min("_start").as("span_start"), max("_end").as("span_end"))
+      .select(col("_id").as(idCol),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"))
+  }
+
+  // ------------------------------------------------------ incremental dedup
+
+  /** Incremental dedup — the daily-ingest shape: dedupe a new batch
+    * within itself (keep-first by `orderCol`) and against the
+    * already-curated historical corpus. History reduces to distinct
+    * content fingerprints before the anti-join, so at 100 TB the
+    * historical side shuffles one 128-bit key per *distinct* document
+    * (not per row, and never the text); the new batch is typically
+    * orders of magnitude smaller than history, which is exactly when
+    * an anti-join beats re-running global dedup over the union. For
+    * history so large even its fingerprint set is expensive to
+    * shuffle per batch, [[contaminatedBloom]] shows the broadcast
+    * Bloom-prefilter variant of the same contract. */
+  def incrementalDedup(newBatch: DataFrame, history: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val histFp = history.select(fp.as("_hist_fp")).distinct()
+    exactKeepFirst(newBatch, textCol, idCol)
+      .join(histFp, fp === col("_hist_fp"), "left_anti")
+  }
+
   // --------------------------------------------------- exact n-gram jaccard
 
   /** Exact n-gram Jaccard over explicit candidate pairs: a baseline /

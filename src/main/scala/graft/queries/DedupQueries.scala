@@ -557,7 +557,93 @@ object DedupQueries {
     FROM (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
     ORDER BY vec_id"""))
 
+  // --- d17: duplicated-substring spans (Lee et al. 2022) --------------
+  // The corpus naturally repeats 5-gram windows (synthetic vocab is
+  // small), so no planting is needed: every window occurring more than
+  // once corpus-wide yields removal spans for all but its first
+  // occurrence, merged per doc. The oracle replays the exact
+  // semantics — window enumeration, corpus-first keep, gaps-and-islands
+  // merge — over the raw window strings (the engine groups on their
+  // md5 only to keep shuffle keys fixed-width).
+  private val d17 = GraftQuery(
+    "d17_substring_spans",
+    (s, d) =>
+      Dedup.substringSpans(Tables(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "span_start"),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      wins AS (
+        SELECT doc_id, unnest(generate_series(1, len(t) - 4)) AS i, t
+        FROM toks WHERE len(t) >= 5),
+      occ AS (
+        SELECT doc_id, i - 1 AS pos,
+          array_to_string(list_slice(t, i, i + 4), ' ') AS w
+        FROM wins),
+      marked AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+        FROM occ),
+      rem AS (
+        SELECT doc_id, pos AS s, pos + 5 AS e FROM marked WHERE rn > 1),
+      runs AS (
+        SELECT doc_id, s, e,
+          max(e) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        FROM rem),
+      isl AS (
+        SELECT doc_id, s, e,
+          sum(CASE WHEN coalesce(prior_max, -1) >= s THEN 0 ELSE 1 END)
+            OVER (PARTITION BY doc_id ORDER BY s
+              ROWS UNBOUNDED PRECEDING) AS island
+        FROM runs)
+      SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start"""),
+    bench = true)
+
+  // --- d18: incremental dedup of a new batch against history ----------
+  // History = docs 0-299 (already curated); the new batch = docs
+  // 300+ plus replayed copies of historical docs (+3M) and one
+  // in-batch duplicate pair (+4M copying doc 300). Survivors must
+  // drop every replayed copy (fingerprint already in history) and
+  // keep-first within the batch.
+  private val d18 = GraftQuery(
+    "d18_incremental_dedup",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val history = docs.filter(col("doc_id") < 300)
+      val batch = docs.filter(col("doc_id") >= 300)
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") === 300)
+          .select((col("doc_id") + 4000000).as("doc_id"), col("text")))
+      Dedup.incrementalDedup(batch, history, "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 300
+        UNION ALL SELECT doc_id + 3000000, text
+          FROM documents WHERE doc_id < 10
+        UNION ALL SELECT doc_id + 4000000, text
+          FROM documents WHERE doc_id = 300),
+      norm AS (
+        SELECT doc_id,
+          lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        FROM batch),
+      hist AS (
+        SELECT DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id < 300),
+      kept AS (
+        SELECT doc_id, fp,
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM norm)
+      SELECT doc_id FROM kept
+      WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = kept.fp)
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-      d11, d12, d13, d14, d15, d16)
+      d11, d12, d13, d14, d15, d16, d17, d18)
 }

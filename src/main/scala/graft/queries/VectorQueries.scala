@@ -167,5 +167,23 @@ object VectorQueries {
     None,
     bench = true)
 
-  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08)
+  // --- v09: exact cosine range search (radius query) ------------------
+  private val v09 = GraftQuery(
+    "v09_range_search",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.rangeSearch(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          minCosine = 0.3)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+      FROM u q, u c
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        AND round(list_cosine_similarity(q.e, c.e), 6) >= 0.3
+      ORDER BY query_id, neighbor_id"""))
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09)
 }

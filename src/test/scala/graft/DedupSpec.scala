@@ -253,4 +253,44 @@ class DedupSpec extends SparkSpec {
     assert(cells(0L) == cells(1L) && cells(1L) == cells(2L))
     assert(cells(10L) == cells(11L))
   }
+
+  test("substring spans: corpus-first occurrence kept, overlaps merged per doc") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),      // the original — every window kept
+      (2L, "x x a b c d e f y z"),  // embeds doc 1's tokens 0..5
+      (3L, "a b c d e f g h"),      // full copy — removed end to end
+      (4L, "p q r")                 // shorter than k: no windows at all
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 2: dup windows at pos 2 ("a b c d e") and 3 ("b c d e f")
+    // overlap → one span [2, 8); doc 3: all 4 windows dup → [0, 8)
+    assert(spans == Seq((2L, 2L, 8L), (3L, 0L, 8L)))
+  }
+
+  test("substring spans: non-overlapping dup regions stay separate spans") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "f g h i j"),
+      (3L, "a b c d e m n o p q r f g h i j")  // two disjoint dup regions
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((3L, 0L, 5L), (3L, 11L, 16L)))
+  }
+
+  test("incremental dedup drops history dups and in-batch copies, keeps first") {
+    val history = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"),  // already in history → dropped
+      (11L, "delta"),       // genuinely new → kept
+      (12L, "delta"),       // in-batch copy of 11 → dropped (keep-first)
+      (13L, "Gamma  ")      // history dup modulo normalization → dropped
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, history, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(11L))
+  }
 }

@@ -31,6 +31,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "no self matches")
   }
 
+  test("range search returns exactly the neighbors at or above the radius") {
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)),   // the query itself — excluded by id
+      (1L, Seq(0.9, 0.1)),   // cosine ≈ 0.9939 → in
+      (2L, Seq(1.0, 1.0)),   // cosine ≈ 0.7071 → in at τ = 0.7
+      (3L, Seq(0.0, 1.0)),   // cosine 0 → out
+      (4L, Seq(-1.0, 0.0))   // cosine -1 → out
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.rangeSearch(corpus, corpus.filter(col("vec_id") === 0),
+        "vec_id", "embedding", minCosine = 0.7)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+    // tighter radius excludes the 45-degree vector
+    val tight = Similarity.rangeSearch(corpus, corpus.filter(col("vec_id") === 0),
+        "vec_id", "embedding", minCosine = 0.8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(tight == Set(1L))
+  }
+
   test("LSH ANN recall vs brute force is reasonable at this scale") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
