@@ -436,12 +436,16 @@ object Dedup {
     * The published implementation builds a suffix array over the
     * concatenated corpus; distributed suffix-array construction is
     * far heavier than this rolling-window shape, which keeps the same
-    * fixed-length-window semantics: one narrow (window-md5, doc, pos)
+    * fixed-length-window semantics: one narrow (window-hash, doc, pos)
     * row per token position, a map-side-partial min-occurrence
     * aggregate per window hash, and a join back restricted to hashes
-    * seen more than once. Shuffle volume is linear in corpus tokens
-    * with fixed-width 128-bit keys — document text itself never
-    * shuffles — and a boilerplate window repeated 10⁹ times skews
+    * seen more than once. The window key is two independently-seeded
+    * xxhash64 values — 128 combined bits (collision odds ~W²/2¹²⁹,
+    * negligible at any corpus size) at half the width and ~2× the
+    * hash/compare speed of an md5 hex string. Shuffle volume is
+    * linear in corpus tokens with fixed-width 16-byte keys — document
+    * text itself never shuffles — and a boilerplate window repeated
+    * 10⁹ times skews
     * neither the aggregate (partial min/count per map task) nor the
     * join (AQE skew split on the duplicated-hash side). The final
     * span merge is a per-document window over removal rows only.
@@ -455,14 +459,20 @@ object Dedup {
       .select(col(idCol).as("_id"),
         posexplode(graft.functions.HashExpressions.ngrams(toks, k, distinct = false))
           .as(Seq("_pos", "_gram")))
-      .select(col("_id"), col("_pos"), md5(col("_gram")).as("_h"))
+      .select(col("_id"), col("_pos"),
+        xxhash64(col("_gram")).as("_h1"),
+        xxhash64(lit(7), col("_gram")).as("_h2"))
     val dupFirsts = wins
-      .groupBy("_h")
+      .groupBy("_h1", "_h2")
       .agg(min(struct(col("_id"), col("_pos"))).as("_keep"),
         count(lit(1)).as("_n"))
       .filter(col("_n") > 1)
-      .select(col("_h"), col("_keep"))
-    val removal = wins.join(dupFirsts, "_h")
+      .select(col("_h1"), col("_h2"), col("_keep"))
+    // dup hashes are typically a sliver of all windows, so AQE turns
+    // this into a broadcast join at runtime (the wins side then never
+    // shuffles at all); at adversarial dup rates it degrades to a
+    // shuffle join with skew split
+    val removal = wins.join(dupFirsts, Seq("_h1", "_h2"))
       .filter(struct(col("_id"), col("_pos")) =!= col("_keep"))
       .select(col("_id"), col("_pos").as("_start"),
         (col("_pos") + k).as("_end"))

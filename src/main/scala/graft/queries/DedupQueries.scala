@@ -563,8 +563,8 @@ object DedupQueries {
   // once corpus-wide yields removal spans for all but its first
   // occurrence, merged per doc. The oracle replays the exact
   // semantics — window enumeration, corpus-first keep, gaps-and-islands
-  // merge — over the raw window strings (the engine groups on their
-  // md5 only to keep shuffle keys fixed-width).
+  // merge — over the raw window strings (the engine groups on a
+  // 128-bit window hash only to keep shuffle keys fixed-width).
   private val d17 = GraftQuery(
     "d17_substring_spans",
     (s, d) =>
