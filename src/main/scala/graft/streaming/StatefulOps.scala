@@ -64,4 +64,26 @@ object StatefulOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+
+  /** Streaming incremental dedup against a static, already-curated
+    * history — the live-ingest twin of
+    * [[graft.operators.Dedup.incrementalDedup]]: each micro-batch
+    * drops rows whose content fingerprint exists in `history`
+    * (stream-static left-anti join; Spark re-resolves the static
+    * side's files per micro-batch, so a periodically-rewritten
+    * history snapshot is picked up without restarting the query),
+    * then drops in-stream repeats within the watermark. History
+    * reduces to distinct 128-bit fingerprints before the join, and
+    * the per-batch stream side is small by construction — the
+    * asymmetric-join case stream-static planning is built for. */
+  def streamingIncrementalDedup(stream: DataFrame, history: DataFrame,
+      textCol: String, tsCol: String, delay: String): DataFrame = {
+    val fp = graft.operators.TextAnalysis.fingerprint(col(textCol))
+    val histFp = history.select(fp.as("_hist_fp")).distinct()
+    stream.withColumn("_fp", fp)
+      .join(histFp, col("_fp") === col("_hist_fp"), "left_anti")
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+  }
 }

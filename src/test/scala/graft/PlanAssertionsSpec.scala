@@ -80,6 +80,24 @@ class PlanAssertionsSpec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("d17 substring spans: hash-keyed equi-joins only, partial agg first") {
+    val plan = executedPlan("d17_substring_spans")
+    // candidate generation must never degenerate to all-pairs
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // min-occurrence/count aggregate combines map-side before its
+    // exchange, so a boilerplate window repeated per map task shuffles
+    // one partial row per task, not one row per occurrence
+    assert("partial_min".r.findFirstIn(plan).isDefined, plan.take(1200))
+    assert("partial_count".r.findFirstIn(plan).isDefined, plan.take(1200))
+  }
+
+  test("d18 incremental dedup: history joins anti, never cartesian") {
+    val plan = executedPlan("d18_incremental_dedup")
+    assert(plan.contains("LeftAnti"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("s09 source cap: per-group limit runs map-side before the exchange") {
     val plan = executedPlan("s09_source_cap")
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))

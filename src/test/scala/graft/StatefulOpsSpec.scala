@@ -95,4 +95,28 @@ class StatefulOpsSpec extends SparkSpec {
       assert(texts == Seq("alpha", "beta", "gamma"))
     } finally q.stop()
   }
+
+  test("streaming incremental dedup drops history dups and in-stream repeats") {
+    implicit val sq = spark.sqlContext
+    val history = Seq("alpha", "gamma").toDF("text")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val deduped = StatefulOps.streamingIncrementalDedup(
+      df, history, "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sincdedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      // alpha: in history → dropped; delta: new → kept once
+      input.addData((ts(0), "alpha"), (ts(1), "delta"), (ts(2), "delta"))
+      q.processAllAvailable()
+      // Gamma (normalization dup of history) dropped; epsilon kept;
+      // cross-batch delta repeat dropped
+      input.addData((ts(3), "Gamma  "), (ts(4), "epsilon"), (ts(5), "delta"))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM sincdedup").as[String]
+        .collect().sorted.toSeq
+      assert(texts == Seq("delta", "epsilon"))
+    } finally q.stop()
+  }
 }
