@@ -36,6 +36,15 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] playback failed: ${e.getMessage}"); -1.0 }
 
+    // aggregate ceiling: 8 concurrent playback queries, each at the
+    // reference's 1M/sec maximum configurable rate (a single stream
+    // cannot be configured faster — the cap is the reference's own
+    // sampleRate validation rule, mirrored here). The reference runs
+    // one plugin per thread; this engine schedules them onto one pool.
+    val playbackAgg8 = try PlaybackBench.runConcurrent(spark, sfDir, 8, seconds = 8)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] concurrent playback failed: ${e.getMessage}"); -1.0 }
+
     // steady-state timing: first run pays Janino/JIT compilation of each
     // query's unique expression trees (one-time per cluster lifetime);
     // the reported number is the min of three post-warmup runs (r2's
@@ -59,7 +68,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"playback_rps":$playbackRps%.0f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

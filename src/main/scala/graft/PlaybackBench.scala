@@ -31,13 +31,17 @@ object PlaybackBench {
     java.nio.file.Files.move(csv, workDir.resolve("events_play.csv"))
   }
 
-  /** Plays for `seconds`, returns readings/sec. */
-  def run(spark: SparkSession, sfDir: String, seconds: Int = 10): Double = {
+  /** Plays for `seconds`, returns readings/sec. `rate` is the
+    * configured admission ceiling (readings/sec); measured throughput
+    * saturates at min(rate, engine capability), so probing the
+    * engine's own ceiling needs a rate set above it. */
+  def run(spark: SparkSession, sfDir: String, seconds: Int = 10,
+      rate: Int = 1000000): Double = {
     val workDir = java.nio.file.Files.createTempDirectory("playback-bench")
     exportCsv(spark, sfDir, workDir)
     val cfg = PlaybackConfig(
       csvDirName = workDir.toString, csvFileName = "events_play",
-      ingestMode = IngestMode.Burst, sampleRate = 1000000, burstInterval = 500,
+      ingestMode = IngestMode.Burst, sampleRate = rate, burstInterval = 500,
       postProcessMethod = PostProcess.ContinuePlaying)
     val rows = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -69,6 +73,55 @@ object PlaybackBench {
     }
   }
 
+  /** Aggregate throughput over `n` concurrent playback queries, each
+    * at the reference's maximum configurable rate (sampleRate ≤ 1M is
+    * the reference's own validation rule, mirrored by PlaybackConfig —
+    * a single stream cannot be configured faster). The reference runs
+    * one plugin instance per file on one thread; Structured Streaming
+    * schedules many independent playback queries onto one executor
+    * pool, so aggregate ingest scales with cores until parse bandwidth
+    * saturates. Returns total readings/sec across all queries. */
+  def runConcurrent(spark: SparkSession, sfDir: String, n: Int,
+      seconds: Int = 10): Double = {
+    val workDir = java.nio.file.Files.createTempDirectory("playback-bench")
+    exportCsv(spark, sfDir, workDir)
+    val rows = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        rows.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val queries = (1 to n).map { _ =>
+      val cfg = PlaybackConfig(
+        csvDirName = workDir.toString, csvFileName = "events_play",
+        ingestMode = IngestMode.Burst, sampleRate = 1000000,
+        burstInterval = 500,
+        postProcessMethod = PostProcess.ContinuePlaying)
+      PlaybackStream.readings(spark, cfg)
+        .writeStream.format("noop")
+        .trigger(Trigger.ProcessingTime(500))
+        .start()
+    }
+    try {
+      Thread.sleep(3000) // warmup
+      val t0 = System.nanoTime()
+      val rows0 = rows.get()
+      Thread.sleep(seconds * 1000L)
+      val rows1 = rows.get()
+      val dt = (System.nanoTime() - t0) / 1e9
+      (rows1 - rows0) / dt
+    } finally {
+      queries.foreach(_.stop())
+      spark.streams.removeListener(listener)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(workDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -79,8 +132,13 @@ object PlaybackBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rps = run(spark, sfDir, seconds = args.headOption.map(_.toInt).getOrElse(10))
-    println(f"""{"metric":"playback_rps","value":$rps%.0f,"unit":"rows/sec","sf":"$sfDir"}""")
+    val seconds = args.headOption.map(_.toInt).getOrElse(10)
+    val streams = args.drop(1).headOption.map(_.toInt).getOrElse(1)
+    val rps =
+      if (streams > 1) runConcurrent(spark, sfDir, streams, seconds)
+      else run(spark, sfDir, seconds,
+        rate = sys.env.get("SPARK_GRAFT_PLAYBACK_RATE").map(_.toInt).getOrElse(1000000))
+    println(f"""{"metric":"playback_rps","value":$rps%.0f,"unit":"rows/sec","sf":"$sfDir","streams":$streams}""")
     spark.stop()
   }
 }
