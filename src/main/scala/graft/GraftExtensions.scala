@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.HashExpressions.{IntersectSize, MinHash64, NGrams, SimHash64, TopGramStats, VecDot, Winnow}
+import graft.functions.HashExpressions.{IntersectSize, MinHash64, NGrams, NormalizeUtf8, SimHash64, TopGramStats, VecDot, Winnow}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -73,6 +73,12 @@ object GraftExtensions {
         case Seq(text) => Winnow(text, 5, 4)
         case Seq(text, k, w) => Winnow(text, intLit(k, "k"), intLit(w, "w"))
         case _ => throw new IllegalArgumentException("winnow(text[, k, w])")
+      }),
+    ("normalize_text",
+      new ExpressionInfo(classOf[NormalizeUtf8].getName, "normalize_text"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => NormalizeUtf8(text)
+        case _ => throw new IllegalArgumentException("normalize_text(text)")
       }))
 
   /** Runtime registration into an existing session. */

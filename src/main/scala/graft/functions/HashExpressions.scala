@@ -441,6 +441,38 @@ object HashExpressions {
     override def prettyName: String = "minhash_band_keys"
   }
 
+  /** Unicode canonicalization for dedup keys — the CCNet/CC-style
+    * "same text modulo rendering" fold: NFKC compatibility fold
+    * (ligatures, full-width forms), NFD + non-spacing-mark strip
+    * (accent removal), locale-free lowercase, whitespace collapse.
+    * One pass per row; the equivalent chain of regexp/translate
+    * builtins can't express the Unicode tables at all. Mirrors
+    * `lower(strip_accents(...))` in engines that have it, plus the
+    * compatibility fold those engines lack. */
+  case class NormalizeUtf8(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      import java.text.Normalizer
+      val s = input.asInstanceOf[UTF8String].toString
+      val nfd = Normalizer.normalize(
+        Normalizer.normalize(s, Normalizer.Form.NFKC), Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(nfd.length)
+      var i = 0
+      while (i < nfd.length) {
+        val c = nfd.charAt(i)
+        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+        i += 1
+      }
+      val folded = sb.toString.toLowerCase(java.util.Locale.ROOT)
+        .trim.replaceAll("\\s+", " ")
+      UTF8String.fromString(folded)
+    }
+    override protected def withNewChildInternal(c: Expression): NormalizeUtf8 =
+      copy(child = c)
+    override def prettyName: String = "normalize_utf8"
+  }
+
   // Column wrappers (Spark 4 classic API: Column no longer wraps a
   // catalyst Expression directly — see GraftBridge)
   import GraftBridge.{column, expression}
@@ -462,6 +494,8 @@ object HashExpressions {
     column(TopGramStats(expression(grams)))
   def intersect_size(a: Column, b: Column): Column =
     column(IntersectSize(expression(a), expression(b)))
+  def normalize_utf8(text: Column): Column =
+    column(NormalizeUtf8(expression(text)))
   def pq_encode(unit: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncode(expression(unit), codebooks))
   def pq_adc_score(qUnit: Column, codes: Column,

@@ -31,6 +31,21 @@ object Sampling {
   def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.filter(md5Bucket256(key) < (fraction * 256).round.toInt)
 
+  /** Portable uniform deviate in [0, 1): 32 bits of the md5 hex
+    * prefix over 2³² — bit-identical in any engine with md5. */
+  def md5Unit(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Weighted deterministic sampling: keep each row with probability
+    * `weight` (clamped to [0, 1]) — quality-proportional downsampling
+    * with the same replay-stability contract as
+    * [[deterministicSample]]: the verdict depends only on (key,
+    * weight), never on RNG state, partitioning, or cluster size. Pure
+    * map-side filter, no shuffle. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.filter(md5Unit(key) < least(lit(1.0), greatest(lit(0.0), weight)))
+
   /** Train/val/test assignment by hash bucket. Default 80/10/10. */
   def assignSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     val b = md5Bucket256(key)

@@ -82,6 +82,19 @@ object TextAnalysis {
     * engines; a cheap 64-bit variant is [[fingerprint64]]). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Unicode-canonical form: NFKC compatibility fold (ligatures,
+    * full-width forms), accent strip, locale-free lowercase,
+    * whitespace collapse — the cross-script upgrade of [[normalized]]
+    * for corpora where "the same text" differs only in rendering
+    * (one kernel pass per row;
+    * [[graft.functions.HashExpressions.NormalizeUtf8]]). */
+  def normalizedUnicode(text: Column): Column =
+    graft.functions.HashExpressions.normalize_utf8(text)
+
+  /** md5 fingerprint of [[normalizedUnicode]] — the dedup key that
+    * treats accent/case/width/ligature variants as copies. */
+  def fingerprintUnicode(text: Column): Column = md5(normalizedUnicode(text))
+
   /** xxhash64 fingerprint — the cheap in-engine form for shuffles/keys. */
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
 

@@ -192,5 +192,24 @@ object SamplingQueries {
         PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 20
       ORDER BY source, doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  // --- s10: quality-weighted deterministic sample ---------------------
+  // Keep probability proportional to document length (n_chars/400,
+  // capped at 1): longer docs survive preferentially, the same verdict
+  // on every run/cluster. The oracle reproduces the md5-prefix deviate
+  // bit-for-bit ('0x'||hex → UBIGINT over 2^32).
+  private val s10 = GraftQuery(
+    "s10_weighted_sample",
+    (s, d) =>
+      Sampling.weightedSample(Tables(s, d, "documents"),
+          col("doc_id"), col("n_chars") / lit(400.0))
+        .select(col("doc_id"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              / 4294967296.0
+            < least(1.0, greatest(0.0, n_chars / 400.0))
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }

@@ -364,6 +364,45 @@ object TextQueries {
     SELECT doc_id, round(sum(s), 4) AS score FROM sc
     GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""))
 
+  // --- t13: Unicode-canonical dedup keys ------------------------------
+  // Plants accent/case variants of docs 0-9 (uppercased, a→á/e→é via
+  // translate — the same builtin both engines define identically);
+  // the NormalizeUtf8 kernel must fold each variant onto its
+  // original's fingerprint. The oracle mirrors the fold with
+  // lower(strip_accents(...)) + whitespace collapse — the engines
+  // agree on the Latin-1 plants (the kernel's NFKC compatibility pass
+  // also folds ligatures/full-width forms, pinned in TextAnalysisSpec
+  // since DuckDB has no NFKC to mirror it against).
+  private val t13 = GraftQuery(
+    "t13_unicode_dedup_keys",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          translate(upper(col("text")), "AE", "ÁÉ").as("text"))
+      docs.unionByName(variants)
+        .groupBy(graft.operators.TextAnalysis.fingerprintUnicode(col("text"))
+          .as("ufp"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keeper"))
+        .filter(col("n_variants") > 1)
+        .select(col("keeper"), col("n_variants"))
+        .orderBy("keeper")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 5000000,
+          translate(upper(text), 'AE', 'ÁÉ')
+        FROM documents WHERE doc_id < 10),
+      keyed AS (
+        SELECT doc_id,
+          md5(regexp_replace(trim(lower(strip_accents(text))),
+            '\s+', ' ', 'g')) AS ufp
+        FROM p)
+      SELECT min(doc_id) AS keeper, count(*) AS n_variants
+      FROM keyed GROUP BY ufp HAVING count(*) > 1
+      ORDER BY keeper"""))
+
   val all: Seq[GraftQuery] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }

@@ -143,4 +143,20 @@ class SamplingSpec extends SparkSpec {
     // its only row despite k=2
     assert(got == Set(2L, 4L, 5L))
   }
+
+  test("weighted sample: weight 1 keeps all, 0 keeps none, monotone in weight") {
+    val n = docs.count()
+    assert(Sampling.weightedSample(docs, col("doc_id"), lit(1.0)).count() == n)
+    assert(Sampling.weightedSample(docs, col("doc_id"), lit(0.0)).count() == 0)
+    // out-of-range weights clamp instead of misbehaving
+    assert(Sampling.weightedSample(docs, col("doc_id"), lit(7.0)).count() == n)
+    assert(Sampling.weightedSample(docs, col("doc_id"), lit(-1.0)).count() == 0)
+    // a row kept at weight w stays kept at any w' > w (same deviate)
+    val at3 = Sampling.weightedSample(docs, col("doc_id"), lit(0.3))
+      .select("doc_id").as[Long].collect().toSet
+    val at6 = Sampling.weightedSample(docs, col("doc_id"), lit(0.6))
+      .select("doc_id").as[Long].collect().toSet
+    assert(at3.subsetOf(at6))
+    assert(at3.size < at6.size && at6.size < n)
+  }
 }

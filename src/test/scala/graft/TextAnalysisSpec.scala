@@ -164,4 +164,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_._1) == Seq(1L, 3L, 2L, 4L))
     assert(got.map(_._2) == got.map(_._2).sorted.reverse)
   }
+
+  test("normalize_utf8 folds accents, case, ligatures, width, whitespace") {
+    val cases = Seq(
+      "Café  DU  MONDE",          // é + case + double spaces
+      "Café du monde",           // decomposed e + combining acute
+      "ﬁn de siècle",        // ﬁ ligature (NFKC → fi)
+      "ＡＢＣ",            // full-width ＡＢＣ (NFKC → ABC)
+      "  träiling \t spaces \n ") // umlaut + tabs/newlines/trim
+    val got = cases.toDF("t")
+      .select(TextAnalysis.normalizedUnicode(col("t"))).as[String]
+      .collect().toSeq
+    assert(got == Seq("cafe du monde", "cafe du monde",
+      "fin de siecle", "abc", "trailing spaces"))
+    // SQL surface registered by GraftExtensions
+    val viaSql = spark.sql(
+      "SELECT normalize_text('CafÉ  du  Monde')").as[String].head()
+    assert(viaSql == "cafe du monde")
+    // identical canonical forms ⇒ identical unicode fingerprints
+    val fps = Seq("Café du monde", "CAFÉ DU MONDE").toDF("t")
+      .select(TextAnalysis.fingerprintUnicode(col("t"))).as[String]
+      .collect().toSet
+    assert(fps.size == 1)
+  }
 }
