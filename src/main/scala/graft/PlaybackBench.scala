@@ -31,18 +31,18 @@ object PlaybackBench {
     java.nio.file.Files.move(csv, workDir.resolve("events_play.csv"))
   }
 
-  /** Plays for `seconds`, returns readings/sec. `rate` is the
-    * configured admission ceiling (readings/sec); measured throughput
-    * saturates at min(rate, engine capability), so probing the
-    * engine's own ceiling needs a rate set above it. */
-  def run(spark: SparkSession, sfDir: String, seconds: Int = 10,
-      rate: Int = 1000000): Double = {
+  /** Shared measurement core: `n` concurrent playback queries over one
+    * exported CSV, each admission-capped at `rate` readings/sec
+    * (sampleRate ≤ 1M is the reference's own validation rule,
+    * mirrored by PlaybackConfig — a single stream cannot be configured
+    * faster; concurrency is how aggregate ingest exceeds the cap).
+    * Every started query, the listener, and the temp dir are released
+    * even when a start or stop fails partway, so a failed measurement
+    * can't leave orphan 1M-rows/sec streams polluting later timings. */
+  private def measure(spark: SparkSession, sfDir: String, n: Int,
+      seconds: Int, rate: Int): Double = {
     val workDir = java.nio.file.Files.createTempDirectory("playback-bench")
     exportCsv(spark, sfDir, workDir)
-    val cfg = PlaybackConfig(
-      csvDirName = workDir.toString, csvFileName = "events_play",
-      ingestMode = IngestMode.Burst, sampleRate = rate, burstInterval = 500,
-      postProcessMethod = PostProcess.ContinuePlaying)
     val rows = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
@@ -52,12 +52,21 @@ object PlaybackBench {
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
-    val q = PlaybackStream.readings(spark, cfg)
-      .writeStream.format("noop")
-      .trigger(Trigger.ProcessingTime(500))
-      .start()
+    val started = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQuery]
     try {
-      Thread.sleep(2000) // warmup
+      (1 to n).foreach { _ =>
+        val cfg = PlaybackConfig(
+          csvDirName = workDir.toString, csvFileName = "events_play",
+          ingestMode = IngestMode.Burst, sampleRate = rate,
+          burstInterval = 500,
+          postProcessMethod = PostProcess.ContinuePlaying)
+        started += PlaybackStream.readings(spark, cfg)
+          .writeStream.format("noop")
+          .trigger(Trigger.ProcessingTime(500))
+          .start()
+      }
+      Thread.sleep(if (n > 1) 3000 else 2000) // warmup
       val t0 = System.nanoTime()
       val rows0 = rows.get()
       Thread.sleep(seconds * 1000L)
@@ -65,7 +74,7 @@ object PlaybackBench {
       val dt = (System.nanoTime() - t0) / 1e9
       (rows1 - rows0) / dt
     } finally {
-      q.stop()
+      started.foreach(q => try q.stop() catch { case _: Throwable => () })
       spark.streams.removeListener(listener)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(workDir).iterator().asScala.toSeq.reverse
@@ -73,54 +82,25 @@ object PlaybackBench {
     }
   }
 
+  /** Plays one stream for `seconds`, returns readings/sec. `rate` must
+    * respect the reference's validated 1..1M range; the measured
+    * number saturates at min(rate, engine capability), and since the
+    * engine sustains the maximum legal rate, single-stream throughput
+    * is admission-bound by design — use [[runConcurrent]] to measure
+    * engine headroom beyond the per-stream cap. */
+  def run(spark: SparkSession, sfDir: String, seconds: Int = 10,
+      rate: Int = 1000000): Double =
+    measure(spark, sfDir, n = 1, seconds, rate)
+
   /** Aggregate throughput over `n` concurrent playback queries, each
-    * at the reference's maximum configurable rate (sampleRate ≤ 1M is
-    * the reference's own validation rule, mirrored by PlaybackConfig —
-    * a single stream cannot be configured faster). The reference runs
+    * at the reference's maximum configurable rate. The reference runs
     * one plugin instance per file on one thread; Structured Streaming
     * schedules many independent playback queries onto one executor
     * pool, so aggregate ingest scales with cores until parse bandwidth
     * saturates. Returns total readings/sec across all queries. */
   def runConcurrent(spark: SparkSession, sfDir: String, n: Int,
-      seconds: Int = 10): Double = {
-    val workDir = java.nio.file.Files.createTempDirectory("playback-bench")
-    exportCsv(spark, sfDir, workDir)
-    val rows = new java.util.concurrent.atomic.AtomicLong
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        rows.addAndGet(e.progress.numInputRows)
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    }
-    spark.streams.addListener(listener)
-    val queries = (1 to n).map { _ =>
-      val cfg = PlaybackConfig(
-        csvDirName = workDir.toString, csvFileName = "events_play",
-        ingestMode = IngestMode.Burst, sampleRate = 1000000,
-        burstInterval = 500,
-        postProcessMethod = PostProcess.ContinuePlaying)
-      PlaybackStream.readings(spark, cfg)
-        .writeStream.format("noop")
-        .trigger(Trigger.ProcessingTime(500))
-        .start()
-    }
-    try {
-      Thread.sleep(3000) // warmup
-      val t0 = System.nanoTime()
-      val rows0 = rows.get()
-      Thread.sleep(seconds * 1000L)
-      val rows1 = rows.get()
-      val dt = (System.nanoTime() - t0) / 1e9
-      (rows1 - rows0) / dt
-    } finally {
-      queries.foreach(_.stop())
-      spark.streams.removeListener(listener)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(workDir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
+      seconds: Int = 10): Double =
+    measure(spark, sfDir, n, seconds, rate = 1000000)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -136,8 +116,7 @@ object PlaybackBench {
     val streams = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     val rps =
       if (streams > 1) runConcurrent(spark, sfDir, streams, seconds)
-      else run(spark, sfDir, seconds,
-        rate = sys.env.get("SPARK_GRAFT_PLAYBACK_RATE").map(_.toInt).getOrElse(1000000))
+      else run(spark, sfDir, seconds)
     println(f"""{"metric":"playback_rps","value":$rps%.0f,"unit":"rows/sec","sf":"$sfDir","streams":$streams}""")
     spark.stop()
   }

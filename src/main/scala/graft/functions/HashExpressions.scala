@@ -449,6 +449,13 @@ object HashExpressions {
     * builtins can't express the Unicode tables at all. Mirrors
     * `lower(strip_accents(...))` in engines that have it, plus the
     * compatibility fold those engines lack. */
+  // Hoisted (Pattern.compile per row would dominate short strings);
+  // UNICODE_CHARACTER_CLASS so \s covers U+2028/U+2029/NEL etc. —
+  // whitespace codepoints NFKC does not fold to ASCII space
+  private val UnicodeWs =
+    java.util.regex.Pattern.compile("\\s+",
+      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
   case class NormalizeUtf8(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
@@ -464,8 +471,9 @@ object HashExpressions {
         if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
         i += 1
       }
-      val folded = sb.toString.toLowerCase(java.util.Locale.ROOT)
-        .trim.replaceAll("\\s+", " ")
+      val folded = UnicodeWs
+        .matcher(sb.toString.toLowerCase(java.util.Locale.ROOT))
+        .replaceAll(" ").trim
       UTF8String.fromString(folded)
     }
     override protected def withNewChildInternal(c: Expression): NormalizeUtf8 =

@@ -31,40 +31,43 @@ object Similarity {
       .drop("_norm")
   }
 
-  /** Exact range search: every corpus neighbor with cosine ≥
-    * `minCosine` for each query row (excluding self-matches by id) —
-    * the radius-query twin of [[bruteForceTopK]], the shape used for
-    * "find everything within ε" retrieval and near-dup audits. The
-    * query side broadcasts, so the corpus never shuffles and the
-    * threshold filter runs inside the probe loop's codegen stage; at
-    * 100 TB the cost is one corpus scan per query batch regardless of
-    * how selective the radius is. */
-  def rangeSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
-      embCol: String, minCosine: Double, roundTo: Int = 6): DataFrame = {
+  /** Every (query, corpus) pair scored with exact rounded cosine,
+    * self-matches excluded by id: the probe loop [[bruteForceTopK]]
+    * and [[rangeSearch]] share. The query side broadcasts, so the
+    * corpus never shuffles and the per-pair dot product runs inside
+    * the probe's codegen stage; at 100 TB the cost is one corpus scan
+    * per query batch. */
+  private def scoredPairs(corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, roundTo: Int): DataFrame = {
     val c = withUnit(corpus, embCol)
       .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
     val q = withUnit(queries, embCol)
       .select(col(idCol).as("query_id"), col("_unit").as("u_q"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(Vec.dot(col("u_c"), col("u_q")), roundTo))
+  }
+
+  /** Exact range search: every corpus neighbor with cosine ≥
+    * `minCosine` for each query row — the radius-query twin of
+    * [[bruteForceTopK]], the shape used for "find everything within
+    * ε" retrieval and near-dup audits. The threshold filter runs
+    * map-side on the scored probe stream, however selective the
+    * radius is. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, minCosine: Double, roundTo: Int = 6): DataFrame =
+    scoredPairs(corpus, queries, idCol, embCol, roundTo)
       .filter(col("cosine") >= minCosine)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
-  }
 
   /** Exact top-k neighbors for each query row (excluding self-matches
     * by id). Ranking is on cosine rounded to `roundTo` decimals with id
     * as tiebreak — fully deterministic across engines. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, roundTo: Int = 6): DataFrame = {
-    val c = withUnit(corpus, embCol)
-      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
-    val q = withUnit(queries, embCol)
-      .select(col(idCol).as("query_id"), col("_unit").as("u_q"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(Vec.dot(col("u_c"), col("u_q")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scoredPairs(corpus, queries, idCol, embCol, roundTo)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }

@@ -80,10 +80,7 @@ object StatefulOps {
       textCol: String, tsCol: String, delay: String): DataFrame = {
     val fp = graft.operators.TextAnalysis.fingerprint(col(textCol))
     val histFp = history.select(fp.as("_hist_fp")).distinct()
-    stream.withColumn("_fp", fp)
-      .join(histFp, col("_fp") === col("_hist_fp"), "left_anti")
-      .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark("_fp")
-      .drop("_fp")
+    val newOnly = stream.join(histFp, fp === col("_hist_fp"), "left_anti")
+    streamingDedup(newOnly, textCol, tsCol, delay)
   }
 }
