@@ -173,4 +173,89 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"toks=$toks")
     }
   }
+
+  /** In-memory reference for [[graft.operators.Dedup.substringSpans]]:
+    * enumerate windows, drop all but the corpus-first occurrence of
+    * each duplicated window, merge overlapping/adjacent removals. */
+  private def refSpans(docs: Seq[(Long, String)], k: Int): Seq[(Long, Long, Long)] = {
+    val wins = for {
+      (id, text) <- docs
+      toks = text.trim.split("\\s+").toSeq
+      if toks.size >= k
+      i <- 0 to toks.size - k
+    } yield (toks.slice(i, i + k).mkString(" "), id, i)
+    val removal = wins.groupBy(_._1).values.filter(_.size > 1).toSeq
+      .flatMap(_.sortBy(o => (o._2, o._3)).tail.map(o => (o._2, o._3, o._3 + k)))
+    removal.groupBy(_._1).toSeq.flatMap { case (id, spans) =>
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      spans.map(s => (s._2, s._3)).sortBy(_._1).foreach { case (a, b) =>
+        if (merged.nonEmpty && merged.last._2 >= a)
+          merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, b))
+        else merged += ((a, b))
+      }
+      merged.map { case (a, b) => (id, a.toLong, b.toLong) }
+    }.sortBy(s => (s._1, s._2))
+  }
+
+  test("substringSpans == in-memory reference on random tiny-vocab corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpusGen = for {
+      nDocs <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(nDocs,
+        Gen.choose(1, 14).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(corpusGen, n = 6) { docs =>
+      val got = graft.operators.Dedup
+        .substringSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long)].collect().toSeq
+      val want = refSpans(docs, 3)
+      assert(got == want, s"docs=$docs")
+      // structural invariants: spans sorted, disjoint, within bounds
+      got.groupBy(_._1).foreach { case (id, spans) =>
+        val nToks = docs.find(_._1 == id).get._2.trim.split("\\s+").length
+        spans.foreach { case (_, s, e) => assert(s >= 0 && s < e && e <= nToks) }
+        spans.map(s => (s._2, s._3)).sliding(2).foreach {
+          case Seq((_, e1), (s2, _)) => assert(s2 > e1, "merged spans stay disjoint")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("normalize_utf8 is idempotent on arbitrary unicode strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', 'É', 'é',
+        '́', 'ﬁ', 'Ａ', ' ', '　'))).map(_.mkString)
+    forAll(gen, n = 8) { s =>
+      val df = Seq(s, s).toDF("t")
+        .select(graft.functions.HashExpressions.normalize_utf8(col("t")).as("n1"))
+        .select(col("n1"),
+          graft.functions.HashExpressions.normalize_utf8(col("n1")).as("n2"))
+      val (n1, n2) = df.as[(String, String)].head()
+      assert(n1 == n2, s"input=${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("weightedSample == hand md5 filter on the documents table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val got = graft.operators.Sampling
+      .weightedSample(docs, col("doc_id"), col("n_chars") / lit(400.0))
+      .select("doc_id").as[Long].collect().toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = docs.select("doc_id", "n_chars").as[(Long, Long)].collect()
+      .filter { case (id, nc) =>
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) / 4294967296.0 <
+          math.min(1.0, nc / 400.0)
+      }.map(_._1).toSet
+    assert(got == want)
+  }
 }
