@@ -696,27 +696,35 @@ object RelationalQueries {
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
   // --- q32: ordered funnel (view → click → purchase) ------------------
-  // Stage N's earliest qualifying timestamp gates stage N+1 — the
-  // standard per-stage join-back shape; every join hash-partitions on
-  // user_id, integer-µs outputs only.
+  // Stage N's earliest qualifying timestamp gates stage N+1. One scan
+  // of events and ONE user_id shuffle: the three stage timestamps are
+  // chained unbounded-window minimums over the same partitioning
+  // (Spark stacks the Window operators on a single Exchange+Sort, and
+  // the per-user collapse reuses that partitioning too — the
+  // join-back formulation re-scanned events 6 times and shuffled 11). */
   private val q32 = GraftQuery(
     "q32_funnel",
     (s, d) => {
-      val base = ev(s, d).select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-      val v = base.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
-      val c = base.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("us") >= col("v_us"))
-        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
-      val p = base.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("us") >= col("c_us"))
-        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
-      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
-        .unionByName(c.agg(count(lit(1)).as("n_users"))
-          .select(lit("2_click").as("stage"), col("n_users")))
-        .unionByName(p.agg(count(lit(1)).as("n_users"))
-          .select(lit("3_purchase").as("stage"), col("n_users")))
+      val wu = Window.partitionBy(col("user_id"))
+      val staged = ev(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("v_us",
+          min(when(col("event_type") === "view", col("us"))).over(wu))
+        .withColumn("c_us",
+          min(when(col("event_type") === "click" &&
+            col("us") >= col("v_us"), col("us"))).over(wu))
+        .withColumn("p_us",
+          min(when(col("event_type") === "purchase" &&
+            col("us") >= col("c_us"), col("us"))).over(wu))
+        .groupBy(col("user_id"))
+        .agg(max(col("v_us")).as("v_us"), max(col("c_us")).as("c_us"),
+          max(col("p_us")).as("p_us"))
+      staged
+        .agg(count(col("v_us")).as("n_view"), count(col("c_us")).as("n_click"),
+          count(col("p_us")).as("n_purchase"))
+        .select(expr("stack(3, '1_view', n_view, '2_click', n_click, " +
+          "'3_purchase', n_purchase) AS (stage, n_users)"))
         .orderBy("stage")
     },
     Some("""WITH e AS (
@@ -733,14 +741,17 @@ object RelationalQueries {
     ORDER BY stage"""))
 
   // --- q33: retention cohorts (first-seen day × day offset) -----------
+  // cohort_day is an unbounded-window min over the user partition the
+  // distinct already shuffled into place — no join-back, no second
+  // scan of events.
   private val q33 = GraftQuery(
     "q33_retention_cohorts",
     (s, d) => {
       val days = ev(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val cohort = days.groupBy(col("user_id"))
-        .agg(min(col("day")).as("cohort_day"))
-      days.join(cohort, "user_id")
+      days
+        .withColumn("cohort_day",
+          min(col("day")).over(Window.partitionBy(col("user_id"))))
         .select(col("cohort_day"),
           datediff(col("day"), col("cohort_day")).as("day_offset"), col("user_id"))
         .filter(col("day_offset") <= 7)
