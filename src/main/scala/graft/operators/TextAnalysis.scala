@@ -253,9 +253,19 @@ object TextAnalysis {
         .select(extra :+ col("_bg.w1").as("w1") :+ col("_bg.w2").as("w2"): _*)
     val bigramCounts = explodedBigrams(train)
       .groupBy("w1", "w2").agg(count(lit(1)).as("_cb"))
-    val contextCounts = train
-      .select(explode(tokens(lower(col(textCol)))).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("_cu"))
+    // context (unigram) counts derive from the bigram aggregate: every
+    // train token appears as w1 exactly once except each doc's last,
+    // which a row-level projection counts without a second explode —
+    // so the heavy token-stream shuffle happens once, and this branch
+    // shuffles vocab-bounded aggregates instead of O(corpus tokens)
+    val lastTokCounts = train
+      .select(element_at(tokens(lower(col(textCol))), -1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("_cl"))
+    val contextCounts = bigramCounts
+      .groupBy("w1").agg(sum(col("_cb")).as("_c1"))
+      .join(lastTokCounts, Seq("w1"), "full_outer")
+      .select(col("w1"),
+        (coalesce(col("_c1"), lit(0L)) + coalesce(col("_cl"), lit(0L))).as("_cu"))
     explodedBigrams(docs, col(idCol))
       .join(bigramCounts, Seq("w1", "w2"), "left")
       .join(contextCounts, Seq("w1"), "left")
