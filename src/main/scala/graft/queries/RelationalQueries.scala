@@ -837,8 +837,63 @@ object RelationalQueries {
       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // --- q37: time-grid resample + LOCF gap-fill ------------------------
+  // Regularize each event_type's value series onto a 15-minute grid:
+  // bucket means where data exists, last-observation-carried-forward
+  // where it doesn't (the classic sensor/metric resample). The grid is
+  // generated per series from its own [min, max] bucket bounds
+  // (sequence + explode — map-side), so no calendar table ships with
+  // the query. LOCF is inherently sequential per series: the window
+  // partitions by event_type, which is safe while series count ≥
+  // cores; corpora with few huge series shard the window key by
+  // (series, epoch-range) and stitch the chunk boundaries with a
+  // second small join — the documented trade for all the engine's
+  // ordered-repair operators (see CleanCsv).
+  private val q37 = GraftQuery(
+    "q37_resample_locf",
+    (s, d) => {
+      val bucketUs = 900000000L // 15 minutes
+      val means = ev(s, d)
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) DIV $bucketUs").as("b"), col("value"))
+        .groupBy("event_type", "b")
+        .agg(round(avg("value"), 4).as("v_obs"))
+      val grid = means.groupBy("event_type")
+        .agg(min("b").as("b0"), max("b").as("b1"))
+        .select(col("event_type"), explode(sequence(col("b0"), col("b1"))).as("b"))
+      val w = Window.partitionBy("event_type").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(means, Seq("event_type", "b"), "left")
+        .withColumn("value_locf", last(col("v_obs"), ignoreNulls = true).over(w))
+        .select(col("event_type"),
+          date_format(timestamp_micros(col("b") * lit(bucketUs)),
+            "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+          col("value_locf"),
+          col("v_obs").isNotNull.cast("int").as("observed"))
+        .orderBy("event_type", "bucket_start")
+    },
+    Some("""WITH means AS (
+        SELECT event_type, epoch_us(ts) // 900000000 AS b,
+          round(avg(value), 4) AS v_obs
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT event_type, min(b) AS b0, max(b) AS b1 FROM means GROUP BY 1),
+      grid AS (
+        SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM bounds),
+      j AS (
+        SELECT g.event_type, g.b, m.v_obs FROM grid g
+        LEFT JOIN means m ON m.event_type = g.event_type AND m.b = g.b)
+      SELECT event_type,
+        strftime(make_timestamp(b * 900000000), '%Y-%m-%d %H:%M:%S')
+          AS bucket_start,
+        last_value(v_obs IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY b
+          ROWS UNBOUNDED PRECEDING) AS value_locf,
+        CAST(v_obs IS NOT NULL AS INT) AS observed
+      FROM j ORDER BY event_type, bucket_start"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }
