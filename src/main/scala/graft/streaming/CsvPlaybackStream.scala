@@ -287,7 +287,20 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PlaybackOffset].totalRows
     val e = end.asInstanceOf[PlaybackOffset].totalRows
-    if (e <= s || currentFile.isEmpty) return Array.empty
+    if (e <= s) return Array.empty
+    // Checkpoint recovery: a batch whose offsets are already in the WAL
+    // but whose commit is missing re-executes here BEFORE any
+    // latestOffset call, on a freshly constructed source with no file
+    // state — initialize it now or the replayed batch silently emits
+    // zero rows and the uncommitted range is lost forever.
+    if (currentFile.isEmpty) ensureFile()
+    if (currentFile.isEmpty || fileRows == 0) return Array.empty
+    // Non-replay recovery where the recovered range predates the
+    // current file: those rows lived in a file the EOF action already
+    // deleted/renamed — unrecoverable by design (the reference
+    // post-processes eagerly too); emit nothing rather than the wrong
+    // rows.
+    if (!replay && s - fileStartOffset >= fileRows) return Array.empty
     val path = currentFile.get
     val dataStart = CsvPlaybackStream.dataStartLine(cfg)
     val emitTs = if (lastEmitMicros == 0) System.currentTimeMillis() * 1000L else lastEmitMicros
