@@ -201,9 +201,37 @@ class CsvPlaybackTable(cfg: PlaybackConfig) extends Table with SupportsRead {
     }
 }
 
-/** Offset = total rows emitted since stream start. */
-case class PlaybackOffset(totalRows: Long) extends Offset {
-  override def json(): String = s"""{"totalRows":$totalRows}"""
+/** Offset = total rows emitted since stream start, plus the file anchor
+  * those rows came from (`file` + the totalRows value at which that
+  * file began). The anchor makes checkpoint recovery exact: a restarted
+  * source re-maps a WAL-replayed range onto the right file at the right
+  * base — without it, a recovered count is ambiguous once EOF
+  * post-processing has rotated files, and the rotate check could
+  * delete/rename a file that was never played. */
+case class PlaybackOffset(totalRows: Long, file: Option[String] = None,
+    fileStart: Long = 0L) extends Offset {
+  override def json(): String = file match {
+    case Some(f) =>
+      val esc = f.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"totalRows":$totalRows,"file":"$esc","fileStart":$fileStart}"""
+    case None =>
+      // fileStart must survive even between files: it is where the NEXT
+      // file begins, and dropping it across a restart re-bases the
+      // rotate check at 0 — which would post-process an unplayed file
+      s"""{"totalRows":$totalRows,"fileStart":$fileStart}"""
+  }
+}
+
+object PlaybackOffset {
+  def parse(json: String): PlaybackOffset = {
+    val rows = """"totalRows"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val file = """"file"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    val start = """"fileStart"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(0L)
+    PlaybackOffset(rows, file, start)
+  }
 }
 
 class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
@@ -241,6 +269,39 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     }
   }
 
+  /** Restores file state on a freshly constructed source from a
+    * recovered offset's anchor (checkpoint recovery path — both the
+    * WAL-replayed batch and the first post-restart latestOffset arrive
+    * before any state exists). If the anchored file is still on disk,
+    * the index rebuilds and `fileStartOffset` restores exactly; if the
+    * EOF action already rotated it, the next file picks up with its
+    * base at the recovered row count, so the rotate check can never
+    * fire against a file that was not played. No-op once state exists
+    * or for fresh streams (anchorless initial offset). */
+  private def anchorFromOffset(o: PlaybackOffset): Unit = {
+    if (currentFile.isEmpty) {
+      o.file match {
+        case Some(f) if java.nio.file.Files.exists(java.nio.file.Paths.get(f)) =>
+          currentFile = Some(f)
+          lineIndex = CsvPlaybackStream.buildLineIndex(
+            org.apache.spark.SparkContext.getOrCreate(), f)
+          fileRows = math.max(0L,
+            lineIndex.totalLines - CsvPlaybackStream.dataStartLine(cfg))
+          fileStartOffset = o.fileStart
+        case Some(_) =>
+          // the anchored file is gone (EOF action rotated it): whatever
+          // file comes next begins at the recovered row count
+          ensureFile()
+          if (currentFile.isDefined) fileStartOffset = o.totalRows
+        case None =>
+          // between files at checkpoint time: the offset still records
+          // where the next file must begin — restoring it keeps the
+          // rotate check from firing against a file that never played
+          fileStartOffset = math.max(fileStartOffset, o.fileStart)
+      }
+    }
+  }
+
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(cfg.chunkSize)
 
   override def initialOffset(): Offset = PlaybackOffset(0L)
@@ -249,7 +310,9 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     throw new UnsupportedOperationException("latestOffset(Offset, ReadLimit) is used")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[PlaybackOffset].totalRows
+    val so = start.asInstanceOf[PlaybackOffset]
+    val s = so.totalRows
+    anchorFromOffset(so) // recovery: restore state before the rotate check
     // EOF post-processing: the previous trigger finished the file (all
     // its rows are planned and, since triggers are sequential, already
     // processed). The reference deletes/renames eagerly at EOF too
@@ -258,7 +321,8 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     if (!replay && currentFile.isDefined && s >= fileStartOffset + fileRows)
       postProcessCurrentFile(s)
     ensureFile()
-    if (currentFile.isEmpty || fileRows == 0) return PlaybackOffset(s)
+    if (currentFile.isEmpty || fileRows == 0)
+      return PlaybackOffset(s, currentFile, fileStartOffset)
     val budget = limit match {
       case r: ReadMaxRows => r.maxRows()
       case _ => cfg.chunkSize.toLong
@@ -267,7 +331,7 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     val next =
       if (replay) s + budget // endless: wraps around the file in planInputPartitions
       else math.min(s + budget, fileStartOffset + fileRows)
-    PlaybackOffset(next)
+    PlaybackOffset(next, currentFile, fileStartOffset)
   }
 
   private def postProcessCurrentFile(totalNow: Long): Unit = {
@@ -285,15 +349,18 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val eo = end.asInstanceOf[PlaybackOffset]
     val s = start.asInstanceOf[PlaybackOffset].totalRows
-    val e = end.asInstanceOf[PlaybackOffset].totalRows
+    val e = eo.totalRows
     if (e <= s) return Array.empty
     // Checkpoint recovery: a batch whose offsets are already in the WAL
     // but whose commit is missing re-executes here BEFORE any
     // latestOffset call, on a freshly constructed source with no file
-    // state — initialize it now or the replayed batch silently emits
-    // zero rows and the uncommitted range is lost forever.
-    if (currentFile.isEmpty) ensureFile()
+    // state — re-anchor from the end offset (its rows all belong to the
+    // end offset's file) or the replayed batch silently emits zero rows
+    // and the uncommitted range is lost forever.
+    anchorFromOffset(eo)
+    if (currentFile.isEmpty) ensureFile() // anchorless initial offsets
     if (currentFile.isEmpty || fileRows == 0) return Array.empty
     // Non-replay recovery where the recovered range predates the
     // current file: those rows lived in a file the EOF action already
@@ -336,10 +403,8 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
   // constructed, so EOF actions cannot live here — they'd never fire for
   // the final batch; see latestOffset.
 
-  override def deserializeOffset(json: String): Offset = {
-    val m = """"totalRows"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-    PlaybackOffset(m.map(_.group(1).toLong).getOrElse(0L))
-  }
+  override def deserializeOffset(json: String): Offset =
+    PlaybackOffset.parse(json)
 
   override def stop(): Unit = ()
 }

@@ -88,6 +88,43 @@ class PlaybackStreamSpec extends SparkSpec {
       "row_idx is gapless across the restart — exactly-once end to end")
   }
 
+  test("restart after file rotation never post-processes an unplayed file") {
+    val dir = stage("vibration.csv", as = "a_vib.csv")
+    val out = Files.createTempDirectory("pbrot-out")
+    val ckpt = Files.createTempDirectory("pbrot-ckpt")
+    val cfg = PlaybackConfig(csvDirName = dir.toString, csvFileName = "vib",
+      postProcessMethod = PostProcess.Delete)
+    def startQ() = PlaybackStream.readings(spark, cfg)
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.ProcessingTime(10))
+      .start()
+    def written(): Long =
+      try spark.read.parquet(out.toString).count() catch { case _: Throwable => 0L }
+    // run 1: play file a to EOF (3 rows, then deleted), stop
+    val q1 = startQ()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while ((written() < 3 || Files.exists(dir.resolve("a_vib.csv"))) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally q1.stop()
+    assert(written() >= 3 && !Files.exists(dir.resolve("a_vib.csv")))
+    // a new file arrives while the stream is down; the recovered offset
+    // (3 rows, anchored to the now-deleted file a) must NOT trip the
+    // rotate check against it
+    Files.copy(Paths.get(fixture("vibration.csv")), dir.resolve("b_vib.csv"))
+    val q2 = startQ()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (written() < 6 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally q2.stop()
+    val idx = spark.read.parquet(out.toString)
+      .select("row_idx").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idx == (0L until idx.length).toSeq && idx.length >= 6,
+      s"file b played with continuing row_idx, got $idx")
+  }
+
   test("burst budget: each micro-batch emits at most a burst's worth") {
     val dir = stage("vibration.csv")
     val cfg = PlaybackConfig(csvDirName = dir.toString, csvFileName = "vibration",
