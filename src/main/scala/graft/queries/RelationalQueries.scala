@@ -853,9 +853,13 @@ object RelationalQueries {
     "q37_resample_locf",
     (s, d) => {
       val bucketUs = 900000000L // 15 minutes
+      // floor division, not DIV (truncation): pre-1970 timestamps have
+      // negative micros, and the oracle's `//` floors — subtracting
+      // pmod first makes the integer division exact floor on both signs
       val means = ev(s, d)
         .select(col("event_type"),
-          expr(s"unix_micros(ts) DIV $bucketUs").as("b"), col("value"))
+          expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $bucketUs))" +
+            s" DIV $bucketUs").as("b"), col("value"))
         .groupBy("event_type", "b")
         .agg(round(avg("value"), 4).as("v_obs"))
       val grid = means.groupBy("event_type")

@@ -257,16 +257,20 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     PlaybackConfig.matchingFiles(d, cfg.csvFileName).headOption.map(_.toString)
   }
 
+  /** Loads `f` as the current file: builds its line index (one
+    * distributed job) and derives the data-row count. The single
+    * entry point for file state, shared by fresh pickup
+    * ([[ensureFile]]) and checkpoint recovery ([[anchorFromOffset]]). */
+  private def loadFile(f: String): Unit = {
+    currentFile = Some(f)
+    lineIndex = CsvPlaybackStream.buildLineIndex(
+      org.apache.spark.SparkContext.getOrCreate(), f)
+    fileRows = math.max(0L,
+      lineIndex.totalLines - CsvPlaybackStream.dataStartLine(cfg))
+  }
+
   private def ensureFile(): Unit = {
-    if (currentFile.isEmpty) {
-      currentFile = findFile()
-      currentFile.foreach { f =>
-        lineIndex = CsvPlaybackStream.buildLineIndex(
-          org.apache.spark.SparkContext.getOrCreate(), f)
-        fileRows = math.max(0L,
-          lineIndex.totalLines - CsvPlaybackStream.dataStartLine(cfg))
-      }
-    }
+    if (currentFile.isEmpty) findFile().foreach(loadFile)
   }
 
   /** Restores file state on a freshly constructed source from a
@@ -282,17 +286,17 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     if (currentFile.isEmpty) {
       o.file match {
         case Some(f) if java.nio.file.Files.exists(java.nio.file.Paths.get(f)) =>
-          currentFile = Some(f)
-          lineIndex = CsvPlaybackStream.buildLineIndex(
-            org.apache.spark.SparkContext.getOrCreate(), f)
-          fileRows = math.max(0L,
-            lineIndex.totalLines - CsvPlaybackStream.dataStartLine(cfg))
+          loadFile(f)
           fileStartOffset = o.fileStart
         case Some(_) =>
           // the anchored file is gone (EOF action rotated it): whatever
-          // file comes next begins at the recovered row count
+          // file comes next — found now or triggers later — begins at
+          // the recovered row count. Set the base unconditionally: if
+          // it waited for a file to be found, a successor arriving
+          // after the restart would still see base 0 and be rotated
+          // away unplayed by the `s >= base + rows` check.
+          fileStartOffset = o.totalRows
           ensureFile()
-          if (currentFile.isDefined) fileStartOffset = o.totalRows
         case None =>
           // between files at checkpoint time: the offset still records
           // where the next file must begin — restoring it keeps the
@@ -362,11 +366,15 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     anchorFromOffset(eo)
     if (currentFile.isEmpty) ensureFile() // anchorless initial offsets
     if (currentFile.isEmpty || fileRows == 0) return Array.empty
-    // Non-replay recovery where the recovered range predates the
-    // current file: those rows lived in a file the EOF action already
-    // deleted/renamed — unrecoverable by design (the reference
-    // post-processes eagerly too); emit nothing rather than the wrong
-    // rows.
+    // Recovery where the recovered range does not lie inside the
+    // current file: rows before fileStartOffset lived in a file the
+    // EOF action already deleted/renamed (s < fileStartOffset happens
+    // when the anchor re-based a successor file at the recovered
+    // count), rows at/after fileStartOffset + fileRows belong to a
+    // later file — either way the range is unrecoverable by design
+    // (the reference post-processes eagerly too); emit nothing rather
+    // than the wrong rows.
+    if (s < fileStartOffset) return Array.empty
     if (!replay && s - fileStartOffset >= fileRows) return Array.empty
     val path = currentFile.get
     val dataStart = CsvPlaybackStream.dataStartLine(cfg)
