@@ -130,4 +130,24 @@ object Sampling {
       .filter(col("_rn") <= cap)
       .drop("_rn")
   }
+
+  /** Deterministic corpus shuffle + shard assignment — the "global
+    * shuffle before sharding to training files" step every pretraining
+    * pipeline runs before writing the final dataset. Each row gets a
+    * stable `shard` in [0, nShards) and a stable `pos` within its
+    * shard, both pure functions of md5(key): re-running over an
+    * incrementally grown corpus never moves an old row relative to
+    * another old row.
+    *
+    * Scale shape: the md5-hash order IS the random permutation, so no
+    * global sort ever happens — one hash exchange on the shard key,
+    * then a per-shard (i.e. per-partition-group) sort to rank. At
+    * 100 TB, nShards is the output-file count (thousands); each shard
+    * sorts independently, and writers consume shards in parallel. */
+  def shardAssignment(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    val h = md5(key.cast("string"))
+    df.withColumn("shard", pmod(md5Bucket256(key), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number().over(Window.partitionBy(col("shard"))
+        .orderBy(h, key)).cast("long"))
+  }
 }

@@ -311,4 +311,26 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Order-preserving within-document token dedup: each token keeps
+    * its FIRST occurrence, later repeats are dropped — the "unique
+    * word sequence" normalization some near-dup pipelines use as a
+    * repetition-insensitive document signature (a doc and its
+    * copy-paste-inflated variant collapse to the same key, unlike a
+    * raw fingerprint, and unlike a sorted bag it still distinguishes
+    * word order).
+    *
+    * Row-local (no shuffle). The indexed-lambda filter is O(n²) per
+    * document in the token count; for signature use, cap the input
+    * with [[chunk]]-style slicing first if documents are huge.
+    *
+    * `toks` must be a materialized array column (bind [[tokens]] via
+    * `withColumn` first), NOT the `split(...)` expression itself: a
+    * non-attribute argument referenced inside an indexed lambda is
+    * re-evaluated per element, turning O(n²) contains-checks into
+    * O(n²) full re-splits. */
+  def uniqueTokenSeq(toks: Column): Column =
+    // keep token i (0-based) iff it does not appear among tokens [0, i)
+    array_join(
+      filter(toks, (t, i) => !array_contains(slice(toks, lit(1), i), t)), " ")
 }

@@ -896,8 +896,34 @@ object RelationalQueries {
         CAST(v_obs IS NOT NULL AS INT) AS observed
       FROM j ORDER BY event_type, bucket_start"""))
 
+  // --- q38: event-type transition matrix (first-order Markov counts)
+  //     lead() over each user's timeline, then a count per (from, to)
+  //     pair — one window shuffle on user_id, one partial-agg shuffle
+  //     on the pair (at most |types|² groups, trivially broadcastable
+  //     downstream at any corpus size) -------------------------------
+  private val q38 = GraftQuery(
+    "q38_event_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH t AS (
+        SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS to_type
+        FROM events)
+      SELECT from_type, to_type, count(*) AS n
+      FROM t WHERE to_type IS NOT NULL
+      GROUP BY 1, 2 ORDER BY from_type, to_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
+    q38)
 }

@@ -210,6 +210,27 @@ object SamplingQueries {
             < least(1.0, greatest(0.0, n_chars / 400.0))
       ORDER BY doc_id"""))
 
+  // --- s11: deterministic corpus shuffle + shard assignment -----------
+  // The pre-materialization "global shuffle" of a pretraining pipeline:
+  // shard = md5 bucket of the key (mod nShards), pos = rank of the md5
+  // hash within the shard. Pure functions of the key — adding new docs
+  // never reorders old ones relative to each other — and no global
+  // sort: one exchange on shard, per-shard ranking.
+  private val s11 = GraftQuery(
+    "s11_corpus_shard",
+    (s, d) =>
+      Sampling.shardAssignment(Tables(s, d, "documents"), col("doc_id"), 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos"),
+    Some("""SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::UBIGINT % 8
+          AS INT) AS shard,
+        CAST(row_number() OVER (
+          PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::UBIGINT % 8
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+      FROM documents
+      ORDER BY shard, pos"""))
+
   val all: Seq[GraftQuery] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 }

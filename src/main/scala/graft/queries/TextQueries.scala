@@ -403,6 +403,39 @@ object TextQueries {
       FROM keyed GROUP BY ufp HAVING count(*) > 1
       ORDER BY keeper"""))
 
+  // --- t14: repetition-insensitive doc signature (unique token seq) ---
+  // Order-preserving within-doc token dedup: a doc and its copy-paste-
+  // inflated variant share a signature, but word order still matters
+  // (unlike a sorted bag). Row-local; the oracle mirrors the indexed
+  // lambda (Spark filter index is 0-based, DuckDB's is 1-based — the
+  // "tokens before me" slice is `slice(l, 1, i)` vs `l[:i-1]`).
+  private val t14 = GraftQuery(
+    "t14_unique_token_seq",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .withColumn("_toks", graft.operators.TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("_toks")).cast("long").as("n_tokens"),
+          graft.operators.TextAnalysis.uniqueTokenSeq(col("_toks")).as("sig"))
+        .withColumn("n_unique",
+          size(split(col("sig"), " ")).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("n_unique"), col("sig"))
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        FROM documents WHERE doc_id < 100),
+      dd AS (
+        SELECT doc_id, l,
+          list_filter(l, (x, i) -> NOT list_contains(l[:i-1], x)) AS u
+        FROM toks)
+      SELECT doc_id,
+        CAST(len(l) AS BIGINT) AS n_tokens,
+        CAST(len(u) AS BIGINT) AS n_unique,
+        array_to_string(u, ' ') AS sig
+      FROM dd ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+      t14)
 }

@@ -159,4 +159,31 @@ class SamplingSpec extends SparkSpec {
     assert(at3.subsetOf(at6))
     assert(at3.size < at6.size && at6.size < n)
   }
+
+  test("shard assignment: partition of the corpus, dense ranks, stable under growth") {
+    val n = docs.count()
+    val sharded = Sampling.shardAssignment(docs, col("doc_id"), 4)
+      .select(col("doc_id").as[Long], col("shard").as[Int], col("pos").as[Long])
+      .collect()
+    assert(sharded.length == n, "every row gets exactly one shard")
+    assert(sharded.map(_._2).toSet.subsetOf((0 until 4).toSet))
+    // pos is dense 1..k within each shard
+    sharded.groupBy(_._2).foreach { case (sh, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.toSeq == (1L to rows.length).toSeq, s"dense ranks in shard $sh")
+    }
+    // growing the corpus never reorders surviving rows relative to
+    // each other (incremental re-materialization contract)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val small = Sampling.shardAssignment(half, col("doc_id"), 4)
+      .select(col("doc_id").as[Long], col("shard").as[Int], col("pos").as[Long])
+      .collect()
+    val fullOrder = sharded.groupBy(_._2).map { case (sh, rows) =>
+      sh -> rows.sortBy(_._3).map(_._1).filter(_ % 2 == 0).toSeq
+    }
+    val smallOrder = small.groupBy(_._2).map { case (sh, rows) =>
+      sh -> rows.sortBy(_._3).map(_._1).toSeq
+    }
+    assert(fullOrder == smallOrder, "relative order is hash-stable")
+  }
 }

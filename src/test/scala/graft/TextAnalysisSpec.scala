@@ -187,4 +187,19 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().toSet
     assert(fps.size == 1)
   }
+
+  test("unique token sequence: order-preserving, idempotent, repetition-insensitive") {
+    def sig(rows: Seq[String]) = rows.toDF("text")
+      .withColumn("_toks", TextAnalysis.tokens(col("text")))
+      .select(TextAnalysis.uniqueTokenSeq(col("_toks")))
+      .as[String].collect().toSeq
+    assert(sig(Seq("b a b c a a d")) == Seq("b a c d"),
+      "first occurrence kept, order preserved")
+    // a doc and its copy-paste-inflated variant share a signature
+    assert(sig(Seq("the quick fox", "the quick fox the quick fox")).distinct.size == 1)
+    // but word order still distinguishes (unlike a sorted bag)
+    assert(sig(Seq("alpha beta", "beta alpha")).distinct.size == 2)
+    // idempotent: applying to an already-unique sequence is identity
+    assert(sig(Seq("x y z")) == Seq("x y z"))
+  }
 }
