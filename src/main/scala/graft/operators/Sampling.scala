@@ -146,7 +146,12 @@ object Sampling {
     * sorts independently, and writers consume shards in parallel. */
   def shardAssignment(df: DataFrame, key: Column, nShards: Int): DataFrame = {
     val h = md5(key.cast("string"))
-    df.withColumn("shard", pmod(md5Bucket256(key), lit(nShards)).cast("int"))
+    // 32 hash bits before the mod (not md5Bucket256's 8): a byte-wide
+    // hash caps the scheme at 256 shards and skews any nShards that
+    // does not divide 256 — at 2³² both artifacts are negligible for
+    // any realistic output-file count
+    val wide = conv(substring(h, 1, 8), 16, 10).cast("long")
+    df.withColumn("shard", pmod(wide, lit(nShards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(Window.partitionBy(col("shard"))
         .orderBy(h, key)).cast("long"))
   }

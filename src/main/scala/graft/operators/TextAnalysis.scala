@@ -329,8 +329,10 @@ object TextAnalysis {
     * non-attribute argument referenced inside an indexed lambda is
     * re-evaluated per element, turning O(n²) contains-checks into
     * O(n²) full re-splits. */
-  def uniqueTokenSeq(toks: Column): Column =
+  def uniqueTokens(toks: Column): Column =
     // keep token i (0-based) iff it does not appear among tokens [0, i)
-    array_join(
-      filter(toks, (t, i) => !array_contains(slice(toks, lit(1), i), t)), " ")
+    filter(toks, (t, i) => !array_contains(slice(toks, lit(1), i), t))
+
+  /** [[uniqueTokens]] rejoined to a signature string. */
+  def uniqueTokenSeq(toks: Column): Column = array_join(uniqueTokens(toks), " ")
 }

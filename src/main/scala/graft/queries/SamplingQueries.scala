@@ -212,8 +212,8 @@ object SamplingQueries {
 
   // --- s11: deterministic corpus shuffle + shard assignment -----------
   // The pre-materialization "global shuffle" of a pretraining pipeline:
-  // shard = md5 bucket of the key (mod nShards), pos = rank of the md5
-  // hash within the shard. Pure functions of the key — adding new docs
+  // shard = 32 md5 hash bits mod nShards, pos = rank of the md5 hash
+  // within the shard. Pure functions of the key — adding new docs
   // never reorders old ones relative to each other — and no global
   // sort: one exchange on shard, per-shard ranking.
   private val s11 = GraftQuery(
@@ -223,10 +223,10 @@ object SamplingQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos"),
     Some("""SELECT doc_id,
-        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::UBIGINT % 8
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8
           AS INT) AS shard,
         CAST(row_number() OVER (
-          PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::UBIGINT % 8
+          PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8
           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
       FROM documents
       ORDER BY shard, pos"""))

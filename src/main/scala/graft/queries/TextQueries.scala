@@ -414,13 +414,12 @@ object TextQueries {
     (s, d) =>
       Tables(s, d, "documents")
         .filter(col("doc_id") < 100)
-        .withColumn("_toks", graft.operators.TextAnalysis.tokens(col("text")))
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        .withColumn("_uniq", TextAnalysis.uniqueTokens(col("_toks")))
         .select(col("doc_id"),
           size(col("_toks")).cast("long").as("n_tokens"),
-          graft.operators.TextAnalysis.uniqueTokenSeq(col("_toks")).as("sig"))
-        .withColumn("n_unique",
-          size(split(col("sig"), " ")).cast("long"))
-        .select(col("doc_id"), col("n_tokens"), col("n_unique"), col("sig"))
+          size(col("_uniq")).cast("long").as("n_unique"),
+          array_join(col("_uniq"), " ").as("sig"))
         .orderBy("doc_id"),
     Some("""WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS l

@@ -209,11 +209,14 @@ class CsvPlaybackTable(cfg: PlaybackConfig) extends Table with SupportsRead {
   * post-processing has rotated files, and the rotate check could
   * delete/rename a file that was never played. */
 case class PlaybackOffset(totalRows: Long, file: Option[String] = None,
-    fileStart: Long = 0L) extends Offset {
+    fileStart: Long = 0L, fileBytes: Long = -1L) extends Offset {
   override def json(): String = file match {
     case Some(f) =>
       val esc = f.replace("\\", "\\\\").replace("\"", "\\\"")
-      s"""{"totalRows":$totalRows,"file":"$esc","fileStart":$fileStart}"""
+      // fileBytes is the anchor's identity: a same-named file that
+      // appears after the anchored one was rotated away must not be
+      // mistaken for it on recovery (its bytes differ)
+      s"""{"totalRows":$totalRows,"file":"$esc","fileStart":$fileStart,"fileBytes":$fileBytes}"""
     case None =>
       // fileStart must survive even between files: it is where the NEXT
       // file begins, and dropping it across a restart re-bases the
@@ -230,7 +233,9 @@ object PlaybackOffset {
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     val start = """"fileStart"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(0L)
-    PlaybackOffset(rows, file, start)
+    val bytes = """"fileBytes"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    PlaybackOffset(rows, file, start, bytes)
   }
 }
 
@@ -245,6 +250,7 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
   // live here)
   private var currentFile: Option[String] = None
   private var fileRows: Long = 0L        // data rows in the current file
+  private var fileBytes: Long = -1L      // on-disk size (anchor identity)
   private var fileStartOffset: Long = 0L // totalRows when this file began
   private var lastEmitMicros: Long = 0L
   private var lineIndex: CsvPlaybackStream.FileLineIndex =
@@ -263,6 +269,9 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     * ([[ensureFile]]) and checkpoint recovery ([[anchorFromOffset]]). */
   private def loadFile(f: String): Unit = {
     currentFile = Some(f)
+    fileBytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      catch { case _: java.io.IOException => -1L }
     lineIndex = CsvPlaybackStream.buildLineIndex(
       org.apache.spark.SparkContext.getOrCreate(), f)
     fileRows = math.max(0L,
@@ -283,18 +292,30 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     * fire against a file that was not played. No-op once state exists
     * or for fresh streams (anchorless initial offset). */
   private def anchorFromOffset(o: PlaybackOffset): Unit = {
+    // path exists AND holds the same bytes the anchor was written
+    // against — a same-named successor (possible after Rename frees
+    // the name, or a producer re-drop) is NOT the anchored file, and
+    // replaying a WAL range against its bytes would emit wrong rows
+    def isAnchoredFile(f: String): Boolean = {
+      val p = java.nio.file.Paths.get(f)
+      java.nio.file.Files.exists(p) && (o.fileBytes < 0L ||
+        (try java.nio.file.Files.size(p) == o.fileBytes
+         catch { case _: java.io.IOException => false }))
+    }
     if (currentFile.isEmpty) {
       o.file match {
-        case Some(f) if java.nio.file.Files.exists(java.nio.file.Paths.get(f)) =>
+        case Some(f) if isAnchoredFile(f) =>
           loadFile(f)
           fileStartOffset = o.fileStart
         case Some(_) =>
-          // the anchored file is gone (EOF action rotated it): whatever
-          // file comes next — found now or triggers later — begins at
-          // the recovered row count. Set the base unconditionally: if
-          // it waited for a file to be found, a successor arriving
-          // after the restart would still see base 0 and be rotated
-          // away unplayed by the `s >= base + rows` check.
+          // the anchored file is gone (EOF action rotated it; a
+          // same-named file with different bytes counts as gone):
+          // whatever file comes next — found now or triggers later —
+          // begins at the recovered row count. Set the base
+          // unconditionally: if it waited for a file to be found, a
+          // successor arriving after the restart would still see base
+          // 0 and be rotated away unplayed by the `s >= base + rows`
+          // check.
           fileStartOffset = o.totalRows
           ensureFile()
         case None =>
@@ -326,7 +347,7 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
       postProcessCurrentFile(s)
     ensureFile()
     if (currentFile.isEmpty || fileRows == 0)
-      return PlaybackOffset(s, currentFile, fileStartOffset)
+      return PlaybackOffset(s, currentFile, fileStartOffset, fileBytes)
     val budget = limit match {
       case r: ReadMaxRows => r.maxRows()
       case _ => cfg.chunkSize.toLong
@@ -335,7 +356,7 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     val next =
       if (replay) s + budget // endless: wraps around the file in planInputPartitions
       else math.min(s + budget, fileStartOffset + fileRows)
-    PlaybackOffset(next, currentFile, fileStartOffset)
+    PlaybackOffset(next, currentFile, fileStartOffset, fileBytes)
   }
 
   private def postProcessCurrentFile(totalNow: Long): Unit = {
@@ -376,6 +397,13 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     // than the wrong rows.
     if (s < fileStartOffset) return Array.empty
     if (!replay && s - fileStartOffset >= fileRows) return Array.empty
+    // Clamp the end too: a recovered range can extend past the current
+    // file's rows if the file shrank between WAL write and recovery
+    // (truncation the identity check can't see, e.g. same-size rewrite
+    // is excluded but a shorter file is not). Without the clamp the
+    // `% fileRows` wrap below would re-emit rows from the top of the
+    // file inside a single non-replay batch.
+    val eEff = if (replay) e else math.min(e, fileStartOffset + fileRows)
     val path = currentFile.get
     val dataStart = CsvPlaybackStream.dataStartLine(cfg)
     val emitTs = if (lastEmitMicros == 0) System.currentTimeMillis() * 1000L else lastEmitMicros
@@ -388,9 +416,9 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     val subSplit = CsvPlaybackStream.SUB_SPLIT
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
     var cur = s
-    while (cur < e) {
+    while (cur < eEff) {
       val rel = (cur - fileStartOffset) % fileRows
-      val take = math.min(math.min(e - cur, fileRows - rel), subSplit)
+      val take = math.min(math.min(eEff - cur, fileRows - rel), subSplit)
       val (seekByte, skipLines) =
         lineIndex.offsetFor(dataStart + rel) match {
           case Some((off, skip)) => (off, skip)

@@ -296,4 +296,53 @@ class PlaybackStreamSpec extends SparkSpec {
     assert(tsMicros.sliding(2).forall(p => p(1) - p(0) == 125L),
       s"uniform 125µs spacing across replays: ${tsMicros.take(8).toSeq}")
   }
+
+  test("recovered anchor rejects a same-named file with different bytes") {
+    import graft.streaming.{CsvPlaybackMicroBatchStream, PlaybackOffset}
+    val dir = stage("vibration.csv")
+    val f = dir.resolve("vibration.csv").toString
+    val cfg = PlaybackConfig(csvDirName = dir.toString, csvFileName = "vibration",
+      postProcessMethod = PostProcess.Delete)
+    val realBytes = Files.size(Paths.get(f))
+    // WAL-replayed batch [0, 3) anchored to a file whose recorded size
+    // does not match what's on disk now: a same-named successor arrived
+    // after the anchored file was rotated. Policy: emit nothing (the
+    // range is unrecoverable), never the new file's bytes.
+    val wrong = new CsvPlaybackMicroBatchStream(cfg)
+    val partsWrong = wrong.planInputPartitions(
+      PlaybackOffset(0L, Some(f), 0L, realBytes + 7),
+      PlaybackOffset(3L, Some(f), 0L, realBytes + 7))
+    assert(partsWrong.isEmpty, "mismatched identity must not replay")
+    // matching identity (and the legacy no-identity offset) recovers
+    val right = new CsvPlaybackMicroBatchStream(cfg)
+    assert(right.planInputPartitions(
+      PlaybackOffset(0L, Some(f), 0L, realBytes),
+      PlaybackOffset(3L, Some(f), 0L, realBytes)).nonEmpty)
+    val legacy = new CsvPlaybackMicroBatchStream(cfg)
+    assert(legacy.planInputPartitions(
+      PlaybackOffset(0L, Some(f), 0L),
+      PlaybackOffset(3L, Some(f), 0L)).nonEmpty)
+    // offset JSON roundtrips the identity
+    val o = PlaybackOffset(5L, Some(f), 2L, realBytes)
+    assert(PlaybackOffset.parse(o.json()) == o)
+  }
+
+  test("non-replay recovery clamps a range that overruns the file (no wrap re-emit)") {
+    import graft.streaming.{CsvPlaybackMicroBatchStream, PlaybackOffset}
+    val dir = stage("vibration.csv")
+    val f = dir.resolve("vibration.csv").toString
+    val cfg = PlaybackConfig(csvDirName = dir.toString, csvFileName = "vibration",
+      postProcessMethod = PostProcess.Delete)
+    // a legacy offset (no identity) recovered against a file that now
+    // has only 3 data rows, with a WAL range [0, 10): plan exactly the
+    // 3 real rows — the modulo wrap must not re-emit rows 0.. again
+    val st = new CsvPlaybackMicroBatchStream(cfg)
+    val parts = st.planInputPartitions(
+      PlaybackOffset(0L, Some(f), 0L),
+      PlaybackOffset(10L, Some(f), 0L))
+    val planned = parts.map {
+      case graft.streaming.PlaybackInputPartition(_, _, rs, re, _, _, _, _, _) => re - rs
+    }.sum
+    assert(planned == 3L, s"clamped to the file's 3 rows, planned $planned")
+  }
 }
