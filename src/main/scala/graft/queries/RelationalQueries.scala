@@ -919,7 +919,8 @@ object RelationalQueries {
         FROM events)
       SELECT from_type, to_type, count(*) AS n
       FROM t WHERE to_type IS NOT NULL
-      GROUP BY 1, 2 ORDER BY from_type, to_type"""))
+      GROUP BY 1, 2 ORDER BY from_type, to_type"""),
+    bench = true)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,

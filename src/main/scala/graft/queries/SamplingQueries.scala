@@ -229,7 +229,8 @@ object SamplingQueries {
           PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8
           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
       FROM documents
-      ORDER BY shard, pos"""))
+      ORDER BY shard, pos"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
