@@ -31,8 +31,12 @@ object Bench {
     // warmup: touch every table once
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
 
+    // dev knob: skip the playback stages to isolate query timings
+    val skipPlayback = sys.env.contains("SPARK_GRAFT_SKIP_PLAYBACK")
+
     // playback throughput first, before 20+ query runs fill the old gen
-    val playbackRps = try PlaybackBench.run(spark, sfDir, seconds = 8)
+    val playbackRps = if (skipPlayback) -1.0
+      else try PlaybackBench.run(spark, sfDir, seconds = 8)
       catch { case e: Throwable =>
         System.err.println(s"[bench] playback failed: ${e.getMessage}"); -1.0 }
 
@@ -41,7 +45,8 @@ object Bench {
     // cannot be configured faster — the cap is the reference's own
     // sampleRate validation rule, mirrored here). The reference runs
     // one plugin per thread; this engine schedules them onto one pool.
-    val playbackAgg8 = try PlaybackBench.runConcurrent(spark, sfDir, 8, seconds = 8)
+    val playbackAgg8 = if (skipPlayback) -1.0
+      else try PlaybackBench.runConcurrent(spark, sfDir, 8, seconds = 8)
       catch { case e: Throwable =>
         System.err.println(s"[bench] concurrent playback failed: ${e.getMessage}"); -1.0 }
 

@@ -6,8 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: only run queries whose name starts with it
-    // (dev loop — the driver always runs the full surface)
+    // optional third arg: only run queries whose name starts with one of
+    // the comma-separated prefixes (dev loop — the driver always runs
+    // the full surface)
     val nameFilter = args.lift(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -20,7 +21,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => nameFilter.forall(name.startsWith) }
+      .filter { case (name, _) =>
+        nameFilter.forall(_.split(",").exists(name.startsWith)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -38,15 +38,40 @@ object IvfIndex {
 
   /** The deterministic unit-vector sample the trainers share — one
     * TakeOrderedAndProject job; composite indexes (IVF-PQ) collect it
-    * once and feed both trainers instead of paying two corpus scans. */
+    * once and feed both trainers instead of paying two corpus scans.
+    *
+    * The result is memoized per (session, corpus plan, embCol, size):
+    * the sample is a pure function of the corpus plan, so repeat index
+    * builds over the same corpus (the build-once / search-many pattern)
+    * skip the scan AND — because the trainers are deterministic — yield
+    * byte-identical models, letting the CacheManager dedup the encoded
+    * index plans too. Same staleness contract as `Dataset.cache`: if
+    * the underlying files are rewritten in place, call
+    * [[clearSampleCache]]. */
   def sampleUnits(df: DataFrame, embCol: String,
-      sampleSize: Int = 2048): Array[Array[Double]] =
-    Similarity.withUnit(df, embCol)
-      .select(col("_unit"))
-      .orderBy(xxhash64(col("_unit"))) // deterministic subset, cheap key
-      .limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+      sampleSize: Int = 2048): Array[Array[Double]] = {
+    val key = (df.sparkSession.hashCode(),
+      df.queryExecution.analyzed.semanticHash(), embCol, sampleSize)
+    val cached = sampleMemo.get(key)
+    if (cached != null) cached
+    else {
+      val s = Similarity.withUnit(df, embCol)
+        .select(col("_unit"))
+        .orderBy(xxhash64(col("_unit"))) // deterministic subset, cheap key
+        .limit(sampleSize)
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      if (sampleMemo.size >= 64) sampleMemo.clear() // bound driver memory
+      sampleMemo.put(key, s)
+      s
+    }
+  }
+
+  private val sampleMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int), Array[Array[Double]]]()
+
+  /** Drop memoized training samples (see [[sampleUnits]]). */
+  def clearSampleCache(): Unit = sampleMemo.clear()
 
   /** Lloyd's on an already-collected sample (see [[sampleUnits]]). */
   def train(sample: Array[Array[Double]], nlist: Int, iters: Int): Model = {
@@ -118,8 +143,12 @@ object IvfIndex {
     val units = Similarity.withUnit(corpus, embCol)
       .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
       .cache()
+    // the "index": cell-assigned units, cached — deterministic model
+    // literals make this plan identical across invocations, so repeat
+    // searches over one corpus reuse a single in-memory inverted file
     val c = units.select(col("neighbor_id"), col("u_c"),
       assignCell(col("u_c"), model).as("_cell"))
+      .cache()
     val q = Similarity.withUnit(queries, embCol)
       .select(col(idCol).as("query_id"), col("_unit").as("u_q"),
         explode(probeCells(col("_unit"), model, nprobe)).as("_cell"))

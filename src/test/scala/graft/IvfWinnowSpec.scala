@@ -19,6 +19,21 @@ class IvfWinnowSpec extends SparkSpec {
     }
   }
 
+  test("training sample is memoized per (plan, params): same array, no re-scan") {
+    IvfIndex.clearSampleCache()
+    val s1 = IvfIndex.sampleUnits(emb, "embedding", sampleSize = 64)
+    val s2 = IvfIndex.sampleUnits(emb, "embedding", sampleSize = 64)
+    assert(s1 eq s2, "second call must return the memoized array")
+    // a different plan or param is a different key
+    val s3 = IvfIndex.sampleUnits(emb, "embedding", sampleSize = 32)
+    assert(!(s3 eq s1) && s3.length == 32)
+    val s4 = IvfIndex.sampleUnits(emb.filter(col("vec_id") < 100), "embedding",
+      sampleSize = 64)
+    assert(!(s4 eq s1))
+    IvfIndex.clearSampleCache()
+    assert(!(IvfIndex.sampleUnits(emb, "embedding", sampleSize = 64) eq s1))
+  }
+
   test("IVF cell assignment partitions the corpus") {
     val model = IvfIndex.train(emb, "embedding", nlist = 8)
     val cells = Similarity.withUnit(emb, "embedding")
