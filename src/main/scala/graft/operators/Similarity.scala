@@ -72,6 +72,31 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Exact euclidean (L2) top-k — the metric twin of [[bruteForceTopK]]
+    * for embeddings whose magnitude carries signal (cosine discards it).
+    * Same scale shape: the query side broadcasts, the corpus never
+    * shuffles, one window per query for the top-k. The distance is
+    * evaluated as Σ(x−y)² left-to-right (zip_with + aggregate), the
+    * same association order reference implementations use, so rounded
+    * outputs agree with an external oracle bit-for-bit. */
+  def euclideanTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      Vec.asDouble(col(embCol)).as("e_c"))
+    val q = queries.select(col(idCol).as("query_id"),
+      Vec.asDouble(col(embCol)).as("e_q"))
+    val dist = sqrt(aggregate(
+      zip_with(col("e_c"), col("e_q"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2"), col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("l2", round(dist, roundTo))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("l2"))
+  }
+
   /** Hard cap on [[topPairs]] input size: the all-pairs join is O(N²)
     * by construction, so pointing it at an unbounded corpus is always a
     * mistake — [[lshNearDupPairs]] is the scale path. */

@@ -335,4 +335,28 @@ object TextAnalysis {
 
   /** [[uniqueTokens]] rejoined to a signature string. */
   def uniqueTokenSeq(toks: Column): Column = array_join(uniqueTokens(toks), " ")
+
+  // ------------------------------------------- encoding-quality signals
+  // Mojibake / transcoding-damage detection for web-crawl curation: a
+  // document that went through a wrong-charset decode carries U+FFFD
+  // replacement characters; binary spill shows up as C0/C1 control
+  // bytes. All row-local length arithmetic — no shuffle, no UDF.
+
+  /** Count of U+FFFD REPLACEMENT CHARACTER occurrences (each one marks
+    * an undecodable byte sequence in some upstream decode). */
+  def replacementCharCount(text: Column): Column =
+    (length(text) - length(replace(text, lit("�"), lit("")))).cast("long")
+
+  /** Count of control characters other than tab/newline/carriage-return
+    * (C0 minus whitespace, plus DEL) — text that should never appear in
+    * clean prose. */
+  def controlCharCount(text: Column): Column =
+    (length(text) -
+      length(regexp_replace(text,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))).cast("long")
+
+  /** Fraction of characters in the 7-bit ASCII range — a cheap prior
+    * for charset sanity on corpora expected to be mostly Latin-script. */
+  def asciiRatio(text: Column): Column =
+    length(regexp_replace(text, "[^\\x00-\\x7F]", "")) / length(text)
 }

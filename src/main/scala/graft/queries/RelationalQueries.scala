@@ -922,9 +922,80 @@ object RelationalQueries {
       GROUP BY 1, 2 ORDER BY from_type, to_type"""),
     bench = true)
 
+  // --- q39: trailing 7-day rolling distinct users per day -------------
+  // Rolling COUNT(DISTINCT) doesn't decompose into a window aggregate,
+  // and the naive day-grid range join is O(days × rows) nested-loop.
+  // Instead each (day, user) fact is exploded onto the ≤7 trailing
+  // window ends it contributes to — a map-side 7× fan-out of NARROW
+  // (date, id) pairs — and the distinct count is a plain hash
+  // aggregate: linear work, one shuffle on (day, user), no range join
+  // anywhere. Days with no events contribute no window of their own
+  // (the grid is the observed days), matching the oracle's join.
+  private val q39 = GraftQuery(
+    "q39_rolling_distinct_users",
+    (s, d) => {
+      val daily = ev(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val contrib = daily.select(
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+        col("user_id"))
+      val days = daily.select("day").distinct()
+      contrib.groupBy("day")
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+        .join(days, Seq("day")) // trailing windows past the last day drop
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      days AS (SELECT DISTINCT day FROM daily)
+      SELECT d.day, count(DISTINCT u.user_id) AS users_7d
+      FROM days d JOIN daily u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day ORDER BY d.day"""))
+
+  // --- q40: categorical distribution stats (deterministic mode +
+  //     Shannon entropy) per group -------------------------------------
+  // mode() in both engines breaks ties arbitrarily, so the modal value
+  // is derived from the count table with an explicit (count DESC, value)
+  // ranking instead — deterministic on both sides. Entropy sums over
+  // the same count table. One partial-agg shuffle on (group, value) —
+  // at most |groups|×|values| rows after it — then a broadcast-sized
+  // window + re-agg; the raw table is touched once.
+  private val q40 = GraftQuery(
+    "q40_category_stats",
+    (s, d) => {
+      val counts = Tables(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("source"))
+      val stats = counts
+        .withColumn("_tot", sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .withColumn("_rk", row_number().over(w))
+      stats.groupBy(col("lang"))
+        .agg(
+          max(when(col("_rk") === 1, col("source"))).as("modal_source"),
+          sum(col("n")).as("n_docs"),
+          round(-sum((col("n") / col("_tot")) *
+            log2(col("n") / col("_tot"))), 6).as("source_entropy"))
+        .orderBy("lang")
+    },
+    Some("""WITH counts AS (
+        SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+      ranked AS (
+        SELECT lang, source, n,
+          sum(n) OVER (PARTITION BY lang) AS tot,
+          row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rk
+        FROM counts)
+      SELECT lang,
+        max(CASE WHEN rk = 1 THEN source END) AS modal_source,
+        CAST(sum(n) AS BIGINT) AS n_docs,
+        round(-sum((n / tot) * log2(n / tot)), 6) AS source_entropy
+      FROM ranked GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38)
+    q38, q39, q40)
 }

@@ -434,7 +434,48 @@ object TextQueries {
         array_to_string(u, ' ') AS sig
       FROM dd ORDER BY doc_id"""))
 
+  // --- t15: encoding-quality signals (mojibake / binary-spill) --------
+  // Plants transcoding damage on copies of docs 0-9 (U+FFFD replacement
+  // chars + C0 control bytes, the two signatures of a wrong-charset
+  // decode); the signals must flag exactly the planted rows. Both
+  // engines count code points, so the length arithmetic agrees; the
+  // control-char class is spelled in \xNN ranges both regex dialects
+  // (Java util.regex / RE2) read identically.
+  private val t15 = GraftQuery(
+    "t15_encoding_quality",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 7000000).as("doc_id"),
+          concat(lit("\u0001\uFFFD"), col("text"), lit("\uFFFD\u0007"))
+            .as("text"))
+      docs.filter(col("doc_id") < 50).unionByName(variants)
+        .select(col("doc_id"),
+          TextAnalysis.replacementCharCount(col("text")).as("n_repl"),
+          TextAnalysis.controlCharCount(col("text")).as("n_ctl"),
+          round(TextAnalysis.asciiRatio(col("text")), 6).as("ascii_ratio"),
+          (TextAnalysis.replacementCharCount(col("text")) === 0 &&
+            TextAnalysis.controlCharCount(col("text")) === 0).as("is_clean"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id + 7000000,
+          chr(1) || chr(65533) || text || chr(65533) || chr(7)
+        FROM documents WHERE doc_id < 10)
+      SELECT doc_id,
+        length(text) - length(replace(text, chr(65533), '')) AS n_repl,
+        length(text) - length(regexp_replace(text,
+          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS n_ctl,
+        round(length(regexp_replace(text, '[^\x00-\x7f]', '', 'g'))
+          / length(text), 6) AS ascii_ratio,
+        (length(text) = length(replace(text, chr(65533), ''))
+          AND length(text) = length(regexp_replace(text,
+            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))) AS is_clean
+      FROM p ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14)
+      t14, t15)
 }

@@ -185,5 +185,28 @@ object VectorQueries {
         AND round(list_cosine_similarity(q.e, c.e), 6) >= 0.3
       ORDER BY query_id, neighbor_id"""))
 
-  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09)
+  // --- v10: exact euclidean (L2) top-k ---------------------------------
+  // The metric twin of v01 for magnitude-bearing embeddings; ranking is
+  // on distance ascending. rank cast matches v01's convention.
+  private val v10 = GraftQuery(
+    "v10_euclidean_topk",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.euclideanTopK(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_distance(q.e, c.e), 6) AS l2
+        FROM u q, u c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+    SELECT query_id, rank, neighbor_id, l2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY l2, neighbor_id) AS rank FROM pairs)
+    WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
+    v09, v10)
 }

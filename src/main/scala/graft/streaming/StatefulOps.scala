@@ -83,4 +83,35 @@ object StatefulOps {
     val newOnly = stream.join(histFp, fp === col("_hist_fp"), "left_anti")
     streamingDedup(newOnly, textCol, tsCol, delay)
   }
+
+  /** Watermarked stream-stream interval join: each left row pairs with
+    * same-key right rows whose event time falls in
+    * [left.ts − lookback, left.ts + lookahead] — the streaming twin of
+    * the batch as-of/range joins (q26/q28), e.g. clicks joined to the
+    * errors that follow them within a minute.
+    *
+    * Both sides carry event-time watermarks AND the join condition
+    * bounds the two event times against each other — exactly the two
+    * ingredients Structured Streaming needs to compute a state eviction
+    * horizon for BOTH sides; without the time bound the join state
+    * grows forever. Each side's buffered state is then
+    * O(rate × (delay + interval width)), independent of stream length.
+    *
+    * `leftTsCol` and `rightTsCol` must be distinct names (the joined
+    * schema keeps both); the join key column is emitted once. Inner
+    * join only — it emits as soon as a match arrives, needs no extra
+    * watermark semantics, and is the shape outer interval joins build
+    * on. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, delay: String,
+      lookback: String, lookahead: String): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      s"left/right event-time columns must have distinct names (both '$leftTsCol')")
+    val l = left.withWatermark(leftTsCol, delay)
+    val r = right.withWatermark(rightTsCol, delay)
+    val cond = l(keyCol) === r(keyCol) &&
+      r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $lookback") &&
+      r(rightTsCol) <= l(leftTsCol) + expr(s"INTERVAL $lookahead")
+    l.join(r, cond).drop(r(keyCol))
+  }
 }

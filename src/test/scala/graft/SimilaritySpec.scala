@@ -50,6 +50,21 @@ class SimilaritySpec extends SparkSpec {
     assert(tight == Set(1L))
   }
 
+  test("euclidean top-k ranks by L2 ascending; duplicate vector is rank 1 at 0") {
+    val corpus = Seq(
+      (0L, Seq(2.0, 0.0)),  // the query itself — excluded by id
+      (1L, Seq(2.0, 0.0)),  // exact duplicate → l2 = 0
+      (2L, Seq(2.0, 1.0)),  // l2 = 1
+      (3L, Seq(0.0, 0.0)),  // l2 = 2 — cosine-undefined but L2-valid
+      (4L, Seq(-2.0, 0.0))  // l2 = 4
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.euclideanTopK(corpus,
+        corpus.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "l2").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 0.0), (2L, 1.0), (3L, 2.0)), got.toString)
+  }
+
   test("LSH ANN recall vs brute force is reasonable at this scale") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)

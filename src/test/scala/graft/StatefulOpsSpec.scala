@@ -96,6 +96,34 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the time bound") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, String)]
+    val errors = MemoryStream[(java.sql.Timestamp, String)]
+    val joined = StatefulOps.streamIntervalJoin(
+      clicks.toDF().toDF("click_ts", "user"),
+      errors.toDF().toDF("err_ts", "user"),
+      keyCol = "user", leftTsCol = "click_ts", rightTsCol = "err_ts",
+      delay = "0 seconds", lookback = "0 seconds", lookahead = "5 seconds")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      // u1's error lands 3s after its click (in window); u2's error has
+      // no click; u3's error precedes its click (out of window)
+      clicks.addData((ts(10), "u1"), (ts(10), "u3"))
+      errors.addData((ts(13), "u1"), (ts(13), "u2"), (ts(8), "u3"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user, click_ts, err_ts FROM ivj")
+        .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect().toSeq
+      assert(got == Seq(("u1", ts(10), ts(13))), got.toString)
+      // a later error outside the 5s window never matches
+      errors.addData((ts(30), "u1"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM ivj").count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup drops history dups and in-stream repeats") {
     implicit val sq = spark.sqlContext
     val history = Seq("alpha", "gamma").toDF("text")

@@ -188,6 +188,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.size == 1)
   }
 
+  test("encoding-quality signals flag mojibake and control bytes") {
+    val rows = Seq(
+      "clean ascii text",          // clean
+      "café crème",      // non-ASCII but clean
+      "bad � decode �",  // two replacement chars
+      "bin\u0001ary\u0007spill",   // two control chars
+      "tabs\tand\nnewlines are fine").toDF("text")
+      .select(
+        TextAnalysis.replacementCharCount(col("text")).as("n_repl"),
+        TextAnalysis.controlCharCount(col("text")).as("n_ctl"),
+        round(TextAnalysis.asciiRatio(col("text")), 2).as("ascii"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows(0) == ((0L, 0L, 1.0)))
+    assert(rows(1)._1 == 0L && rows(1)._2 == 0L && rows(1)._3 < 1.0)
+    assert(rows(2)._1 == 2L, "replacement chars counted")
+    assert(rows(3)._2 == 2L, "control chars counted")
+    assert(rows(4) == ((0L, 0L, 1.0)), "tab/newline are not violations")
+  }
+
   test("unique token sequence: order-preserving, idempotent, repetition-insensitive") {
     def sig(rows: Seq[String]) = rows.toDF("text")
       .withColumn("_toks", TextAnalysis.tokens(col("text")))
