@@ -50,24 +50,29 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] concurrent playback failed: ${e.getMessage}"); -1.0 }
 
-    // steady-state timing: first run pays Janino/JIT compilation of each
-    // query's unique expression trees (one-time per cluster lifetime);
-    // the reported number is the min of three post-warmup runs (r2's
-    // min-of-two still let one noisy pair show as a phantom regression)
-    val results = QueryRegistry.benchNames.map { name =>
-      def once(): Long =
-        try QueryRegistry.queryMap(name)(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      once()
-      def timed(): (Double, Long) = {
-        val t0 = System.nanoTime()
-        val n = once()
-        ((System.nanoTime() - t0) / 1e9, n)
-      }
-      val runs = Seq.fill(3)(timed())
-      name -> (runs.map(_._1).min, runs.head._2)
+    // steady-state timing: first pass over the whole set pays Janino/JIT
+    // compilation of each query's unique expression trees (one-time per
+    // cluster lifetime) and warms the page cache; the reported number is
+    // the per-query min over three INTERLEAVED rounds of the full set —
+    // back-to-back repeats of one query all land inside the same
+    // multi-second host stall (observed: one rotating query spiking
+    // 5-10× with all three consecutive runs slow), while round-robin
+    // spreads a query's three samples minutes apart so the min sees at
+    // least one clean run.
+    val names = QueryRegistry.benchNames
+    def once(name: String): Long =
+      try QueryRegistry.queryMap(name)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+    val rowCounts = names.map(n => n -> once(n)).toMap // warmup pass
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to 3; name <- names) {
+      val t0 = System.nanoTime()
+      once(name)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (best.getOrElse(name, Double.MaxValue) > sec) best(name) = sec
     }
+    val results = names.map(name => name -> (best(name), rowCounts(name)))
 
     val qs = results.map { case (k, (sec, _)) => "\"" + k + f"""":$sec%.3f""" }
       .mkString("{", ",", "}")
