@@ -103,4 +103,21 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
     assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined, plan.take(1200))
   }
+
+  test("q39 rolling distinct: explode fan-out, never a range join") {
+    val plan = executedPlan("q39_rolling_distinct_users")
+    // the naive formulation is a day-grid BETWEEN join → nested loop;
+    // the linear plan explodes each fact onto its ≤7 window ends
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(plan.contains("Generate explode"), plan.take(1200))
+  }
+
+  test("v10 euclidean top-k: query side broadcasts, corpus never shuffles") {
+    val plan = executedPlan("v10_euclidean_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // the only exchange is the final per-query top-k window (+ the
+    // ORDER BY the oracle requires); no join-side corpus shuffle
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
 }
