@@ -144,8 +144,15 @@ object Sampling {
     * then a per-shard (i.e. per-partition-group) sort to rank. At
     * 100 TB, nShards is the output-file count (thousands); each shard
     * sorts independently, and writers consume shards in parallel. */
-  def shardAssignment(df: DataFrame, key: Column, nShards: Int): DataFrame = {
-    val h = md5(key.cast("string"))
+  def shardAssignment(df: DataFrame, key: Column, nShards: Int,
+      salt: String = ""): DataFrame = {
+    // non-empty salt re-keys the whole permutation — one salt per
+    // training epoch gives each epoch its own deterministic order
+    // without RNG state (empty salt hashes the bare key, so existing
+    // assignments are unchanged)
+    val keyed = if (salt.isEmpty) key.cast("string")
+      else concat(key.cast("string"), lit(":"), lit(salt))
+    val h = md5(keyed)
     // 32 hash bits before the mod (not md5Bucket256's 8): a byte-wide
     // hash caps the scheme at 256 shards and skews any nShards that
     // does not divide 256 — at 2³² both artifacts are negligible for
@@ -154,5 +161,30 @@ object Sampling {
     df.withColumn("shard", pmod(wide, lit(nShards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(Window.partitionBy(col("shard"))
         .orderBy(h, key)).cast("long"))
+  }
+
+  /** Contiguous global row ids [0, N) in the shuffled order, without a
+    * global sort: [[shardAssignment]] ranks within shards, one bounded
+    * driver-side aggregate collects the nShards shard sizes, and each
+    * row's id is its shard's running offset plus its in-shard rank.
+    * The total order is (shard, md5(key), key) — identical to what a
+    * single global ORDER BY over the same keys would produce, at the
+    * cost of one small count job instead of an all-data sort.
+    *
+    * This is the standard distributed id-assignment shape (the fix for
+    * `zipWithIndex`/`monotonically_increasing_id` non-contiguity).
+    * Offsets ride the plan as an nShards-wide literal array, so keep
+    * nShards ≤ a few thousand (it is the output-file count). */
+  def globalIds(df: DataFrame, key: Column, nShards: Int = 256): DataFrame = {
+    require(nShards <= 4096,
+      s"nShards=$nShards: offsets are plan literals, keep the shard count bounded")
+    val sharded = shardAssignment(df, key, nShards)
+    val counts = sharded.groupBy(col("shard")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val offsets = (0 until nShards)
+      .scanLeft(0L)((acc, s) => acc + counts.getOrElse(s.toLong, 0L))
+    val offCol = element_at(
+      array(offsets.take(nShards).map(lit(_)): _*), col("shard") + 1)
+    sharded.withColumn("gid", offCol + col("pos") - 1)
   }
 }

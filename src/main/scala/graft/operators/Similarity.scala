@@ -97,6 +97,43 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("l2"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS) — the retrieval metric of
+    * recommender/two-tower models, where vector magnitude IS the signal
+    * (popular items have long embeddings; cosine would erase that).
+    * Same scale shape as [[bruteForceTopK]]: broadcast probes, corpus
+    * never shuffles. For the approximate path, reduce MIPS to cosine
+    * with [[augmentForMips]] and reuse any cosine index. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      Vec.asDouble(col(embCol)).as("e_c"))
+    val q = queries.select(col(idCol).as("query_id"),
+      Vec.asDouble(col(embCol)).as("e_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", round(Vec.dot(col("e_c"), col("e_q")), roundTo))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("ip"))
+  }
+
+  /** The MIPS → cosine reduction (Bachrach et al., RecSys 2014): append
+    * one dimension holding √(M² − ‖x‖²) to every corpus vector (M ≥ the
+    * max corpus norm) and a 0 to every query. All augmented corpus
+    * vectors then share norm M, so cosine against an augmented query
+    * ranks exactly by inner product — any cosine ANN structure in this
+    * file ([[lshTopK]], IVF, PQ) becomes a MIPS index unchanged.
+    * Map-side: one expression per row, no shuffle. Pass `isQuery=true`
+    * for the probe side (appends the 0). */
+  def augmentForMips(df: DataFrame, embCol: String, maxNorm: Double,
+      isQuery: Boolean = false, outCol: String = "_aug"): DataFrame = {
+    val e = Vec.asDouble(col(embCol))
+    val extra = if (isQuery) lit(0.0)
+      else sqrt(greatest(lit(0.0), lit(maxNorm * maxNorm) - Vec.dot(e, e)))
+    df.withColumn(outCol, concat(e, array(extra)))
+  }
+
   /** Hard cap on [[topPairs]] input size: the all-pairs join is O(N²)
     * by construction, so pointing it at an unbounded corpus is always a
     * mistake — [[lshNearDupPairs]] is the scale path. */

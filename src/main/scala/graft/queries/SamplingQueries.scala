@@ -232,6 +232,50 @@ object SamplingQueries {
       ORDER BY shard, pos"""),
     bench = true)
 
+  // --- s12: epoch-salted reshuffle ------------------------------------
+  // Multi-epoch training wants a DIFFERENT deterministic order each
+  // epoch: salting the permutation key with the epoch label re-keys the
+  // whole md5 order, still RNG-free and replayable. The query emits two
+  // epochs' assignments for the same docs; the driver hash pins that
+  // both permutations are exactly reproducible.
+  private val s12 = GraftQuery(
+    "s12_epoch_shuffle",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").filter(col("doc_id") < 40)
+      def epoch(e: Int) =
+        Sampling.shardAssignment(docs, col("doc_id"), 4, salt = s"epoch$e")
+          .select(lit(e).as("epoch"), col("doc_id"), col("shard"), col("pos"))
+      epoch(0).unionByName(epoch(1)).orderBy("epoch", "shard", "pos")
+    },
+    Some("""WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+      epochs AS (
+        SELECT e.epoch, doc_id,
+          md5(CAST(doc_id AS VARCHAR) || ':epoch' || CAST(e.epoch AS VARCHAR)) AS h
+        FROM base CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e)
+      SELECT epoch, doc_id,
+        CAST(('0x' || substr(h, 1, 8))::UBIGINT % 4 AS INT) AS shard,
+        CAST(row_number() OVER (
+          PARTITION BY epoch, ('0x' || substr(h, 1, 8))::UBIGINT % 4
+          ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM epochs ORDER BY epoch, shard, pos"""))
+
+  // --- s13: contiguous global ids without a global sort ----------------
+  // Per-shard ranks + driver-collected shard offsets reproduce exactly
+  // the row_number() a global ORDER BY (shard, md5, key) would assign —
+  // the oracle IS that global window, so the hash check proves the
+  // offset arithmetic equals the single-sort semantics.
+  private val s13 = GraftQuery(
+    "s13_global_ids",
+    (s, d) =>
+      Sampling.globalIds(Tables(s, d, "documents"), col("doc_id"), nShards = 8)
+        .select(col("doc_id"), col("gid"))
+        .orderBy("gid"),
+    Some("""SELECT doc_id,
+        CAST(row_number() OVER (ORDER BY
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8,
+            md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS gid
+      FROM documents ORDER BY gid"""))
+
   val all: Seq[GraftQuery] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
 }

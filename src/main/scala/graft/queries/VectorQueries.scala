@@ -207,6 +207,28 @@ object VectorQueries {
         ORDER BY l2, neighbor_id) AS rank FROM pairs)
     WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // --- v11: exact maximum-inner-product top-k (MIPS) ------------------
+  // Recommender-style retrieval where magnitude is signal; the
+  // augmentation reduction to cosine (SimilaritySpec) is the ANN path.
+  private val v11 = GraftQuery(
+    "v11_mips_topk",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.mipsTopK(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_inner_product(q.e, c.e), 6) AS ip
+        FROM u q, u c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+    SELECT query_id, rank, neighbor_id, ip FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY ip DESC, neighbor_id) AS rank FROM pairs)
+    WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10)
+    v09, v10, v11)
 }

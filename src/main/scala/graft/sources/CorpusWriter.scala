@@ -1,0 +1,41 @@
+package graft.sources
+
+import graft.operators.Sampling
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Final-materialization sink for a curated corpus: the deterministic
+  * shuffle ([[Sampling.shardAssignment]]) decides each row's shard and
+  * in-shard position, and the writer lays the dataset out as
+  * `shard=K/` partition directories with rows stored in position order.
+  * Training loaders then stream shards sequentially with zero further
+  * shuffling, and re-running the writer over the same corpus produces a
+  * byte-stable layout (no RNG, no timestamp-dependent ordering).
+  *
+  * Scale shape: one exchange keyed on the shard id co-locates each
+  * shard in a single task (`repartition(nShards, shard)`), and the
+  * in-task sort on (shard, pos) is per-shard, never global. nShards is
+  * the output-file count — thousands at 100 TB — so tasks stay
+  * uniformly sized because the shard assignment is an md5 hash mod.
+  * `maxRecordsPerFile` (if set by the caller via writer options) can
+  * further split a shard without breaking pos order.
+  */
+object CorpusWriter {
+
+  /** Writes `df` to `outDir/shard=K/...` in deterministic shuffled
+    * order; returns the sharded frame (with `shard`/`pos`) for callers
+    * that want to audit the assignment. Epoch-specific layouts pass a
+    * distinct `salt` (see [[Sampling.shardAssignment]]). */
+  def writeSharded(df: DataFrame, key: Column, outDir: String,
+      nShards: Int, format: String = "parquet", salt: String = ""): DataFrame = {
+    val sharded = Sampling.shardAssignment(df, key, nShards, salt)
+    sharded
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.format(format)
+      .partitionBy("shard")
+      .mode("overwrite")
+      .save(outDir)
+    sharded
+  }
+}

@@ -186,4 +186,32 @@ class SamplingSpec extends SparkSpec {
     }
     assert(fullOrder == smallOrder, "relative order is hash-stable")
   }
+
+  test("epoch salts re-key the permutation; empty salt is the unsalted order") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id").filter(col("doc_id") < 50)
+    def order(salt: String) =
+      Sampling.shardAssignment(docs, col("doc_id"), 4, salt)
+        .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    assert(order("") == order(""), "deterministic")
+    assert(order("") == Sampling.shardAssignment(docs, col("doc_id"), 4)
+      .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq,
+      "default salt preserves the original permutation")
+    assert(order("epoch1") != order("epoch2"), "epochs get distinct orders")
+    assert(order("epoch1") == order("epoch1"), "each epoch is replayable")
+  }
+
+  test("globalIds: contiguous [0, N), equal to the global-sort row_number") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id")
+    val n = docs.count()
+    val got = Sampling.globalIds(docs, col("doc_id"), nShards = 8)
+    val gids = got.select("gid").as[Long].collect().sorted
+    assert(gids.toSeq == (0L until n), "every id in [0, N) exactly once")
+    // the offset arithmetic must reproduce the single-sort order
+    val viaSort = Sampling.shardAssignment(docs, col("doc_id"), 8)
+      .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    val viaIds = got.orderBy("gid").select("doc_id").as[Long].collect().toSeq
+    assert(viaIds == viaSort)
+  }
 }

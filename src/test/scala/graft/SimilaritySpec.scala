@@ -65,6 +65,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 0.0), (2L, 1.0), (3L, 2.0)), got.toString)
   }
 
+  test("MIPS: ranks by inner product; augmentation makes cosine agree with MIPS") {
+    // b is nearly parallel to the query (cosine ≈ 1) but short; a is at
+    // 45° but long — MIPS must pick a, cosine would pick b
+    val corpus = Seq(
+      (1L, Seq(5.0, 5.0)),    // ip = 5.0, cosine ≈ 0.707
+      (2L, Seq(0.99, 0.01)),  // ip = 0.99, cosine ≈ 0.9999
+      (3L, Seq(-1.0, 0.0))    // ip = -1
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val mips = Similarity.mipsTopK(corpus, queries, "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id", "ip")
+      .as[(Long, Double)].collect().toSeq
+    assert(mips == Seq((1L, 5.0), (2L, 0.99)), mips.toString)
+    // cosine on RAW vectors disagrees with MIPS order...
+    val cosRaw = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(cosRaw == 2L)
+    // ...but cosine on AUGMENTED vectors reproduces the MIPS ranking,
+    // so any cosine ANN index serves MIPS unchanged
+    val m = math.sqrt(50.0) // max corpus norm
+    val cAug = Similarity.augmentForMips(corpus, "embedding", m)
+      .select(col("vec_id"), col("_aug").as("embedding"))
+    val qAug = Similarity.augmentForMips(queries, "embedding", m, isQuery = true)
+      .select(col("vec_id"), col("_aug").as("embedding"))
+    val cosAug = Similarity.bruteForceTopK(cAug, qAug, "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(cosAug == Seq(1L, 2L), cosAug.toString)
+  }
+
   test("LSH ANN recall vs brute force is reasonable at this scale") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
