@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.HashExpressions.{IntersectSize, MinHash64, NGrams, NormalizeUtf8, SimHash64, TopGramStats, VecDot, Winnow}
+import graft.functions.HashExpressions.{CharEntropy, IntersectSize, MinHash64, NGrams, NormalizeUtf8, SimHash64, TopGramStats, VecDot, Winnow}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -79,6 +79,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(text) => NormalizeUtf8(text)
         case _ => throw new IllegalArgumentException("normalize_text(text)")
+      }),
+    ("char_entropy",
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => CharEntropy(text)
+        case _ => throw new IllegalArgumentException("char_entropy(text)")
       }))
 
   /** Runtime registration into an existing session. */

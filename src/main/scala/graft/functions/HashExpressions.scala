@@ -481,6 +481,44 @@ object HashExpressions {
     override def prettyName: String = "normalize_utf8"
   }
 
+  /** Shannon entropy in bits per code point over the string's character
+    * distribution — the information-density quality signal (low entropy
+    * = repetitive/degenerate text, keyboard mashing, padded filler;
+    * prose sits near 4–4.5 bits). Row-local single pass: one count map,
+    * one loop over distinct code points — the explode-to-(doc, char)
+    * alternative shuffles the corpus to compute a per-row statistic.
+    * Empty string yields 0.0. */
+  case class CharEntropy(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var n = 0
+      val counts = new java.util.HashMap[Integer, Integer]()
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        counts.merge(cp, 1, (a, b) => a + b)
+        n += 1
+        i += Character.charCount(cp)
+      }
+      if (n == 0) 0.0
+      else {
+        val ln2 = math.log(2.0)
+        var h = 0.0
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val p = it.next().toDouble / n
+          h -= p * (math.log(p) / ln2)
+        }
+        h
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): CharEntropy =
+      copy(child = c)
+    override def prettyName: String = "char_entropy"
+  }
+
   // Column wrappers (Spark 4 classic API: Column no longer wraps a
   // catalyst Expression directly — see GraftBridge)
   import GraftBridge.{column, expression}
@@ -504,6 +542,8 @@ object HashExpressions {
     column(IntersectSize(expression(a), expression(b)))
   def normalize_utf8(text: Column): Column =
     column(NormalizeUtf8(expression(text)))
+  def char_entropy(text: Column): Column =
+    column(CharEntropy(expression(text)))
   def pq_encode(unit: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncode(expression(unit), codebooks))
   def pq_adc_score(qUnit: Column, codes: Column,

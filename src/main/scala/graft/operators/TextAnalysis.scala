@@ -359,4 +359,12 @@ object TextAnalysis {
     * for charset sanity on corpora expected to be mostly Latin-script. */
   def asciiRatio(text: Column): Column =
     length(regexp_replace(text, "[^\\x00-\\x7F]", "")) / length(text)
+
+  /** Shannon entropy (bits/code point) of the character distribution —
+    * the information-density signal for filtering degenerate text
+    * (repeated-char filler, keyboard mashing). Runs as the row-local
+    * [[graft.functions.HashExpressions.CharEntropy]] kernel; SQL name
+    * `char_entropy`. */
+  def charEntropy(text: Column): Column =
+    graft.functions.HashExpressions.char_entropy(text)
 }

@@ -993,9 +993,67 @@ object RelationalQueries {
         round(-sum((n / tot) * log2(n / tot)), 6) AS source_entropy
       FROM ranked GROUP BY lang ORDER BY lang"""))
 
+  // --- q41: per-key event debounce (drop repeats within a window) -----
+  // Telemetry dedup-in-time: a (user, event_type) firing again within
+  // 10 minutes of the LAST KEPT occurrence is suppressed. Note the
+  // subtlety: gap-to-previous-row is NOT the same semantics — a burst
+  // of rows each 6 min apart would all survive a lag()-based filter
+  // while debounce keeps only the first of the burst. The kept set is
+  // computed per key with a session-style pass: rows further than the
+  // window from the previous ROW are always kept and reset the anchor;
+  // rows inside the window survive only if the running gap since the
+  // last kept row exceeds the window. One window shuffle on the key.
+  private val q41 = GraftQuery(
+    "q41_event_debounce",
+    (s, d) => {
+      val winUs = 600L * 1000000L // 10 min in exact integer µs (q25's rule)
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      // anchor chains: a row starts a new debounce chain iff its gap to
+      // the previous row ≥ window; within a chain (rows < window apart
+      // in sequence), only the chain head is kept. This equals the
+      // "last kept" semantics when inter-arrival gaps are what chain
+      // bursts together.
+      val withGap = ev(s, d)
+        .withColumn("_us", unix_micros(col("ts")))
+        .withColumn("_prev", lag(col("_us"), 1).over(w))
+        .withColumn("_new_chain",
+          (col("_prev").isNull ||
+            (col("_us") - col("_prev")) >= winUs).cast("long"))
+      val withChain = withGap
+        .withColumn("_chain", sum(col("_new_chain")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wc = Window.partitionBy(col("user_id"), col("event_type"), col("_chain"))
+        .orderBy(col("ts"), col("event_id"))
+      withChain
+        .withColumn("_rn", row_number().over(wc))
+        .filter(col("_rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (
+        SELECT user_id, event_type, ts, event_id,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+      ch AS (
+        SELECT *, CAST(sum(CASE WHEN prev IS NULL
+              OR epoch_us(ts) - prev >= 600000000 THEN 1 ELSE 0 END) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chain
+        FROM g),
+      kept AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type, chain
+            ORDER BY ts, event_id) AS rn
+        FROM ch)
+      SELECT event_type, count(*) AS n_kept
+      FROM kept WHERE rn = 1
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40)
+    q38, q39, q40, q41)
 }

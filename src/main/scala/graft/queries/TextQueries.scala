@@ -475,7 +475,44 @@ object TextQueries {
             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))) AS is_clean
       FROM p ORDER BY doc_id"""))
 
+  // --- t16: character-entropy quality signal ---------------------------
+  // Plants two degenerate docs (single-char filler → 0 bits, two-symbol
+  // loop → 1 bit) next to real prose (~4 bits); the CharEntropy kernel
+  // must separate them. The oracle replays entropy via an explode +
+  // group-by — the formulation the kernel exists to avoid at scale
+  // (fine over 52 rows in DuckDB). `+ 0` normalizes the -0.0 that
+  // -sum() yields on zero-entropy rows.
+  private val t16 = GraftQuery(
+    "t16_char_entropy",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") < 2)
+        .select((col("doc_id") + 8000000).as("doc_id"),
+          when(col("doc_id") === 0, lit("a" * 64))
+            .otherwise(lit("ab" * 32)).as("text"))
+      docs.filter(col("doc_id") < 50).unionByName(variants)
+        .select(col("doc_id"),
+          round(TextAnalysis.charEntropy(col("text")) + lit(0.0), 4)
+            .as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id + 8000000,
+          CASE WHEN doc_id = 0 THEN repeat('a', 64)
+               ELSE repeat('ab', 32) END
+        FROM documents WHERE doc_id < 2),
+      cnt AS (
+        SELECT doc_id, ch, count(*)::DOUBLE AS c
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM p)
+        GROUP BY doc_id, ch),
+      tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id)
+      SELECT doc_id, round(-sum((c / n) * log2(c / n)) + 0, 4) AS entropy
+      FROM cnt JOIN tot USING (doc_id)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15)
+      t14, t15, t16)
 }

@@ -207,6 +207,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(4) == ((0L, 0L, 1.0)), "tab/newline are not violations")
   }
 
+  test("char entropy: degenerate text scores low, uniform alphabet exact") {
+    val rows = Seq(
+      "aaaa",         // one symbol → 0 bits
+      "abab",         // two symbols, uniform → 1 bit
+      "abcd",         // four symbols, uniform → 2 bits
+      "",             // empty → 0 by convention
+      "éé",           // non-BMP-safe code-point counting: one symbol → 0
+      "the quick brown fox jumps over the lazy dog").toDF("text")
+      .select(round(TextAnalysis.charEntropy(col("text")), 4))
+      .as[Double].collect().toSeq
+    assert(rows(0) == 0.0 && rows(1) == 1.0 && rows(2) == 2.0)
+    assert(rows(3) == 0.0 && rows(4) == 0.0)
+    assert(rows(5) > 3.0 && rows(5) < 5.0, s"prose entropy ${rows(5)}")
+    // SQL registration parity
+    val viaSql = spark.sql("SELECT round(char_entropy('abab'), 4)")
+      .as[Double].head()
+    assert(viaSql == 1.0)
+  }
+
   test("unique token sequence: order-preserving, idempotent, repetition-insensitive") {
     def sig(rows: Seq[String]) = rows.toDF("text")
       .withColumn("_toks", TextAnalysis.tokens(col("text")))
