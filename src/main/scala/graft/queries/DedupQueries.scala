@@ -643,7 +643,55 @@ object DedupQueries {
       WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = kept.fp)
       ORDER BY doc_id"""))
 
+  // --- d19: corpus snapshot diff (added / removed / changed) ----------
+  // Dataset-versioning primitive: two snapshot views of the corpus
+  // (v2 drops ids < 100, extends past 400, and edits every 7th doc)
+  // are compared by content fingerprint with one full-outer join on
+  // the id. Only (id, 128-bit fp) pairs ever shuffle — document text
+  // stays at the scan — so the diff costs one narrow join at any
+  // corpus size, and the fingerprint makes "changed" a content
+  // judgment, not a timestamp guess.
+  private val d19 = GraftQuery(
+    "d19_snapshot_diff",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val v1 = docs.filter(col("doc_id") < 400)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp1"))
+      val v2 = docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(col("text"), lit(" edited")))
+              .otherwise(col("text"))).as("fp2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("fp1").isNull, "added")
+            .when(col("fp2").isNull, "removed")
+            .when(col("fp1") =!= col("fp2"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    },
+    Some("""WITH v1 AS (
+        SELECT doc_id,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp1
+        FROM documents WHERE doc_id < 400),
+      v2 AS (
+        SELECT doc_id,
+          md5(lower(regexp_replace(trim(
+            CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END),
+            '\s+', ' ', 'g'))) AS fp2
+        FROM documents WHERE doc_id >= 100)
+      SELECT CASE WHEN fp1 IS NULL THEN 'added'
+                  WHEN fp2 IS NULL THEN 'removed'
+                  WHEN fp1 <> fp2 THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+        count(*) AS n
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+      GROUP BY 1 ORDER BY status"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-      d11, d12, d13, d14, d15, d16, d17, d18)
+      d11, d12, d13, d14, d15, d16, d17, d18, d19)
 }

@@ -512,7 +512,50 @@ object TextQueries {
       FROM cnt JOIN tot USING (doc_id)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // --- t17: linear quality-classifier scoring --------------------------
+  // Model scoring at corpus scale: a fastText-style linear quality
+  // model (weights as plan literals) over the engine's own quality
+  // signals, evaluated map-side — the shape any learned filter deploys
+  // as. The reported score is the LOGIT, not the sigmoid: the linear
+  // combination is the same +/× sequence on both engines (bit-exact),
+  // while exp() differs between libm implementations; sigmoid is
+  // monotone so the keep decision thresholds the logit at 0 anyway.
+  // Feature formulas are the t01/t02-proven ones.
+  private val t17 = GraftQuery(
+    "t17_quality_classifier",
+    (s, d) => {
+      val stopR = TextAnalysis.stopwordRatio(col("text"), stop)
+      val dig = TextAnalysis.digitRatio(col("text"))
+      val punct = TextAnalysis.punctRatio(col("text"))
+      val atl = TextAnalysis.avgTokenLen(col("text"))
+      val z = lit(-1.5) + lit(6.0) * stopR - lit(8.0) * dig -
+        lit(4.0) * punct + lit(0.35) * atl
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          round(z, 6).as("logit"),
+          (round(z, 6) >= 0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH f AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ($stopSql))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\\s+')) AS stop_r,
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS DOUBLE) / length(text) AS dig_r,
+          CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+            AS DOUBLE) / length(text) AS punct_r,
+          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\\s+')) AS atl
+        FROM documents),
+      z AS (
+        SELECT doc_id,
+          -1.5 + 6.0 * stop_r - 8.0 * dig_r - 4.0 * punct_r + 0.35 * atl AS z
+        FROM f)
+      SELECT doc_id, round(z, 6) AS logit, round(z, 6) >= 0 AS keep
+      FROM z ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16)
+      t14, t15, t16, t17)
 }
