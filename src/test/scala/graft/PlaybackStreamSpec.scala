@@ -19,8 +19,13 @@ class PlaybackStreamSpec extends SparkSpec {
     dir
   }
 
+  // Wait ceilings are deliberately generous (3 min): these are
+  // poll-until-condition loops, so a passing run exits in seconds — the
+  // ceiling only matters when the CI host stalls (observed: co-tenant
+  // pauses stretching a 10 ms micro-batch to 150+ s), where a tight
+  // ceiling turns an environment hiccup into a spurious red suite.
   private def runStream(cfg: PlaybackConfig, queryName: String,
-      stopWhen: () => Boolean, maxWaitMs: Long = 30000): Unit = {
+      stopWhen: () => Boolean, maxWaitMs: Long = 180000): Unit = {
     val q = PlaybackStream.readings(spark, cfg)
       .writeStream.format("memory").queryName(queryName)
       .trigger(Trigger.ProcessingTime(10))
@@ -68,7 +73,7 @@ class PlaybackStreamSpec extends SparkSpec {
     def written(): Long =
       try spark.read.parquet(out.toString).count() catch { case _: Throwable => 0L }
     def waitFor(target: Long): Unit = {
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 180000
       while (written() < target && System.currentTimeMillis() < deadline)
         Thread.sleep(50)
     }
@@ -105,7 +110,7 @@ class PlaybackStreamSpec extends SparkSpec {
     // run 1: play file a to EOF (3 rows, then deleted), stop
     val q1 = startQ()
     try {
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 180000
       while ((written() < 3 || Files.exists(dir.resolve("a_vib.csv"))) &&
         System.currentTimeMillis() < deadline) Thread.sleep(50)
     } finally q1.stop()
@@ -116,7 +121,7 @@ class PlaybackStreamSpec extends SparkSpec {
     Files.copy(Paths.get(fixture("vibration.csv")), dir.resolve("b_vib.csv"))
     val q2 = startQ()
     try {
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 180000
       while (written() < 6 && System.currentTimeMillis() < deadline) Thread.sleep(50)
     } finally q2.stop()
     val idx = spark.read.parquet(out.toString)
@@ -134,7 +139,7 @@ class PlaybackStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("burst")
       .trigger(Trigger.ProcessingTime(10)).start()
     try {
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 180000
       while (q.recentProgress.length < 3 && System.currentTimeMillis() < deadline)
         Thread.sleep(50)
       val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
@@ -229,7 +234,7 @@ class PlaybackStreamSpec extends SparkSpec {
       Thread.sleep(500)
       assert(raw.isActive && count("late") == 0)
       Files.copy(Paths.get(fixture("vibration.csv")), dir.resolve("a_vib.csv"))
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 180000
       while (count("late") < 3 && System.currentTimeMillis() < deadline) Thread.sleep(100)
       assert(count("late") >= 3, "late-arriving file played")
     } finally raw.stop()
@@ -244,7 +249,7 @@ class PlaybackStreamSpec extends SparkSpec {
       .trigger(Trigger.ProcessingTime(10)).start()
     try {
       val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.awaitTermination(30000)
+        q.awaitTermination(180000)
       }
       def messages(t: Throwable): Seq[String] =
         if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
