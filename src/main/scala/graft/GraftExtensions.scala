@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.HashExpressions.{CharEntropy, IntersectSize, MinHash64, NGrams, NormalizeUtf8, SimHash64, TopGramStats, VecDot, Winnow}
+import graft.functions.HashExpressions.{CharEntropy, IntersectSize, MinHash64, NGrams, NormalizeUtf8, SimHash64, TopGramStats, VecDot, VecL2, Winnow}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -48,6 +48,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => VecDot(a, b)
         case _ => throw new IllegalArgumentException("vec_dot(a, b)")
+      }),
+    ("vec_l2",
+      new ExpressionInfo(classOf[VecL2].getName, "vec_l2"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VecL2(a, b)
+        case _ => throw new IllegalArgumentException("vec_l2(a, b)")
       }),
     ("ngrams",
       new ExpressionInfo(classOf[NGrams].getName, "ngrams"),

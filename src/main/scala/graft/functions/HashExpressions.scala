@@ -127,6 +127,50 @@ object HashExpressions {
     override def prettyName: String = "vec_dot"
   }
 
+  /** Euclidean distance of two array<double> vectors — Σ(x−y)² summed
+    * left-to-right (the association order external oracles use), then
+    * √. Same codegen treatment as [[VecDot]]: the loop inlines into
+    * whole-stage codegen, replacing the interpreted
+    * zip_with + aggregate lambda pair in the L2 probe hot path. */
+  case class VecL2(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      java.lang.Double.valueOf(math.sqrt(acc))
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |${ev.value} = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = $x.getDouble($i) - $y.getDouble($i);
+           |  ${ev.value} += $d * $d;
+           |}
+           |${ev.value} = java.lang.Math.sqrt(${ev.value});
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecL2 =
+      copy(left = l, right = r)
+    override def prettyName: String = "vec_l2"
+  }
+
   /** Winnowing document fingerprints (the MOSS scheme): polynomial
     * rolling hash over character k-grams of the normalized text, then
     * the minimum hash of every w-gram window, deduplicated — a
@@ -532,6 +576,8 @@ object HashExpressions {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def vec_dot(a: Column, b: Column): Column =
     column(VecDot(expression(a), expression(b)))
+  def vec_l2(a: Column, b: Column): Column =
+    column(VecL2(expression(a), expression(b)))
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     column(Winnow(expression(text), k, w))
   def ngrams(tokens: Column, k: Int, distinct: Boolean): Column =

@@ -28,6 +28,15 @@ object Vec {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Euclidean distance — fused-loop kernel ([[HashExpressions.VecL2]]),
+    * Σ(x−y)² left-to-right then √ (the order external oracles use). */
+  def l2(a: Column, b: Column): Column = HashExpressions.vec_l2(a, b)
+
+  /** Higher-order-function L2 — pure-builtin cross-check for [[l2]]. */
+  def l2Hof(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; callers that compare one row against many

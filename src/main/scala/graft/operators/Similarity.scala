@@ -75,8 +75,8 @@ object Similarity {
   /** Exact euclidean (L2) top-k — the metric twin of [[bruteForceTopK]]
     * for embeddings whose magnitude carries signal (cosine discards it).
     * Same scale shape: the query side broadcasts, the corpus never
-    * shuffles, one window per query for the top-k. The distance is
-    * evaluated as Σ(x−y)² left-to-right (zip_with + aggregate), the
+    * shuffles, one window per query for the top-k. The distance is the
+    * [[Vec.l2]] fused-loop kernel — Σ(x−y)² left-to-right then √, the
     * same association order reference implementations use, so rounded
     * outputs agree with an external oracle bit-for-bit. */
   def euclideanTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -85,9 +85,7 @@ object Similarity {
       Vec.asDouble(col(embCol)).as("e_c"))
     val q = queries.select(col(idCol).as("query_id"),
       Vec.asDouble(col(embCol)).as("e_q"))
-    val dist = sqrt(aggregate(
-      zip_with(col("e_c"), col("e_q"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v))
+    val dist = Vec.l2(col("e_c"), col("e_q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("l2"), col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))

@@ -160,6 +160,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("VecL2 kernel == HOF reference and scala reference on random vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vec = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    forAll(Gen.zip(vec, vec)) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val (fast, hof) = df.select(
+        graft.functions.Vec.l2(col("a"), col("b")),
+        graft.functions.Vec.l2Hof(col("a"), col("b")))
+        .as[(Double, Double)].head()
+      val ref = math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(fast == hof, s"kernel vs HOF: $fast vs $hof")
+      assert(math.abs(fast - ref) < 1e-9, s"kernel vs scala: $fast vs $ref")
+    }
+  }
+
+  test("charEntropy ∈ [0, log2(distinct chars)] and is permutation-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)) { s =>
+      val shuffled = new String(s.toArray.sortBy(c => (c.hashCode * 31) ^ 7))
+      val df = Seq((s, shuffled)).toDF("a", "b")
+      val (ha, hb) = df.select(
+        graft.operators.TextAnalysis.charEntropy(col("a")),
+        graft.operators.TextAnalysis.charEntropy(col("b")))
+        .as[(Double, Double)].head()
+      val bound = math.log(s.distinct.length.toDouble) / math.log(2.0)
+      assert(ha >= 0.0 && ha <= bound + 1e-9, s"H=$ha bound=$bound s=$s")
+      assert(math.abs(ha - hb) < 1e-9, "entropy ignores character order")
+    }
+  }
+
+  test("globalIds is a bijection onto [0, N) on random corpus subsets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    forAll(Gen.choose(1, 200), n = 4) { limit =>
+      val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id").filter(col("doc_id") < limit)
+      val n = docs.count()
+      val gids = graft.operators.Sampling.globalIds(docs, col("doc_id"), nShards = 8)
+        .select("gid").as[Long].collect().sorted.toSeq
+      assert(gids == (0L until n), s"limit=$limit")
+    }
+  }
+
   test("TopGramStats == max-multiplicity/total on random arrays") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
