@@ -83,6 +83,42 @@ object Dedup {
     * long arithmetic without losing the high bits that make the argmin
     * vary with i.)
     */
+  /** LSH banding plan: the smallest (numHashes, bands) whose S-curve
+    * misses a true pair at `threshold` Jaccard with probability at most
+    * `missProb`, while keeping the band width r = numHashes/bands as
+    * large as the budget allows (wider bands = sharper filter = fewer
+    * false candidates to verify). For banding with b bands of r rows,
+    * P(miss | s) = (1 − s^r)^b — the knob users otherwise guess.
+    *
+    * Returns (numHashes, bands) directly usable by
+    * [[minhashNearDupPairs]]. Deterministic closed-form search over
+    * r ∈ [maxHashes..1]: for each width, the minimal b meeting the miss
+    * bound; first (widest) r whose b·r fits the hash budget wins. */
+  def lshBandPlan(threshold: Double, missProb: Double = 1e-6,
+      maxHashes: Int = 512): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold must be in (0,1)")
+    require(missProb > 0 && missProb < 1, s"missProb=$missProb must be in (0,1)")
+    var r = maxHashes
+    while (r >= 1) {
+      val pBand = math.pow(threshold, r) // one band matches
+      if (pBand > 0.0) {
+        // (1 - pBand)^b <= missProb  ⇒  b >= ln(missProb)/ln(1-pBand).
+        // Compare against the budget by division while still a Double:
+        // tiny pBand makes the required b astronomically large, and a
+        // toLong-then-multiply would overflow into a bogus "fits".
+        val b = math.ceil(math.log(missProb) / math.log1p(-pBand))
+        if (b >= 1.0 && b <= (maxHashes / r).toDouble)
+          return (b.toInt * r, b.toInt)
+      }
+      r -= 1
+    }
+    // r = 1 always admits a solution if the budget allows; reaching here
+    // means even single-row bands can't meet the bound within maxHashes
+    throw new IllegalArgumentException(
+      s"no (bands, rows) plan meets missProb=$missProb at threshold=$threshold " +
+        s"within maxHashes=$maxHashes; raise the hash budget or the miss tolerance")
+  }
+
   def withMinhash(df: DataFrame, textCol: String, numHashes: Int = 128,
       shingleK: Int = 3): DataFrame = {
     val sh = TextAnalysis.wordShingles(col(textCol), shingleK)

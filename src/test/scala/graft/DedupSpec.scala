@@ -293,4 +293,26 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(11L))
   }
+
+  test("lshBandPlan meets the miss bound with the widest band that fits") {
+    def missAt(s: Double, numHashes: Int, bands: Int): Double =
+      math.pow(1.0 - math.pow(s, numHashes / bands), bands)
+    for ((thr, miss, budget) <- Seq(
+        (0.9, 5e-10, 2048), (0.8, 1e-6, 512), (0.5, 1e-3, 256))) {
+      val (n, b) = Dedup.lshBandPlan(thr, miss, budget)
+      val r = n / b
+      assert(n % b == 0 && n <= budget, s"plan ($n, $b) within budget $budget")
+      assert(missAt(thr, n, b) <= miss,
+        s"miss ${missAt(thr, n, b)} exceeds $miss for plan ($n, $b)")
+      // maximality: one row wider can't meet the bound inside the budget
+      val pWider = math.pow(thr, r + 1)
+      val bWider = math.ceil(math.log(miss) / math.log1p(-pWider))
+      assert(bWider * (r + 1) > budget,
+        s"width ${r + 1} would also fit — plan not maximal")
+    }
+    // an impossible budget fails fast instead of returning a bad plan
+    intercept[IllegalArgumentException] {
+      Dedup.lshBandPlan(0.99, 1e-12, maxHashes = 2)
+    }
+  }
 }
