@@ -1051,9 +1051,38 @@ object RelationalQueries {
       FROM kept WHERE rn = 1
       GROUP BY event_type ORDER BY event_type"""))
 
+  // --- q42: robust dispersion (median absolute deviation per group) ---
+  // Outlier-resistant spread: MAD = median(|x − median(x)|), the robust
+  // twin of q36's stddev. Two aggregate passes over the (small) group
+  // medians: pass 1 computes each group's median (partial agg before
+  // the group shuffle), the broadcast-sized result re-joins the facts
+  // map-side, pass 2 medians the absolute deviations. Both engines
+  // interpolate medians identically (q35's rule).
+  private val q42 = GraftQuery(
+    "q42_value_mad",
+    (s, d) => {
+      val med = ev(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("_med"))
+      ev(s, d).join(broadcast(med), "event_type")
+        .withColumn("_dev", abs(col("value") - col("_med")))
+        .groupBy(col("event_type"))
+        .agg(
+          round(max(col("_med")), 4).as("median_value"),
+          round(expr("percentile(_dev, 0.5)"), 4).as("mad"))
+        .orderBy("event_type")
+    },
+    Some("""WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type)
+      SELECT event_type,
+        round(max(m), 4) AS median_value,
+        round(quantile_cont(abs(value - m), 0.5), 4) AS mad
+      FROM events JOIN med USING (event_type)
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41)
+    q38, q39, q40, q41, q42)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Tables}
 import graft.operators.Sampling
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / split queries — content-hash driven, so the
@@ -276,6 +277,42 @@ object SamplingQueries {
             md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS gid
       FROM documents ORDER BY gid"""))
 
+  // --- s14: deterministic round-robin source interleave ----------------
+  // Training-order materialization for multi-source corpora: rank rows
+  // within each source by their hash (the source-local shuffle), then
+  // order globally by (rank, source) — consecutive training rows cycle
+  // through the sources instead of consuming one corpus at a time, with
+  // no RNG and no global sort needed to DEFINE the order (the final
+  // ORDER BY here is the oracle-determinism requirement; a pipeline
+  // would hand (rank, source) to CorpusWriter as the shard/pos keys).
+  private val s14 = GraftQuery(
+    "s14_source_interleave",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").filter(col("doc_id") < 60)
+      val h = md5(col("doc_id").cast("string"))
+      val wSrc = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      docs
+        .withColumn("rank_in_source", row_number().over(wSrc).cast("long"))
+        .withColumn("train_pos",
+          row_number().over(
+            Window.orderBy(col("rank_in_source"), col("source"), col("doc_id")))
+            .cast("long"))
+        .select(col("train_pos"), col("doc_id"), col("source"),
+          col("rank_in_source"))
+        .orderBy("train_pos")
+    },
+    Some("""WITH r AS (
+        SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+            AS rank_in_source
+        FROM documents WHERE doc_id < 60)
+      SELECT CAST(row_number() OVER (
+          ORDER BY rank_in_source, source, doc_id) AS BIGINT) AS train_pos,
+        doc_id, source, rank_in_source
+      FROM r ORDER BY train_pos"""))
+
   val all: Seq[GraftQuery] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
+      s14)
 }

@@ -555,7 +555,32 @@ object TextQueries {
       SELECT doc_id, round(z, 6) AS logit, round(z, 6) >= 0 AS keep
       FROM z ORDER BY doc_id"""))
 
+  // --- t18: lexical diversity (type-token ratio) ------------------------
+  // TTR = distinct tokens / tokens, the classic lexical-richness signal
+  // (low TTR = template/boilerplate even when char entropy looks fine —
+  // complements t16, which sees characters, not words). Row-local:
+  // tokens and their distinct set never leave the row.
+  private val t18 = GraftQuery(
+    "t18_type_token_ratio",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("_toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("_toks"))).cast("long").as("n_types"),
+          round(size(array_distinct(col("_toks"))).cast("double") /
+            size(col("_toks")), 6).as("ttr"))
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(l) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(l)) AS BIGINT) AS n_types,
+        round(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS ttr
+      FROM toks ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17)
+      t14, t15, t16, t17, t18)
 }
