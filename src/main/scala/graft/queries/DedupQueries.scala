@@ -691,7 +691,43 @@ object DedupQueries {
       FROM v1 FULL OUTER JOIN v2 USING (doc_id)
       GROUP BY 1 ORDER BY status"""))
 
+  // --- d20: duplicate-multiplicity histogram ---------------------------
+  // The dedup REPORT a curation run starts from: how much of the corpus
+  // exists in 1, 2, 3… copies. Plants double copies of docs 0-9 and a
+  // third copy of docs 0-4, then histograms fingerprint-group sizes.
+  // Two narrow aggregations (fingerprint → size, size → histogram);
+  // text never shuffles.
+  private val d20 = GraftQuery(
+    "d20_dup_histogram",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val copy1 = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      val copy2 = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      val sizes = docs.unionByName(copy1).unionByName(copy2)
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("_fp"))
+        .agg(count(lit(1)).as("n_copies"))
+      sizes.groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_copies")).as("n_docs"))
+        .orderBy("n_copies")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 5),
+      sizes AS (
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+          count(*) AS n_copies
+        FROM p GROUP BY 1)
+      SELECT n_copies, count(*) AS n_groups,
+        CAST(sum(n_copies) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY n_copies ORDER BY n_copies"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-      d11, d12, d13, d14, d15, d16, d17, d18, d19)
+      d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

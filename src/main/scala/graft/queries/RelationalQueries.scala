@@ -1080,9 +1080,43 @@ object RelationalQueries {
       FROM events JOIN med USING (event_type)
       GROUP BY event_type ORDER BY event_type"""))
 
+  // --- q43: inter-arrival time distribution per key -------------------
+  // The arrival-process profile (burstiness diagnosis): per event type,
+  // quantiles of the gap between a user's consecutive events. One
+  // window shuffle on (user, type) for the lag, then the same
+  // interpolated quantiles as q35 over exact integer-µs gaps.
+  private val q43 = GraftQuery(
+    "q43_interarrival_quantiles",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("_us", unix_micros(col("ts")))
+        .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(w))
+        .filter(col("_gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          round(expr("percentile(_gap, 0.5)"), 2).as("gap_p50_us"),
+          round(expr("percentile(_gap, 0.9)"), 2).as("gap_p90_us"),
+          max(col("_gap")).as("gap_max_us"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (
+        SELECT event_type,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+        FROM events)
+      SELECT event_type, count(*) AS n_gaps,
+        round(quantile_cont(gap, 0.5), 2) AS gap_p50_us,
+        round(quantile_cont(gap, 0.9), 2) AS gap_p90_us,
+        max(gap) AS gap_max_us
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42)
+    q38, q39, q40, q41, q42, q43)
 }
