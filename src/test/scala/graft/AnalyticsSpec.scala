@@ -35,6 +35,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(p.as[(Long, Long)].collect().map(_._1).toSet == Set(1L))
   }
 
+  test("debounce keeps chain heads: a burst chained by inter-arrival stays suppressed") {
+    import org.apache.spark.sql.expressions.Window
+    // q41's semantics on crafted rows, window = 10s. u1: 0, 6, 12, 30 —
+    // t=12 is ≥10s after the KEPT t=0, but only 6s after t=6, so the
+    // burst chain keeps it suppressed (the lag()-only formulation would
+    // wrongly keep it); t=30 starts a fresh chain.
+    val winUs = 10L * 1000000L
+    val ev = Seq(
+      (ts(0), 1L, "e"), (ts(6), 1L, "e"), (ts(12), 1L, "e"), (ts(30), 1L, "e"),
+      (ts(0), 2L, "e"), (ts(15), 2L, "e"))
+      .toDF("ts", "user_id", "event_type")
+      .withColumn("event_id", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val withChain = ev
+      .withColumn("_us", unix_micros(col("ts")))
+      .withColumn("_prev", lag(col("_us"), 1).over(w))
+      .withColumn("_new_chain",
+        (col("_prev").isNull || (col("_us") - col("_prev")) >= winUs).cast("long"))
+      .withColumn("_chain", sum(col("_new_chain")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wc = Window.partitionBy(col("user_id"), col("event_type"), col("_chain"))
+      .orderBy(col("ts"), col("event_id"))
+    val kept = withChain.withColumn("_rn", row_number().over(wc))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("_us") / 1000000L)
+      .as[(Long, Double)].collect().toSet
+    assert(kept == Set((1L, 0.0), (1L, 30.0), (2L, 0.0), (2L, 15.0)), kept.toString)
+  }
+
   test("retention offsets count distinct users per cohort day") {
     val day = 86400L
     val ev = Seq(
