@@ -146,9 +146,8 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = withMinhash(df, textCol, numHashes, shingleK)
-      .select(col(idCol), col("_shingles"), col("_minhash"))
-      .cache()
+    val sigs = OpCaches.track(withMinhash(df, textCol, numHashes, shingleK)
+      .select(col(idCol), col("_shingles"), col("_minhash")))
     val buckets = lshBuckets(sigs, idCol, bands)
     val l = buckets.toDF("a", "band_l", "hash_l")
     val rt = buckets.toDF("b", "band_r", "hash_r")
@@ -183,10 +182,9 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
-    val evalSh = eval
+    val evalSh = OpCaches.track(eval
       .select(explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_sh"))
-      .distinct()
-      .cache()
+      .distinct())
     val nItems =
       if (expectedEvalShingles > 0) expectedEvalShingles
       else math.max(evalSh.count(), 1L)
@@ -263,7 +261,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
-    val sigs = df.select(col(idCol), simhash64(col(textCol)).as("_simhash")).cache()
+    val sigs = OpCaches.track(
+      df.select(col(idCol), simhash64(col(textCol)).as("_simhash")))
     val blockCols = (0 until nBlocks).map(b =>
       shiftrightunsigned(col("_simhash"), b * blockBits)
         .bitwiseAND(lit((1L << blockBits) - 1)))

@@ -40,19 +40,26 @@ object IvfIndex {
     * TakeOrderedAndProject job; composite indexes (IVF-PQ) collect it
     * once and feed both trainers instead of paying two corpus scans.
     *
-    * The result is memoized per (session, corpus plan, embCol, size):
-    * the sample is a pure function of the corpus plan, so repeat index
-    * builds over the same corpus (the build-once / search-many pattern)
-    * skip the scan AND — because the trainers are deterministic — yield
+    * The result is memoized per (session, corpus plan, embCol, size) —
+    * the session by OBJECT IDENTITY (sessions don't override equals,
+    * and a hashCode alone could alias two sessions), the plan by
+    * `semanticHash` (a 32-bit digest: a cross-corpus collision is
+    * possible in principle; pair it with the session key and 64
+    * entries, and the practical risk is two same-session corpora
+    * hashing identically — accepted and documented here). The sample
+    * is a pure function of the corpus plan, so repeat index builds
+    * over the same corpus (the build-once / search-many pattern) skip
+    * the scan AND — because the trainers are deterministic — yield
     * byte-identical models, letting the CacheManager dedup the encoded
-    * index plans too. Same staleness contract as `Dataset.cache`: if
-    * the underlying files are rewritten in place, call
-    * [[clearSampleCache]]. */
+    * index plans too. Eviction is LRU one-at-a-time (least-recently
+    * USED entry drops when a 65th arrives). Same staleness contract as
+    * `Dataset.cache`: if the underlying files are rewritten in place,
+    * call [[clearSampleCache]]. */
   def sampleUnits(df: DataFrame, embCol: String,
       sampleSize: Int = 2048): Array[Array[Double]] = {
-    val key = (df.sparkSession.hashCode(),
+    val key = (df.sparkSession,
       df.queryExecution.analyzed.semanticHash(), embCol, sampleSize)
-    val cached = sampleMemo.get(key)
+    val cached = sampleMemo.synchronized(sampleMemo.get(key))
     if (cached != null) cached
     else {
       val s = Similarity.withUnit(df, embCol)
@@ -61,17 +68,24 @@ object IvfIndex {
         .limit(sampleSize)
         .collect()
         .map(_.getSeq[Double](0).toArray)
-      if (sampleMemo.size >= 64) sampleMemo.clear() // bound driver memory
-      sampleMemo.put(key, s)
+      sampleMemo.synchronized(sampleMemo.put(key, s))
       s
     }
   }
 
+  private type SampleKey = (org.apache.spark.sql.SparkSession, Int, String, Int)
+
+  // access-ordered LinkedHashMap = LRU; removeEldestEntry bounds it at
+  // 64 entries, evicting one stale entry instead of the whole map
   private val sampleMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int), Array[Array[Double]]]()
+    new java.util.LinkedHashMap[SampleKey, Array[Array[Double]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SampleKey, Array[Array[Double]]]): Boolean =
+        size() > 64
+    }
 
   /** Drop memoized training samples (see [[sampleUnits]]). */
-  def clearSampleCache(): Unit = sampleMemo.clear()
+  def clearSampleCache(): Unit = sampleMemo.synchronized(sampleMemo.clear())
 
   /** Lloyd's on an already-collected sample (see [[sampleUnits]]). */
   def train(sample: Array[Array[Double]], nlist: Int, iters: Int): Model = {
@@ -140,15 +154,15 @@ object IvfIndex {
     val model = train(corpus, embCol, nlist)
     // materialize units before the 16-way centroid scoring: otherwise
     // the normalization expression is re-evaluated inside every VecDot
-    val units = Similarity.withUnit(corpus, embCol)
-      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
-      .cache()
+    val units = OpCaches.track(Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c")))
     // the "index": cell-assigned units, cached — deterministic model
     // literals make this plan identical across invocations, so repeat
-    // searches over one corpus reuse a single in-memory inverted file
-    val c = units.select(col("neighbor_id"), col("u_c"),
-      assignCell(col("u_c"), model).as("_cell"))
-      .cache()
+    // searches over one corpus reuse a single in-memory inverted file.
+    // Both frames are registered with [[OpCaches]]; a pipeline cycling
+    // distinct corpora calls OpCaches.release() between them.
+    val c = OpCaches.track(units.select(col("neighbor_id"), col("u_c"),
+      assignCell(col("u_c"), model).as("_cell")))
     val q = Similarity.withUnit(queries, embCol)
       .select(col(idCol).as("query_id"), col("_unit").as("u_q"),
         explode(probeCells(col("_unit"), model, nprobe)).as("_cell"))

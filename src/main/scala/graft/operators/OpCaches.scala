@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Registry of the intermediate frames the operators in this package
+  * cache (`units`/`cUnits` vector materializations, encoded ANN
+  * indexes, MinHash signatures, Bloom build sides, ...).
+  *
+  * Spark's `Dataset.cache` is session-lifetime: without a release
+  * path, every index build over a DISTINCT corpus adds cached plans
+  * that live until the session ends — the build-once / search-many
+  * pattern reuses one entry (the CacheManager dedups identical
+  * plans), but a pipeline cycling through many corpora accumulates.
+  * Operators register each cached frame here; callers that are done
+  * with every index/operator result call [[release]] to unpersist
+  * them all at once (the targeted alternative to
+  * `spark.catalog.clearCache()`, which would also evict caches the
+  * caller owns). Releasing is safe at any time — a live result
+  * derived from a released frame recomputes instead of failing. */
+object OpCaches {
+
+  private val frames = new java.util.ArrayList[DataFrame]()
+
+  /** Cache `df` and remember it for [[release]]. */
+  private[operators] def track(df: DataFrame): DataFrame = synchronized {
+    df.cache()
+    frames.add(df)
+    df
+  }
+
+  /** Unpersist every operator-cached frame registered since the last
+    * release (blocking=false: eviction proceeds in the background). */
+  def release(): Unit = synchronized {
+    frames.forEach { f =>
+      try f.unpersist() catch { case _: Throwable => () }
+    }
+    frames.clear()
+  }
+
+  /** Currently-tracked frame count (diagnostics/tests). */
+  def trackedCount: Int = synchronized(frames.size)
+}

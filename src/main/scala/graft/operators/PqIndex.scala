@@ -95,12 +95,11 @@ object PqIndex {
     * top-k windows only; the full-width unit vectors re-join for the
     * tiny re-rank set alone.
     *
-    * The cached unit-vector intermediate is plan-keyed and
-    * session-owned (same lifetime as the caches in [[Similarity]] and
-    * [[IvfIndex]]): repeat invocations over the same corpus reuse one
-    * entry rather than accumulating; callers cycling through many
-    * distinct corpora should `spark.catalog.clearCache()` between
-    * them. */
+    * The cached unit-vector intermediate is plan-keyed and registered
+    * with [[OpCaches]] (same lifecycle as the caches in [[Similarity]]
+    * and [[IvfIndex]]): repeat invocations over the same corpus reuse
+    * one entry rather than accumulating; callers cycling through many
+    * distinct corpora call [[OpCaches.release]] between them. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, nCentroids: Int = 16, rerankFactor: Int = 20,
@@ -108,19 +107,17 @@ object PqIndex {
     val sample = IvfIndex.sampleUnits(corpus, embCol)
     val ivf = IvfIndex.train(sample, nlist, iters = 10)
     val pq = train(sample, m, nCentroids, iters = 8)
-    val cUnits = Similarity.withUnit(corpus, embCol)
-      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
-      .cache()
+    val cUnits = OpCaches.track(Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c")))
     // the "index": one narrow (cell, codes) row per doc, built map-side
     // and cached — the memoized sample makes the model literals (and so
     // this plan) byte-identical across invocations, so build-once /
     // search-many reuses one in-memory index (m bytes + a cell id per
-    // row; the production shape would persist it). Session-owned
-    // lifetime, like cUnits above.
-    val encoded = cUnits.select(col("neighbor_id"),
+    // row; the production shape would persist it). Registered with
+    // [[OpCaches]], like cUnits above — release() frees both.
+    val encoded = OpCaches.track(cUnits.select(col("neighbor_id"),
       IvfIndex.assignCell(col("u_c"), ivf).as("_cell"),
-      encode(col("u_c"), pq).as("_codes"))
-      .cache()
+      encode(col("u_c"), pq).as("_codes")))
     // each doc lives in exactly one cell and probes are distinct, so
     // (query, neighbor) candidates are already unique — no dedup pass
     val q = Similarity.withUnit(queries, embCol)
@@ -154,13 +151,11 @@ object PqIndex {
       embCol: String, k: Int, m: Int = 8, nCentroids: Int = 16,
       rerankFactor: Int = 20, roundTo: Int = 6): DataFrame = {
     val model = train(corpus, embCol, m, nCentroids)
-    val cUnits = Similarity.withUnit(corpus, embCol)
-      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
-      .cache()
+    val cUnits = OpCaches.track(Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c")))
     // cached for the same build-once / search-many reuse as ivfPqTopK
-    val encoded = cUnits.select(col("neighbor_id"),
-      encode(col("u_c"), model).as("_codes"))
-      .cache()
+    val encoded = OpCaches.track(cUnits.select(col("neighbor_id"),
+      encode(col("u_c"), model).as("_codes")))
     val q = Similarity.withUnit(queries, embCol)
       .select(col(idCol).as("query_id"), col("_unit").as("u_q"))
     val scored = encoded.join(broadcast(q),

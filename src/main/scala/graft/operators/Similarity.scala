@@ -123,12 +123,31 @@ object Similarity {
     * ranks exactly by inner product — any cosine ANN structure in this
     * file ([[lshTopK]], IVF, PQ) becomes a MIPS index unchanged.
     * Map-side: one expression per row, no shuffle. Pass `isQuery=true`
-    * for the probe side (appends the 0). */
+    * for the probe side (appends the 0).
+    *
+    * The reduction's exactness guarantee REQUIRES `maxNorm` ≥ every
+    * corpus norm. By default (`strict=true`) a row whose norm exceeds
+    * `maxNorm` fails the job with a clear error rather than silently
+    * clamping √(M²−‖x‖²) to 0 — a clamped row would still rank, just
+    * subtly wrongly. Pass `strict=false` only when an approximate
+    * cap is intentional (the clamp then applies, documented here). */
   def augmentForMips(df: DataFrame, embCol: String, maxNorm: Double,
-      isQuery: Boolean = false, outCol: String = "_aug"): DataFrame = {
+      isQuery: Boolean = false, outCol: String = "_aug",
+      strict: Boolean = true): DataFrame = {
     val e = Vec.asDouble(col(embCol))
-    val extra = if (isQuery) lit(0.0)
-      else sqrt(greatest(lit(0.0), lit(maxNorm * maxNorm) - Vec.dot(e, e)))
+    val normSq = Vec.dot(e, e)
+    val slackSq = lit(maxNorm * maxNorm) - normSq
+    // tolerance: maxNorm computed as sqrt(max ‖x‖²) re-squares to a
+    // value a few ulps off; only a GENUINE excess should fail
+    val tol = 1e-9 * math.max(maxNorm * maxNorm, 1.0)
+    val extra =
+      if (isQuery) lit(0.0)
+      else if (strict) when(slackSq < -tol, raise_error(concat(
+          lit(s"augmentForMips: corpus vector norm² = "), normSq,
+          lit(s" exceeds maxNorm² = ${maxNorm * maxNorm}; the MIPS ranking " +
+            "guarantee needs maxNorm ≥ max corpus norm (or pass strict=false " +
+            "to clamp)")))).otherwise(sqrt(greatest(lit(0.0), slackSq)))
+      else sqrt(greatest(lit(0.0), slackSq))
     df.withColumn(outCol, concat(e, array(extra)))
   }
 
@@ -177,9 +196,8 @@ object Similarity {
       threshold: Double, bandBits: Int = 12, bands: Int = 128,
       seed: Long = 42L, roundTo: Int = 6): DataFrame = {
     val dim = df.select(size(col(embCol))).head().getInt(0)
-    val units = withUnit(df, embCol)
-      .select(col(idCol).as("_id"), col("_unit"))
-      .cache()
+    val units = OpCaches.track(withUnit(df, embCol)
+      .select(col(idCol).as("_id"), col("_unit")))
     // (id, band, signature) triples — three narrow columns per row; one
     // kernel computes all bands' signatures (no plane literals: the
     // bands×bits 64-double arrays made 8+ MiB task binaries)
@@ -215,18 +233,16 @@ object Similarity {
       graft.functions.HashExpressions.banded_hyperplane_sigs(unit, nbits, tables, dim, seed)
     // materialize units before the tables*nbits plane dots (else the
     // normalization expression re-evaluates inside every dot product)
-    val cUnits = withUnit(corpus, embCol)
-      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
-      .cache()
+    val cUnits = OpCaches.track(withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c")))
     // signatures only — the unit vector does not ride through the
     // bands×corpus explode (it re-joins after candidate dedup)
     val c = cUnits
       .select(col("neighbor_id"), posexplode(sigs(col("u_c"))).as(Seq("_t", "_sig")))
     // multiprobe masks: own bucket + every 1-bit neighbor bucket
     val masks = lit(0L) +: (0 until nbits).map(b => lit(1L << b))
-    val qUnits = withUnit(queries, embCol)
-      .select(col(idCol).as("query_id"), col("_unit").as("u_q"))
-      .cache()
+    val qUnits = OpCaches.track(withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit").as("u_q")))
     val qBase = qUnits
       .select(col("query_id"), posexplode(sigs(col("u_q"))).as(Seq("_t", "_sigq")))
     val q = qBase.select(col("query_id"), col("_t"),

@@ -977,7 +977,7 @@ object RelationalQueries {
           max(when(col("_rk") === 1, col("source"))).as("modal_source"),
           sum(col("n")).as("n_docs"),
           round(-sum((col("n") / col("_tot")) *
-            log2(col("n") / col("_tot"))), 6).as("source_entropy"))
+            log2(col("n") / col("_tot"))) + lit(0.0), 6).as("source_entropy"))
         .orderBy("lang")
     },
     Some("""WITH counts AS (
@@ -990,19 +990,20 @@ object RelationalQueries {
       SELECT lang,
         max(CASE WHEN rk = 1 THEN source END) AS modal_source,
         CAST(sum(n) AS BIGINT) AS n_docs,
-        round(-sum((n / tot) * log2(n / tot)), 6) AS source_entropy
+        round(-sum((n / tot) * log2(n / tot)) + 0, 6) AS source_entropy
       FROM ranked GROUP BY lang ORDER BY lang"""))
 
-  // --- q41: per-key event debounce (drop repeats within a window) -----
-  // Telemetry dedup-in-time: a (user, event_type) firing again within
-  // 10 minutes of the LAST KEPT occurrence is suppressed. Note the
-  // subtlety: gap-to-previous-row is NOT the same semantics — a burst
-  // of rows each 6 min apart would all survive a lag()-based filter
-  // while debounce keeps only the first of the burst. The kept set is
-  // computed per key with a session-style pass: rows further than the
-  // window from the previous ROW are always kept and reset the anchor;
-  // rows inside the window survive only if the running gap since the
-  // last kept row exceeds the window. One window shuffle on the key.
+  // --- q41: per-key event debounce (quiet-period chain heads) ---------
+  // Telemetry dedup-in-time with QUIET-PERIOD semantics: rows whose
+  // inter-arrival gap is < 10 minutes chain together, and only the
+  // HEAD of each chain (the first row after a ≥10-minute quiet period)
+  // is kept. Events at t=0, 6, 12 min form one chain — only t=0
+  // survives, even though t=12 is ≥10 min after it. That is stricter
+  // than distance-from-last-kept throttling (which would also keep
+  // t=12) and stricter still than a plain lag() filter (which would
+  // keep all three). Chains are found with a session-style pass: a
+  // row starts a new chain iff its gap to the previous ROW is ≥ the
+  // window. One window shuffle on the key.
   private val q41 = GraftQuery(
     "q41_event_debounce",
     (s, d) => {
@@ -1011,9 +1012,7 @@ object RelationalQueries {
         .orderBy(col("ts"), col("event_id"))
       // anchor chains: a row starts a new debounce chain iff its gap to
       // the previous row ≥ window; within a chain (rows < window apart
-      // in sequence), only the chain head is kept. This equals the
-      // "last kept" semantics when inter-arrival gaps are what chain
-      // bursts together.
+      // in sequence), only the chain head is kept.
       val withGap = ev(s, d)
         .withColumn("_us", unix_micros(col("ts")))
         .withColumn("_prev", lag(col("_us"), 1).over(w))

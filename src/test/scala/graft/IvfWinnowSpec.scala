@@ -34,6 +34,22 @@ class IvfWinnowSpec extends SparkSpec {
     assert(!(IvfIndex.sampleUnits(emb, "embedding", sampleSize = 64) eq s1))
   }
 
+  test("OpCaches.release unpersists every operator-cached frame") {
+    import graft.operators.OpCaches
+    OpCaches.release() // start from a clean registry
+    IvfIndex.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3).count()
+    assert(OpCaches.trackedCount > 0, "index build should register its caches")
+    assert(spark.sharedState.cacheManager.isEmpty == false)
+    OpCaches.release()
+    assert(OpCaches.trackedCount == 0)
+    // further searches still work (recompute instead of failing)
+    val n = IvfIndex.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3).count()
+    assert(n > 0)
+    OpCaches.release()
+  }
+
   test("IVF cell assignment partitions the corpus") {
     val model = IvfIndex.train(emb, "embedding", nlist = 8)
     val cells = Similarity.withUnit(emb, "embedding")

@@ -94,6 +94,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cosAug == Seq(1L, 2L), cosAug.toString)
   }
 
+  test("augmentForMips strict mode fails loudly on an underestimated maxNorm") {
+    val corpus = Seq((1L, Seq(3.0, 4.0))).toDF("vec_id", "embedding") // norm 5
+    // exact max norm passes strict (sqrt/square roundtrip tolerance)
+    val ok = Similarity.augmentForMips(corpus, "embedding", maxNorm = 5.0)
+      .select(element_at(col("_aug"), 3)).as[Double].head()
+    assert(math.abs(ok) < 1e-6, s"slack dim at exact max norm should be ~0, got $ok")
+    // an underestimated cap raises instead of silently clamping
+    val e = intercept[Exception] {
+      Similarity.augmentForMips(corpus, "embedding", maxNorm = 4.0)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("augmentForMips")), e.getMessage)
+    // explicit opt-out keeps the documented clamp behavior
+    val clamped = Similarity
+      .augmentForMips(corpus, "embedding", maxNorm = 4.0, strict = false)
+      .select(element_at(col("_aug"), 3)).as[Double].head()
+    assert(clamped == 0.0)
+  }
+
   test("LSH ANN recall vs brute force is reasonable at this scale") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
