@@ -36,19 +36,38 @@ object PlaybackBench {
     * (sampleRate ≤ 1M is the reference's own validation rule,
     * mirrored by PlaybackConfig — a single stream cannot be configured
     * faster; concurrency is how aggregate ingest exceeds the cap).
+    *
+    * Stall hygiene (the CI host pauses whole JVMs for 5–150 s): the
+    * clock starts only once EVERY query has completed a micro-batch
+    * (capped at 90 s — a cold start that beats the cap measures
+    * whatever is flowing by then, reporting 0 if nothing is). Stream
+    * startup is serialized work — each query pays its own line-index
+    * job, plan compile, and WAL setup, so with 8 streams the last may
+    * finish its first batch tens of seconds after the first; a clock
+    * started at rows>0 bills that ramp-up as if it were steady-state
+    * throughput. The reported figure is then the best of three
+    * consecutive `seconds`-long windows — the throughput dual of the
+    * query timings' min-over-interleaved-rounds. A stall inside one
+    * window depresses that window alone; sustained capability is what
+    * the max sees. This measures the engine, not the host's worst
+    * pause or the JVM's cold start.
+    *
     * Every started query, the listener, and the temp dir are released
     * even when a start or stop fails partway, so a failed measurement
     * can't leave orphan 1M-rows/sec streams polluting later timings. */
   private def measure(spark: SparkSession, sfDir: String, n: Int,
-      seconds: Int, rate: Int): Double = {
+      seconds: Int, rate: Int, windows: Int = 3): Double = {
     val workDir = java.nio.file.Files.createTempDirectory("playback-bench")
     exportCsv(spark, sfDir, workDir)
     val rows = new java.util.concurrent.atomic.AtomicLong
+    val progressed = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
         rows.addAndGet(e.progress.numInputRows)
+        if (e.progress.numInputRows > 0) progressed.add(e.progress.id)
+      }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
@@ -66,13 +85,24 @@ object PlaybackBench {
           .trigger(Trigger.ProcessingTime(500))
           .start()
       }
-      Thread.sleep(if (n > 1) 3000 else 2000) // warmup
-      val t0 = System.nanoTime()
-      val rows0 = rows.get()
-      Thread.sleep(seconds * 1000L)
-      val rows1 = rows.get()
-      val dt = (System.nanoTime() - t0) / 1e9
-      (rows1 - rows0) / dt
+      // warmup = every stream flowing, not a fixed sleep: startup is
+      // serialized per query (line-index job, plan compile, WAL
+      // setup), so the n-th stream's first batch can land tens of
+      // seconds after the first — a clock started earlier bills
+      // ramp-up as steady state
+      val warmupDeadline = System.nanoTime() + 90L * 1000000000L
+      while (progressed.size < n && System.nanoTime() < warmupDeadline)
+        Thread.sleep(100)
+      var best = 0.0
+      for (_ <- 1 to windows) {
+        val t0 = System.nanoTime()
+        val rows0 = rows.get()
+        Thread.sleep(seconds * 1000L)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val rps = (rows.get() - rows0) / dt
+        if (rps > best) best = rps
+      }
+      best
     } finally {
       started.foreach(q => try q.stop() catch { case _: Throwable => () })
       spark.streams.removeListener(listener)
