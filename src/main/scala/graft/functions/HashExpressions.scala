@@ -279,6 +279,68 @@ object HashExpressions {
     override def prettyName: String = "ngrams"
   }
 
+  /** Per-window 128-bit hash pairs of the k-token sliding windows of an
+    * array<string>: element i is struct(h1, h2) identifying window
+    * [i, i+k). Replaces hash(ngrams(...)) where only window IDENTITY is
+    * needed (duplicated-substring detection): each token is xxhash64'd
+    * once per seed channel, then each window combines its k token
+    * hashes with a fixed-length polynomial in 2⁶⁴ — O(T) string hashing
+    * + O(T·k) multiply-adds, no gram-string allocation at all, vs the
+    * ngrams shape's O(T·k·len) re-hashing of every character k times
+    * plus T concatenated strings of garbage per row. Equal token
+    * sequences always agree; distinct ones collide with probability
+    * ~2⁻¹²⁸ per pair across the two independently-seeded channels
+    * (constant window length k makes the polynomial injective up to
+    * hash collisions). Short-input rule: 1..k-1 tokens yield one
+    * window covering them all (as [[NGrams]]); an empty array yields
+    * no windows (where NGrams emits one empty-string gram). */
+  case class NGramHashPairs(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1, "k >= 1")
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("h1", LongType, nullable = false),
+        StructField("h2", LongType, nullable = false))),
+      containsNull = false)
+    // distinct odd multipliers keep the two channels independent
+    private val P1 = 0x9E3779B97F4A7C15L // golden-ratio odd constant
+    private val P2 = 0xC2B2AE3D27D4EB4FL // xxhash64 prime_2 (odd)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val t1 = new Array[Long](n)
+      val t2 = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        t1(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        t2(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 77L)
+        i += 1
+      }
+      val kk = math.min(k, math.max(n, 1))
+      val m = math.max(n - kk + 1, if (n == 0) 0 else 1)
+      val out = new Array[Any](m)
+      var w = 0
+      while (w < m) {
+        var h1 = 0L
+        var h2 = 0L
+        val end = math.min(w + kk, n)
+        var p = w
+        while (p < end) {
+          h1 = h1 * P1 + t1(p)
+          h2 = h2 * P2 + t2(p)
+          p += 1
+        }
+        out(w) = InternalRow(h1, h2)
+        w += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): NGramHashPairs =
+      copy(child = c)
+    override def prettyName: String = "ngram_hash_pairs"
+  }
+
   /** `size(array_intersect(a, b))` computed without materializing the
     * intersection array: right side into a hash set, one counting scan
     * over the left (distinct matches). String arrays without null
@@ -582,6 +644,8 @@ object HashExpressions {
     column(Winnow(expression(text), k, w))
   def ngrams(tokens: Column, k: Int, distinct: Boolean): Column =
     column(NGrams(expression(tokens), k, distinct))
+  def ngram_hash_pairs(tokens: Column, k: Int): Column =
+    column(NGramHashPairs(expression(tokens), k))
   def gram_stats(grams: Column): Column =
     column(TopGramStats(expression(grams)))
   def intersect_size(a: Column, b: Column): Column =

@@ -474,16 +474,29 @@ object Dedup {
     * fixed-length-window semantics: one narrow (window-hash, doc, pos)
     * row per token position, a map-side-partial min-occurrence
     * aggregate per window hash, and a join back restricted to hashes
-    * seen more than once. The window key is two independently-seeded
-    * xxhash64 values — 128 combined bits (collision odds ~W²/2¹²⁹,
-    * negligible at any corpus size) at half the width and ~2× the
-    * hash/compare speed of an md5 hex string. Shuffle volume is
+    * seen more than once. The window key is the 128-bit pair the
+    * [[graft.functions.HashExpressions.NGramHashPairs]] kernel emits
+    * (collision odds ~W²/2¹²⁹, negligible at any corpus size): each
+    * token is hashed ONCE per channel and windows combine token hashes
+    * with a fixed-length polynomial, so no gram string is ever
+    * materialized — the dominant cost of the hash(ngrams(...)) shape
+    * this replaced (every character hashed k times plus one garbage
+    * string per window). Shuffle volume is
     * linear in corpus tokens with fixed-width 16-byte keys — document
     * text itself never shuffles — and a boilerplate window repeated
     * 10⁹ times skews
     * neither the aggregate (partial min/count per map task) nor the
     * join (AQE skew split on the duplicated-hash side). The final
     * span merge is a per-document window over removal rows only.
+    *
+    * Deliberately NOT a single window-over-(h1,h2) pass: that shape
+    * measured ~2× faster at sf0.1 (one shuffle, no probe-side
+    * recompute) but a window partition receives EVERY occurrence of
+    * its key in one task — no map-side combine, no AQE skew split —
+    * so one boilerplate window repeated 10⁹ times at corpus scale
+    * concentrates 10⁹ rows on one core. The aggregate+join shape pays
+    * a second map-side pass (cheap since the kernel) for unbounded
+    * skew tolerance.
     */
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
@@ -492,11 +505,11 @@ object Dedup {
     val wins = df
       .filter(size(toks) >= k) // shorter docs hold no length-k window
       .select(col(idCol).as("_id"),
-        posexplode(graft.functions.HashExpressions.ngrams(toks, k, distinct = false))
-          .as(Seq("_pos", "_gram")))
+        posexplode(graft.functions.HashExpressions.ngram_hash_pairs(toks, k))
+          .as(Seq("_pos", "_hp")))
       .select(col("_id"), col("_pos"),
-        xxhash64(col("_gram")).as("_h1"),
-        xxhash64(lit(7), col("_gram")).as("_h2"))
+        col("_hp").getField("h1").as("_h1"),
+        col("_hp").getField("h2").as("_h2"))
     val dupFirsts = wins
       .groupBy("_h1", "_h2")
       .agg(min(struct(col("_id"), col("_pos"))).as("_keep"),

@@ -149,6 +149,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NGramHashPairs: pair equality == window text equality on tiny vocab") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // tiny vocab forces window repeats, so both sides of the iff fire
+    val smallTokGen = Gen.listOfN(24, Gen.oneOf("a", "b")).map(_.toSeq)
+    forAll(Gen.zip(smallTokGen, Gen.choose(1, 4))) { case (toks, k) =>
+      val df = Seq(toks).toDF("toks")
+      val pairs = df.select(
+          graft.functions.HashExpressions.ngram_hash_pairs(col("toks"), k))
+        .as[Seq[(Long, Long)]].head()
+      val windows =
+        if (toks.length < k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      assert(pairs.length == windows.length, s"k=$k toks=$toks")
+      for (i <- windows.indices; j <- windows.indices)
+        assert((pairs(i) == pairs(j)) == (windows(i) == windows(j)),
+          s"k=$k i=$i j=$j: hash-pair equality must track window equality")
+    }
+  }
+
   test("IntersectSize == size(array_intersect) on random string arrays") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
