@@ -727,7 +727,43 @@ object DedupQueries {
         CAST(sum(n_copies) AS BIGINT) AS n_docs
       FROM sizes GROUP BY n_copies ORDER BY n_copies"""))
 
+  // --- d21: media manifest (integrity + payload dedup accounting) -----
+  // The ingest-side manifest a multimodal pipeline keeps per media
+  // kind: object counts, distinct-content counts (md5 over the binary
+  // payload — the same content-hash dedup d01 does for text), and byte
+  // totals. Payloads never shuffle: every aggregate flows through the
+  // 128-bit digest or an integer length, so the shuffle is a few rows
+  // per kind regardless of payload size.
+  private val d21 = GraftQuery(
+    "d21_media_manifest",
+    (s, d) => {
+      val media = graft.operators.Multimodal
+        .syntheticMedia(s, Tables(s, d, "documents"))
+      media.groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          countDistinct(md5(col("payload"))).as("distinct_payloads"),
+          sum(length(col("payload"))).cast("long").as("total_bytes"),
+          max(length(col("payload"))).cast("long").as("max_bytes"))
+        .orderBy("kind")
+    },
+    Some("""WITH m AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+          -- payload is the UTF-8 encoding of text, so md5 over the
+          -- VARCHAR hashes the same bytes (duckdb 1.0 md5 is VARCHAR-only)
+          text AS content,
+          encode(text) AS payload
+        FROM documents)
+      SELECT kind, count(*) AS n_media,
+        count(DISTINCT md5(content)) AS distinct_payloads,
+        CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+        CAST(max(octet_length(payload)) AS BIGINT) AS max_bytes
+      FROM m GROUP BY kind ORDER BY kind"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-      d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
+      d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
 }

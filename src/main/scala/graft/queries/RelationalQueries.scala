@@ -1113,9 +1113,40 @@ object RelationalQueries {
       FROM g WHERE gap IS NOT NULL
       GROUP BY event_type ORDER BY event_type"""))
 
+  // --- q44: first-seen accounting (new vs cumulative users per day) ---
+  // Growth accounting over the event stream: a user's first-seen day,
+  // daily new-user counts, and the cumulative registry size. Two
+  // narrow shuffles — min-date per user (partial agg), then count per
+  // day — and one window over the handful of day rows for the running
+  // total (tiny by construction: one row per calendar day, so the
+  // unpartitioned running-sum window is a non-issue at any corpus
+  // scale).
+  private val q44 = GraftQuery(
+    "q44_new_users_daily",
+    (s, d) => {
+      val firstSeen = ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+      val daily = firstSeen.groupBy(col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy("day")
+    },
+    Some("""WITH f AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+      daily AS (
+        SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+      SELECT day, new_users,
+        CAST(sum(new_users) OVER (ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      FROM daily ORDER BY day"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43)
+    q38, q39, q40, q41, q42, q43, q44)
 }

@@ -312,7 +312,36 @@ object SamplingQueries {
         doc_id, source, rank_in_source
       FROM r ORDER BY train_pos"""))
 
+  // --- s15: curriculum stages (difficulty-ordered equal-count cuts) ---
+  // Length-ordered curriculum (the classic short-to-long baseline; any
+  // difficulty proxy — perplexity t11, quality t17 — drops in the same
+  // slot): rank by (n_chars, doc_id), cut into 4 equal-count stages
+  // with exact ntile semantics. The operator computes the global rank
+  // from range-partitioned per-range windows + a bounded offsets
+  // aggregate — no single-partition ntile window (see
+  // Sampling.curriculumStages), which is what the DuckDB oracle uses
+  // and what a naive Spark port would have copied.
+  private val s15 = GraftQuery(
+    "s15_curriculum_stages",
+    (s, d) => {
+      val staged = Sampling.curriculumStages(
+        Tables(s, d, "documents"),
+        Seq(col("n_chars"), col("doc_id")), stages = 4)
+      staged.groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("stage")
+    },
+    Some("""WITH st AS (
+        SELECT n_chars,
+          CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS stage
+        FROM documents)
+      SELECT stage, count(*) AS n_docs,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM st GROUP BY stage ORDER BY stage"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14)
+      s14, s15)
 }

@@ -580,7 +580,41 @@ object TextQueries {
         round(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS ttr
       FROM toks ORDER BY doc_id"""))
 
+  // --- t19: readability (Flesch reading ease, vowel-group syllables) --
+  // The curation-side readability gate: Flesch reading ease with the
+  // standard corpus-scale approximations — sentences ≈ runs of
+  // terminal punctuation (min 1), syllables ≈ vowel-group count per
+  // doc. Pure row-local regexp counting, no shuffle beyond the final
+  // sort; the formula's two ratios divide as doubles on both engines.
+  private val t19 = GraftQuery(
+    "t19_readability",
+    (s, d) => {
+      val words = size(split(trim(col("text")), "\\s+"))
+      val sentences = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+      val syllables =
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          words.cast("long").as("n_words"),
+          sentences.cast("long").as("n_sentences"),
+          syllables.cast("long").as("n_syllables"),
+          round(lit(206.835) - lit(1.015) * words / sentences
+            - lit(84.6) * syllables / words, 4).as("flesch"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+        round(206.835
+          - 1.015 * len(string_split_regex(trim(text), '\s+'))
+              / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+          - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              / len(string_split_regex(trim(text), '\s+')), 4) AS flesch
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18)
+      t14, t15, t16, t17, t18, t19)
 }

@@ -229,6 +229,57 @@ object VectorQueries {
         ORDER BY ip DESC, neighbor_id) AS rank FROM pairs)
     WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // --- v12: k-NN label prediction (majority vote over neighbors) ------
+  // The classic embedding-quality probe: predict each vector's label
+  // from its 5 nearest neighbors' labels (excluding self), majority
+  // vote with smallest-label tie-break. Built from the same exact
+  // top-k primitive as v01 — at corpus scale the candidate set comes
+  // from the ANN path (v05/v08) instead, vote unchanged: the vote is
+  // a narrow (query, label, count) aggregate + one per-query window,
+  // never the vectors.
+  private val v12 = GraftQuery(
+    "v12_knn_label",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, d, "embeddings")
+      val topk = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
+      val votes = topk
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nb_label")), "neighbor_id")
+        .groupBy(col("query_id"), col("nb_label"))
+        .agg(count(lit(1)).as("_v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("_v").desc, col("nb_label"))
+      votes.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("query_id").as("vec_id"), col("nb_label").as("pred_label"))
+        .join(emb.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+        .select(col("vec_id"), col("true_label"), col("pred_label"),
+          (col("true_label") === col("pred_label")).as("correct"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nb_label,
+          round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+        FROM u q, u c WHERE c.vec_id <> q.vec_id),
+      topk AS (
+        SELECT query_id, nb_label FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM pairs)
+        WHERE rk <= 5),
+      votes AS (
+        SELECT query_id, nb_label, count(*) AS v FROM topk GROUP BY 1, 2),
+      pred AS (
+        SELECT query_id AS vec_id, nb_label AS pred_label FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY v DESC, nb_label) AS pr FROM votes)
+        WHERE pr = 1)
+    SELECT p.vec_id, u.label AS true_label, p.pred_label,
+      u.label = p.pred_label AS correct
+    FROM pred p JOIN u ON u.vec_id = p.vec_id
+    ORDER BY p.vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10, v11)
+    v09, v10, v11, v12)
 }

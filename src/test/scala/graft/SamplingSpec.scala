@@ -214,4 +214,33 @@ class SamplingSpec extends SparkSpec {
     val viaIds = got.orderBy("gid").select("doc_id").as[Long].collect().toSeq
     assert(viaIds == viaSort)
   }
+
+  test("curriculumStages == global ntile on non-divisible counts") {
+    // N=10, k=4: ntile sizes must be 3,3,2,2 (first N mod k stages
+    // bigger) — floor(rank*k/N) would give 3,2,3,2, so this pins the
+    // exact ntile rule
+    val rows = Seq(5, 3, 9, 1, 7, 2, 8, 4, 6, 10).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("id", "difficulty")
+    val staged = Sampling.curriculumStages(
+      df, Seq(col("difficulty"), col("id")), stages = 4, nRanges = 3)
+    val got = staged.orderBy("difficulty")
+      .select("difficulty", "stage").as[(Int, Long)].collect().toSeq
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map(1L -> 3, 2L -> 3, 3L -> 2, 4L -> 2), sizes.toString)
+    // stage must be monotone in the difficulty order
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    // and agree with Spark's own ntile on a single partition
+    val viaNtile = df.withColumn("stage",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("difficulty"), col("id"))).cast("long"))
+      .orderBy("difficulty").select("stage").as[Long].collect().toSeq
+    assert(got.map(_._2) == viaNtile)
+    // fewer rows than stages: each row gets its own stage, in order
+    val tiny = Seq((0L, 30), (1L, 10), (2L, 20)).toDF("id", "difficulty")
+    val tinyGot = Sampling.curriculumStages(
+        tiny, Seq(col("difficulty"), col("id")), stages = 5, nRanges = 2)
+      .orderBy("difficulty").select("stage").as[Long].collect().toSeq
+    assert(tinyGot == Seq(1L, 2L, 3L), tinyGot.toString)
+  }
 }
