@@ -341,7 +341,48 @@ object SamplingQueries {
         min(n_chars) AS min_chars, max(n_chars) AS max_chars
       FROM st GROUP BY stage ORDER BY stage"""))
 
+  // --- s16: per-source token-budget sampling --------------------------
+  // Mixture construction under a token budget (how real pretraining
+  // mixes are specified): within each source, walk documents in the
+  // deterministic md5 order and keep them while the running token
+  // total stays inside the per-source budget. One window shuffle
+  // keyed on source (sources fill in parallel); the budget check is a
+  // running sum over narrow (source, doc, n_tokens) rows — text never
+  // shuffles. Summary output: what each source contributed.
+  private val s16 = GraftQuery(
+    "s16_token_budget_sample",
+    (s, d) => {
+      val budget = 20000L
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val h = md5(col("doc_id").cast("string"))
+      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("_cum", sum(col("n_tokens")).over(w))
+        .filter(col("_cum") <= budget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_kept"),
+          max(col("_cum")).as("budget_used"))
+        .orderBy("source")
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      cum AS (
+        SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+          ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM docs)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+        max(c) AS budget_used
+      FROM cum WHERE c <= 20000 GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15)
+      s14, s15, s16)
 }

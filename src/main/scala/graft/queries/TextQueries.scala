@@ -614,7 +614,52 @@ object TextQueries {
               / len(string_split_regex(trim(text), '\s+')), 4) AS flesch
       FROM documents ORDER BY doc_id"""))
 
+  // --- t20: out-of-vocabulary rate vs the corpus top-1k vocab ---------
+  // Tokenizer-coverage audit: build the corpus' top-1000 word
+  // vocabulary (t03's frequency ranking with a deterministic
+  // (count desc, word) cut), then per doc count tokens outside it.
+  // The vocab cut is orderBy+limit — TakeOrderedAndProject (per-
+  // partition heaps + driver merge), NOT a row_number window, which
+  // would sort every distinct word on one core — then broadcast to
+  // the token stream (vocab side tiny by construction), so the only
+  // real shuffle is the per-doc re-aggregate on narrow rows.
+  private val t20 = GraftQuery(
+    "t20_oov_rate",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val freq = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("_n"))
+      val vocab = freq
+        .orderBy(col("_n").desc, col("word"))
+        .limit(1000)
+        .select(col("word"), lit(1).as("_in_vocab"))
+      docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .join(broadcast(vocab), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("_in_vocab").isNull, 1)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      freq AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+      vocab AS (
+        SELECT word FROM (
+          SELECT word, row_number() OVER (ORDER BY n DESC, word) AS rk
+          FROM freq) WHERE rk <= 1000)
+      SELECT doc_id, count(*) AS n_tokens,
+        count(CASE WHEN v.word IS NULL THEN 1 END) AS n_oov,
+        round(count(CASE WHEN v.word IS NULL THEN 1 END)::DOUBLE
+          / count(*), 6) AS oov_rate
+      FROM tok LEFT JOIN vocab v USING (word)
+      GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19)
+      t14, t15, t16, t17, t18, t19, t20)
 }
