@@ -120,4 +120,35 @@ class PlanAssertionsSpec extends SparkSpec {
     // ORDER BY the oracle requires); no join-side corpus shuffle
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
+
+  test("t20 OOV rate: vocab cut is TakeOrdered heaps, vocab join broadcasts") {
+    val plan = executedPlan("t20_oov_rate")
+    // the top-1k vocab must come from per-partition heaps + driver
+    // merge, not a row_number window sorting every distinct word on
+    // one core, and must reach the token stream as a broadcast
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("s15 curriculum stages: range partitioning, no unpartitioned window") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Sampling.curriculumStages(
+      Tables(spark, sf, "documents"),
+      Seq(col("n_chars"), col("doc_id")), stages = 4)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(1200))
+    // the rank window is per-range (partitioned on _range); a global
+    // ntile would be an unpartitioned window over everything
+    assert(plan.contains("windowspecdefinition(_range"), plan.take(1600))
+  }
+
+  test("v12 kNN labels: corpus never shuffles for scoring; vote window keyed") {
+    val plan = executedPlan("v12_knn_label")
+    // scoring joins broadcast (query side + label lookup); the only
+    // sort-merge-free requirement is no corpus-side shuffle join
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
 }
