@@ -1144,9 +1144,42 @@ object RelationalQueries {
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       FROM daily ORDER BY day"""))
 
+  // --- q45: one-pass table profile ------------------------------------
+  // The dataset-profiling utility every pipeline runs before training:
+  // null counts, distinct cardinalities, ranges and means for a column
+  // set, in ONE scan — a single multi-expression aggregate (Spark
+  // plans the two exact distinct columns via one Expand, still one
+  // pass over the files), no per-column jobs. At 100 TB swap the exact
+  // distincts for approx_count_distinct and the plan loses the Expand.
+  private val q45 = GraftQuery(
+    "q45_table_profile",
+    (s, d) =>
+      Tables(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1).otherwise(0)).cast("long")
+          .as("qty_nulls"),
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        round(avg(col("l_quantity")), 4).as("qty_avg"),
+        countDistinct(col("l_returnflag")).as("flag_distinct"),
+        countDistinct(col("l_partkey")).as("part_distinct"),
+        min(col("l_shipdate")).as("ship_min"),
+        max(col("l_shipdate")).as("ship_max")),
+    Some("""SELECT count(*) AS n_rows,
+        CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS qty_nulls,
+        min(l_quantity) AS qty_min,
+        max(l_quantity) AS qty_max,
+        round(avg(l_quantity), 4) AS qty_avg,
+        count(DISTINCT l_returnflag) AS flag_distinct,
+        count(DISTINCT l_partkey) AS part_distinct,
+        min(l_shipdate) AS ship_min,
+        max(l_shipdate) AS ship_max
+      FROM lineitem"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44)
+    q38, q39, q40, q41, q42, q43, q44, q45)
 }

@@ -382,7 +382,56 @@ object SamplingQueries {
         max(c) AS budget_used
       FROM cum WHERE c <= 20000 GROUP BY source ORDER BY source"""))
 
+  // --- s17: materialize packed training sequences ---------------------
+  // The step after s06's pack ASSIGNMENT: per (source, pack), join the
+  // member documents in order with an EOS separator into the actual
+  // training sequence. The per-group collect is bounded by the pack
+  // budget itself (a pack holds ~512 tokens by construction), so
+  // sort_array(collect_list(...)) is bounded-memory per group — this
+  // is the one place collect_list is safe BY CONSTRUCTION, and the
+  // comparison surface is the sequence's md5 + length, not megabytes
+  // of text.
+  private val s17 = GraftQuery(
+    "s17_pack_texts",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("text"),
+          graft.operators.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("tok"))
+      val packed = graft.operators.Packing
+        .packByBudget(docs, col("source"), col("doc_id"), col("tok"), budget = 512)
+      packed.groupBy(col("source"), col("_pack").as("pack"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("doc_id"), col("text")))),
+              e => e.getField("text")),
+            "<|eos|>").as("_seq"))
+        .select(col("source"), col("pack"), col("n_docs"),
+          length(col("_seq")).cast("long").as("seq_chars"),
+          md5(col("_seq")).as("seq_md5"))
+        .orderBy("source", "pack")
+    },
+    Some("""WITH t AS (
+        SELECT source, doc_id, text,
+          len(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      c AS (
+        SELECT *, coalesce(sum(tok) OVER (PARTITION BY source
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) AS before
+        FROM t),
+      p AS (
+        SELECT source, CAST(floor(before / 512.0) AS BIGINT) AS pack,
+          doc_id, text
+        FROM c)
+      SELECT source, pack, count(*) AS n_docs,
+        CAST(length(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS BIGINT)
+          AS seq_chars,
+        md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS seq_md5
+      FROM p GROUP BY source, pack ORDER BY source, pack"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16)
+      s14, s15, s16, s17)
 }
