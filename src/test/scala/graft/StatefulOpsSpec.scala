@@ -96,6 +96,49 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end streaming curation equals the batch pipeline") {
+    // the composition claim: the SAME quality-gate expressions plus
+    // dedup, run as a stateful stream over three micro-batches, keep
+    // exactly what the batch pipeline keeps on the union of the data
+    import graft.operators.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val rows = Seq(
+      (ts(0), 0L, "the quick brown fox jumps over the lazy dog"),
+      (ts(1), 1L, "x"),                                     // too short → gated
+      (ts(2), 2L, "the quick brown fox jumps over the lazy dog"), // dup of 0
+      (ts(3), 3L, "a completely different document about spark and the sea"),
+      (ts(4), 4L, "zzz qqq jjj xxx vvv www"),               // no stopwords → gated
+      (ts(5), 5L, "a completely different document about spark and the sea"), // dup of 3
+      (ts(6), 6L, "one more clean document with the usual words in it"))
+    def gate(df: org.apache.spark.sql.DataFrame) = df
+      .filter(TextAnalysis.tokenCount(col("text")) >= 5)
+      .filter(TextAnalysis.stopwordRatio(col("text")) > 0.05)
+    val streamed = StatefulOps.streamingDedup(
+      gate(input.toDF().toDF("ts", "doc_id", "text")), "text", "ts", "10 minutes")
+    val q = streamed.writeStream.format("memory").queryName("curated")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      rows.grouped(3).foreach { batch => input.addData(batch); q.processAllAvailable() }
+      // the streaming dedup keeps ONE survivor per content group (the
+      // first row SEEN, which across parallel partitions is not
+      // necessarily the earliest timestamp — that's the documented
+      // contract difference vs batch keep-first); the curated CONTENT
+      // must match the batch pipeline exactly
+      val streamKept = spark.sql("SELECT text FROM curated").as[String]
+        .collect().toSeq
+      val batchKept = Dedup.exactKeepFirst(
+          gate(rows.toDF("ts", "doc_id", "text")), "text", "doc_id")
+        .select("text").as[String].collect().toSeq
+      assert(streamKept.size == streamKept.toSet.size, "one survivor per group")
+      assert(streamKept.toSet == batchKept.toSet,
+        s"stream=${streamKept.toSet} batch=${batchKept.toSet}")
+      assert(streamKept.size == 3)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the time bound") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[(java.sql.Timestamp, String)]
