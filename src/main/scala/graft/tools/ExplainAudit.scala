@@ -24,7 +24,10 @@ object ExplainAudit {
       .foreach { q =>
         try {
           val df = q.impl(spark, sfDir)
-          df.count() // finalize AQE so the audited plan is the executed one
+          // collect() executes THIS dataframe's plan — count() would
+          // execute a different (count-aggregated) plan, leaving this
+          // one isFinalPlan=false with no codegen annotation
+          df.collect()
           val plan = df.queryExecution.executedPlan.toString
           def n(pat: String) = pat.r.findAllIn(plan).length
           val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan)

@@ -12,7 +12,11 @@ class PlanAssertionsSpec extends SparkSpec {
 
   private def executedPlan(name: String): String = {
     val df = QueryRegistry.queryMap(name)(spark, sf)
-    df.count() // finalize AQE so the audited plan is the executed one
+    // collect(), not count(): count() executes a DIFFERENT (count-
+    // aggregated) plan, leaving this one isFinalPlan=false — the
+    // assertions would then read the static plan, not the AQE-final
+    // executed one
+    df.collect()
     df.queryExecution.executedPlan.toString
   }
 
