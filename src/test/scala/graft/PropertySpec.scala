@@ -152,8 +152,10 @@ class PropertySpec extends SparkSpec {
   test("NGramHashPairs: pair equality == window text equality on tiny vocab") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // tiny vocab forces window repeats, so both sides of the iff fire
-    val smallTokGen = Gen.listOfN(24, Gen.oneOf("a", "b")).map(_.toSeq)
+    // tiny vocab forces window repeats, so both sides of the iff fire;
+    // lengths below k exercise the one-window short-input rule
+    val smallTokGen = Gen.choose(1, 24)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b"))).map(_.toSeq)
     forAll(Gen.zip(smallTokGen, Gen.choose(1, 4))) { case (toks, k) =>
       val df = Seq(toks).toDF("toks")
       val pairs = df.select(
@@ -167,6 +169,11 @@ class PropertySpec extends SparkSpec {
         assert((pairs(i) == pairs(j)) == (windows(i) == windows(j)),
           s"k=$k i=$i j=$j: hash-pair equality must track window equality")
     }
+    // empty array: no windows at all (documented divergence from NGrams)
+    val empty = Seq(Seq.empty[String]).toDF("toks")
+      .select(graft.functions.HashExpressions.ngram_hash_pairs(col("toks"), 3))
+      .as[Seq[(Long, Long)]].head()
+    assert(empty.isEmpty)
   }
 
   test("IntersectSize == size(array_intersect) on random string arrays") {
