@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.HashExpressions.{CharEntropy, IntersectSize, MinHash64, NGrams, NormalizeUtf8, SimHash64, TopGramStats, VecDot, VecL2, Winnow}
+import graft.functions.HashExpressions.{CharEntropy, IntersectSize, MinHash64, NGramHashPairs, NGrams, NormalizeUtf8, SimHash64, TopGramStats, VecDot, VecL2, Winnow}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -60,6 +60,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(toks, k) => NGrams(toks, intLit(k, "k"), distinct = true)
         case _ => throw new IllegalArgumentException("ngrams(tokens, k)")
+      }),
+    ("ngram_hash_pairs",
+      new ExpressionInfo(classOf[NGramHashPairs].getName, "ngram_hash_pairs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, k) => NGramHashPairs(toks, intLit(k, "k"))
+        case _ => throw new IllegalArgumentException("ngram_hash_pairs(tokens, k)")
       }),
     ("gram_stats",
       new ExpressionInfo(classOf[TopGramStats].getName, "gram_stats"),

@@ -130,6 +130,9 @@ class SamplingSpec extends SparkSpec {
     val wn = spark.sql(
       "SELECT size(winnow('abcdefghij', 4, 3)) AS n").head().getInt(0)
     assert(wn > 0)
+    val nhp = spark.sql(
+      "SELECT ngram_hash_pairs(array('a','b','c'), 2) AS p").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(nhp.length == 2 && nhp.head != nhp(1))
   }
 
   test("perGroupCap keeps the k best per group, all of an under-k group") {
