@@ -280,6 +280,43 @@ object VectorQueries {
     FROM pred p JOIN u ON u.vec_id = p.vec_id
     ORDER BY p.vec_id"""))
 
+  // --- v13: quantization round-trip error audit -----------------------
+  // The accuracy side of v06's compression: dequantize the int8 codes
+  // and report per-vector cosine(original, round-trip) and max
+  // absolute element error — the audit a pipeline runs before
+  // committing to a quantized index. Map-side per-row arithmetic, no
+  // shuffle beyond the ORDER BY.
+  private val v13 = GraftQuery(
+    "v13_quantization_error",
+    (s, d) => {
+      val e = col("embedding").cast("array<double>")
+      Tables(s, d, "embeddings")
+        .filter(col("vec_id") < 50)
+        .withColumn("_scale", array_max(transform(e, x => abs(x))) / lit(127.0))
+        .withColumn("_dq",
+          transform(e, x => round(x / col("_scale")) * col("_scale")))
+        .select(col("vec_id"),
+          round(graft.functions.Vec.cosine(e, col("_dq")), 6).as("cos_roundtrip"),
+          round(array_max(zip_with(e, col("_dq"), (a, b) => abs(a - b))), 6)
+            .as("max_abs_err"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 50),
+    s AS (
+      SELECT vec_id, e,
+        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM b),
+    q AS (
+      SELECT vec_id, e,
+        list_transform(e, x -> round(x / scale) * scale) AS dq
+      FROM s)
+    SELECT vec_id,
+      round(list_cosine_similarity(e, dq), 6) AS cos_roundtrip,
+      round(list_max(list_transform(range(1, len(e) + 1),
+        i -> abs(e[i] - dq[i]))), 6) AS max_abs_err
+    FROM q ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10, v11, v12)
+    v09, v10, v11, v12, v13)
 }
