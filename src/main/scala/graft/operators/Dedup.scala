@@ -540,6 +540,36 @@ object Dedup {
         col("span_end").cast("long").as("span_end"))
   }
 
+  /** Applies [[substringSpans]]: cut every removal span out of its
+    * document and return the cleaned token stream's stats + digest —
+    * the step that turns the span REPORT into curated text (Lee et
+    * al. pipelines rewrite the corpus exactly this way).
+    *
+    * Scale shape: spans collect per document (bounded by the doc's own
+    * token count), join back on the id key, and the cut is one
+    * index-aware filter expression per row — no token ever shuffles;
+    * the only moved data is (id, spans) pairs and the original rows.
+    * Docs without spans pass through via the null branch. */
+  def applySubstringDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val spanArr = substringSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.join(spanArr, Seq(idCol), "left")
+      .withColumn("_toks", toks)
+      .withColumn("_kept",
+        when(col("_spans").isNull, col("_toks"))
+          .otherwise(filter(col("_toks"), (_, i) =>
+            !exists(col("_spans"), s =>
+              i.cast("long") >= s.getField("span_start") &&
+                i.cast("long") < s.getField("span_end")))))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        md5(array_join(col("_kept"), " ")).as("clean_md5"))
+  }
+
   // ------------------------------------------------------ incremental dedup
 
   /** Incremental dedup — the daily-ingest shape: dedupe a new batch

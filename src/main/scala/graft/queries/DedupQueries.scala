@@ -763,7 +763,57 @@ object DedupQueries {
         CAST(max(octet_length(payload)) AS BIGINT) AS max_bytes
       FROM m GROUP BY kind ORDER BY kind"""))
 
+  // --- d22: apply the d17 spans — rewrite the corpus ------------------
+  // The curation step d17 reports: cut every duplicated-substring span
+  // from its document. The oracle replays d17's window semantics, then
+  // drops every token position covered by any removal window and
+  // reassembles the text in order (coverage by UNMERGED windows equals
+  // coverage by merged spans, so the islands pass isn't re-replayed).
+  private val d22 = GraftQuery(
+    "d22_span_removed_text",
+    (s, d) =>
+      Dedup.applySubstringDedup(Tables(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      wins AS (
+        SELECT doc_id, unnest(generate_series(1, len(t) - 4)) AS i, t
+        FROM toks WHERE len(t) >= 5),
+      occ AS (
+        SELECT doc_id, i - 1 AS pos,
+          array_to_string(list_slice(t, i, i + 4), ' ') AS w
+        FROM wins),
+      marked AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+        FROM occ),
+      rem AS (
+        SELECT doc_id, pos AS s, pos + 5 AS e FROM marked WHERE rn > 1),
+      tokpos AS (
+        SELECT doc_id, g AS pos1, t[g] AS w
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS g
+              FROM toks)),
+      removedpos AS (
+        SELECT DISTINCT tp.doc_id, tp.pos1
+        FROM tokpos tp JOIN rem ON tp.doc_id = rem.doc_id
+        WHERE tp.pos1 - 1 >= rem.s AND tp.pos1 - 1 < rem.e),
+      keptagg AS (
+        SELECT tp.doc_id,
+          count(*) AS n_kept,
+          string_agg(tp.w, ' ' ORDER BY tp.pos1) AS seq
+        FROM tokpos tp LEFT JOIN removedpos r
+          ON tp.doc_id = r.doc_id AND tp.pos1 = r.pos1
+        WHERE r.doc_id IS NULL
+        GROUP BY tp.doc_id)
+      SELECT t.doc_id,
+        CAST(len(t.t) AS BIGINT) AS n_tokens,
+        CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        md5(coalesce(k.seq, '')) AS clean_md5
+      FROM toks t LEFT JOIN keptagg k ON t.doc_id = k.doc_id
+      ORDER BY t.doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-      d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
+      d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
 }

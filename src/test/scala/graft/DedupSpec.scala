@@ -281,6 +281,27 @@ class DedupSpec extends SparkSpec {
     assert(spans == Seq((3L, 0L, 5L), (3L, 11L, 16L)))
   }
 
+  test("applySubstringDedup cuts exactly the reported spans from each doc") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),      // the original — untouched
+      (2L, "x x a b c d e f y z"),  // span [2, 8) cut → "x x y z"
+      (3L, "a b c d e f g h"),      // full copy — everything cut
+      (4L, "p q r")                 // shorter than k: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.applySubstringDedup(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got == Seq(
+      (1L, 8L, 8L, m("a b c d e f g h")),
+      (2L, 10L, 4L, m("x x y z")),
+      (3L, 8L, 0L, m("")),
+      (4L, 3L, 3L, m("p q r"))), got.toString)
+  }
+
   test("incremental dedup drops history dups and in-batch copies, keeps first") {
     val history = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
     val batch = Seq(
