@@ -163,6 +163,36 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-corpus near-dup pairs — FUZZY decontamination (the exact
+    * 5-gram overlap of [[contaminated]] misses a paraphrased or
+    * lightly-edited benchmark leak; this catches anything above the
+    * Jaccard threshold): both corpora bucket through the same
+    * MinHash-LSH banding, candidates come from an equi-join of the
+    * (band, bandHash) keys ACROSS corpora only, and survivors are
+    * exact-verified on their shingle sets. Same scale shape as
+    * [[minhashNearDupPairs]] — fixed-width band keys shuffle, text
+    * never does; output is (left id `a`, right id `b`, jaccard). */
+  def minhashCrossNearDupPairs(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 128,
+      bands: Int = 32, shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val ls = OpCaches.track(withMinhash(left, textCol, numHashes, shingleK)
+      .select(col(idCol), col("_shingles"), col("_minhash")))
+    val rs = OpCaches.track(withMinhash(right, textCol, numHashes, shingleK)
+      .select(col(idCol), col("_shingles"), col("_minhash")))
+    val lb = lshBuckets(ls, idCol, bands).toDF("a", "band_l", "hash_l")
+    val rb = lshBuckets(rs, idCol, bands).toDF("b", "band_r", "hash_r")
+    val cands = lb.join(rb,
+        col("band_l") === col("band_r") && col("hash_l") === col("hash_r"))
+      .select(col("a"), col("b")).distinct()
+    val shA = ls.select(col(idCol).as("a"), col("_shingles").as("sh_a"))
+    val shB = rs.select(col(idCol).as("b"), col("_shingles").as("sh_b"))
+    cands.join(shA, "a").join(shB, "b")
+      .withColumn("jaccard", TextAnalysis.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** [[contaminated]] with a Bloom prefilter — the 100 TB shape: the
     * train side is never shuffled at all. The eval set's distinct
     * shingles build one Bloom filter (Spark's own

@@ -813,7 +813,51 @@ object DedupQueries {
       FROM toks t LEFT JOIN keptagg k ON t.doc_id = k.doc_id
       ORDER BY t.doc_id"""))
 
+  // --- d23: fuzzy decontamination (cross-corpus near-dup) -------------
+  // d09/d13 catch exact 5-gram leakage; this catches the EDITED leak:
+  // the eval set holds lightly-perturbed train docs (a token appended,
+  // ids +5M) plus token-reversed controls (+6M — reversal preserves
+  // unigrams but destroys 3-shingles, so they must NOT report). The
+  // d03 argument makes the LSH output oracle-checkable: at r=2/64
+  // bands a true pair above the threshold is missed with probability
+  // < 1e-8, so the engine's banded equi-join equals the oracle's
+  // exhaustive cross-join.
+  private val d23 = GraftQuery(
+    "d23_fuzzy_contamination",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val evalSet = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat(col("text"), lit(" zq leak")).as("text"))
+        .unionByName(docs
+          .filter(col("doc_id") >= 490 &&
+            size(split(trim(col("text")), "\\s+")) >= 8)
+          .select((col("doc_id") + 6000000).as("doc_id"),
+            array_join(reverse(split(trim(col("text")), "\\s+")), " ").as("text")))
+      Dedup.minhashCrossNearDupPairs(evalSet, docs, "doc_id", "text",
+          numHashes = 128, bands = 64, threshold = 0.5)
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH p AS (SELECT doc_id, text FROM documents),
+      e0 AS (
+        SELECT doc_id + 5000000 AS doc_id, text || ' zq leak' AS text
+        FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 6000000,
+          array_to_string(list_reverse(string_split_regex(trim(text), '\\s+')), ' ')
+        FROM documents
+        WHERE doc_id >= 490 AND len(string_split_regex(trim(text), '\\s+')) >= 8),
+      sh_t AS ($shingleCteSql),
+      sh_e AS (${shingleCteSql.replace("FROM p", "FROM e0")}),
+      j AS (
+        SELECT e.doc_id AS a, t.doc_id AS b,
+          CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE) /
+            (len(e.sh) + len(t.sh) - len(list_intersect(e.sh, t.sh))) AS jac
+        FROM sh_e e CROSS JOIN sh_t t)
+      SELECT a, b, round(jac, 4) AS jaccard FROM j
+      WHERE jac >= 0.5 ORDER BY a, b"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-      d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
+      d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
 }
