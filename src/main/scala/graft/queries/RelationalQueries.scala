@@ -1177,9 +1177,54 @@ object RelationalQueries {
         max(l_shipdate) AS ship_max
       FROM lineitem"""))
 
+  // --- q46: contribution analytics (share-of-total, running share) ----
+  // The BI staple pair of windows over a pre-aggregated frame: each
+  // nation's revenue share of the total and the running cumulative
+  // share in descending-revenue order (the Pareto curve). Both windows
+  // run over the ALREADY-AGGREGATED per-nation rows (≤ #nations), so
+  // the unpartitioned specs are bounded by construction — the heavy
+  // lifting is the one partial-agg shuffle underneath.
+  private val q46 = GraftQuery(
+    "q46_revenue_contribution",
+    (s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val o = Tables(s, d, "orders")
+      val c = Tables(s, d, "customer")
+      val n = Tables(s, d, "nation")
+      val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("_rev"))
+      val wAll = Window.partitionBy()
+      val wRun = Window.orderBy(col("_rev").desc, col("n_name"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .withColumn("_tot", sum(col("_rev")).over(wAll))
+        .select(col("n_name"),
+          round(col("_rev"), 2).as("revenue"),
+          round(col("_rev") / col("_tot"), 6).as("share"),
+          round(sum(col("_rev")).over(wRun) / col("_tot"), 6)
+            .as("running_share"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""WITH rev AS (
+        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS r
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name, round(r, 2) AS revenue,
+        round(r / sum(r) OVER (), 6) AS share,
+        round(sum(r) OVER (ORDER BY r DESC, n_name
+            ROWS UNBOUNDED PRECEDING) / sum(r) OVER (), 6) AS running_share
+      FROM rev ORDER BY revenue DESC, n_name"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46)
 }

@@ -317,6 +317,53 @@ object VectorQueries {
         i -> abs(e[i] - dq[i]))), 6) AS max_abs_err
     FROM q ORDER BY vec_id"""))
 
+  // --- v14: per-label centroid diagnostics ----------------------------
+  // Embedding-space health check before trusting labels for retrieval
+  // or kNN (v12): per label, the element-wise mean vector's norm and
+  // the members' average cosine to their own centroid (cluster
+  // tightness). The centroid build is a (label, dim-index) aggregate —
+  // narrow fixed-width rows, map-side partial sums, never a vector
+  // collect; centroids re-join as a broadcast (≤ #labels rows).
+  private val v14 = GraftQuery(
+    "v14_label_centroids",
+    (s, d) => {
+      val e = col("embedding").cast("array<double>")
+      val emb = Tables(s, d, "embeddings").select(col("vec_id"), col("label"), e.as("e"))
+      val byDim = emb
+        .select(col("label"), posexplode(col("e")).as(Seq("_i", "_x")))
+        .groupBy(col("label"), col("_i"))
+        .agg(avg(col("_x")).as("_m"))
+      val centroids = byDim
+        .groupBy(col("label"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("_i"), col("_m")))),
+          p => p.getField("_m")).as("_c"))
+      emb.join(broadcast(centroids), "label")
+        .withColumn("_cos", graft.functions.Vec.cosine(col("e"), col("_c")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sqrt(aggregate(first(col("_c")), lit(0.0),
+            (acc, x) => acc + x * x)), 6).as("centroid_norm"),
+          round(avg(col("_cos")), 6).as("avg_cos_to_centroid"))
+        .orderBy("label")
+    },
+    Some("""WITH emb AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      bydim AS (
+        SELECT label, i, avg(e[i]) AS m
+        FROM (SELECT label, e, unnest(generate_series(1, len(e))) AS i
+              FROM emb)
+        GROUP BY label, i),
+      cent AS (
+        SELECT label, list(m ORDER BY i) AS c FROM bydim GROUP BY label)
+      SELECT label,
+        count(*) AS n_vectors,
+        round(sqrt(list_sum(list_transform(any_value(c), x -> x * x))), 6)
+          AS centroid_norm,
+        round(avg(list_cosine_similarity(e, c)), 6) AS avg_cos_to_centroid
+      FROM emb JOIN cent USING (label)
+      GROUP BY label ORDER BY label"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10, v11, v12, v13)
+    v09, v10, v11, v12, v13, v14)
 }
