@@ -431,7 +431,58 @@ object SamplingQueries {
         md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS seq_md5
       FROM p GROUP BY source, pack ORDER BY source, pack"""))
 
+  // --- s18: deterministic negative sampling (contrastive pairs) -------
+  // Contrastive training wants k negatives per anchor, uniform-ish,
+  // reproducible, and never the anchor itself. Anchors map to s13's
+  // contiguous gid space; negative j is gid + (1 + md5(gid:j) mod
+  // (N-1)) mod N — a nonzero offset, so self-pairing is impossible by
+  // construction and every negative is resolved by an equi-join on
+  // gid (map-side hash compute, one join; no RNG state anywhere).
+  private val s18 = GraftQuery(
+    "s18_negative_samples",
+    (s, d) => {
+      val k = 3
+      val docs = Tables(s, d, "documents").select("doc_id")
+      val n = docs.count()
+      val ids = Sampling.globalIds(docs, col("doc_id"), nShards = 8)
+        .select(col("doc_id"), col("gid"))
+      val anchors = ids.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("anchor_id"), col("gid"))
+        .withColumn("j", explode(array((1 to k).map(lit): _*)))
+        .withColumn("_step",
+          pmod(conv(substring(md5(concat(col("gid").cast("string"), lit(":"),
+            col("j").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(n - 1)) + 1)
+        .withColumn("neg_gid", pmod(col("gid") + col("_step"), lit(n)))
+      anchors
+        .join(ids.select(col("gid").as("neg_gid"), col("doc_id").as("neg_id")),
+          "neg_gid")
+        .select(col("anchor_id"), col("j").cast("long").as("j"), col("neg_id"))
+        .orderBy("anchor_id", "j")
+    },
+    Some("""WITH g AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8,
+              md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS gid
+        FROM documents),
+      nn AS (SELECT count(*) AS n FROM documents),
+      a AS (
+        SELECT doc_id AS anchor_id, gid FROM g WHERE doc_id < 50),
+      x AS (
+        SELECT anchor_id, gid, j
+        FROM a CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)),
+      p AS (
+        SELECT anchor_id, j,
+          (gid + 1 + CAST(('0x' || substr(md5(CAST(gid AS VARCHAR) || ':' ||
+            CAST(j AS VARCHAR)), 1, 8))::UBIGINT % (n - 1) AS BIGINT)) % n
+            AS neg_gid
+        FROM x CROSS JOIN nn)
+      SELECT anchor_id, CAST(j AS BIGINT) AS j, g.doc_id AS neg_id
+      FROM p JOIN g ON g.gid = p.neg_gid
+      ORDER BY anchor_id, j"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17)
+      s14, s15, s16, s17, s18)
 }
