@@ -1222,9 +1222,43 @@ object RelationalQueries {
             ROWS UNBOUNDED PRECEDING) / sum(r) OVER (), 6) AS running_share
       FROM rev ORDER BY revenue DESC, n_name"""))
 
+  // --- q47: ranking-function parity in one frame ----------------------
+  // rank / dense_rank / percent_rank / cume_dist over a DELIBERATELY
+  // tie-heavy key (account balance rounded to thousands) — the four
+  // functions disagree exactly on ties, so hash-matching all four in
+  // one frame pins the tie semantics, not just the happy path. One
+  // window shuffle on the nation key.
+  private val q47 = GraftQuery(
+    "q47_ranking_parity",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("_kilo").desc)
+      Tables(s, d, "customer")
+        .withColumn("_kilo", floor(col("c_acctbal") / 1000).cast("long"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prnk", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .filter(col("c_nationkey") < 3)
+        .select(col("c_custkey"), col("c_nationkey"), col("_kilo").as("kilo"),
+          col("rnk"), col("drnk"), col("prnk"), col("cume"))
+        .orderBy("c_nationkey", "kilo", "c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+        CAST(floor(c_acctbal / 1000) AS BIGINT) AS kilo,
+        CAST(rank() OVER w AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        round(percent_rank() OVER w, 6) AS prnk,
+        round(cume_dist() OVER w, 6) AS cume
+      FROM customer
+      WHERE c_nationkey < 3
+      WINDOW w AS (PARTITION BY c_nationkey
+        ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT) DESC)
+      ORDER BY c_nationkey, kilo, c_custkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }

@@ -482,7 +482,68 @@ object SamplingQueries {
       FROM p JOIN g ON g.gid = p.neg_gid
       ORDER BY anchor_id, j"""))
 
+  // --- s19: split-leakage audit (near-dups straddling train/test) -----
+  // The hygiene check every eval split needs: content-hash splits keep
+  // EXACT copies together only if the split key is the content; keyed
+  // on doc_id (the common real-world case), a near-duplicate pair can
+  // straddle the boundary and leak eval signal into training. Plants
+  // perturbed copies (+7M, one token appended), splits everything by
+  // s02's md5 rule, and reports every near-dup pair with one side in
+  // train and the other in val/test — the cross-corpus LSH operator
+  // (d23) does the pair generation, so the audit scales like any
+  // banded near-dup pass.
+  private val s19 = GraftQuery(
+    "s19_split_leakage",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 7000000).as("doc_id"),
+          concat(col("text"), lit(" zq leak")).as("text"))
+      val corpus = docs.unionByName(planted)
+        .withColumn("split", Sampling.assignSplit(col("doc_id")))
+      val train = corpus.filter(col("split") === "train")
+      val heldOut = corpus.filter(col("split") =!= "train")
+      graft.operators.Dedup.minhashCrossNearDupPairs(heldOut, train, "doc_id", "text",
+          numHashes = 128, bands = 64, threshold = 0.5)
+        .select(col("a").as("held_out_id"), col("b").as("train_id"),
+          col("jaccard"))
+        .orderBy("held_out_id", "train_id")
+    },
+    Some(s"""WITH p AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 7000000, text || ' zq leak'
+        FROM documents WHERE doc_id < 40),
+      sp AS (
+        SELECT doc_id, text,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+            THEN 'train' ELSE 'held' END AS split
+        FROM p),
+      sh AS (${shSql("p")}),
+      tr AS (SELECT s1.doc_id, sh.sh FROM sp s1 JOIN sh ON s1.doc_id = sh.doc_id
+             WHERE s1.split = 'train'),
+      ho AS (SELECT s1.doc_id, sh.sh FROM sp s1 JOIN sh ON s1.doc_id = sh.doc_id
+             WHERE s1.split = 'held'),
+      j AS (
+        SELECT h.doc_id AS held_out_id, t.doc_id AS train_id,
+          CAST(len(list_intersect(h.sh, t.sh)) AS DOUBLE) /
+            (len(h.sh) + len(t.sh) - len(list_intersect(h.sh, t.sh))) AS jac
+        FROM ho h CROSS JOIN tr t)
+      SELECT held_out_id, train_id, round(jac, 4) AS jaccard FROM j
+      WHERE jac >= 0.5 ORDER BY held_out_id, train_id"""))
+
+  /** The d03-family 3-shingle CTE body over an arbitrary source table. */
+  private def shSql(table: String): String =
+    s"""SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(1, len(string_split_regex(trim(text), '\\s+')) - 2)),
+        i -> CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
+          THEN string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+               string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text), '\\s+')[i+2]
+          ELSE array_to_string(string_split_regex(trim(text), '\\s+'), ' ') END)) AS sh
+        FROM $table"""
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18)
+      s14, s15, s16, s17, s18, s19)
 }
