@@ -855,7 +855,8 @@ object DedupQueries {
             (len(e.sh) + len(t.sh) - len(list_intersect(e.sh, t.sh))) AS jac
         FROM sh_e e CROSS JOIN sh_t t)
       SELECT a, b, round(jac, 4) AS jaccard FROM j
-      WHERE jac >= 0.5 ORDER BY a, b"""))
+      WHERE jac >= 0.5 ORDER BY a, b"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,

@@ -429,7 +429,8 @@ object SamplingQueries {
         CAST(length(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS BIGINT)
           AS seq_chars,
         md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS seq_md5
-      FROM p GROUP BY source, pack ORDER BY source, pack"""))
+      FROM p GROUP BY source, pack ORDER BY source, pack"""),
+    bench = true)
 
   // --- s18: deterministic negative sampling (contrastive pairs) -------
   // Contrastive training wants k negatives per anchor, uniform-ish,
