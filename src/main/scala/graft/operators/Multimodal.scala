@@ -94,6 +94,23 @@ object Multimodal {
         i => (i * nFrames.cast("long") / take.cast("long")).cast("int")))
   }
 
+  /** STUB resize: a real build decodes, scales, and re-encodes the
+    * payload; the deterministic stand-in truncates it to a
+    * width×height byte budget (one byte per pixel placeholder) so the
+    * plumbing — metadata rewrite, byte accounting, map-side-only
+    * execution — is real and testable. Payloads already under budget
+    * pass through unchanged; `meta.width/height` always update. Swap
+    * the payload expression for a real codec call and nothing else
+    * changes. */
+  def resizeStub(df: DataFrame, width: Int, height: Int): DataFrame = {
+    val budget = width * height
+    df.withColumn("payload", substring(col("payload"), 1, budget))
+      .withColumn("meta", struct(
+        lit(width).as("width"), lit(height).as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.n_frames").as("n_frames")))
+  }
+
   /** Payload-size-aware repartitioning: target ≤ `bytesPerPartition`
     * of media per task regardless of row-size skew. */
   def repartitionForPayloads(df: DataFrame, bytesPerPartition: Long): DataFrame = {

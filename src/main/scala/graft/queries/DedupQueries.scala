@@ -858,7 +858,47 @@ object DedupQueries {
       WHERE jac >= 0.5 ORDER BY a, b"""),
     bench = true)
 
+  // --- d24: media resize accounting (stubbed codec, real plumbing) ----
+  // The resize pass every image pipeline runs, with the codec stubbed
+  // (no image libs in this container — see Multimodal.resizeStub): the
+  // verifiable surface is the byte accounting and metadata rewrite,
+  // which the oracle reproduces arithmetically (stub truncation =
+  // least(bytes, budget)). Map-side only; payloads never shuffle.
+  private val d24 = GraftQuery(
+    "d24_media_resize",
+    (s, d) => {
+      val media = graft.operators.Multimodal
+        .syntheticMedia(s, Tables(s, d, "documents"))
+      val before = media.select(col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("_b"))
+      val resized = graft.operators.Multimodal.resizeStub(media, 32, 32)
+        .select(col("media_id"),
+          length(col("payload")).cast("long").as("_a"),
+          col("meta.width").as("w"), col("meta.height").as("h"))
+      before.join(resized, "media_id")
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("_b")).cast("long").as("bytes_before"),
+          sum(col("_a")).cast("long").as("bytes_after"),
+          max(col("w")).as("width_after"),
+          max(col("h")).as("height_after"))
+        .orderBy("kind")
+    },
+    Some("""WITH m AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+          octet_length(encode(text)) AS b
+        FROM documents)
+      SELECT kind, count(*) AS n_media,
+        CAST(sum(b) AS BIGINT) AS bytes_before,
+        CAST(sum(least(b, 1024)) AS BIGINT) AS bytes_after,
+        32 AS width_after, 32 AS height_after
+      FROM m GROUP BY kind ORDER BY kind"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-      d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
+      d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
+      d24)
 }

@@ -31,6 +31,26 @@ class MultimodalSpec extends SparkSpec {
     assert(parts >= 2, "50 docs x ~250B should split into multiple partitions")
   }
 
+  test("resize stub truncates to the pixel budget, rewrites metadata, passes short payloads") {
+    import org.apache.spark.sql.functions._
+    val media = graft.operators.Multimodal.syntheticMedia(spark,
+      Tables(spark, "/root/testdata/sf0.001", "documents"))
+    val resized = graft.operators.Multimodal.resizeStub(media, 8, 8)
+    val rows = resized.select(length(col("payload")), col("meta.width"),
+        col("meta.height")).collect()
+    assert(rows.forall(_.getInt(0) <= 64), "payloads truncated to 8*8 bytes")
+    assert(rows.forall(r => r.getInt(1) == 8 && r.getInt(2) == 8))
+    // short payloads pass through byte-identical
+    val tiny = media.filter(length(col("payload")) <= 64)
+      .select(col("media_id"), col("payload"))
+    if (tiny.count() > 0) {
+      val joined = tiny.join(
+        graft.operators.Multimodal.resizeStub(media, 8, 8)
+          .select(col("media_id"), col("payload").as("p2")), "media_id")
+      assert(joined.filter(col("payload") =!= col("p2")).count() == 0)
+    }
+  }
+
   test("frame sampler stub: even spacing, bounds respected") {
     assert(Multimodal.FakeCodec.sampleFrames(100, 4).toSeq == Seq(0, 25, 50, 75))
     assert(Multimodal.FakeCodec.sampleFrames(2, 5).toSeq == Seq(0, 1))
