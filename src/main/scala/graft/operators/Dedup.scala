@@ -133,9 +133,13 @@ object Dedup {
     * .MinHashBandKeys]]); the HOF `transform` + `slice` form evaluated
     * its lambda interpreted and allocated a slice per band. */
   def lshBuckets(df: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val sigLen = // rows per band derived from the signature length
-      df.select(size(col("_minhash"))).head().getInt(0)
-    require(sigLen % bands == 0, s"bands=$bands must divide signature length $sigLen")
+    // rows per band derived from the signature length; an EMPTY input
+    // (e.g. a decontamination side with no docs) has no signature row
+    // to probe and nothing to bucket — skip the check, return no
+    // buckets, instead of crashing on head() of an empty frame
+    val sigLen = df.select(size(col("_minhash"))).head(1).headOption.map(_.getInt(0))
+    sigLen.foreach(l => require(l % bands == 0,
+      s"bands=$bands must divide signature length $l"))
     df.select(col(idCol), posexplode(
       graft.functions.HashExpressions.minhash_band_keys(col("_minhash"), bands))
       .as(Seq("band", "bandHash")))

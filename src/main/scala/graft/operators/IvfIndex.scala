@@ -41,8 +41,10 @@ object IvfIndex {
     * once and feed both trainers instead of paying two corpus scans.
     *
     * The result is memoized per (session, corpus plan, embCol, size) —
-    * the session by OBJECT IDENTITY (sessions don't override equals,
-    * and a hashCode alone could alias two sessions), the plan by
+    * the session by OBJECT IDENTITY through a WeakHashMap (sessions
+    * don't override equals, a hashCode alone could alias two sessions,
+    * and weak keys keep a stopped session collectable instead of
+    * pinning its SessionState here), the plan by
     * `semanticHash` (a 32-bit digest: a cross-corpus collision is
     * possible in principle; pair it with the session key and 64
     * entries, and the practical risk is two same-session corpora
@@ -57,9 +59,16 @@ object IvfIndex {
     * call [[clearSampleCache]]. */
   def sampleUnits(df: DataFrame, embCol: String,
       sampleSize: Int = 2048): Array[Array[Double]] = {
-    val key = (df.sparkSession,
-      df.queryExecution.analyzed.semanticHash(), embCol, sampleSize)
-    val cached = sampleMemo.synchronized(sampleMemo.get(key))
+    val key = (df.queryExecution.analyzed.semanticHash(), embCol, sampleSize)
+    val perSession = sampleMemo.synchronized {
+      var m = sampleMemo.get(df.sparkSession)
+      if (m == null) {
+        m = newLru()
+        sampleMemo.put(df.sparkSession, m)
+      }
+      m
+    }
+    val cached = perSession.synchronized(perSession.get(key))
     if (cached != null) cached
     else {
       val s = Similarity.withUnit(df, embCol)
@@ -68,21 +77,29 @@ object IvfIndex {
         .limit(sampleSize)
         .collect()
         .map(_.getSeq[Double](0).toArray)
-      sampleMemo.synchronized(sampleMemo.put(key, s))
+      perSession.synchronized(perSession.put(key, s))
       s
     }
   }
 
-  private type SampleKey = (org.apache.spark.sql.SparkSession, Int, String, Int)
+  private type SampleKey = (Int, String, Int)
+  private type Lru = java.util.LinkedHashMap[SampleKey, Array[Array[Double]]]
 
-  // access-ordered LinkedHashMap = LRU; removeEldestEntry bounds it at
-  // 64 entries, evicting one stale entry instead of the whole map
-  private val sampleMemo =
-    new java.util.LinkedHashMap[SampleKey, Array[Array[Double]]](16, 0.75f, true) {
+  // access-ordered LinkedHashMap = LRU; removeEldestEntry bounds each
+  // session's memo at 64 entries, evicting one stale entry at a time
+  private def newLru(): Lru =
+    new Lru(16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[SampleKey, Array[Array[Double]]]): Boolean =
         size() > 64
     }
+
+  // WeakHashMap on the SESSION: sessions are compared by identity (no
+  // equals override) but never strongly retained — a stopped,
+  // dereferenced session's whole memo is GC-collectable, instead of
+  // pinning SessionState until 64 newer entries push it out
+  private val sampleMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Lru]()
 
   /** Drop memoized training samples (see [[sampleUnits]]). */
   def clearSampleCache(): Unit = sampleMemo.synchronized(sampleMemo.clear())

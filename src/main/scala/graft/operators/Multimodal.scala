@@ -103,7 +103,10 @@ object Multimodal {
     * the payload expression for a real codec call and nothing else
     * changes. */
   def resizeStub(df: DataFrame, width: Int, height: Int): DataFrame = {
-    val budget = width * height
+    require(width > 0 && height > 0, s"resize to ${width}x$height")
+    // Long product, capped: 65536×65536 must not overflow Int to a
+    // zero budget that would silently empty every payload
+    val budget = math.min(width.toLong * height.toLong, Int.MaxValue.toLong).toInt
     df.withColumn("payload", substring(col("payload"), 1, budget))
       .withColumn("meta", struct(
         lit(width).as("width"), lit(height).as("height"),

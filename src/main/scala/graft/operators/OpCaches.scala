@@ -29,12 +29,28 @@ object OpCaches {
   }
 
   /** Unpersist every operator-cached frame registered since the last
-    * release (blocking=false: eviction proceeds in the background). */
+    * release (blocking=false: eviction proceeds in the background).
+    * Process-wide: in a JVM running several sessions, prefer the
+    * session-scoped overload so one pipeline's release cannot evict
+    * another's in-flight build-once/search-many index. */
   def release(): Unit = synchronized {
     frames.forEach { f =>
       try f.unpersist() catch { case _: Throwable => () }
     }
     frames.clear()
+  }
+
+  /** Unpersist only the frames owned by `session`, leaving caches of
+    * concurrently-running sessions untouched. */
+  def release(session: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    val it = frames.iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.sparkSession eq session) {
+        try f.unpersist() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
   }
 
   /** Currently-tracked frame count (diagnostics/tests). */

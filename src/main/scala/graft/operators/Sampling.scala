@@ -212,8 +212,16 @@ object Sampling {
   def curriculumStages(df: DataFrame, order: Seq[Column], stages: Int,
       nRanges: Int = 64): DataFrame = {
     require(stages >= 1, "stages >= 1")
-    val ranged = df.repartitionByRange(nRanges, order: _*)
-      .withColumn("_range", spark_partition_id())
+    // cached (and registered with [[OpCaches]]) because the frame is
+    // executed TWICE — once for the counts collect, once in the final
+    // job — and `_range` comes from the physical partition id:
+    // repartitionByRange samples its boundaries per execution, so an
+    // upstream shuffle's nondeterministic row order could place a
+    // boundary row in range i during the counts job and range i+1 in
+    // the final job, breaking the offset arithmetic. Materializing the
+    // ranged frame once pins a single partition assignment for both.
+    val ranged = OpCaches.track(df.repartitionByRange(nRanges, order: _*)
+      .withColumn("_range", spark_partition_id()))
     val w = Window.partitionBy(col("_range")).orderBy(order: _*)
     val withPos = ranged.withColumn("_pos", row_number().over(w).cast("long"))
     // range partitions are ordered by construction: every row in range

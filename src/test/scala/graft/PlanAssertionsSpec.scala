@@ -46,7 +46,7 @@ class PlanAssertionsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val df = graft.operators.Sampling.deterministicSample(
       Tables(spark, sf, "documents"), col("doc_id"), 0.1)
-    df.count()
+    df.collect() // collect, not count: finalize THIS plan (see executedPlan)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(800))
   }
@@ -140,7 +140,7 @@ class PlanAssertionsSpec extends SparkSpec {
     val df = graft.operators.Sampling.curriculumStages(
       Tables(spark, sf, "documents"),
       Seq(col("n_chars"), col("doc_id")), stages = 4)
-    df.count()
+    df.collect() // collect, not count: finalize THIS plan (see executedPlan)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"), plan.take(1200))
     // the rank window is per-range (partitioned on _range); a global
