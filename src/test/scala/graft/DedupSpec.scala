@@ -281,6 +281,17 @@ class DedupSpec extends SparkSpec {
     assert(spans == Seq((3L, 0L, 5L), (3L, 11L, 16L)))
   }
 
+  test("cross-corpus near-dup handles an empty side without crashing") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashCrossNearDupPairs(empty, docs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashCrossNearDupPairs(docs, empty, "doc_id", "text").count() == 0)
+    // non-empty sides still pair up
+    val twin = Seq((2L, "a b c d e f g h zz")).toDF("doc_id", "text")
+    assert(Dedup.minhashCrossNearDupPairs(twin, docs, "doc_id", "text")
+      .count() == 1)
+  }
+
   test("applySubstringDedup cuts exactly the reported spans from each doc") {
     val docs = Seq(
       (1L, "a b c d e f g h"),      // the original — untouched
