@@ -57,7 +57,13 @@ object StatefulOps {
     * state forever (unbounded growth on a long-running stream). Keys
     * the state on the 128-bit fingerprint, never the document text, so
     * state size per doc is constant. The streaming twin of
-    * [[graft.operators.Dedup.exactKeepFirst]]. */
+    * [[graft.operators.Dedup.exactKeepFirst]] with one contract
+    * difference: the survivor of a duplicate group is the first row
+    * SEEN by the stateful operator (stable per run, but across
+    * parallel partitions not necessarily the earliest event time),
+    * where the batch operator picks the minimum order key. The kept
+    * CONTENT set is identical (StatefulOpsSpec pins the equivalence
+    * end-to-end). */
   def streamingDedup(df: DataFrame, textCol: String, tsCol: String,
       delay: String): DataFrame =
     df.withColumn("_fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
