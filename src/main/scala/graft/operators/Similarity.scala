@@ -195,7 +195,10 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double, bandBits: Int = 12, bands: Int = 128,
       seed: Long = 42L, roundTo: Int = 6): DataFrame = {
-    val dim = df.select(size(col(embCol))).head().getInt(0)
+    // headOption: an empty corpus has no dimension to read and nothing
+    // to pair — dim=1 keeps the (empty) plan well-formed
+    val dim = df.select(size(col(embCol))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1)
     val units = OpCaches.track(withUnit(df, embCol)
       .select(col(idCol).as("_id"), col("_unit")))
     // (id, band, signature) triples — three narrow columns per row; one
@@ -226,7 +229,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nbits: Int = 12, tables: Int = 4,
       seed: Long = 42L, roundTo: Int = 6): DataFrame = {
-    val dim = corpus.select(size(col(embCol))).head().getInt(0)
+    val dim = corpus.select(size(col(embCol))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1) // empty corpus → empty result, no crash
     // one kernel call emits every table's signature (planes derived
     // from the seed per executor — no plane literals in the plan)
     def sigs(unit: org.apache.spark.sql.Column) =

@@ -115,6 +115,15 @@ class SimilaritySpec extends SparkSpec {
     assert(clamped == 0.0)
   }
 
+  test("LSH paths return empty results on an empty corpus, not a crash") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    assert(Similarity.lshTopK(empty, queries, "vec_id", "embedding", k = 3)
+      .count() == 0)
+    assert(Similarity.lshNearDupPairs(empty, "vec_id", "embedding", 0.9)
+      .count() == 0)
+  }
+
   test("LSH ANN recall vs brute force is reasonable at this scale") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
