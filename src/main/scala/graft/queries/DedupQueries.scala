@@ -869,19 +869,17 @@ object DedupQueries {
     (s, d) => {
       val media = graft.operators.Multimodal
         .syntheticMedia(s, Tables(s, d, "documents"))
-      val before = media.select(col("media_id"), col("kind"),
-        length(col("payload")).cast("long").as("_b"))
-      val resized = graft.operators.Multimodal.resizeStub(media, 32, 32)
-        .select(col("media_id"),
-          length(col("payload")).cast("long").as("_a"),
-          col("meta.width").as("w"), col("meta.height").as("h"))
-      before.join(resized, "media_id")
+      // the before-size column rides THROUGH the resize (which only
+      // rewrites payload/meta), so the audit is one scan, no self-join
+      val resized = graft.operators.Multimodal.resizeStub(
+        media.withColumn("_b", length(col("payload")).cast("long")), 32, 32)
+      resized
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n_media"),
           sum(col("_b")).cast("long").as("bytes_before"),
-          sum(col("_a")).cast("long").as("bytes_after"),
-          max(col("w")).as("width_after"),
-          max(col("h")).as("height_after"))
+          sum(length(col("payload"))).cast("long").as("bytes_after"),
+          max(col("meta.width")).as("width_after"),
+          max(col("meta.height")).as("height_after"))
         .orderBy("kind")
     },
     Some("""WITH m AS (
