@@ -188,6 +188,66 @@ object Sampling {
     sharded.withColumn("gid", offCol + col("pos") - 1)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the log-likelihood ratio of its hashed-bigram
+    * features under a target-domain vs raw-corpus bag-of-buckets
+    * model. Bigrams hash into `buckets` cells (16 md5 bits → 65536 by
+    * default, the paper's 10⁴–10⁵ range); both distributions get
+    * add-`alpha` smoothing, so unseen-in-target buckets pull a doc's
+    * weight down smoothly instead of to −∞. High weight = looks like
+    * the target; the standard pretraining recipe then keeps the top
+    * fraction by weight (deterministic here — rank, not Gumbel).
+    *
+    * Scale shape: one explode of the token stream into per-(doc,
+    * bucket) counts, materialized once (cached via [[OpCaches]] — the
+    * target-side filter would otherwise push below the aggregate and
+    * fork a second full tokenize+hash scan); the raw and target bucket
+    * distributions and the per-doc scoring all re-read that narrow
+    * (id, bucket, count) frame, never the text. The bucket→log-ratio
+    * table is ≤ `buckets` rows — it broadcasts to the scoring join,
+    * and its two scalar totals ride a broadcast cross-join instead of
+    * separate driver jobs. Nothing corpus-sized is collected, sorted
+    * globally, or joined all-pairs. The cached triples are
+    * token-count-bounded (~16 B/bigram); a 100 TB run would swap the
+    * cache for a one-shot parquet checkpoint of the same frame and
+    * keep every downstream shape unchanged. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 65536, alpha: Double = 0.5,
+      roundTo: Int = 6): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets=$buckets: the ratio table broadcasts, keep it bounded")
+    // 4 hex chars = 16 bits; wider bucket counts would need more
+    val hexChars = math.max(1, math.ceil(math.log(buckets) / math.log(16)).toInt)
+    val perDoc = OpCaches.track(docs
+      .select(col(idCol).as("_id"), isTarget.as("_tgt"),
+        explode(TextAnalysis.bigrams(col(textCol))).as("_bg"))
+      .select(col("_id"), col("_tgt"),
+        pmod(conv(substring(md5(concat_ws(" ", col("_bg.w1"), col("_bg.w2"))),
+          1, hexChars), 16, 10).cast("long"), lit(buckets.toLong)).as("_b"))
+      .groupBy(col("_id"), col("_tgt"), col("_b"))
+      .agg(count(lit(1)).as("_c")))
+    val raw = perDoc.groupBy(col("_b")).agg(sum(col("_c")).as("_craw"))
+    val tgt = perDoc.filter(col("_tgt"))
+      .groupBy(col("_b")).agg(sum(col("_c")).as("_ctgt"))
+    val dist = raw.join(tgt, Seq("_b"), "left")
+      .select(col("_b"), col("_craw"),
+        coalesce(col("_ctgt"), lit(0L)).as("_ctgt"))
+    val tot = dist.agg(sum(col("_craw")).as("_traw"), sum(col("_ctgt")).as("_ttgt"))
+    val denom = alpha * buckets // exact in IEEE for power-of-two buckets
+    val lr = dist.crossJoin(broadcast(tot))
+      .select(col("_b"),
+        (log((col("_ctgt") + alpha) / (col("_ttgt") + denom)) -
+          log((col("_craw") + alpha) / (col("_traw") + denom))).as("_lr"))
+    perDoc
+      .join(broadcast(lr), Seq("_b"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_c")).as("n_grams"),
+        // + 0.0 normalizes a -0.0 sum before rounding (t16/q40 rule)
+        round(sum(col("_c") * col("_lr")) + lit(0.0), roundTo).as("dsir_logratio"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Curriculum-stage assignment: rank every row under the total order
     * `order` and cut the ranking into `stages` equal-count stages with
     * SQL ntile semantics (the first N mod k stages take the extra

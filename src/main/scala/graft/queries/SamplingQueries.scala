@@ -533,6 +533,50 @@ object SamplingQueries {
       SELECT held_out_id, train_id, round(jac, 4) AS jaccard FROM j
       WHERE jac >= 0.5 ORDER BY held_out_id, train_id"""))
 
+  // --- s20: DSIR importance weights (target = English docs) -----------
+  // Data Selection via Importance Resampling (Xie et al. 2023): weight
+  // every doc by how much its hashed-bigram distribution looks like
+  // the target domain (here lang='en') versus the raw corpus. One
+  // tokenize+hash scan feeds the raw distribution, the target
+  // distribution, and the per-doc scoring through a reused exchange;
+  // the 65536-bucket log-ratio table broadcasts. The oracle recomputes
+  // the same smoothed log-likelihood ratios — ln on identical doubles
+  // and round(...,6) absorb engine-side sum ordering (t11 precedent).
+  private val s20 = GraftQuery(
+    "s20_dsir_weights",
+    (s, d) =>
+      Sampling.dsirWeights(Tables(s, d, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en")
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+          string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      bg AS (
+        SELECT doc_id, tgt,
+          CAST(('0x' || substr(md5(t[g] || ' ' || t[g+1]), 1, 4))::UBIGINT
+            % 65536 AS BIGINT) AS b
+        FROM (SELECT doc_id, tgt, t,
+                unnest(generate_series(1, len(t) - 1)) AS g
+              FROM toks)),
+      db AS (
+        SELECT doc_id, tgt, b, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+      rawd AS (SELECT b, sum(c) AS craw FROM db GROUP BY 1),
+      tgtd AS (SELECT b, sum(c) AS ctgt FROM db WHERE tgt GROUP BY 1),
+      dist AS (
+        SELECT rawd.b, craw, coalesce(ctgt, 0) AS ctgt
+        FROM rawd LEFT JOIN tgtd ON rawd.b = tgtd.b),
+      tot AS (SELECT sum(craw) AS traw, sum(ctgt) AS ttgt FROM dist),
+      lr AS (
+        SELECT b,
+          ln((ctgt + 0.5) / (ttgt + 32768.0)) -
+          ln((craw + 0.5) / (traw + 32768.0)) AS lr
+        FROM dist CROSS JOIN tot)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        round(sum(c * lr) + 0, 6) AS dsir_logratio
+      FROM db JOIN lr USING (b)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** The d03-family 3-shingle CTE body over an arbitrary source table. */
   private def shSql(table: String): String =
     s"""SELECT doc_id, list_distinct(list_transform(
@@ -546,5 +590,5 @@ object SamplingQueries {
 
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19)
+      s14, s15, s16, s17, s18, s19, s20)
 }

@@ -246,4 +246,28 @@ class SamplingSpec extends SparkSpec {
       .orderBy("difficulty").select("stage").as[Long].collect().toSeq
     assert(tinyGot == Seq(1L, 2L, 3L), tinyGot.toString)
   }
+
+  test("dsirWeights: target-domain docs score higher, deterministically") {
+    val out = Sampling.dsirWeights(docs, "doc_id", "text",
+      isTarget = col("lang") === "en")
+    val scored = out.join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "dsir_logratio")
+      .as[(Long, String, Double)].collect()
+    // every doc with at least one bigram is scored, none twice
+    assert(scored.map(_._1).distinct.length == scored.length)
+    assert(scored.nonEmpty)
+    // the defining DSIR property: the target domain's own docs look
+    // more target-like than the rest of the corpus on average
+    val (en, rest) = scored.partition(_._2 == "en")
+    val enAvg = en.map(_._3).sum / en.length
+    val restAvg = rest.map(_._3).sum / rest.length
+    assert(enAvg > restAvg,
+      s"target avg $enAvg must exceed non-target avg $restAvg")
+    // bit-stable across runs (content-hash features, no RNG)
+    val again = Sampling.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("lang") === "en")
+      .select("doc_id", "dsir_logratio").as[(Long, Double)].collect().toMap
+    scored.foreach { case (id, _, w) => assert(again(id) == w) }
+    graft.operators.OpCaches.release(spark)
+  }
 }
