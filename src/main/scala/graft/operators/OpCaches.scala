@@ -19,12 +19,23 @@ import org.apache.spark.sql.DataFrame
   * derived from a released frame recomputes instead of failing. */
 object OpCaches {
 
-  private val frames = new java.util.ArrayList[DataFrame]()
+  /** Keyed by (session identity, analyzed-plan semanticHash): a
+    * build-once/search-many loop that re-derives the plan-identical
+    * frame each call reuses one entry instead of growing the registry
+    * unboundedly (Spark's CacheManager already dedups the cached data;
+    * this dedups OUR bookkeeping so we don't pin one DataFrame — and
+    * through it a QueryExecution + SparkSession — per invocation). */
+  private val frames =
+    new java.util.LinkedHashMap[(Int, Int), DataFrame]()
+
+  private def keyOf(df: DataFrame): (Int, Int) =
+    (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash())
 
   /** Cache `df` and remember it for [[release]]. */
   private[operators] def track(df: DataFrame): DataFrame = synchronized {
     df.cache()
-    frames.add(df)
+    frames.put(keyOf(df), df)
     df
   }
 
@@ -34,7 +45,7 @@ object OpCaches {
     * session-scoped overload so one pipeline's release cannot evict
     * another's in-flight build-once/search-many index. */
   def release(): Unit = synchronized {
-    frames.forEach { f =>
+    frames.values.forEach { f =>
       try f.unpersist() catch { case _: Throwable => () }
     }
     frames.clear()
@@ -43,9 +54,9 @@ object OpCaches {
   /** Unpersist only the frames owned by `session`, leaving caches of
     * concurrently-running sessions untouched. */
   def release(session: org.apache.spark.sql.SparkSession): Unit = synchronized {
-    val it = frames.iterator()
+    val it = frames.entrySet().iterator()
     while (it.hasNext) {
-      val f = it.next()
+      val f = it.next().getValue
       if (f.sparkSession eq session) {
         try f.unpersist() catch { case _: Throwable => () }
         it.remove()

@@ -217,8 +217,12 @@ object Sampling {
       roundTo: Int = 6): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets=$buckets: the ratio table broadcasts, keep it bounded")
-    // 4 hex chars = 16 bits; wider bucket counts would need more
-    val hexChars = math.max(1, math.ceil(math.log(buckets) / math.log(16)).toInt)
+    // 4 hex chars beyond the bucket width: pmod over a domain 16^4×
+    // larger than `buckets` makes the non-divisor modulo bias ≤ 2e-5
+    // (for non-power-of-16 counts like 1000, hashing exactly
+    // ceil(log16) chars would over-represent low residues)
+    val hexChars = math.min(15,
+      math.max(1, math.ceil(math.log(buckets) / math.log(16)).toInt) + 4)
     val perDoc = OpCaches.track(docs
       .select(col(idCol).as("_id"), isTarget.as("_tgt"),
         explode(TextAnalysis.bigrams(col(textCol))).as("_bg"))
@@ -272,16 +276,22 @@ object Sampling {
   def curriculumStages(df: DataFrame, order: Seq[Column], stages: Int,
       nRanges: Int = 64): DataFrame = {
     require(stages >= 1, "stages >= 1")
-    // cached (and registered with [[OpCaches]]) because the frame is
-    // executed TWICE — once for the counts collect, once in the final
-    // job — and `_range` comes from the physical partition id:
-    // repartitionByRange samples its boundaries per execution, so an
-    // upstream shuffle's nondeterministic row order could place a
-    // boundary row in range i during the counts job and range i+1 in
-    // the final job, breaking the offset arithmetic. Materializing the
-    // ranged frame once pins a single partition assignment for both.
-    val ranged = OpCaches.track(df.repartitionByRange(nRanges, order: _*)
-      .withColumn("_range", spark_partition_id()))
+    // locally checkpointed because the frame is executed TWICE — once
+    // for the counts collect, once in the final job — and `_range`
+    // comes from the physical partition id: repartitionByRange samples
+    // its boundaries per execution, so an upstream shuffle's
+    // nondeterministic row order could place a boundary row in range i
+    // during the counts job and range i+1 in the final job, breaking
+    // the offset arithmetic. A plain cache is NOT a guarantee — an
+    // evicted partition recomputes through the range shuffle and can
+    // re-sample boundaries. localCheckpoint truncates the lineage, so
+    // a lost block fails the job loudly instead of silently shifting
+    // rows between ranges (a 100 TB run wanting executor-loss
+    // tolerance would swap this for a reliable checkpoint / parquet
+    // write-and-reread, shapes unchanged).
+    val ranged = df.repartitionByRange(nRanges, order: _*)
+      .withColumn("_range", spark_partition_id())
+      .localCheckpoint()
     val w = Window.partitionBy(col("_range")).orderBy(order: _*)
     val withPos = ranged.withColumn("_pos", row_number().over(w).cast("long"))
     // range partitions are ordered by construction: every row in range

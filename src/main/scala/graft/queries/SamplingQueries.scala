@@ -445,6 +445,9 @@ object SamplingQueries {
       val k = 3
       val docs = Tables(s, d, "documents").select("doc_id")
       val n = docs.count()
+      // pmod(h, n-1) with n=1 is pmod-by-zero → null, which would
+      // silently drop every negative instead of failing
+      require(n >= 2, s"negative sampling needs at least two documents, corpus has $n")
       val ids = Sampling.globalIds(docs, col("doc_id"), nShards = 8)
         .select(col("doc_id"), col("gid"))
       val anchors = ids.filter(col("doc_id") < 50)
@@ -554,7 +557,7 @@ object SamplingQueries {
         FROM documents),
       bg AS (
         SELECT doc_id, tgt,
-          CAST(('0x' || substr(md5(t[g] || ' ' || t[g+1]), 1, 4))::UBIGINT
+          CAST(('0x' || substr(md5(t[g] || ' ' || t[g+1]), 1, 8))::UBIGINT
             % 65536 AS BIGINT) AS b
         FROM (SELECT doc_id, tgt, t,
                 unnest(generate_series(1, len(t) - 1)) AS g

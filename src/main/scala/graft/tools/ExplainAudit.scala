@@ -24,10 +24,12 @@ object ExplainAudit {
       .foreach { q =>
         try {
           val df = q.impl(spark, sfDir)
-          // collect() executes THIS dataframe's plan — count() would
-          // execute a different (count-aggregated) plan, leaving this
-          // one isFinalPlan=false with no codegen annotation
-          df.collect()
+          // foreach executes THIS dataframe's plan (finalizing AQE)
+          // without materializing the result on the driver — count()
+          // would execute a different (count-aggregated) plan, and
+          // collect() would pull corpus-sized outputs (t19/t20 are
+          // per-doc) into driver memory at larger scale factors
+          df.foreach(_ => ())
           val plan = df.queryExecution.executedPlan.toString
           def n(pat: String) = pat.r.findAllIn(plan).length
           val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan)
