@@ -80,9 +80,14 @@ object PlaybackBench {
           ingestMode = IngestMode.Burst, sampleRate = rate,
           burstInterval = 500,
           postProcessMethod = PostProcess.ContinuePlaying)
+        // poll faster than the 500 ms pace: the source's wall-clock
+        // admission governs the cadence (one 500k burst per 500 ms);
+        // a 100 ms trigger just bounds the release quantization, and a
+        // batch that overruns one tick no longer aliases throughput to
+        // the next 500 ms trigger boundary (the r6/r7 half-rate cliff)
         started += PlaybackStream.readings(spark, cfg)
           .writeStream.format("noop")
-          .trigger(Trigger.ProcessingTime(500))
+          .trigger(Trigger.ProcessingTime(100))
           .start()
       }
       // warmup = every stream flowing, not a fixed sleep: startup is

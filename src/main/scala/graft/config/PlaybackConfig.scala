@@ -132,6 +132,19 @@ final case class PlaybackConfig(
     case IngestMode.Continuous => 1.0 / chunkSize
   }
 
+  /** Seconds between emission units under SOURCE pacing: the wall-clock
+    * spacing at which the stream source releases successive chunks, so
+    * the configured `sampleRate` is enforced by the source itself
+    * (like Spark's own `rate` source) rather than by whatever trigger
+    * cadence the writer happens to use. Burst mode releases a burst
+    * per `burstInterval`; continuous mode releases a second's worth of
+    * rows per second (= `chunkSize / sampleRate`, which also covers
+    * the ragged 1-row chunks at 1/rate). */
+  def paceSec: Double = ingestMode match {
+    case IngestMode.Burst => burstInterval / 1000.0
+    case IngestMode.Continuous => chunkSize.toDouble / sampleRate
+  }
+
   def parsedUseColumns: graft.schema.UseColumns.Spec =
     graft.schema.UseColumns.parse(useColumns)
 

@@ -256,6 +256,13 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
   private var lineIndex: CsvPlaybackStream.FileLineIndex =
     CsvPlaybackStream.FileLineIndex(0L, Array.empty)
 
+  // Pacing state: the source enforces `sampleRate` itself by releasing
+  // at most one chunk per `paceSec` of wall clock (schedule anchored at
+  // the first eligible trigger). Driver-side only — a restart re-anchors
+  // and the WAL'd row offsets stay exact.
+  private var paceStartNanos: Long = Long.MinValue
+  private var chunksGranted: Long = 0L
+
   /** FileFinder semantics (csvplayback.py:503-517): alphabetically
     * first match; absent → no progress this trigger. */
   private def findFile(): Option[String] = {
@@ -348,6 +355,27 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
     ensureFile()
     if (currentFile.isEmpty || fileRows == 0)
       return PlaybackOffset(s, currentFile, fileStartOffset, fileBytes)
+    // Wall-clock admission: rate enforcement is a property of the
+    // source, not of the trigger cadence. Without this gate the rate
+    // contract depended on the writer's trigger matching `paceSec`
+    // exactly — a faster trigger silently over-emitted (a continuous
+    // stream at trigger 10 ms pumped 100 chunks/sec), and a micro-batch
+    // cycle that overran the trigger interval ALIASED throughput to the
+    // next interval boundary (a 510 ms cycle under ProcessingTime(500)
+    // halves 1M rows/sec to 500k — the round-6/7 bench regression).
+    // Exactly one chunk is released per due tick; a tick that passes
+    // while the engine is busy is SKIPPED, never banked, so a backlog
+    // can never burst above the configured rate and a micro-batch never
+    // exceeds the reference's per-burst row budget (csvplayback.py:
+    // 294-318). Throughput is min(sampleRate, engine capability) under
+    // any trigger.
+    val paceNanos = math.max(1L, (cfg.paceSec * 1e9).toLong)
+    val now = System.nanoTime()
+    if (paceStartNanos == Long.MinValue) paceStartNanos = now
+    val due = (now - paceStartNanos) / paceNanos + 1
+    if (chunksGranted >= due)
+      return PlaybackOffset(s, currentFile, fileStartOffset, fileBytes)
+    chunksGranted = math.max(chunksGranted + 1, due) // missed ticks skip
     val budget = limit match {
       case r: ReadMaxRows => r.maxRows()
       case _ => cfg.chunkSize.toLong

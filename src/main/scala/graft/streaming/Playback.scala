@@ -36,16 +36,26 @@ object Playback {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingest(batch.collect().toSeq)
       }
-      .trigger(Trigger.ProcessingTime((cfg.periodSec * 1000).toLong.max(1)))
+      .trigger(pollTrigger(cfg))
       .start()
   }
+
+  /** Emission cadence is governed by the SOURCE's wall-clock admission
+    * (`PlaybackConfig.paceSec`), so the trigger only needs to poll at
+    * least that often — a quarter of the pace keeps the quantization
+    * error small without hot-spinning, and a trigger cycle that
+    * overruns one pace tick no longer aliases the rate to the next
+    * trigger boundary (the source releases the next due chunk at the
+    * first trigger after it falls due). */
+  private def pollTrigger(cfg: PlaybackConfig): Trigger =
+    Trigger.ProcessingTime(math.max(1L, (cfg.paceSec * 1000 / 4).toLong))
 
   /** Burst/continuous emission into an arbitrary sink format. */
   def startTo(spark: SparkSession, cfg: PlaybackConfig, format: String,
       options: Map[String, String] = Map.empty): StreamingQuery =
     PlaybackStream.readings(spark, cfg.validated)
       .writeStream.format(format).options(options)
-      .trigger(Trigger.ProcessingTime((cfg.periodSec * 1000).toLong.max(1)))
+      .trigger(pollTrigger(cfg))
       .start()
 
   /** plugin_reconfigure (csvplayback.py:336-353): stop, swap config,

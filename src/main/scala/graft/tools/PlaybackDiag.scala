@@ -43,7 +43,7 @@ object PlaybackDiag {
         postProcessMethod = PostProcess.ContinuePlaying)
       PlaybackStream.readings(spark, cfg)
         .writeStream.format("noop")
-        .trigger(Trigger.ProcessingTime(500))
+        .trigger(Trigger.ProcessingTime(100))
         .start()
     }
     Thread.sleep(secs * 1000L)

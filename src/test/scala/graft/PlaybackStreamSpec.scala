@@ -148,6 +148,25 @@ class PlaybackStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("source pacing enforces sampleRate under a trigger faster than the pace") {
+    val dir = stage("vibration.csv")
+    // chunk = 1000 rows per 500 ms tick; the 10 ms trigger polls 50×
+    // faster than the pace — before source-side admission this emitted
+    // a full chunk per trigger (100k rows/sec from a 2k-configured
+    // stream). Now the third chunk cannot exist before the third tick.
+    val cfg = PlaybackConfig(csvDirName = dir.toString, csvFileName = "vibration",
+      ingestMode = IngestMode.Burst, sampleRate = 2000, burstInterval = 500,
+      postProcessMethod = PostProcess.ContinuePlaying)
+    val t0 = System.nanoTime()
+    runStream(cfg, "paced", () => count("paced") >= 3000)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    // chunk k is released no earlier than tick k: 3 chunks ⇒ ≥ 2 full
+    // pace intervals elapsed (0.1 s slack for clock granularity). The
+    // bound is stall-proof — a slow host only makes elapsed larger.
+    assert(elapsedSec >= 0.9,
+      f"3 chunks of 1000 rows took $elapsedSec%.2f s; a paced source needs ≥ ~1 s")
+  }
+
   test("postProcess=delete removes the file at EOF (csvplayback.py:448-450)") {
     val dir = stage("vibration.csv")
     val cfg = PlaybackConfig(csvDirName = dir.toString, csvFileName = "vibration",
