@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.operators.Similarity
+import graft.operators.{IvfIndex, Similarity}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Similarity-search query surface over the `embeddings` table
@@ -229,34 +230,43 @@ object VectorQueries {
         ORDER BY ip DESC, neighbor_id) AS rank FROM pairs)
     WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // --- v12/v15 shared vote: majority label over a candidate top-k -----
+  // The vote is a narrow (query, label, count) aggregate + one
+  // per-query window, never the vectors — identical whichever
+  // candidate generator (exact v12, IVF v15) feeds it.
+  private def labelVote(topk: DataFrame, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = topk
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nb_label")), "neighbor_id")
+      .groupBy(col("query_id"), col("nb_label"))
+      .agg(count(lit(1)).as("_v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_v").desc, col("nb_label"))
+    votes.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("query_id").as("vec_id"), col("nb_label").as("pred_label"))
+      .join(emb.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+      .select(col("vec_id"), col("true_label"), col("pred_label"),
+        (col("true_label") === col("pred_label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
   // --- v12: k-NN label prediction (majority vote over neighbors) ------
   // The classic embedding-quality probe: predict each vector's label
   // from its 5 nearest neighbors' labels (excluding self), majority
   // vote with smallest-label tie-break. Built from the same exact
-  // top-k primitive as v01 — at corpus scale the candidate set comes
-  // from the ANN path (v05/v08) instead, vote unchanged: the vote is
-  // a narrow (query, label, count) aggregate + one per-query window,
-  // never the vectors.
+  // top-k primitive as v01 — the whole corpus rides the broadcast
+  // query side, so this exact variant is an oracle-checkable PROBE for
+  // modest corpora; at corpus scale use v15, which feeds the identical
+  // vote from IVF candidates and shuffles by cell instead of
+  // broadcasting anything corpus-sized.
   private val v12 = GraftQuery(
     "v12_knn_label",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = Tables(s, d, "embeddings")
-      val topk = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
-      val votes = topk
-        .join(emb.select(col("vec_id").as("neighbor_id"),
-          col("label").as("nb_label")), "neighbor_id")
-        .groupBy(col("query_id"), col("nb_label"))
-        .agg(count(lit(1)).as("_v"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("_v").desc, col("nb_label"))
-      votes.withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") === 1)
-        .select(col("query_id").as("vec_id"), col("nb_label").as("pred_label"))
-        .join(emb.select(col("vec_id"), col("label").as("true_label")), "vec_id")
-        .select(col("vec_id"), col("true_label"), col("pred_label"),
-          (col("true_label") === col("pred_label")).as("correct"))
-        .orderBy("vec_id")
+      labelVote(
+        Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5), emb)
     },
     Some("""WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
       pairs AS (
@@ -364,6 +374,33 @@ object VectorQueries {
       FROM emb JOIN cent USING (label)
       GROUP BY label ORDER BY label"""))
 
+  // --- v15: k-NN label prediction at corpus scale (ANN candidates) ----
+  // The composition v12's doc promises: candidates come from the IVF
+  // path (v05's index — cell-assigned units equi-joined to exploded
+  // query probes), the vote is byte-for-byte v12's. Nothing
+  // corpus-sized broadcasts and no all-pairs shape exists anywhere in
+  // the plan; the candidate join shuffles on cell ids, so a 100×
+  // corpus scales by raising nlist (cells stay ~constant size), not by
+  // growing any single task. Approximate by construction (IVF recall
+  // at nlist=16/nprobe=4 is pinned in IvfWinnowSpec) → no SQL oracle;
+  // SimilaritySpec pins (a) that exhaustive probing (nprobe = nlist)
+  // reproduces v12's exact output row-for-row — the vote composition
+  // is provably identical, only candidate generation differs — and
+  // (b) output shape + well-above-chance agreement at the ANN knobs;
+  // PlanAssertionsSpec pins the no-all-pairs shape.
+  /** The v15 composition with its knobs exposed (spec entry point:
+    * `nprobe = nlist` probes every cell, making candidates — and
+    * therefore predictions — exactly v12's). */
+  def knnLabelAnn(emb: DataFrame, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame =
+    labelVote(
+      IvfIndex.ivfTopK(emb, emb, "vec_id", "embedding", k, nlist, nprobe), emb)
+
+  private val v15 = GraftQuery(
+    "v15_knn_label_ann",
+    (s, d) => knnLabelAnn(Tables(s, d, "embeddings")),
+    None)
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10, v11, v12, v13, v14)
+    v09, v10, v11, v12, v13, v14, v15)
 }

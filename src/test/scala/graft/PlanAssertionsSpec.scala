@@ -67,6 +67,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("v15 ANN kNN labels: candidates equi-join by cell, never all-pairs") {
+    val plan = executedPlan("v15_knn_label_ann")
+    // the property that distinguishes the scale path from exact v12
+    // (whose query side IS the broadcast corpus): no all-pairs shape
+    // anywhere — candidate generation is the IVF cell equi-join
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("d14 line dedup: map-side keep-first, filter pushed to the scan") {
     val plan = executedPlan("d14_line_dedup")
     // row_number()<=1 runs as WindowGroupLimit with a Partial phase
@@ -142,7 +151,10 @@ class PlanAssertionsSpec extends SparkSpec {
       Seq(col("n_chars"), col("doc_id")), stages = 4)
     df.collect() // collect, not count: finalize THIS plan (see executedPlan)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"), plan.take(1200))
+    // the range partitioning runs inside the localCheckpoint job that
+    // pins the assignment (see curriculumStages); this plan reads the
+    // pinned blocks back as an RDD scan
+    assert(plan.contains("Scan ExistingRDD"), plan.take(1200))
     // the rank window is per-range (partitioned on _range); a global
     // ntile would be an unpartitioned window over everything
     assert(plan.contains("windowspecdefinition(_range"), plan.take(1600))

@@ -135,6 +135,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low for 4 tables x 1-bit multiprobe at dim 64")
   }
 
+  test("v15 ANN-composed kNN labels: exhaustive probing reproduces v12 exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val table = Tables(spark, sf, "embeddings")
+    val exact = QueryRegistry.queryMap("v12_knn_label")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    // nprobe = nlist probes every cell: candidates (and their rounded
+    // cosine ranking) are exactly the brute-force set, so the identical
+    // vote must produce v12's rows verbatim — this isolates the
+    // composition from IVF recall and proves the vote path is shared
+    val exhaustive = graft.queries.VectorQueries
+      .knnLabelAnn(table, k = 5, nlist = 16, nprobe = 16)
+      .collect().map(_.toSeq).toSet
+    assert(exhaustive == exact, "nprobe=nlist must equal the exact v12 output")
+  }
+
+  test("v15 at its ANN knobs: full output shape, well-above-chance agreement") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = QueryRegistry.queryMap("v12_knn_label")(spark, sf)
+      .select("vec_id", "pred_label").as[(Long, String)].collect().toMap
+    val ann = QueryRegistry.queryMap("v15_knn_label_ann")(spark, sf)
+      .select("vec_id", "pred_label").as[(Long, String)].collect().toMap
+    // same output shape: one prediction per corpus vector
+    assert(ann.keySet == exact.keySet,
+      s"v15 predicts for all ${exact.size} vectors, got ${ann.size}")
+    // The synthetic labels are ~uniform over 10 classes, so a 5-vote
+    // majority is knife-edged: candidate recall ~0.5-0.75 at
+    // nprobe/nlist = 1/4 (IvfWinnowSpec) only carries ~50% prediction
+    // agreement. The pin is against chance (0.1), not near-equality —
+    // the exhaustive-probe test above covers exactness.
+    val agree = exact.count { case (id, l) => ann(id) == l }.toDouble / exact.size
+    assert(agree >= 0.3, f"v12/v15 prediction agreement $agree%.3f vs 0.1 chance")
+  }
+
   test("lshNearDupPairs matches the exact all-pairs result at threshold 0.9") {
     // plant perturbed twins like v04 does, then compare against the
     // exact O(N²) computation on this bounded corpus
