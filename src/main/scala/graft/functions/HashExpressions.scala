@@ -56,18 +56,37 @@ object HashExpressions {
   }
 
   /** 64-bit SimHash of an array<string> token stream: bit k of the
-    * result is the sign of Σ_tokens (±1 by bit k of xxhash64(token)). */
-  case class SimHash64(child: Expression)
+    * result is the sign of Σ_tokens (±1 by bit k of hash(token)).
+    *
+    * `md5Parity = false` (default) hashes tokens with xxhash64 — the
+    * cheap scale path. `md5Parity = true` uses the top 8 bytes of
+    * md5(token) instead, bit-reproducible in DuckDB as
+    * `('0x' || substr(md5(t), 1, 16))::UBIGINT` — the knob that makes
+    * a SimHash pipeline oracle-checkable end to end (d04). Everything
+    * downstream of the per-token hash (bit-majority signature,
+    * pigeonhole blocks, hamming verify) is shared between the modes. */
+  case class SimHash64(child: Expression, md5Parity: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      val md = if (md5Parity) java.security.MessageDigest.getInstance("MD5") else null
       val counts = new Array[Int](64)
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h =
+          if (md5Parity) {
+            md.reset()
+            val d = md.digest(s.getBytes)
+            // first 8 digest bytes, big-endian — matches the hex prefix
+            ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          } else
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var k = 0
         while (k < 64) {
           if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
@@ -635,7 +654,8 @@ object HashExpressions {
     column(BandedHyperplaneSigs(expression(unit), bandBits, bands, dim, seed))
   def minhash64(shingles: Column, numHashes: Int): Column =
     column(MinHash64(expression(shingles), numHashes))
-  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def simhash64(tokens: Column, md5Parity: Boolean = false): Column =
+    column(SimHash64(expression(tokens), md5Parity))
   def vec_dot(a: Column, b: Column): Column =
     column(VecDot(expression(a), expression(b)))
   def vec_l2(a: Column, b: Column): Column =

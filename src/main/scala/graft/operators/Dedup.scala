@@ -282,21 +282,26 @@ object Dedup {
   /** 64-bit SimHash of the token stream: bit k of the signature is the
     * sign of Σ_tokens (±1 depending on bit k of xxhash64(token)).
     * Runs as a custom expression — one tight loop per row (the
-    * higher-order-function formulation is interpreted per element). */
-  def simhash64(text: Column): Column =
-    graft.functions.HashExpressions.simhash64(TextAnalysis.tokens(text))
+    * higher-order-function formulation is interpreted per element).
+    * `md5Parity` swaps the token hash for md5's top 8 bytes so an
+    * external engine can reproduce the signature bit-for-bit (the d04
+    * oracle); leave it off for production scale. */
+  def simhash64(text: Column, md5Parity: Boolean = false): Column =
+    graft.functions.HashExpressions.simhash64(TextAnalysis.tokens(text), md5Parity)
 
   /** Near-dup pairs with hamming(simhash) ≤ maxHamming, found by the
     * pigeonhole block join: split the 64-bit signature into
     * `maxHamming+1` blocks; any pair within the bound shares ≥1 exact
     * block → join on (blockIdx, blockValue), then verify with
-    * bit_count(xor). */
+    * bit_count(xor). The block join is EXHAUSTIVE for the bound (a
+    * pigeonhole argument, not a probabilistic one), so with
+    * `md5Parity` the whole operator is oracle-checkable. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, md5Parity: Boolean = false): DataFrame = {
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
     val sigs = OpCaches.track(
-      df.select(col(idCol), simhash64(col(textCol)).as("_simhash")))
+      df.select(col(idCol), simhash64(col(textCol), md5Parity).as("_simhash")))
     val blockCols = (0 until nBlocks).map(b =>
       shiftrightunsigned(col("_simhash"), b * blockBits)
         .bitwiseAND(lit((1L << blockBits) - 1)))

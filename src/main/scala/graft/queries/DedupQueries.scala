@@ -105,14 +105,42 @@ object DedupQueries {
     bench = true)
 
   // --- d04: SimHash hamming near-dup pairs ----------------------------
+  // Oracle-checkable end to end: the pigeonhole block join is
+  // EXHAUSTIVE for hamming ≤ 3 (not probabilistic), and with
+  // `md5Parity` the per-token hash is reproducible in DuckDB
+  // (`('0x' || substr(md5(t), 1, 16))::UBIGINT` = md5's top 8 bytes),
+  // so the oracle recomputes the signatures bit-for-bit and asserts
+  // the exact verified pair set. Production keeps the xxhash64 default
+  // (same operator, cheaper hash); the hamming arithmetic is mirrored
+  // per-bit to stay inside DuckDB's signed-BIGINT ops.
   private val d04 = GraftQuery(
     "d04_simhash_neardup",
     (s, d) =>
       Dedup.simhashNearDupPairs(
           planted(s, d).filter(col("doc_id") < 2000000),
-          "doc_id", "text", maxHamming = 3)
+          "doc_id", "text", maxHamming = 3, md5Parity = true)
         .orderBy("a", "b"),
-    None)
+    Some(s"""WITH p0 AS ($plantedSql),
+      p AS (SELECT * FROM p0 WHERE doc_id < 2000000),
+      tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM p),
+      th AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+        FROM tok),
+      bits AS (
+        SELECT doc_id, k,
+          CASE WHEN sum(CASE WHEN ((h >> k) & 1) = 1 THEN 1 ELSE -1 END) > 0
+            THEN 1 ELSE 0 END AS bit
+        FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS k)
+        GROUP BY doc_id, k),
+      ham AS (
+        SELECT x.doc_id AS a, y.doc_id AS b,
+          sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hd
+        FROM bits x JOIN bits y ON x.k = y.k AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+      SELECT a, b, CAST(hd AS INTEGER) AS hamming
+      FROM ham WHERE hd <= 3 ORDER BY a, b"""))
 
   // --- d05: exact n-gram Jaccard for the planted pairs ----------------
   private val d05 = GraftQuery(
