@@ -541,6 +541,16 @@ object Dedup {
       k: Int): DataFrame = {
     require(k >= 2, "window length k must be >= 2 tokens")
     val toks = split(trim(col(textCol)), "\\s+")
+    // lazily checkpointed: `wins` feeds BOTH the min-occurrence
+    // aggregate and the probe side of the join below, and because AQE
+    // makes that join a broadcast (no probe-side exchange), exchange
+    // reuse can't kick in — without the checkpoint the probe re-reads
+    // and re-hashes the whole corpus a second time. The materialized
+    // frame is the narrow (id, pos, h1, h2) stream — fixed-width
+    // ~30 B/token in the local block store (spill-backed), computed
+    // once per invocation; a 100 TB run with tight executor storage
+    // would swap this for a one-shot parquet write-and-reread, shapes
+    // unchanged.
     val wins = df
       .filter(size(toks) >= k) // shorter docs hold no length-k window
       .select(col(idCol).as("_id"),
@@ -549,6 +559,7 @@ object Dedup {
       .select(col("_id"), col("_pos"),
         col("_hp").getField("h1").as("_h1"),
         col("_hp").getField("h2").as("_h2"))
+      .localCheckpoint(false)
     val dupFirsts = wins
       .groupBy("_h1", "_h2")
       .agg(min(struct(col("_id"), col("_pos"))).as("_keep"),
