@@ -46,6 +46,46 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
     df.filter(md5Unit(key) < least(lit(1.0), greatest(lit(0.0), weight)))
 
+  /** Deterministic source-mixture downsampling to a global token
+    * budget — the "training mix" step: given target mixture `weights`
+    * per source and a total `budgetTokens`, each source keeps docs
+    * with probability min(1, weight·budget / sourceTokens), so its
+    * expected kept-token mass hits weight·budget. Sources absent from
+    * `weights` are dropped. The verdict for a doc depends only on
+    * (id, source totals), never RNG state or partitioning — re-runs
+    * and incremental rebuilds keep identical docs.
+    *
+    * Scale shape: one map-side token count, one narrow per-source
+    * aggregate, the ≤|sources| ratio table broadcast back, then a
+    * map-side [[md5Unit]] filter and a second narrow aggregate.
+    * Nothing corpus-sized shuffles or collects. */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: Map[String, Double], budgetTokens: Long,
+      roundTo: Int = 6): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      "mixture weights must be non-negative")
+    val base = docs.select(col(idCol).as("_id"), col(sourceCol).as("_src"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("_tok"))
+    val wMap = map(weights.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v))
+    }: _*)
+    val ratios = base.groupBy(col("_src"))
+      .agg(sum(col("_tok")).as("_total"))
+      .select(col("_src"),
+        // (w · budget) / total in exactly this association — the
+        // oracle mirrors the float ops verbatim
+        least(lit(1.0),
+          coalesce(element_at(wMap, col("_src")), lit(0.0)) *
+            lit(budgetTokens.toDouble) / col("_total")).as("_ratio"))
+    base.join(broadcast(ratios), Seq("_src"))
+      .filter(md5Unit(col("_id")) < col("_ratio"))
+      .groupBy(col("_src"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("_tok")).as("n_tokens_kept"),
+        round(first(col("_ratio")), roundTo).as("keep_ratio"))
+      .withColumnRenamed("_src", sourceCol)
+  }
+
   /** Train/val/test assignment by hash bucket. Default 80/10/10. */
   def assignSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     val b = md5Bucket256(key)

@@ -591,7 +591,46 @@ object SamplingQueries {
           ELSE array_to_string(string_split_regex(trim(text), '\\s+'), ' ') END)) AS sh
         FROM $table"""
 
+  // --- s21: weighted token-budget mixture -----------------------------
+  // The training-mix step with explicit target WEIGHTS: a global token
+  // budget × per-source weights → deterministic per-source keep ratios
+  // (expected kept tokens = weight × budget), md5-deviate acceptance,
+  // per-source accounting; off-mix sources drop. Complements s16,
+  // which fills every source to the SAME fixed budget by a running-sum
+  // walk (exact cutoff, order-biased toward md5-early docs) — s21 is
+  // the unbiased proportional thinning a weighted pretraining mix
+  // specifies. Two narrow aggregates + a broadcast ratio table + a
+  // map-side filter — nothing corpus-sized shuffles.
+  private val s21 = GraftQuery(
+    "s21_token_budget_mix",
+    (s, d) =>
+      Sampling.tokenBudgetMix(Tables(s, d, "documents"), "doc_id", "text",
+          "source",
+          weights = Map("src0" -> 0.4, "src1" -> 0.25, "src2" -> 0.15,
+            "src3" -> 0.2),
+          budgetTokens = 3000)
+        .orderBy("source"),
+    Some("""WITH base AS (
+        SELECT doc_id, source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        FROM documents),
+      r AS (
+        SELECT source,
+          least(1.0,
+            CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.25
+              WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.2 ELSE 0.0 END
+            * 3000.0 / sum(tok)) AS ratio
+        FROM base GROUP BY source),
+      kept AS (
+        SELECT b.source, b.tok, r.ratio
+        FROM base b JOIN r USING (source)
+        WHERE ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          / 4294967296.0 < r.ratio)
+      SELECT source, count(*) AS n_docs_kept, sum(tok) AS n_tokens_kept,
+        round(any_value(ratio), 6) AS keep_ratio
+      FROM kept GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20)
+      s14, s15, s16, s17, s18, s19, s20, s21)
 }

@@ -247,6 +247,31 @@ class SamplingSpec extends SparkSpec {
     assert(tinyGot == Seq(1L, 2L, 3L), tinyGot.toString)
   }
 
+  test("tokenBudgetMix: ratios clamp at 1, off-mix sources drop, deterministic") {
+    import graft.operators.TextAnalysis
+    // src0 weighted far beyond its ~1.5k-token mass → ratio clamps to 1
+    // and every src0 doc survives; src1's 0.1 × 2000 = 200-token target
+    // sits well under its mass → partial ratio; the rest of the corpus
+    // is outside the mix and must vanish entirely
+    val run = () => Sampling.tokenBudgetMix(docs, "doc_id", "text", "source",
+      weights = Map("src0" -> 0.9, "src1" -> 0.1),
+      budgetTokens = 2000).orderBy("source")
+    val rows = run().collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("src0", "src1"))
+    val src0 = rows(0)
+    val src0Docs = docs.filter(col("source") === "src0")
+    assert(src0.getDouble(3) == 1.0, "over-budget weight clamps to ratio 1")
+    assert(src0.getLong(1) == src0Docs.count(), "ratio 1 keeps every doc")
+    assert(src0.getLong(2) == src0Docs
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+      .head().getLong(0), "kept tokens = all of src0's tokens")
+    assert(rows(1).getDouble(3) < 1.0 &&
+      rows(1).getLong(1) < docs.filter(col("source") === "src1").count(),
+      "partial ratio thins src1")
+    assert(run().collect().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq,
+      "verdicts depend only on (id, totals): identical across runs")
+  }
+
   test("dsirWeights: target-domain docs score higher, deterministically") {
     val out = Sampling.dsirWeights(docs, "doc_id", "text",
       isTarget = col("lang") === "en")
