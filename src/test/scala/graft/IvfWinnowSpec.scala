@@ -50,6 +50,23 @@ class IvfWinnowSpec extends SparkSpec {
     OpCaches.release()
   }
 
+  test("OpCaches dedups plan-identical frames: search-many stays O(1) entries") {
+    import graft.operators.OpCaches
+    OpCaches.release()
+    // the build-once/search-many pattern re-derives plan-identical
+    // cached frames each call; the registry must not grow per call
+    IvfIndex.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3).count()
+    val afterFirst = OpCaches.trackedCount
+    IvfIndex.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3).count()
+    IvfIndex.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3).count()
+    assert(OpCaches.trackedCount == afterFirst,
+      s"repeat searches added entries: $afterFirst -> ${OpCaches.trackedCount}")
+    OpCaches.release()
+  }
+
   test("IVF cell assignment partitions the corpus") {
     val model = IvfIndex.train(emb, "embedding", nlist = 8)
     val cells = Similarity.withUnit(emb, "embedding")

@@ -117,6 +117,13 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined, plan.take(1200))
   }
 
+  test("s21 token-budget mix: ratio table broadcasts, no corpus-sized shuffle join") {
+    val plan = executedPlan("s21_token_budget_mix")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("q39 rolling distinct: explode fan-out, never a range join") {
     val plan = executedPlan("q39_rolling_distinct_users")
     // the naive formulation is a day-grid BETWEEN join → nested loop;
