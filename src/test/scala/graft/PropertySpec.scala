@@ -313,6 +313,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lshBandPlan: plan meets the miss bound and is maximal, over random knobs") {
+    // Pure planner math — no Spark job per case, so run a wide sweep.
+    def missAt(s: Double, r: Int, b: Int): Double =
+      math.pow(1.0 - math.pow(s, r), b)
+    val knobs = for {
+      thr <- Gen.choose(0.05, 0.95)
+      missExp <- Gen.choose(1.0, 12.0) // missProb ∈ [1e-12, 1e-1]
+      budget <- Gen.oneOf(64, 128, 256, 512, 1024, 2048)
+    } yield (thr, math.pow(10, -missExp), budget)
+    forAll(knobs, n = 200) { case (thr, miss, budget) =>
+      // Feasibility mirrors the planner's r=1 floor: if even single-row
+      // bands can't meet the bound within the budget, it must throw.
+      val bFloor = math.ceil(math.log(miss) / math.log1p(-thr))
+      if (bFloor > budget) {
+        intercept[IllegalArgumentException] {
+          graft.operators.Dedup.lshBandPlan(thr, miss, budget)
+        }
+      } else {
+        val (nh, b) = graft.operators.Dedup.lshBandPlan(thr, miss, budget)
+        val r = nh / b
+        assert(nh % b == 0 && nh <= budget && b >= 1 && r >= 1,
+          s"malformed plan ($nh, $b) for thr=$thr miss=$miss budget=$budget")
+        assert(missAt(thr, r, b) <= miss,
+          s"plan ($nh, $b) misses at ${missAt(thr, r, b)} > $miss (thr=$thr)")
+        // Maximality: one row wider cannot meet the bound within budget.
+        val pWider = math.pow(thr, r + 1)
+        val bWider = math.ceil(math.log(miss) / math.log1p(-pWider))
+        assert(!(bWider >= 1.0 && bWider * (r + 1) <= budget),
+          s"width ${r + 1} also fits budget $budget — plan ($nh, $b) not maximal (thr=$thr miss=$miss)")
+      }
+    }
+  }
+
   test("weightedSample == hand md5 filter on the documents table") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
