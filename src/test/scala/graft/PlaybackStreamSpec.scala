@@ -130,6 +130,65 @@ class PlaybackStreamSpec extends SparkSpec {
       s"file b played with continuing row_idx, got $idx")
   }
 
+  /** Kill/restart fuzz for EOF post-processing: stop the query mid-file
+    * (checkpoint preserved), restart cold, and require exactly-once
+    * playback through to the post-process action. ContinuePlaying's
+    * restart contract is pinned by "checkpointed restart resumes at the
+    * committed offset" above (it has no EOF action to race with). */
+  private def restartMidFile(mode: PostProcess, tag: String): Unit = {
+    val dir = Files.createTempDirectory(s"pbmid$tag")
+    val rows = (0 until 200).map(i => s"$i.5")
+    Files.writeString(dir.resolve("big.csv"), ("channel1" +: rows).mkString("\n") + "\n")
+    val out = Files.createTempDirectory(s"pbmid$tag-out")
+    val ckpt = Files.createTempDirectory(s"pbmid$tag-ckpt")
+    val cfg = PlaybackConfig(csvDirName = dir.toString, csvFileName = "big",
+      ingestMode = IngestMode.Burst, sampleRate = 20, burstInterval = 500,
+      postProcessMethod = mode, suffixName = ".done")
+    def startQ() = PlaybackStream.readings(spark, cfg)
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.ProcessingTime(10))
+      .start()
+    def written(): Long =
+      try spark.read.parquet(out.toString).count() catch { case _: Throwable => 0L }
+    def waitFor(what: String)(cond: () => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 180000
+      while (!cond() && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(cond(), s"$what not reached within 180s")
+    }
+    // run 1: kill mid-file. The source paces 10 rows per 500 ms, so the
+    // 200-row file needs ~10 s of live playback — stopping at ≥10
+    // written rows lands well before EOF even if the host hiccups.
+    val q1 = startQ()
+    try waitFor("first rows written")(() => written() >= 10) finally q1.stop()
+    assert(Files.exists(dir.resolve("big.csv")),
+      "stopped mid-file: EOF post-processing must not have run")
+    // run 2 from the same checkpoint: the WAL replays any uncommitted
+    // batch, the parquet metadata log dedups it, playback resumes at the
+    // recovered offset, reaches EOF, and post-processes exactly once
+    val q2 = startQ()
+    try waitFor("EOF + post-process")(
+      () => written() >= 200 && !Files.exists(dir.resolve("big.csv")))
+    finally q2.stop()
+    val idx = spark.read.parquet(out.toString)
+      .select("row_idx").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idx == (0L until 200L).toSeq,
+      s"row_idx gapless and duplicate-free across the restart (got ${idx.length} rows)")
+    if (mode == PostProcess.Rename)
+      assert(Files.exists(dir.resolve("big.csv.done")), "renamed at EOF")
+    else
+      assert(!Files.exists(dir.resolve("big.csv.done")), "deleted, not renamed")
+  }
+
+  test("mid-file restart with postProcess=delete: exactly-once, then delete") {
+    restartMidFile(PostProcess.Delete, "del")
+  }
+
+  test("mid-file restart with postProcess=rename: exactly-once, then rename") {
+    restartMidFile(PostProcess.Rename, "ren")
+  }
+
   test("burst budget: each micro-batch emits at most a burst's worth") {
     val dir = stage("vibration.csv")
     val cfg = PlaybackConfig(csvDirName = dir.toString, csvFileName = "vibration",
