@@ -277,6 +277,39 @@ object Dedup {
           "\n").as("clean_text"))
   }
 
+  /** C4-style boilerplate scrub — the frequency twin of [[lineDedup]]:
+    * a line occurring in at least `minDocs` DISTINCT documents is
+    * boilerplate (nav chrome, cookie banners, copyright footers) and is
+    * removed from EVERY document, first occurrence included; lineDedup
+    * by contrast keeps one survivor. Frequency counting aggregates
+    * paired (md5, xxhash64) line fingerprints — line text never
+    * shuffles — and the resulting boilerplate fingerprint set is small
+    * by construction (only lines repeated across ≥ minDocs docs), so
+    * the removal anti-join broadcasts it against the line stream.
+    * Docs whose every line is boilerplate drop out (same contract as
+    * lineDedup's all-duplicate docs).
+    *
+    * Returns (idCol, n_kept, clean_text). */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs: a line needs at least 2 docs to be boilerplate")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_line")))
+      .withColumn("_m", md5(col("_line")))
+      .withColumn("_x", xxhash64(col("_line")))
+    val boiler = lines.groupBy(col("_m"), col("_x"))
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col("_m"), col("_x"))
+    lines.join(broadcast(boiler), Seq("_m", "_x"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            x => x.getField("_line")),
+          "\n").as("clean_text"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the token stream: bit k of the signature is the

@@ -72,6 +72,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Matryoshka-style truncation audit: how much of each query's exact
+    * top-k survives when every vector is cut to its first `prefixDims`
+    * dimensions. MRL-trained embeddings promise usable prefixes; this
+    * measures the retrieval cost of the cut on an actual corpus before
+    * committing the smaller (cheaper to store, faster to scan) width.
+    * Output: (query_id, n_overlap, overlap_frac) with n_overlap =
+    * |topk_full ∩ topk_prefix|.
+    *
+    * Scale shape: two broadcast-probe corpus scans (one per width —
+    * the corpus itself never shuffles) and a narrow (query_id,
+    * neighbor_id) join over 2·k·|queries| rows. At corpus-as-queries
+    * scale, swap either [[bruteForceTopK]] for the IVF path and feed
+    * the same join. */
+  def truncationOverlap(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, prefixDims: Int, roundTo: Int = 6): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims=$prefixDims must be >= 1")
+    def cut(df: DataFrame) =
+      df.withColumn(embCol, slice(col(embCol), 1, prefixDims))
+    val full = bruteForceTopK(corpus, queries, idCol, embCol, k, roundTo)
+    val pref = bruteForceTopK(cut(corpus), cut(queries), idCol, embCol, k, roundTo)
+      .select(col("query_id"), col("neighbor_id"))
+    full.join(pref.withColumn("_hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("_hit")).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / k, 6).as("overlap_frac"))
+  }
+
   /** Exact euclidean (L2) top-k — the metric twin of [[bruteForceTopK]]
     * for embeddings whose magnitude carries signal (cosine discards it).
     * Same scale shape: the query side broadcasts, the corpus never

@@ -923,8 +923,50 @@ object DedupQueries {
         32 AS width_after, 32 AS height_after
       FROM m GROUP BY kind ORDER BY kind"""))
 
+  // --- d25: boilerplate-line scrub (frequency twin of d14) ------------
+  // Same planted multi-line corpus idea as d14, plus a line shared by
+  // exactly TWO docs (below the minDocs=3 bar, so it must survive in
+  // both). The two all-doc lines are boilerplate and vanish everywhere
+  // — including their first occurrences, which d14's keep-first would
+  // have preserved. Fully SQL-reproducible, so hash-checked.
+  private val d25 = GraftQuery(
+    "d25_boilerplate_lines",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("header "), col("doc_id")),
+            lit("subscribe to our newsletter"),
+            substring(col("text"), 1, 80),
+            concat(lit("rare footer "), col("doc_id") % 30),
+            lit("(c) example corp all rights reserved")).as("text"))
+      Dedup.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          'header ' || doc_id || chr(10) ||
+          'subscribe to our newsletter' || chr(10) ||
+          substr(text, 1, 80) || chr(10) ||
+          'rare footer ' || (doc_id % 30) || chr(10) ||
+          '(c) example corp all rights reserved' AS text
+        FROM documents WHERE doc_id < 60),
+      lines AS (
+        SELECT doc_id,
+          unnest(string_split(text, chr(10))) AS line,
+          unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+        FROM docs),
+      boiler AS (
+        SELECT line FROM lines
+        GROUP BY line HAVING count(DISTINCT doc_id) >= 3)
+      SELECT doc_id, count(*) AS n_kept,
+        string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      d24)
+      d24, d25)
 }

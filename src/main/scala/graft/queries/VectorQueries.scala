@@ -401,6 +401,45 @@ object VectorQueries {
     (s, d) => knnLabelAnn(Tables(s, d, "embeddings")),
     None)
 
+  // --- v16: matryoshka truncation audit -------------------------------
+  // Before committing to a cheaper prefix width (MRL embeddings), how
+  // much of the exact top-5 survives cutting 64 dims to 16? Both
+  // rankings are exact and deterministically tie-broken (rounded
+  // cosine DESC, neighbor_id), so the per-query overlap is fully
+  // SQL-reproducible — an oracle-checked audit over an approximate
+  // design decision, not an approximate result.
+  private val v16 = GraftQuery(
+    "v16_truncation_overlap",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.truncationOverlap(
+          emb, emb.filter(col("vec_id") < 25), "vec_id", "embedding",
+          k = 5, prefixDims = 16)
+        .orderBy("query_id")
+    },
+    Some("""WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      fullk AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                c.vec_id) AS rank
+          FROM u q, u c WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5),
+      prefk AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(q.e[1:16], c.e[1:16]), 6) DESC,
+                c.vec_id) AS rank
+          FROM u q, u c WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5)
+      SELECT f.query_id, count(p.neighbor_id) AS n_overlap,
+        round(count(p.neighbor_id)::DOUBLE / 5, 6) AS overlap_frac
+      FROM fullk f LEFT JOIN prefk p
+        ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+      GROUP BY f.query_id ORDER BY f.query_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10, v11, v12, v13, v14, v15)
+    v09, v10, v11, v12, v13, v14, v15, v16)
 }

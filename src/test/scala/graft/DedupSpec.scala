@@ -209,6 +209,30 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, "only\n\nlines"), (3L, 1L, "fresh")))
   }
 
+  test("boilerplate strip removes frequent lines everywhere, keeps rare ones") {
+    val docs = Seq(
+      (1L, "h1\nfooter\npair"),
+      (2L, "h2\nfooter\npair"), // 'pair' in 2 docs only → below minDocs=3
+      (3L, "h3\nfooter"),
+      (4L, "footer")).          // all-boilerplate doc → absent from output
+      toDF("doc_id", "text")
+    val got = Dedup.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, "h1\npair"), // unlike lineDedup, doc 1's 'footer' goes too
+      (2L, 2L, "h2\npair"),
+      (3L, 1L, "h3")))
+    // within-doc repetition counts once: 3 copies in one doc ≠ 3 docs
+    val rep = Seq((1L, "spam\nspam\nspam"), (2L, "other")).toDF("doc_id", "text")
+    val keptRep = Dedup.stripBoilerplateLines(rep, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(keptRep == Seq((1L, 3L, "spam\nspam\nspam"), (2L, 1L, "other")))
+    intercept[IllegalArgumentException] {
+      Dedup.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 1)
+    }
+  }
+
   test("star CC agrees with min-label CC on a pseudo-random graph") {
     // deterministic pseudo-random edges over 60 nodes (LCG, fixed seed)
     var s = 12345L

@@ -31,6 +31,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "no self matches")
   }
 
+  test("truncationOverlap: full-width prefix is identity; overlaps stay in [0, k]") {
+    val q = emb.filter(col("vec_id") < 5)
+    // cutting to the full 64 dims changes nothing → overlap is exactly k
+    val ident = Similarity.truncationOverlap(emb, q, "vec_id", "embedding",
+      k = 5, prefixDims = 64).collect()
+    assert(ident.length == 5)
+    assert(ident.forall(r => r.getLong(1) == 5L && r.getDouble(2) == 1.0),
+      "prefix = full width must reproduce the exact top-k")
+    // a real cut: one row per query, overlap bounded by k
+    val cut = Similarity.truncationOverlap(emb, q, "vec_id", "embedding",
+      k = 5, prefixDims = 8).collect()
+    assert(cut.length == 5)
+    assert(cut.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 5L))
+    intercept[IllegalArgumentException] {
+      Similarity.truncationOverlap(emb, q, "vec_id", "embedding", k = 5,
+        prefixDims = 0)
+    }
+  }
+
   test("range search returns exactly the neighbors at or above the radius") {
     val corpus = Seq(
       (0L, Seq(1.0, 0.0)),   // the query itself — excluded by id
