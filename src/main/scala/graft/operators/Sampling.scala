@@ -104,6 +104,37 @@ object Sampling {
     df.filter(md5Bucket256(key) < lim)
   }
 
+  /** Length-bucketed batching audit: assign every doc the smallest
+    * bucket cap (from the sorted `caps` ladder, typically powers of
+    * two) that holds its token count — docs over the top cap are
+    * truncated to it — and report per-bucket document counts, token
+    * sums, padding waste (cap − kept tokens, what padding to the
+    * bucket boundary costs) and truncation loss. The audit a pipeline
+    * runs before choosing sequence-length buckets: the ladder trades
+    * padding (too few buckets) against batch fragmentation (too
+    * many). Bucket assignment is an integer when-ladder — no floating
+    * log2, so external engines reproduce it exactly. Map-side except
+    * the ≤|caps|-row aggregate. */
+  def lengthBucketAudit(df: DataFrame, tokCol: Column,
+      caps: Seq[Int] = Seq(32, 64, 128, 256, 512)): DataFrame = {
+    require(caps.nonEmpty && caps == caps.sorted.distinct && caps.head >= 1,
+      s"caps=$caps must be a sorted ladder of distinct positive lengths")
+    val top = caps.last
+    val cap = caps.init.foldRight(lit(top.toLong): Column)((c, acc) =>
+      when(tokCol <= c, lit(c.toLong)).otherwise(acc))
+    val kept = least(tokCol, lit(top))
+    df.select(cap.as("bucket_cap"), tokCol.as("_tok"), kept.as("_kept"))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_kept")).cast("long").as("kept_tokens"),
+        sum(col("bucket_cap") - col("_kept")).cast("long").as("pad_tokens"),
+        sum(greatest(col("_tok") - lit(top), lit(0L))).cast("long")
+          .as("truncated_tokens"))
+      .withColumn("pad_frac",
+        round(col("pad_tokens").cast("double") /
+          (col("n_docs") * col("bucket_cap")), 6))
+  }
+
   /** Deterministic k-row uniform subset: order by content hash, take k.
     * (The distributed analogue of reservoir sampling with a fixed
     * seed; one shuffle of keys only if a total order is demanded —

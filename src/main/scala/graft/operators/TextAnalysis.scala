@@ -171,6 +171,27 @@ object TextAnalysis {
   def countPattern(text: Column, re: String): Column =
     regexp_count(text, lit(re)).cast("long")
 
+  // -------------------------------------------------------------- markup
+
+  /** A markup tag: '<', a non-'>' run, '>'. RE2-compatible like
+    * [[piiPatterns]], so external engines replay it byte-identically. */
+  val markupTagRe = "<[^>]*>"
+
+  /** An opening anchor tag — the numerator of link-density signals. */
+  val anchorTagRe = "<a [^>]*>"
+
+  /** Markup stripped from web-scraped text (tags removed; entity
+    * decoding is out of scope for a regex pass). Pure map-side
+    * `regexp_replace`, codegen'd, no shuffle. */
+  def stripMarkup(text: Column): Column =
+    regexp_replace(text, markupTagRe, "")
+
+  /** Fraction of raw characters that are markup — the C4/Gopher-style
+    * "mostly chrome" page signal. 0 for markup-free text; null only on
+    * empty input. */
+  def markupCharFrac(text: Column): Column =
+    (length(text) - length(stripMarkup(text))).cast("double") / length(text)
+
   // ------------------------------------------------------------- chunking
 
   /** Context-window chunking: split each doc's token stream into

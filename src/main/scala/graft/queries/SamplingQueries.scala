@@ -630,7 +630,40 @@ object SamplingQueries {
         round(any_value(ratio), 6) AS keep_ratio
       FROM kept GROUP BY source ORDER BY source"""))
 
+  // --- s22: length-bucket padding audit -------------------------------
+  // Choosing sequence-length buckets before batching: each doc lands
+  // in the smallest power-of-two cap that holds it (over-cap docs are
+  // truncated to the top), and the audit reports what each rung costs
+  // in padding and truncation. Pure integer arithmetic end to end —
+  // the when-ladder assignment and the waste sums hash-match exactly.
+  private val s22 = GraftQuery(
+    "s22_length_buckets",
+    (s, d) =>
+      Sampling.lengthBucketAudit(
+          Tables(s, d, "documents").select(
+            graft.operators.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("tok")),
+          col("tok"))
+        .orderBy("bucket_cap"),
+    Some("""WITH t AS (
+        SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        FROM documents),
+      b AS (
+        SELECT tok,
+          CAST(CASE WHEN tok <= 32 THEN 32 WHEN tok <= 64 THEN 64
+               WHEN tok <= 128 THEN 128 WHEN tok <= 256 THEN 256
+               ELSE 512 END AS BIGINT) AS bucket_cap,
+          least(tok, 512) AS kept
+        FROM t)
+      SELECT bucket_cap, count(*) AS n_docs,
+        CAST(sum(kept) AS BIGINT) AS kept_tokens,
+        CAST(sum(bucket_cap - kept) AS BIGINT) AS pad_tokens,
+        CAST(sum(greatest(tok - 512, 0)) AS BIGINT) AS truncated_tokens,
+        round(sum(bucket_cap - kept)::DOUBLE / (count(*) * bucket_cap), 6)
+          AS pad_frac
+      FROM b GROUP BY bucket_cap ORDER BY bucket_cap"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20, s21)
+      s14, s15, s16, s17, s18, s19, s20, s21, s22)
 }

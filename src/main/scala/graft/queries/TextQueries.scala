@@ -659,7 +659,54 @@ object TextQueries {
       GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  // --- t21: markup / link-density signals ------------------------------
+  // The corpus is plain text, so the query weaves deterministic markup
+  // into each doc (t07's planting pattern): every doc gets a wrapper
+  // and one anchor, thirds get a second anchor, evens a <b> span. The
+  // operator reports tag/anchor counts, the markup character fraction,
+  // and the stripped-text fingerprint — the "mostly chrome" page
+  // signal plus the cleaned text a web-scrape pass would keep. All
+  // regexes are RE2-safe, so the oracle replays them byte-identically.
+  private val t21 = GraftQuery(
+    "t21_markup_density",
+    (s, d) => {
+      val id = col("doc_id").cast("string")
+      val marked = concat(
+        lit("<html><body>"), col("text"),
+        lit(" <a href=\"https://ex.com/"), id, lit("\">see this</a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" <a href=\"https://ex.com/more/"), id, lit("\">more</a>")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit(" <b>important</b>")).otherwise(lit("")),
+        lit("</body></html>"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), marked.as("t"))
+        .select(col("doc_id"),
+          TextAnalysis.countPattern(col("t"), TextAnalysis.markupTagRe).as("n_tags"),
+          TextAnalysis.countPattern(col("t"), TextAnalysis.anchorTagRe).as("n_anchors"),
+          round(TextAnalysis.markupCharFrac(col("t")), 6).as("markup_char_frac"),
+          md5(TextAnalysis.stripMarkup(col("t"))).as("stripped_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          '<html><body>' || text ||
+          ' <a href="https://ex.com/' || CAST(doc_id AS VARCHAR) || '">see this</a>' ||
+          CASE WHEN doc_id % 3 = 0
+            THEN ' <a href="https://ex.com/more/' || CAST(doc_id AS VARCHAR) || '">more</a>'
+            ELSE '' END ||
+          CASE WHEN doc_id % 2 = 0 THEN ' <b>important</b>' ELSE '' END ||
+          '</body></html>' AS t
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(t, '<[^>]*>')) AS n_tags,
+        len(regexp_extract_all(t, '<a [^>]*>')) AS n_anchors,
+        round((length(t) - length(regexp_replace(t, '<[^>]*>', '', 'g')))::DOUBLE
+          / length(t), 6) AS markup_char_frac,
+        md5(regexp_replace(t, '<[^>]*>', '', 'g')) AS stripped_fp
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20)
+      t14, t15, t16, t17, t18, t19, t20, t21)
 }

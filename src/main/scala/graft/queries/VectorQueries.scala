@@ -440,6 +440,48 @@ object VectorQueries {
         ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
       GROUP BY f.query_id ORDER BY f.query_id"""))
 
+  // --- v17: between-label centroid separation matrix ------------------
+  // The complement of v14's within-class tightness: pairwise cosine
+  // between label centroids. Tight classes + low between-class cosine
+  // = separable embedding space; the pair where separation collapses
+  // names the label confusion to investigate. Same narrow (label,
+  // dim-index) centroid build as v14 (never a vector collect), then a
+  // ≤ |labels|² self-join of 10 tiny rows.
+  private val v17 = GraftQuery(
+    "v17_label_separation",
+    (s, d) => {
+      val e = col("embedding").cast("array<double>")
+      val emb = Tables(s, d, "embeddings").select(col("label"), e.as("e"))
+      val byDim = emb
+        .select(col("label"), posexplode(col("e")).as(Seq("_i", "_x")))
+        .groupBy(col("label"), col("_i"))
+        .agg(avg(col("_x")).as("_m"))
+      val cent = byDim.groupBy(col("label"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("_i"), col("_m")))),
+          p => p.getField("_m")).as("_c"))
+      cent.select(col("label").as("label_a"), col("_c").as("_ca"))
+        .join(cent.select(col("label").as("label_b"), col("_c").as("_cb")),
+          col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(graft.functions.Vec.cosine(col("_ca"), col("_cb")), 6)
+            .as("centroid_cosine"))
+        .orderBy("label_a", "label_b")
+    },
+    Some("""WITH emb AS (
+        SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+      bydim AS (
+        SELECT label, i, avg(e[i]) AS m
+        FROM (SELECT label, e, unnest(generate_series(1, len(e))) AS i
+              FROM emb)
+        GROUP BY label, i),
+      cent AS (
+        SELECT label, list(m ORDER BY i) AS c FROM bydim GROUP BY label)
+      SELECT a.label AS label_a, b.label AS label_b,
+        round(list_cosine_similarity(a.c, b.c), 6) AS centroid_cosine
+      FROM cent a, cent b WHERE a.label < b.label
+      ORDER BY label_a, label_b"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10, v11, v12, v13, v14, v15, v16)
+    v09, v10, v11, v12, v13, v14, v15, v16, v17)
 }

@@ -247,6 +247,22 @@ class SamplingSpec extends SparkSpec {
     assert(tinyGot == Seq(1L, 2L, 3L), tinyGot.toString)
   }
 
+  test("lengthBucketAudit: smallest-fitting cap, boundary hits, top-cap truncation") {
+    val toks = Seq(1L, 32L, 33L, 100L, 600L).toDF("tok")
+    val got = Sampling.lengthBucketAudit(toks, col("tok"))
+      .orderBy("bucket_cap")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      // (cap, n_docs, kept, pad, truncated, pad_frac)
+      (32L, 2L, 33L, 31L, 0L, 0.484375), // 1 pads, 32 exact; 31/64
+      (64L, 1L, 33L, 31L, 0L, 0.484375), // 33 → next rung
+      (128L, 1L, 100L, 28L, 0L, 0.21875),
+      (512L, 1L, 512L, 0L, 88L, 0.0)))                       // 600 truncates
+    intercept[IllegalArgumentException] {
+      Sampling.lengthBucketAudit(toks, col("tok"), caps = Seq(64, 32))
+    }
+  }
+
   test("tokenBudgetMix: ratios clamp at 1, off-mix sources drop, deterministic") {
     import graft.operators.TextAnalysis
     // src0 weighted far beyond its ~1.5k-token mass → ratio clamps to 1

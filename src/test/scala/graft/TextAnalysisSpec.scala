@@ -226,6 +226,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaSql == 1.0)
   }
 
+  test("markup strip and density: tags gone, plain text untouched, fraction bounded") {
+    val d = Seq(
+      "<html><body>hi <a href=\"x\">there</a> <b>friend</b></body></html>",
+      "no markup at all",
+      "<only><tags></tags></only>").toDF("text")
+    val got = d.select(
+      TextAnalysis.stripMarkup(col("text")),
+      TextAnalysis.countPattern(col("text"), TextAnalysis.markupTagRe),
+      TextAnalysis.countPattern(col("text"), TextAnalysis.anchorTagRe),
+      round(TextAnalysis.markupCharFrac(col("text")), 6))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got(0) == (("hi there friend", 8L, 1L, 0.765625))) // 49/64 markup
+    assert(got(1) == (("no markup at all", 0L, 0L, 0.0)))
+    assert(got(2)._1 == "" && got(2)._4 == 1.0, "all-markup doc strips to empty")
+  }
+
   test("unique token sequence: order-preserving, idempotent, repetition-insensitive") {
     def sig(rows: Seq[String]) = rows.toDF("text")
       .withColumn("_toks", TextAnalysis.tokens(col("text")))
