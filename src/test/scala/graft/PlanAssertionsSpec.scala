@@ -174,4 +174,42 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
+
+  test("d25 boilerplate strip: removal is a broadcast anti-join, agg is partial") {
+    val plan = executedPlan("d25_boilerplate_lines")
+    // the small-by-construction boilerplate fingerprint set broadcasts
+    // into the removal join — the line stream never shuffles for it
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    // frequency counting combines map-side before its exchange
+    assert(plan.contains("partial_count"), plan.take(1200))
+  }
+
+  test("v16 truncation audit: both rankings broadcast probes, overlap join narrow") {
+    val plan = executedPlan("v16_truncation_overlap")
+    // two widths = two broadcast probe scans (non-equi ⇒ nested-loop
+    // over the broadcast query side, the scoredPairs shape); the only
+    // hash join is the narrow (query_id, neighbor_id) overlap join
+    // judge the AQE-final plan only — the toString repeats the pre-AQE
+    // tree (where this join is still sort-merge) under "== Initial Plan =="
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"), finalSection.take(1200))
+    assert(!finalSection.contains("SortMergeJoin"), finalSection.take(1200))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalSection).size >= 2,
+      finalSection.take(1200))
+    assert(finalSection.contains("BroadcastHashJoin"), finalSection.take(1200))
+  }
+
+  test("s22 length buckets: map-side when-ladder, one partial-agg exchange") {
+    val plan = executedPlan("s22_length_buckets")
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(plan.contains("partial_count"), plan.take(800))
+    // exactly one shuffle: the <=|caps|-row final aggregate (plus the
+    // oracle ORDER BY's range exchange); count in the final plan only —
+    // the AQE toString repeats the tree under "== Initial Plan =="
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(finalSection).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${finalSection.take(800)}")
+  }
 }
