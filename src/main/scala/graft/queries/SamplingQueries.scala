@@ -661,7 +661,8 @@ object SamplingQueries {
         CAST(sum(greatest(tok - 512, 0)) AS BIGINT) AS truncated_tokens,
         round(sum(bucket_cap - kept)::DOUBLE / (count(*) * bucket_cap), 6)
           AS pad_frac
-      FROM b GROUP BY bucket_cap ORDER BY bucket_cap"""))
+      FROM b GROUP BY bucket_cap ORDER BY bucket_cap"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,

@@ -704,7 +704,8 @@ object TextQueries {
         round((length(t) - length(regexp_replace(t, '<[^>]*>', '', 'g')))::DOUBLE
           / length(t), 6) AS markup_char_frac,
         md5(regexp_replace(t, '<[^>]*>', '', 'g')) AS stripped_fp
-      FROM t ORDER BY doc_id"""))
+      FROM t ORDER BY doc_id"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,

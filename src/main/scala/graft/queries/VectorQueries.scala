@@ -438,7 +438,8 @@ object VectorQueries {
         round(count(p.neighbor_id)::DOUBLE / 5, 6) AS overlap_frac
       FROM fullk f LEFT JOIN prefk p
         ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
-      GROUP BY f.query_id ORDER BY f.query_id"""))
+      GROUP BY f.query_id ORDER BY f.query_id"""),
+    bench = true)
 
   // --- v17: between-label centroid separation matrix ------------------
   // The complement of v14's within-class tightness: pairwise cosine
