@@ -195,7 +195,8 @@ object HashExpressions {
     * the minimum hash of every w-gram window, deduplicated — a
     * position-robust fingerprint set whose overlap localizes shared
     * passages (unlike one whole-document digest). */
-  case class Winnow(child: Expression, k: Int, w: Int)
+  case class Winnow(child: Expression, k: Int, w: Int,
+      md5Parity: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     require(k >= 2 && w >= 1, "winnow needs k >= 2, w >= 1")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -233,8 +234,26 @@ object HashExpressions {
       }
       new GenericArrayData(out.toArray.sorted)
     }
-    // xxhash-style avalanche so the weak polynomial bits spread
-    private def finalize(h: Long): Long = XXH64.hashLong(h, 42L)
+    // xxhash-style avalanche so the weak polynomial bits spread. The
+    // md5Parity mode (d11's oracle knob, the Winnow twin of
+    // SimHash64's) replaces it with the top 60 bits of
+    // md5(h.toString): non-negative, so Java's signed min-selection
+    // and an external engine's comparison agree, and reproducible as
+    // ('0x' || substr(md5(CAST(h AS VARCHAR)), 1, 15))::UBIGINT.
+    // Valid because for k = 5 and BMP text the polynomial never wraps
+    // (max < 257⁴·65535·5 < 2⁶³): the incremental value IS the direct
+    // polynomial an external engine computes.
+    private def finalize(h: Long): Long =
+      if (md5Parity) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val d = md.digest(java.lang.Long.toString(h)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        top >>> 4 // first 15 hex chars = 60 bits, always non-negative
+      } else XXH64.hashLong(h, 42L)
     private def hashRange(s: String, from: Int, until: Int): Long = {
       var h = 0L
       var i = from
@@ -660,8 +679,9 @@ object HashExpressions {
     column(VecDot(expression(a), expression(b)))
   def vec_l2(a: Column, b: Column): Column =
     column(VecL2(expression(a), expression(b)))
-  def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
-    column(Winnow(expression(text), k, w))
+  def winnow(text: Column, k: Int = 5, w: Int = 4,
+      md5Parity: Boolean = false): Column =
+    column(Winnow(expression(text), k, w, md5Parity))
   def ngrams(tokens: Column, k: Int, distinct: Boolean): Column =
     column(NGrams(expression(tokens), k, distinct))
   def ngram_hash_pairs(tokens: Column, k: Int): Column =

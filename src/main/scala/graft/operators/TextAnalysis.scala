@@ -102,8 +102,9 @@ object TextAnalysis {
     * overlap between two documents' sets localizes shared passages —
     * the passage-level dedup signal a whole-document digest can't give.
     * See [[graft.functions.HashExpressions.Winnow]]. */
-  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
-    graft.functions.HashExpressions.winnow(normalized(text), k, w)
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4,
+      md5Parity: Boolean = false): Column =
+    graft.functions.HashExpressions.winnow(normalized(text), k, w, md5Parity)
 
   /** k-word shingles of the token stream; documents shorter than k
     * tokens contribute their whole (normalized) token string as a

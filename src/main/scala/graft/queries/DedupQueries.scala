@@ -347,9 +347,14 @@ object DedupQueries {
   // --- d11: passage-level overlap via winnowing fingerprints ----------
   // Planted: doc +1M keeps the original's first 30 tokens and replaces
   // the tail — whole-document digests see distinct docs, but the shared
-  // passage shows up as overlapping winnow fingerprints. Rolling-hash
-  // values aren't SQL-expressible → rows-only here; the winnow scheme
-  // itself is pinned in IvfWinnowSpec.
+  // passage shows up as overlapping winnow fingerprints. Oracle-checked
+  // via the kernel's md5Parity mode (the Winnow twin of d04's): for
+  // k = 5 over BMP text the char polynomial never wraps, so DuckDB
+  // recomputes the gram hashes, replays the w-window minima with
+  // list_transform/least, and intersects the fingerprint sets exactly.
+  // (The replay assumes docs of ≥ k chars and ≥ w grams — true of this
+  // corpus; the kernel's short-input fallbacks are spec-pinned in
+  // IvfWinnowSpec.) Production keeps the xxhash64 avalanche default.
   private val d11 = GraftQuery(
     "d11_passage_overlap",
     (s, d) => {
@@ -361,16 +366,54 @@ object DedupQueries {
           lit(" totally different tail "),
           col("doc_id").cast("string")).as("text"))
       val fpA = base.select(col("doc_id").as("a"),
-        TextAnalysis.winnowFingerprints(col("text")).as("fp_a"))
+        TextAnalysis.winnowFingerprints(col("text"), md5Parity = true).as("fp_a"))
       val fpB = shared.select(col("doc_id").as("a"),
-        TextAnalysis.winnowFingerprints(col("text")).as("fp_b"))
+        TextAnalysis.winnowFingerprints(col("text"), md5Parity = true).as("fp_b"))
       fpA.join(fpB, "a")
         .select(col("a"),
           size(array_intersect(col("fp_a"), col("fp_b"))).as("shared_fps"),
           size(col("fp_a")).as("n_a"), size(col("fp_b")).as("n_b"))
         .orderBy("a")
     },
-    None)
+    Some("""WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 10),
+      sides AS (
+        SELECT 'A' AS side, doc_id, text FROM base
+        UNION ALL
+        SELECT 'B' AS side, doc_id,
+          array_to_string((string_split_regex(trim(text), '\s+'))[1:30], ' ')
+            || ' totally different tail ' || CAST(doc_id AS VARCHAR)
+        FROM base),
+      norm AS (
+        SELECT side, doc_id,
+          lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        FROM sides),
+      grams AS (
+        SELECT side, doc_id,
+          list_transform(range(1, len(t) - 5 + 2),
+            i -> unicode(t[i]) * 4362470401 + unicode(t[i+1]) * 16974593 +
+                 unicode(t[i+2]) * 66049 + unicode(t[i+3]) * 257 +
+                 unicode(t[i+4])) AS ph
+        FROM norm),
+      fps AS (
+        SELECT side, doc_id,
+          list_transform(ph, h ->
+            ('0x' || substr(md5(CAST(h AS VARCHAR)), 1, 15))::UBIGINT::BIGINT)
+            AS gh
+        FROM grams),
+      mins AS (
+        SELECT side, doc_id,
+          list_distinct(
+            list_transform(range(1, len(gh) - 4 + 2),
+              i -> least(gh[i], gh[i+1], gh[i+2], gh[i+3]))) AS fp
+        FROM fps)
+      SELECT a.doc_id AS a,
+        CAST(len(list_intersect(a.fp, b.fp)) AS INTEGER) AS shared_fps,
+        CAST(len(a.fp) AS INTEGER) AS n_a,
+        CAST(len(b.fp) AS INTEGER) AS n_b
+      FROM mins a JOIN mins b ON a.doc_id = b.doc_id
+      WHERE a.side = 'A' AND b.side = 'B'
+      ORDER BY a"""))
 
   // --- d12: end-to-end embedding dedup groups -------------------------
   // The composition a curation pipeline actually runs: banded-LSH
