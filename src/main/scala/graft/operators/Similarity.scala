@@ -101,6 +101,37 @@ object Similarity {
         round(col("n_overlap").cast("double") / k, 6).as("overlap_frac"))
   }
 
+  /** IVF recall-vs-nprobe sweep: for each candidate `nprobe`, the
+    * average recall@k of [[IvfIndex.ivfTopK]] against the exact
+    * [[bruteForceTopK]] ground truth — the audit that picks the probe
+    * knob before committing an index configuration. Deterministic end
+    * to end (deterministic k-means, rounded-cosine/id tie-breaks), so
+    * recall is non-decreasing in nprobe and exactly 1.0 at
+    * nprobe = nlist (exhaustive probing = brute force; both pinned in
+    * SimilaritySpec). The ground truth and the IVF index build once
+    * (OpCaches memoizes the cell-assigned corpus across probe
+    * settings); each sweep point adds only the probe join + a
+    * per-query set intersection. */
+  def ivfRecallSweep(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nlist: Int, nprobes: Seq[Int],
+      roundTo: Int = 6): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nlist),
+      s"nprobes=$nprobes must be within [1, nlist=$nlist]")
+    val truth = bruteForceTopK(corpus, queries, idCol, embCol, k, roundTo)
+      .select(col("query_id"), col("neighbor_id"))
+    val perProbe = nprobes.map { p =>
+      IvfIndex.ivfTopK(corpus, queries, idCol, embCol, k, nlist, p, roundTo)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth.withColumn("_hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((count(col("_hit")).cast("double") / k).as("_recall"))
+        .agg(round(avg(col("_recall")), 6).as("avg_recall"))
+        .select(lit(p).as("nprobe"), col("avg_recall"))
+    }
+    perProbe.reduce(_ unionByName _)
+  }
+
   /** Exact euclidean (L2) top-k — the metric twin of [[bruteForceTopK]]
     * for embeddings whose magnitude carries signal (cosine discards it).
     * Same scale shape: the query side broadcasts, the corpus never

@@ -483,6 +483,22 @@ object VectorQueries {
       FROM cent a, cent b WHERE a.label < b.label
       ORDER BY label_a, label_b"""))
 
+  // --- v18: IVF recall-vs-nprobe sweep --------------------------------
+  // The knob-picking audit: recall@5 against exact ground truth at each
+  // probe setting, sharing one index build (OpCaches). Deterministic
+  // but the k-means centroids aren't SQL-expressible → rows-only here;
+  // SimilaritySpec pins monotone recall and exact 1.0 at full probing.
+  private val v18 = GraftQuery(
+    "v18_ivf_recall_sweep",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.ivfRecallSweep(emb, emb.filter(col("vec_id") < 25),
+          "vec_id", "embedding", k = 5, nlist = 16,
+          nprobes = Seq(1, 2, 4, 8, 16))
+        .orderBy("nprobe")
+    },
+    None)
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10, v11, v12, v13, v14, v15, v16, v17)
+    v09, v10, v11, v12, v13, v14, v15, v16, v17, v18)
 }

@@ -187,6 +187,26 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 0.3, f"v12/v15 prediction agreement $agree%.3f vs 0.1 chance")
   }
 
+  test("ivfRecallSweep: recall monotone in nprobe, exactly 1.0 at full probing") {
+    val q = emb.filter(col("vec_id") < 10)
+    val sweep = Similarity.ivfRecallSweep(emb, q, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobes = Seq(1, 2, 4, 8))
+      .orderBy("nprobe")
+      .as[(Int, Double)].collect().toSeq
+    assert(sweep.map(_._1) == Seq(1, 2, 4, 8))
+    val recalls = sweep.map(_._2)
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    assert(recalls == recalls.sorted,
+      s"recall must be non-decreasing in nprobe: $recalls")
+    assert(recalls.last == 1.0,
+      s"nprobe = nlist probes every cell → brute-force recall, got ${recalls.last}")
+    graft.operators.OpCaches.release()
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRecallSweep(emb, q, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobes = Seq(0, 8))
+    }
+  }
+
   test("lshNearDupPairs matches the exact all-pairs result at threshold 0.9") {
     // plant perturbed twins like v04 does, then compare against the
     // exact O(N²) computation on this bounded corpus
