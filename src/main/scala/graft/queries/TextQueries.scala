@@ -707,7 +707,56 @@ object TextQueries {
       FROM t ORDER BY doc_id"""),
     bench = true)
 
+  // --- t22: per-source corpus report (dataset card) -------------------
+  // The one-page summary a pipeline publishes per source: document and
+  // token mass, exact-duplicate rate (normalized fingerprints), and
+  // language-mix entropy. Two narrow aggregates + a |sources|-row
+  // join; text never shuffles (only fingerprints and counts do).
+  private val t22 = GraftQuery(
+    "t22_corpus_report",
+    (s, d) => {
+      val base = Tables(s, d, "documents").select(
+        col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val agg = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        countDistinct(col("fp")).as("_distinct"))
+      val lc = base.groupBy("source", "lang").agg(count(lit(1)).as("_n"))
+      val tot = lc.groupBy("source").agg(sum(col("_n")).as("_t"))
+      val ent = lc.join(tot, "source")
+        .groupBy("source")
+        .agg(round(-sum((col("_n") / col("_t")) * log(col("_n") / col("_t"))), 6)
+          .as("lang_entropy"))
+      agg.join(ent, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round((col("n_docs") - col("_distinct")).cast("double") / col("n_docs"), 6)
+            .as("dup_rate"),
+          col("lang_entropy"))
+        .orderBy("source")
+    },
+    Some("""WITH b AS (
+        SELECT source, lang,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      agg AS (
+        SELECT source, count(*) AS n_docs, sum(tok) AS n_tokens,
+          count(DISTINCT fp) AS nd
+        FROM b GROUP BY source),
+      ent AS (
+        SELECT source,
+          round(-sum((n::DOUBLE / t) * ln(n::DOUBLE / t)), 6) AS lang_entropy
+        FROM (SELECT source, lang, n, sum(n) OVER (PARTITION BY source) AS t
+              FROM (SELECT source, lang, count(*) AS n FROM b GROUP BY 1, 2))
+        GROUP BY source)
+      SELECT a.source, n_docs, n_tokens,
+        round((n_docs - nd)::DOUBLE / n_docs, 6) AS dup_rate,
+        lang_entropy
+      FROM agg a JOIN ent USING (source) ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22)
 }
