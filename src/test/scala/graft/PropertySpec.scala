@@ -313,6 +313,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplateLines == in-memory reference on random line corpora") {
+    import org.apache.spark.sql.functions.col
+    val corpus = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(1, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))))
+      minDocs <- Gen.choose(2, 4)
+    } yield (docs, minDocs)
+    forAll(corpus) { case (docs, minDocs) =>
+      val df = spark.createDataFrame(
+        docs.zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString("\n")) })
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .stripBoilerplateLines(df, "doc_id", "text", minDocs)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+        .toMap
+      // reference: a line is boilerplate iff it occurs in >= minDocs
+      // distinct docs; survivors keep original order; empty docs vanish
+      val lineDocs = docs.zipWithIndex
+        .flatMap { case (ls, i) => ls.distinct.map(_ -> i) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val want = docs.zipWithIndex.flatMap { case (ls, i) =>
+        val kept = ls.filter(l => lineDocs(l) < minDocs)
+        if (kept.isEmpty) None
+        else Some(i.toLong -> ((kept.length.toLong, kept.mkString("\n"))))
+      }.toMap
+      assert(got == want, s"docs=$docs minDocs=$minDocs")
+    }
+  }
+
   test("lshBandPlan: plan meets the miss bound and is maximal, over random knobs") {
     // Pure planner math — no Spark job per case, so run a wide sweep.
     def missAt(s: Double, r: Int, b: Int): Double =
