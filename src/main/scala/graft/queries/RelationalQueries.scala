@@ -1256,9 +1256,53 @@ object RelationalQueries {
         ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT) DESC)
       ORDER BY c_nationkey, kilo, c_custkey"""))
 
+  // --- q48: rolling z-score anomaly flags -----------------------------
+  // Streaming-style outlier detection done relationally: each event is
+  // scored against the mean/std of its type's previous 20 events
+  // (population variance via avg/avg-of-squares — identical formula on
+  // both engines), flagged when the 6-dp-rounded |z| clears the
+  // threshold. Thresholding on the ROUNDED score keeps the cut
+  // deterministic across engines. One shuffle (the per-type window);
+  // at scale the partition key is (type, coarse time bucket) to bound
+  // partition width — here types are few and bounded.
+  private val q48 = GraftQuery(
+    "q48_rolling_zscore",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+      ev(s, d)
+        .withColumn("_n", count(lit(1)).over(w))
+        .withColumn("_m", avg(col("value")).over(w))
+        .withColumn("_m2", avg(col("value") * col("value")).over(w))
+        .filter(col("_n") >= 10)
+        .withColumn("_sd", sqrt(greatest(col("_m2") - col("_m") * col("_m"), lit(0.0))))
+        .filter(col("_sd") > 0)
+        .withColumn("z", round((col("value") - col("_m")) / col("_sd"), 6))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_type"), col("event_id"), round(col("value"), 4).as("value"),
+          col("z"))
+        .orderBy("event_type", "event_id")
+    },
+    Some("""WITH scored AS (
+        SELECT event_type, event_id, value,
+          count(*) OVER w AS n,
+          avg(value) OVER w AS m,
+          avg(value * value) OVER w AS m2
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      z AS (
+        SELECT event_type, event_id, value,
+          round((value - m) / sqrt(greatest(m2 - m * m, 0)), 6) AS z
+        FROM scored
+        WHERE n >= 10 AND sqrt(greatest(m2 - m * m, 0)) > 0)
+      SELECT event_type, event_id, round(value, 4) AS value, z
+      FROM z WHERE abs(z) > 2.5
+      ORDER BY event_type, event_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }
