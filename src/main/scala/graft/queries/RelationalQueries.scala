@@ -1300,9 +1300,52 @@ object RelationalQueries {
       FROM z WHERE abs(z) > 2.5
       ORDER BY event_type, event_id"""))
 
+  // --- q49: native session-window aggregation ------------------------
+  // The same 30-minute sessionization as q25, but through Spark's
+  // built-in `session_window` aggregate instead of the lag+running-sum
+  // window pair — one shuffle on user_id, no window sort pass, and the
+  // identical code runs under Structured Streaming (the streaming twin
+  // lives in StatefulOps.streamingSessionize, spec-pinned to this).
+  // Semantics pinned by the oracle: a new session starts when the gap
+  // is >= the window (Spark merges windows that OVERLAP; an event at
+  // exactly prev_ts + gap does not overlap [prev_ts, prev_ts + gap)),
+  // which differs from q25's strict `>` cut — both are asserted
+  // against DuckDB so the boundary rule is documented by test, not
+  // prose. window_span_us = end - start = last-event offset + gap by
+  // construction, kept in the output to pin session_window's
+  // end-extension semantics.
+  private val q49 = GraftQuery(
+    "q49_session_window",
+    (s, d) => {
+      val e = ev(s, d).withColumn("us", unix_micros(col("ts")))
+      e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+          (unix_micros(col("sw.end")) - unix_micros(col("sw.start"))).as("window_span_us"))
+        .orderBy("user_id", "start_us")
+    },
+    Some("""WITH t AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 OR
+                    lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, us,
+          CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+        FROM t)
+      SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+        count(*) AS n_events,
+        max(us) - min(us) + 1800000000 AS window_span_us
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id, start_us"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }

@@ -90,6 +90,26 @@ object StatefulOps {
     streamingDedup(newOnly, textCol, tsCol, delay)
   }
 
+  /** Streaming sessionization via the native `session_window`
+    * aggregate — the streaming twin of the q49 registry entry:
+    * byte-identical groupBy/agg code, plus the event-time watermark
+    * that lets the state store close a session once the watermark
+    * passes its end. Append mode emits each (key, session) exactly
+    * once, when it closes. Per-open-session state is three counters
+    * regardless of session length, and sessions merge across
+    * micro-batches (an event bridging two open windows collapses them)
+    * — semantics a hand-rolled lag/running-sum pipeline can't replay
+    * incrementally. StatefulOpsSpec pins output parity against the
+    * batch q49 aggregation over the same rows. */
+  def streamingSessionize(df: DataFrame, keyCol: String, tsCol: String,
+      gap: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"))
+      .select(col(keyCol), col("start_us"), col("end_us"), col("n_events"))
+
   /** Watermarked stream-stream interval join: each left row pairs with
     * same-key right rows whose event time falls in
     * [left.ts − lookback, left.ts + lookahead] — the streaming twin of

@@ -75,6 +75,43 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSessionize matches the batch session_window aggregation") {
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val sessions = StatefulOps.streamingSessionize(
+      input.toDF().toDF("ts", "user"), "user", "ts",
+      gap = "5 seconds", delay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("ssess")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // u1: one session split across batches (4s gap < 5s window, the
+    // cross-batch state-merge case) then a second session; u2: a
+    // singleton; final u3 event only advances the watermark to flush
+    val rows = Seq(
+      Seq((ts(0), "u1"), (ts(2), "u1"), (ts(3), "u2")),
+      Seq((ts(6), "u1")),                      // merges into u1's open session
+      Seq((ts(20), "u1"), (ts(21), "u1")),     // second u1 session
+      Seq((ts(300), "u3")))                    // watermark flush sentinel
+    try {
+      rows.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.sql(
+          "SELECT user, start_us, end_us, n_events FROM ssess")
+        .as[(String, Long, Long, Long)].collect().toSet
+      // batch twin (q49's shape) over the same rows minus the
+      // still-open flush sentinel
+      val batch = rows.flatten.dropRight(1).toDF("ts", "user")
+        .groupBy(col("user"), session_window(col("ts"), "5 seconds"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .select(col("user"), col("start_us"), col("end_us"), col("n_events"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.count(_._1 == "u1") == 2, "cross-batch merge + split")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-batch and cross-batch duplicates") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
