@@ -201,6 +201,33 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(finalSection.contains("BroadcastHashJoin"), finalSection.take(1200))
   }
 
+  test("q48 rolling z-score: both trailing windows share one event_type exchange") {
+    val plan = executedPlan("q48_rolling_zscore")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Join"), finalSection.take(800))
+    // count/avg and avg-of-squares windows reuse a single sort +
+    // hashpartitioning(event_type); only the oracle ORDER BY adds a
+    // range exchange on top
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(hashEx == 1, s"$hashEx hash exchanges:\n${finalSection.take(1200)}")
+  }
+
+  test("q49 session windows: partial session agg, one exchange, pruned scan") {
+    val plan = executedPlan("q49_session_window")
+    val finalSection = plan.split("== Initial Plan ==").head
+    // sessions merge via the dedicated MergingSessions operator with a
+    // partial aggregate BEFORE the user_id exchange — no per-user
+    // window sort pass, no join
+    assert(finalSection.contains("MergingSessions"), finalSection.take(1200))
+    assert(finalSection.contains("partial_min"), finalSection.take(1200))
+    assert(!finalSection.contains("Join"), finalSection.take(800))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(hashEx == 1, s"$hashEx hash exchanges:\n${finalSection.take(1200)}")
+    // only (ts, user_id) read from the 6-column events table
+    val schema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(finalSection).get.group(1)
+    assert(schema.split(",").length == 2, schema)
+  }
+
   test("s22 length buckets: map-side when-ladder, one partial-agg exchange") {
     val plan = executedPlan("s22_length_buckets")
     assert(!plan.contains("Join"), plan.take(800))
