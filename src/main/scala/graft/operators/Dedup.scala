@@ -674,6 +674,46 @@ object Dedup {
       .join(histFp, fp === col("_hist_fp"), "left_anti")
   }
 
+  // --------------------------------------------------- source overlap matrix
+
+  /** Cross-source duplicate overlap matrix — for every pair of sources,
+    * how many *distinct* documents they share, and what share of each
+    * source's distinct content that is. The dataset-card companion to
+    * the per-source corpus report (t22): it answers "is crawl B mostly
+    * a mirror of crawl A?" before anyone trains on both.
+    *
+    * Scale shape: one shuffle of (128-bit fingerprint, source) pairs,
+    * then a groupBy(fingerprint) whose per-group state is bounded by
+    * the number of SOURCES (enumerable, small) — never a corpus
+    * self-join on content. Pair fan-out per fingerprint is
+    * |sources|·(|sources|−1)/2 at worst; the per-source distinct
+    * counts are a few rows and broadcast into the share join. Text
+    * never shuffles. */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val fp = df.select(TextAnalysis.fingerprint(col(textCol)).as("_fp"),
+      col(sourceCol).as("_src")).distinct()
+    val perSource = fp.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    val srcs = sort_array(col("_srcs"))
+    // all ordered pairs (a, b) with a < b from the sorted source set
+    val pairCol = flatten(transform(
+      sequence(lit(1), size(srcs) - 1),
+      i => transform(slice(srcs, i + 1, size(srcs)),
+        b => struct(element_at(srcs, i).as("a"), b.as("b")))))
+    fp.groupBy(col("_fp")).agg(collect_set(col("_src")).as("_srcs"))
+      .filter(size(col("_srcs")) > 1)
+      .select(explode(pairCol).as("_pair"))
+      .groupBy(col("_pair.a").as("source_a"), col("_pair.b").as("source_b"))
+      .agg(count(lit(1)).as("shared_docs"))
+      .join(broadcast(perSource.select(col("_src").as("source_a"),
+        col("_n").as("_na"))), "source_a")
+      .join(broadcast(perSource.select(col("_src").as("source_b"),
+        col("_n").as("_nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_docs"),
+        round(col("shared_docs") / col("_na"), 6).as("share_of_a"),
+        round(col("shared_docs") / col("_nb"), 6).as("share_of_b"))
+  }
+
   // --------------------------------------------------- exact n-gram jaccard
 
   /** Exact n-gram Jaccard over explicit candidate pairs: a baseline /

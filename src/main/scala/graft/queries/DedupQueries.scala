@@ -1008,8 +1008,44 @@ object DedupQueries {
       FROM lines WHERE line NOT IN (SELECT line FROM boiler)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // --- d26: cross-source duplicate overlap matrix ---------------------
+  // The corpus has one copy of each doc, so a 'mirror' source is
+  // planted from every third document — each real source then shares
+  // exactly its doc_id%3==0 slice with the mirror, giving a multi-pair
+  // matrix whose counts and shares the oracle reproduces exactly.
+  private val d26 = GraftQuery(
+    "d26_source_overlap",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val mirror = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"),
+          lit("mirror").as("source"))
+      Dedup.sourceOverlapMatrix(docs.unionByName(mirror), "text", "source")
+        .orderBy("source_a", "source_b")
+    },
+    Some("""WITH p AS (
+        SELECT text, source FROM documents
+        UNION ALL
+        SELECT text, 'mirror' FROM documents WHERE doc_id % 3 = 0),
+      fp AS (
+        SELECT DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+          AS f, source AS src
+        FROM p),
+      cnt AS (SELECT src, count(*) AS n FROM fp GROUP BY src),
+      ov AS (
+        SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared_docs
+        FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, shared_docs,
+        round(shared_docs * 1.0 / ca.n, 6) AS share_of_a,
+        round(shared_docs * 1.0 / cb.n, 6) AS share_of_b
+      FROM ov
+      JOIN cnt ca ON ca.src = source_a
+      JOIN cnt cb ON cb.src = source_b
+      ORDER BY source_a, source_b"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      d24, d25)
+      d24, d25, d26)
 }

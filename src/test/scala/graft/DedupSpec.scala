@@ -371,4 +371,20 @@ class DedupSpec extends SparkSpec {
       Dedup.lshBandPlan(0.99, 1e-12, maxHashes = 2)
     }
   }
+
+  test("sourceOverlapMatrix fans a 3-source doc into all 3 ordered pairs") {
+    val df = Seq(
+      ("shared doc", "a"), ("shared doc", "b"), ("Shared  doc", "c"), // norm dup
+      ("only a", "a"), ("only a twice", "a"),                         // a-only
+      ("ab doc", "a"), ("ab doc", "b"))                               // a∩b
+      .toDF("text", "source")
+    val got = Dedup.sourceOverlapMatrix(df, "text", "source")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    // distinct counts: a=4, b=2, c=1
+    assert(got == Seq(
+      ("a", "b", 2L, 0.5, 1.0),       // shared + ab
+      ("a", "c", 1L, 0.25, 1.0),
+      ("b", "c", 1L, 0.5, 1.0)), got.toString)
+  }
 }

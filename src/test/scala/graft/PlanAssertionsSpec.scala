@@ -228,6 +228,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(schema.split(",").length == 2, schema)
   }
 
+  test("d26 source overlap: no corpus self-join, share lookups broadcast") {
+    val plan = executedPlan("d26_source_overlap")
+    val finalSection = plan.split("== Initial Plan ==").head
+    // overlap pairs come from groupBy(fingerprint)+collect_set, never a
+    // content self-join; the only joins are the tiny per-source-count
+    // broadcasts
+    assert(!finalSection.contains("SortMergeJoin"), finalSection.take(1200))
+    assert(!finalSection.contains("CartesianProduct"), finalSection.take(1200))
+    assert(finalSection.contains("BroadcastHashJoin"), finalSection.take(1200))
+  }
+
   test("s22 length buckets: map-side when-ladder, one partial-agg exchange") {
     val plan = executedPlan("s22_length_buckets")
     assert(!plan.contains("Join"), plan.take(800))
