@@ -1341,7 +1341,8 @@ object RelationalQueries {
         count(*) AS n_events,
         max(us) - min(us) + 1800000000 AS window_span_us
       FROM s GROUP BY user_id, session_id
-      ORDER BY user_id, start_us"""))
+      ORDER BY user_id, start_us"""),
+    bench = true)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Tables}
 import graft.operators.TextAnalysis
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis query surface over the `documents` table: token
@@ -756,7 +757,45 @@ object TextQueries {
         lang_entropy
       FROM agg a JOIN ent USING (source) ORDER BY source"""))
 
+  // --- t23: Zipf rank-frequency slope ---------------------------------
+  // Dataset-card statistic: the log-log least-squares slope of the
+  // top-1000 token rank/frequency curve (natural text ≈ −1; template
+  // or synthetic corpora drift off it). The vocab cut is the t20 shape
+  // — TakeOrdered heaps, never a global sort — and the 1000-row rank
+  // window is constant-bounded, so the whole query is one token-count
+  // shuffle regardless of corpus size. Both engines run their native
+  // regr_slope/regr_intercept over (ln n, ln rank); the fit inputs are
+  // identical by construction (integer counts, integer ranks), so 6-dp
+  // rounding absorbs accumulation-order drift.
+  private val t23 = GraftQuery(
+    "t23_zipf_slope",
+    (s, d) => {
+      val top = Tables(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(1000)
+      val w = Window.orderBy(col("n").desc, col("word"))
+      top.withColumn("rank", row_number().over(w))
+        .agg(count(lit(1)).as("n_ranks"),
+          round(regr_slope(log(col("n")), log(col("rank"))), 6).as("slope"),
+          round(regr_intercept(log(col("n")), log(col("rank"))), 6)
+            .as("intercept"))
+    },
+    Some("""WITH counts AS (
+        SELECT word, count(*) AS n FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents)
+        GROUP BY word),
+      top AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank
+        FROM counts ORDER BY n DESC, word LIMIT 1000)
+      SELECT count(*) AS n_ranks,
+        round(regr_slope(ln(n), ln(rank)), 6) AS slope,
+        round(regr_intercept(ln(n), ln(rank)), 6) AS intercept
+      FROM top"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }
