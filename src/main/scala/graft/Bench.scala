@@ -60,10 +60,22 @@ object Bench {
     // spreads a query's three samples minutes apart so the min sees at
     // least one clean run.
     val names = QueryRegistry.benchNames
+    // Each sample pays its own operator-cache builds: queries register
+    // intermediate frames (ANN indexes, signature/window-hash streams)
+    // in OpCaches, and Spark's CacheManager would otherwise hand a
+    // later query — or a later sample of the same query — a warm frame
+    // built on an earlier one's clock. Releasing after every run keeps
+    // samples independent and timings standalone-honest; the assert
+    // pins that no query leaks tracked frames past its release.
     def once(name: String): Long =
       try QueryRegistry.queryMap(name)(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      finally {
+        graft.operators.OpCaches.release(spark)
+        assert(graft.operators.OpCaches.trackedCount == 0,
+          s"$name left tracked operator caches behind")
+      }
     val rowCounts = names.map(n => n -> once(n)).toMap // warmup pass
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to 3; name <- names) {
