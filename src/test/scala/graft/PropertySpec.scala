@@ -376,6 +376,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlapMatrix == in-memory reference on random corpora") {
+    val corpus = for {
+      n <- Gen.choose(3, 12)
+      rows <- Gen.listOfN(n, for {
+        t <- Gen.oneOf("aa", "bb", "cc", "dd", "  aa", "BB")
+        s <- Gen.oneOf("s1", "s2", "s3")
+      } yield (t, s))
+    } yield rows
+    forAll(corpus) { rows =>
+      val df = spark.createDataFrame(rows).toDF("text", "source")
+      val got = graft.operators.Dedup
+        .sourceOverlapMatrix(df, "text", "source")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      // reference: distinct (normalized text, source); for each pair
+      // of sources the intersection of their content sets
+      def norm(t: String) = t.trim.replaceAll("\\s+", " ").toLowerCase
+      val bySrc = rows.map { case (t, s) => s -> norm(t) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = (for {
+        a <- bySrc.keys; b <- bySrc.keys if a < b
+        shared = (bySrc(a) & bySrc(b)).size if shared > 0
+      } yield (a, b) -> ((shared.toLong,
+        BigDecimal(shared.toDouble / bySrc(a).size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(shared.toDouble / bySrc(b).size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+      assert(got == want, s"rows=$rows")
+    }
+  }
+
   test("weightedSample == hand md5 filter on the documents table") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
