@@ -234,6 +234,21 @@ object Sampling {
         .orderBy(h, key)).cast("long"))
   }
 
+  /** Deterministic k-fold cross-validation assignment: fold = 32 md5
+    * bits of the `:fold`-salted key mod k. A pure map-side function of
+    * the key — re-runs and incremental corpus additions never move an
+    * existing document between folds, and the salt decorrelates folds
+    * from every other md5-keyed sampler (an unsalted hash would make
+    * fold ≡ shard (mod gcd) against [[shardAssignment]]). 32 bits
+    * before the mod keeps residue bias ≤ k/2³² for any practical k. */
+  def kfoldAssignment(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2 (got $k)")
+    val wide = conv(substring(
+      md5(concat(key.cast("string"), lit(":fold"))), 1, 8), 16, 10)
+      .cast("long")
+    df.withColumn("fold", pmod(wide, lit(k.toLong)).cast("int"))
+  }
+
   /** Contiguous global row ids [0, N) in the shuffled order, without a
     * global sort: [[shardAssignment]] ranks within shards, one bounded
     * driver-side aggregate collects the nShards shard sizes, and each

@@ -237,6 +237,34 @@ object Similarity {
       .limit(limit)
   }
 
+  /** Cosine-similarity distribution over a deterministic sample of
+    * vector pairs — the embedding-space health check a dataset card
+    * wants (a healthy space has most random-pair mass near 0; a
+    * collapsed one piles up near 1). Each side is an independent
+    * md5-deviate sample (salts `:a`/`:b` decorrelate them from each
+    * other and from every other md5-keyed sampler), so the pair budget
+    * is |A|·|B| ≈ fracA·fracB·N² — callers pick fractions ~ √budget/N;
+    * the sampled sides are bounded and the smaller broadcasts, the
+    * corpus itself never shuffles. Buckets are floor(cosine·10) over
+    * the 6-dp-rounded score, so the cut is engine-deterministic;
+    * avg_cosine is reported at 4 dp (a mean over up to the full pair
+    * budget — 6 dp would expose accumulation-order noise). */
+  def cosineHistogram(df: DataFrame, idCol: String, embCol: String,
+      fracA: Double, fracB: Double): DataFrame = {
+    def side(salt: String, frac: Double) =
+      withUnit(df.filter(graft.operators.Sampling.md5Unit(
+        concat(col(idCol).cast("string"), lit(salt))) < frac), embCol)
+    val a = side(":a", fracA)
+      .select(col(idCol).as("_ia"), col("_unit").as("u_a"))
+    val b = side(":b", fracB)
+      .select(col(idCol).as("_ib"), col("_unit").as("u_b"))
+    a.join(broadcast(b), col("_ia") < col("_ib"))
+      .select(round(Vec.dot(col("u_a"), col("u_b")), 6).as("_c"))
+      .groupBy(floor(col("_c") * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("_c")), 4).as("avg_cosine"))
+  }
+
   /** All pairs (a < b) with cosine ≥ `threshold` — the linear-shuffle
     * near-dup path: banded hyperplane-LSH candidate generation + exact
     * dot-product verification.

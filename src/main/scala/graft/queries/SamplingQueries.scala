@@ -664,7 +664,31 @@ object SamplingQueries {
       FROM b GROUP BY bucket_cap ORDER BY bucket_cap"""),
     bench = true)
 
+  // --- s23: deterministic k-fold cross-validation split ---------------
+  // Fold membership is a pure salted-hash function of doc_id (see
+  // Sampling.kfoldAssignment), so folds are leakage-free by
+  // construction and stable under corpus growth. The query reports the
+  // per-fold balance audit a CV user checks first: doc count, token
+  // mass, and source coverage — one map-side projection plus a k-row
+  // aggregate.
+  private val s23 = GraftQuery(
+    "s23_kfold_split",
+    (s, d) =>
+      Sampling.kfoldAssignment(Tables(s, d, "documents"), col("doc_id"), 5)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("fold"),
+    Some("""SELECT
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fold'), 1, 8))
+          ::UBIGINT % 5 AS INT) AS fold,
+        count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        count(DISTINCT source) AS n_sources
+      FROM documents GROUP BY fold ORDER BY fold"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20, s21, s22)
+      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
 }

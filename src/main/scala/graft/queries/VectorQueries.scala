@@ -499,6 +499,34 @@ object VectorQueries {
     },
     None)
 
+  // --- v19: sampled-pairs cosine distribution histogram ---------------
+  // Embedding-space health: the cosine distribution over a
+  // deterministic md5-sampled pair budget, bucketed at 0.1. Salted
+  // per-side samples keep the budget explicit (fracA·fracB·N²) while
+  // the corpus never shuffles — the dataset-card companion to v17's
+  // label-separation matrix, label-free.
+  private val v19 = GraftQuery(
+    "v19_cosine_histogram",
+    (s, d) =>
+      Similarity.cosineHistogram(Tables(s, d, "embeddings"),
+          "vec_id", "embedding", fracA = 0.3, fracB = 0.3)
+        .orderBy("bucket"),
+    Some("""WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      a AS (SELECT * FROM u WHERE
+        ('0x' || substr(md5(vec_id::VARCHAR || ':a'), 1, 8))::UBIGINT
+          / 4294967296.0 < 0.3),
+      b AS (SELECT * FROM u WHERE
+        ('0x' || substr(md5(vec_id::VARCHAR || ':b'), 1, 8))::UBIGINT
+          / 4294967296.0 < 0.3),
+      p AS (
+        SELECT round(list_cosine_similarity(a.e, b.e), 6) AS c
+        FROM a, b WHERE a.vec_id < b.vec_id)
+      SELECT CAST(floor(c * 10) AS BIGINT) AS bucket, count(*) AS n_pairs,
+        round(avg(c), 4) AS avg_cosine
+      FROM p GROUP BY 1 ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10, v11, v12, v13, v14, v15, v16, v17, v18)
+    v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19)
 }
