@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
+import graft.sources.CorpusWriter
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation pipeline: the "switch your pipeline to this
+  * library" composition claim, exercised as one flow instead of per
+  * operator — quality gate → exact dedup → LSH near-dup merge →
+  * decontamination against an eval set → split/shard → token packing →
+  * sharded write and read-back. Each stage's invariant is asserted on
+  * the REAL intermediate (not a mock), so a contract drift between two
+  * operators (e.g. dedup emitting a column the writer re-derives
+  * differently) fails here even when every per-operator spec passes.
+  */
+class PipelineIntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curation pipeline: gate → dedup → near-dup → decontaminate → write") {
+    val sf = "/root/testdata/sf0.001"
+    val base = Tables(spark, sf, "documents")
+      .select("doc_id", "text", "source", "n_chars")
+    // plant exact copies (+1M) and one-token near-dup mutations (+2M);
+    // a ≥10-token gate guarantees a planted pair's shingle Jaccard is
+    // at least 8/9, safely above the 0.8 near-dup threshold
+    val seeds = base.filter(col("doc_id") < 5)
+    val corpus = base
+      .unionByName(seeds.select((col("doc_id") + 1000000).as("doc_id"),
+        col("text"), col("source"), col("n_chars")))
+      .unionByName(seeds.select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text"),
+        col("source"), col("n_chars")))
+    val eval = base.filter(col("doc_id").between(20, 22))
+      .select(col("doc_id"), col("text"))
+
+    // 1. quality gate (map-side)
+    val gated = corpus.filter(TextAnalysis.tokenCount(col("text")) >= 10)
+    val gatedIds = gated.select("doc_id").as[Long].collect().toSet
+    assert((0L until 5L).forall(gatedIds.contains),
+      "seed docs must survive the gate for the planted assertions to bite")
+    assert(Seq(20L, 21L, 22L).forall(gatedIds.contains),
+      "eval-twin docs must survive the gate")
+
+    // 2. exact dedup, keep-first: the +1M copies fold into their seeds
+    val exact = Dedup.exactKeepFirst(gated, "text", "doc_id")
+    val exactIds = exact.select("doc_id").as[Long].collect().toSet
+    assert(!exactIds.exists(id => id >= 1000000L && id < 2000000L),
+      "exact copies must not survive")
+    assert((0L until 5L).forall(exactIds.contains), "keep-first keeps the seed")
+    assert(exact.select(TextAnalysis.fingerprint(col("text"))).distinct().count()
+      == exactIds.size, "post-dedup content is unique")
+
+    // 3. near-dup merge: LSH pairs → connected components → min-id survivor
+    val (nh, bands) = Dedup.lshBandPlan(threshold = 0.8, missProb = 1e-6)
+    val pairs = Dedup.minhashNearDupPairs(exact, "doc_id", "text",
+      numHashes = nh, bands = bands, threshold = 0.8)
+    val comp = Dedup.connectedComponents(
+      pairs.select(col("a"), col("b")),
+      exact.select(col("doc_id").as("node")))
+    val survivors = exact.join(
+      comp.groupBy(col("component")).agg(min(col("node")).as("keep"))
+        .select(col("keep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val survivorIds = survivors.select("doc_id").as[Long].collect().toSet
+    val mutantIds = gatedIds.filter(_ >= 2000000L)
+    assert(mutantIds.nonEmpty && mutantIds.forall(!survivorIds.contains(_)),
+      s"planted mutations must merge into their seeds: $mutantIds")
+    assert((0L until 5L).forall(survivorIds.contains), "min-id survivor is the seed")
+
+    // 4. decontamination: docs sharing a 5-gram with the eval set go
+    val contam = Dedup.contaminated(survivors, eval, "doc_id", "text")
+      .select(col("train_id").as("doc_id"))
+    val clean = survivors.join(contam, Seq("doc_id"), "left_anti")
+    val cleanIds = clean.select("doc_id").as[Long].collect().toSet
+    assert(Seq(20L, 21L, 22L).forall(!cleanIds.contains(_)),
+      "eval twins are contamination by construction")
+    val contamIds = contam.as[Long].collect().toSet
+    assert((survivorIds -- cleanIds) == contamIds,
+      "exactly the contaminated docs are removed, nothing else")
+
+    // 5. split assignment is total and deterministic
+    val split = clean.withColumn("split", Sampling.assignSplit(col("doc_id")))
+    assert(split.filter(!col("split").isin("train", "val", "test")).count() == 0)
+
+    // 6. token packing: cumulative mass before each row stays under the
+    // budget within every (split, pack)
+    val budget = 256
+    val packed = Packing.packByBudget(split, col("split"), col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), budget)
+      .withColumn("_tok", TextAnalysis.tokenCount(col("text")))
+    val overfull = packed
+      .withColumn("_before", coalesce(sum(col("_tok")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("split"), col("_pack")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("_before") >= budget)
+    assert(overfull.count() == 0, "a pack never starts a row at/after the budget")
+
+    // 7. sharded write + read-back round trip
+    val out = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+    CorpusWriter.writeSharded(clean, col("doc_id"), out, nShards = 4)
+    val back = spark.read.parquet(out)
+    assert(back.select("doc_id").as[Long].collect().toSet == cleanIds,
+      "read-back preserves exactly the curated ids")
+    assert(back.select("shard").distinct().count() <= 4)
+    graft.operators.OpCaches.release(spark)
+  }
+}
