@@ -1344,9 +1344,39 @@ object RelationalQueries {
       ORDER BY user_id, start_us"""),
     bench = true)
 
+  // --- q50: lateral top-N per key -------------------------------------
+  // Spark 4's Dataset.lateralJoin with a correlated, ordered, limited
+  // subquery — the declarative "top 2 orders per customer" shape.
+  // Catalyst decorrelates the per-row LIMIT into a ranked window under
+  // the hood (no per-customer subquery execution), so the physical
+  // plan is one join + one bounded window, not N scans — asserted in
+  // PlanAssertionsSpec. DuckDB runs the same query with native LATERAL.
+  private val q50 = GraftQuery(
+    "q50_lateral_topn",
+    (s, d) => {
+      val c = cust(s, d).filter(col("c_custkey") < 200)
+        .select(col("c_custkey"))
+      val top2 = ord(s, d)
+        .filter(col("o_custkey") === col("c_custkey").outer())
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(2)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      c.lateralJoin(top2)
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total"))
+        .orderBy("c_custkey", "o_orderkey")
+    },
+    Some("""SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS total
+      FROM (SELECT c_custkey FROM customer WHERE c_custkey < 200) c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c_custkey, o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 }

@@ -239,6 +239,19 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(finalSection.contains("BroadcastHashJoin"), finalSection.take(1200))
   }
 
+  test("q50 lateral top-N: decorrelated to a partial WindowGroupLimit join") {
+    val plan = executedPlan("q50_lateral_topn")
+    val finalSection = plan.split("== Initial Plan ==").head
+    // the correlated LIMIT subquery must become a ranked window with a
+    // map-side (Partial) group limit before the shuffle — never a
+    // per-outer-row rescan or a cartesian
+    assert(finalSection.contains("WindowGroupLimit"), finalSection.take(1200))
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(finalSection).isDefined,
+      finalSection.take(1600))
+    assert(finalSection.contains("BroadcastHashJoin"), finalSection.take(1200))
+    assert(!finalSection.contains("CartesianProduct"), finalSection.take(1200))
+  }
+
   test("s22 length buckets: map-side when-ladder, one partial-agg exchange") {
     val plan = executedPlan("s22_length_buckets")
     assert(!plan.contains("Join"), plan.take(800))
