@@ -691,16 +691,26 @@ object Dedup {
     * never shuffles. */
   def sourceOverlapMatrix(df: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
-    val fp = df.select(TextAnalysis.fingerprint(col(textCol)).as("_fp"),
-      col(sourceCol).as("_src")).distinct()
-    val perSource = fp.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    // one corpus scan: distinct (fingerprint, source) → source set per
+    // fingerprint; lazily checkpointed because BOTH the per-source
+    // distinct counts and the pair fan-out consume it (same rationale
+    // as substringSpans' wins frame — the narrow (16 B fp, small
+    // array) stream materializes once instead of re-scanning text)
+    val grouped = df
+      .select(TextAnalysis.fingerprint(col(textCol)).as("_fp"),
+        col(sourceCol).as("_src")).distinct()
+      .groupBy(col("_fp")).agg(collect_set(col("_src")).as("_srcs"))
+      .localCheckpoint(false)
+    val perSource = grouped
+      .select(explode(col("_srcs")).as("_src"))
+      .groupBy(col("_src")).agg(count(lit(1)).as("_n"))
     val srcs = sort_array(col("_srcs"))
     // all ordered pairs (a, b) with a < b from the sorted source set
     val pairCol = flatten(transform(
       sequence(lit(1), size(srcs) - 1),
       i => transform(slice(srcs, i + 1, size(srcs)),
         b => struct(element_at(srcs, i).as("a"), b.as("b")))))
-    fp.groupBy(col("_fp")).agg(collect_set(col("_src")).as("_srcs"))
+    grouped
       .filter(size(col("_srcs")) > 1)
       .select(explode(pairCol).as("_pair"))
       .groupBy(col("_pair.a").as("source_a"), col("_pair.b").as("source_b"))
