@@ -164,6 +164,68 @@ object IvfIndex {
   def probeCells(unit: Column, model: Model, nprobe: Int): Column =
     transform(slice(rankedCells(unit, model), 1, nprobe), s => s.getField("i"))
 
+  /** Persist a trained index: the tiny centroid table plus the
+    * cell-assigned unit corpus (the inverted file), PARTITIONED BY
+    * cell — so a later search's `nprobe` cells prune to
+    * `nprobe / nlist` of the index files instead of scanning all of
+    * them. This is the build-once / search-across-JOBS shape: the
+    * expensive normalize + assign scan runs once, every future session
+    * reads back only the cells it probes. */
+  def save(corpus: DataFrame, idCol: String, embCol: String, dir: String,
+      nlist: Int = 16): Model = {
+    val model = train(corpus, embCol, nlist)
+    val spark = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      model.centroids.zipWithIndex
+        .map { case (c, i) => org.apache.spark.sql.Row(i, c.toSeq) }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
+      .withColumn("_cell", assignCell(col("u_c"), model))
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/cells")
+    model
+  }
+
+  /** Read back the centroid table of a [[save]]d index. Doubles
+    * round-trip parquet bit-exactly, so the loaded model reproduces the
+    * saving session's cell ranking everywhere. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, dir: String): Model =
+    Model(spark.read.parquet(s"$dir/centroids")
+      .orderBy("i").collect()
+      .map(_.getSeq[Double](1).toArray))
+
+  /** Top-k search against a [[save]]d index. Identical probe math to
+    * [[ivfTopK]] (IvfWinnowSpec pins result equality), but the corpus
+    * side is the persisted inverted file: the equi-join on the `_cell`
+    * PARTITION column lets dynamic partition pruning drop every
+    * un-probed cell's files at the scan — the I/O win that makes a
+    * persisted index pay for itself at 100 TB. */
+  def searchSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, embCol: String, k: Int,
+      nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val model = loadModel(spark, dir)
+    val cells = spark.read.parquet(s"$dir/cells")
+    val q = Similarity.withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit").as("u_q"),
+        explode(probeCells(col("_unit"), model, nprobe)).as("_cell"))
+    val scored = cells.join(broadcast(q), Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Vec.dot(col("u_c"), col("u_q")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Approximate top-k via IVF probing. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,

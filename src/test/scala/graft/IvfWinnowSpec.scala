@@ -87,6 +87,30 @@ class IvfWinnowSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall below 0.5 for nprobe/nlist = 1/4")
   }
 
+  test("saved IVF index: searchSaved == ivfTopK, cells partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val queries = emb.filter(col("vec_id") < 5)
+    IvfIndex.save(emb, "vec_id", "embedding", dir, nlist = 16)
+    val live = IvfIndex.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val saved = IvfIndex.searchSaved(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+    val got = saved.as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == live, "persisted index must reproduce the live search exactly")
+    // the inverted file is laid out one directory per cell, so probes
+    // can prune; the join key is the partition column
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("_cell=")).map(_.getName).toSeq
+    assert(cellDirs.nonEmpty && cellDirs.size <= 16, cellDirs.toString)
+    // the scan's partition filters must carry the dynamic pruning
+    // subquery over _cell — the mechanism that drops un-probed cells'
+    // files at 100 TB (static plan: DPP placement happens pre-AQE)
+    val plan = saved.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(2000))
+    graft.operators.OpCaches.release(spark)
+  }
+
   test("winnowing: identical text → identical fingerprints; shared passage → overlap") {
     val passage = "the quick brown fox jumps over the lazy dog again and again"
     val d = Seq(
