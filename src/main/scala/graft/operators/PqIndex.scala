@@ -141,6 +141,81 @@ object PqIndex {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Persist a trained IVF-PQ index: both model tables (tiny) plus the
+    * encoded corpus — (id, unit, codes) partitioned by coarse cell, the
+    * [[IvfIndex.save]] layout with PQ codes alongside. Probing prunes
+    * un-probed cells' files (dynamic partition pruning on `_cell`);
+    * the unit vectors ride in the same files so the exact re-rank
+    * joins against the persisted table without a second index. */
+  def saveIvfPq(corpus: DataFrame, idCol: String, embCol: String,
+      dir: String, nlist: Int = 16, m: Int = 8, nCentroids: Int = 16)
+      : (IvfIndex.Model, Model) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = IvfIndex.sampleUnits(corpus, embCol)
+    val ivf = IvfIndex.train(sample, nlist, iters = 10)
+    val pq = train(sample, m, nCentroids, iters = 8)
+    // same table name as IvfIndex.save, so IvfIndex.loadModel reads
+    // either layout
+    ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "c").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    (for {
+      (book, s) <- pq.codebooks.zipWithIndex
+      (cent, j) <- book.zipWithIndex
+    } yield (s, j, cent.toSeq)).toSeq
+      .toDF("s", "j", "c").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
+      .withColumn("_cell", IvfIndex.assignCell(col("u_c"), ivf))
+      .withColumn("_codes", encode(col("u_c"), pq))
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/cells")
+    (ivf, pq)
+  }
+
+  /** Read back a [[saveIvfPq]] codebook table (doubles round-trip
+    * parquet bit-exactly; m/dsub are re-derived from the table shape). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val rows = spark.read.parquet(s"$dir/pq_codebooks")
+      .orderBy("s", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    Model(books.length, books.head.head.length, books)
+  }
+
+  /** Two-stage search against a [[saveIvfPq]]d index — the ivfPqTopK
+    * probe/ADC/re-rank shape over the persisted, cell-pruned files.
+    * PqSpec pins result equality with the live path. */
+  def searchSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, embCol: String, k: Int,
+      nprobe: Int = 4, rerankFactor: Int = 20, roundTo: Int = 6): DataFrame = {
+    val ivf = IvfIndex.loadModel(spark, dir)
+    val pq = loadModel(spark, dir)
+    val cells = spark.read.parquet(s"$dir/cells")
+    val q = Similarity.withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit").as("u_q"),
+        explode(IvfIndex.probeCells(col("_unit"), ivf, nprobe)).as("_cell"))
+    val scored = cells.join(broadcast(q), Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_cosine",
+        round(adcScore(col("u_q"), col("_codes"), pq), roundTo))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id"))
+    val cands = scored.withColumn("_ar", row_number().over(wAdc))
+      .filter(col("_ar") <= k.toLong * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"), col("u_q"))
+    val exact = cands.join(
+        cells.select(col("neighbor_id"), col("u_c")), "neighbor_id")
+      .withColumn("cosine", round(Vec.dot(col("u_q"), col("u_c")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Approximate top-k via PQ-ADC pruning + exact re-rank (the
     * standard two-stage retrieval): the cheap ADC pass cuts each
     * query's candidates to `k·rerankFactor` over the compressed codes;

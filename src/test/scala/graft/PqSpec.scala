@@ -78,4 +78,26 @@ class PqSpec extends SparkSpec {
     perQuery.foreach(c =>
       assert(c < (n * 0.8).toLong, s"candidates $c vs corpus $n: cell cut missing"))
   }
+
+  test("saved IVF-PQ index: searchSaved == live ivfPqTopK, models round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val queries = emb.filter(col("vec_id") < 5)
+    val (_, pqSaved) = PqIndex.saveIvfPq(emb, "vec_id", "embedding", dir,
+      nlist = 16, m = 8, nCentroids = 16)
+    val loaded = PqIndex.loadModel(spark, dir)
+    assert(loaded.m == pqSaved.m && loaded.dsub == pqSaved.dsub)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+      == pqSaved.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebooks must round-trip parquet bit-exactly")
+    val live = PqIndex.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4, m = 8, nCentroids = 16)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val saved = PqIndex.searchSaved(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+    val got = saved.as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == live, "persisted IVF-PQ must reproduce the live search")
+    val plan = saved.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(2000))
+    graft.operators.OpCaches.release(spark)
+  }
 }
