@@ -1042,7 +1042,8 @@ object DedupQueries {
       FROM ov
       JOIN cnt ca ON ca.src = source_a
       JOIN cnt cb ON cb.src = source_b
-      ORDER BY source_a, source_b"""))
+      ORDER BY source_a, source_b"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,

@@ -1298,7 +1298,8 @@ object RelationalQueries {
         WHERE n >= 10 AND sqrt(greatest(m2 - m * m, 0)) > 0)
       SELECT event_type, event_id, round(value, 4) AS value, z
       FROM z WHERE abs(z) > 2.5
-      ORDER BY event_type, event_id"""))
+      ORDER BY event_type, event_id"""),
+    bench = true)
 
   // --- q49: native session-window aggregation ------------------------
   // The same 30-minute sessionization as q25, but through Spark's

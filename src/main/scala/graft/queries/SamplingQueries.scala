@@ -686,7 +686,8 @@ object SamplingQueries {
         count(*) AS n_docs,
         CAST(sum(n_chars) AS BIGINT) AS n_chars,
         count(DISTINCT source) AS n_sources
-      FROM documents GROUP BY fold ORDER BY fold"""))
+      FROM documents GROUP BY fold ORDER BY fold"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,

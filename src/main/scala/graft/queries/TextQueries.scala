@@ -793,7 +793,8 @@ object TextQueries {
       SELECT count(*) AS n_ranks,
         round(regr_slope(ln(n), ln(rank)), 6) AS slope,
         round(regr_intercept(ln(n), ln(rank)), 6) AS intercept
-      FROM top"""))
+      FROM top"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,

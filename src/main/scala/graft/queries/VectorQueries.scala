@@ -525,7 +525,8 @@ object VectorQueries {
         FROM a, b WHERE a.vec_id < b.vec_id)
       SELECT CAST(floor(c * 10) AS BIGINT) AS bucket, count(*) AS n_pairs,
         round(avg(c), 4) AS avg_cosine
-      FROM p GROUP BY 1 ORDER BY bucket"""))
+      FROM p GROUP BY 1 ORDER BY bucket"""),
+    bench = true)
 
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19)
