@@ -212,32 +212,74 @@ object Dedup {
   def contaminatedBloom(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 5,
       expectedEvalShingles: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
     val evalSh = OpCaches.track(eval
       .select(explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_sh"))
       .distinct())
     val nItems =
       if (expectedEvalShingles > 0) expectedEvalShingles
       else math.max(evalSh.count(), 1L)
-    val bloomBytes = evalSh
-      .select(GraftBridge.column(
-        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("_sh"))), nItems)
-          .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val mightContain = GraftBridge.column(BloomFilterMightContain(
-      Literal(bloomBytes, BinaryType),
-      GraftBridge.expression(xxhash64(col("_sh")))))
+    val bloomBytes = shingleBloomBytes(evalSh, nItems)
     train
       .select(col(idCol).as("train_id"),
         explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_sh"))
-      .filter(mightContain) // map-side: no shuffle of the train corpus
+      .filter(bloomMightContain(bloomBytes, col("_sh")))
+      // ^ map-side: no shuffle of the train corpus
       .join(evalSh, "_sh")  // exact verify kills the fpp sliver
       .groupBy(col("train_id"))
       .agg(countDistinct(col("_sh")).as("n_shared"))
   }
+
+  /** Serialize a Bloom filter over a one-column `_sh` shingle frame
+    * (one small aggregate job — `BloomFilterAggregate` over
+    * `xxhash64`, the same machinery Spark's runtime row-level filters
+    * use). The returned bytes travel as a plan literal — into a batch
+    * scan ([[contaminatedBloom]]) or a long-running streaming query
+    * ([[graft.streaming.StatefulOps.contaminationFlag]]). */
+  private[graft] def shingleBloomBytes(evalSh: DataFrame, nItems: Long): Array[Byte] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    evalSh
+      .select(GraftBridge.column(
+        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("_sh"))), nItems)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** `BloomFilterMightContain` as a Column — usable on a top-level
+    * shingle column or on a higher-order-function lambda variable. */
+  private[graft] def bloomMightContain(bloomBytes: Array[Byte], sh: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    GraftBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      GraftBridge.expression(xxhash64(sh))))
+  }
+
+  /** Build the decontamination Bloom for a benchmark/eval corpus:
+    * bytes over its distinct `shingleK`-word shingles, sized by an
+    * exact count (or `expectedEvalShingles` to skip the counting
+    * job). */
+  def evalShingleBloom(eval: DataFrame, textCol: String, shingleK: Int = 5,
+      expectedEvalShingles: Long = -1L): Array[Byte] = {
+    val evalSh = eval
+      .select(explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_sh"))
+      .distinct()
+    val nItems =
+      if (expectedEvalShingles > 0) expectedEvalShingles
+      else math.max(evalSh.count(), 1L)
+    shingleBloomBytes(evalSh, nItems)
+  }
+
+  /** Map-side "possibly shares a shingle with the eval set" test:
+    * true iff ANY of `text`'s `shingleK`-word shingles hits the Bloom.
+    * One row-local pass over the shingle array (`exists` short-
+    * circuits on the first hit) — no explode, no shuffle, no state;
+    * false positives are bounded by the filter's fpp per shingle. */
+  def mightShareShingle(bloomBytes: Array[Byte], text: Column,
+      shingleK: Int = 5): Column =
+    exists(TextAnalysis.wordShingles(text, shingleK),
+      sh => bloomMightContain(bloomBytes, sh))
 
   // ----------------------------------------------------------- line dedup
 

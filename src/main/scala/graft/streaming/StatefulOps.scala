@@ -90,6 +90,32 @@ object StatefulOps {
     streamingDedup(newOnly, textCol, tsCol, delay)
   }
 
+  /** Streaming benchmark-decontamination flag — the live-ingest twin
+    * of [[graft.operators.Dedup.contaminatedBloom]]: the eval set's
+    * distinct shingles build one Bloom filter at query-definition time
+    * (a batch job over the SMALL benchmark corpus), the serialized
+    * bytes ride the streaming plan as a literal, and every streamed
+    * document gets a `maybe_contaminated` column — true iff any of its
+    * `shingleK`-word shingles hits the filter. Pure map-side scalar
+    * work: no explode, no shuffle, no state store, so it adds nothing
+    * to checkpoint size or watermark latency at any corpus rate.
+    *
+    * Contract is the Bloom's: every true leak is flagged (no false
+    * negatives — the property that matters for decontamination); a
+    * clean document is flagged with probability ≤ ~fpp per shingle.
+    * Callers route flagged docs to the exact batch verify
+    * ([[graft.operators.Dedup.contaminated]]) instead of dropping them
+    * blind; the unflagged stream needs no second look. */
+  def contaminationFlag(stream: DataFrame, eval: DataFrame, textCol: String,
+      shingleK: Int = 5, expectedEvalShingles: Long = -1L): DataFrame = {
+    val bloom = graft.operators.Dedup.evalShingleBloom(
+      eval, textCol, shingleK, expectedEvalShingles)
+    stream.withColumn("maybe_contaminated",
+      coalesce(
+        graft.operators.Dedup.mightShareShingle(bloom, col(textCol), shingleK),
+        lit(false)))
+  }
+
   /** Streaming sessionization via the native `session_window`
     * aggregate — the streaming twin of the q49 registry entry:
     * byte-identical groupBy/agg code, plus the event-time watermark

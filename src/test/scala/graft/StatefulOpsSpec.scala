@@ -227,4 +227,41 @@ class StatefulOpsSpec extends SparkSpec {
       assert(texts == Seq("delta", "epsilon"))
     } finally q.stop()
   }
+
+  test("streaming contamination flag catches every planted leak, map-side") {
+    implicit val sq = spark.sqlContext
+    // the "benchmark": two eval questions
+    val eval = Seq(
+      "what is the boiling point of water at sea level",
+      "name the largest moon of the planet saturn").toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val flagged = StatefulOps.contaminationFlag(
+      input.toDF().toDF("doc_id", "text"), eval, "text", shingleK = 5)
+    val q = flagged.writeStream.format("memory").queryName("contam")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      input.addData(
+        // leak: contains an exact 5-gram of eval q1
+        (1L, "trivia dump: the boiling point of water at altitude differs"),
+        // leak: prefix overlap with eval q2
+        (2L, "name the largest moon of jupiter or saturn for bonus points"),
+        // clean: shares words but no 5-gram run
+        (3L, "water boils and saturn spins but never five shared words running"),
+        // clean and totally disjoint
+        (4L, "completely unrelated sentence about compilers and register allocation"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, maybe_contaminated FROM contam")
+        .as[(Long, Boolean)].collect().toMap
+      assert(got(1L) && got(2L), s"both planted leaks must flag: $got")
+      assert(!got(3L) && !got(4L),
+        s"clean docs must pass (fpp ~1e-2 at 2-doc eval scale): $got")
+      // map-side contract: the micro-batch plan moved no data — no
+      // exchange, no aggregate, no stateful operator
+      val exec = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!exec.contains("Exchange") && !exec.contains("StateStore"),
+        s"flag must stay map-side:\n$exec")
+    } finally q.stop()
+  }
 }
