@@ -1375,9 +1375,55 @@ object RelationalQueries {
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       ORDER BY c_custkey, o_orderkey"""))
 
+  // --- q51: unpivot/melt wide measures to long form --------------------
+  // Dataset.unpivot turns lineitem's four measure columns into
+  // (measure, value) rows — the wide→long reshape every profiling /
+  // plotting / per-measure-normalization step wants. Physically it is
+  // a map-side Expand (each input row emits 4 narrow rows inside the
+  // scan stage; no shuffle, no self-union of 4 scans — the shape that
+  // matters when the wide table is 100 TB), followed by one ordinary
+  // partial-agg'd groupBy on the 4-value measure key. The oracle
+  // replays the reshape as the canonical UNION ALL.
+  private val q51 = GraftQuery(
+    "q51_unpivot_measures",
+    (s, d) => {
+      li(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "measure",
+          valueColumnName = "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total"),
+          round(avg(col("value")), 6).as("mean"))
+        .orderBy("measure")
+    },
+    Some("""WITH long AS (
+        SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value
+          FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l_orderkey, 'l_extendedprice', l_extendedprice
+          FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l_orderkey, 'l_discount', l_discount
+          FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l_orderkey, 'l_tax', l_tax
+          FROM lineitem WHERE l_linenumber = 1)
+      SELECT measure, count(*) AS n,
+        round(CAST(sum(value) AS DOUBLE), 2) AS total,
+        round(CAST(avg(value) AS DOUBLE), 6) AS mean
+      FROM long GROUP BY measure ORDER BY measure"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q51)
 }

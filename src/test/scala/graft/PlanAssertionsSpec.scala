@@ -252,6 +252,21 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!finalSection.contains("CartesianProduct"), finalSection.take(1200))
   }
 
+  test("q51 unpivot: one pruned scan fanned by Expand, no union of rescans") {
+    val plan = executedPlan("q51_unpivot_measures")
+    val finalSection = plan.split("== Initial Plan ==").head
+    // melt must be the map-side Expand over a single scan — 4 separate
+    // scans unioned together would read the wide table 4 times
+    assert(finalSection.contains("Expand"), finalSection.take(1200))
+    assert(!finalSection.contains("Union"), finalSection.take(1200))
+    assert("Scan parquet".r.findAllIn(finalSection).length == 1,
+      finalSection.take(1200))
+    // partial agg runs before the single measure-key exchange
+    assert("HashAggregate .*partial_count".r.findFirstIn(finalSection).isDefined
+        || finalSection.contains("partial_count"),
+      finalSection.take(1600))
+  }
+
   test("s22 length buckets: map-side when-ladder, one partial-agg exchange") {
     val plan = executedPlan("s22_length_buckets")
     assert(!plan.contains("Join"), plan.take(800))
