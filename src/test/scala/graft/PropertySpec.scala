@@ -409,6 +409,87 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lengthBucketAudit == in-memory reference on random ladders") {
+    import org.apache.spark.sql.functions._
+    val gen = for {
+      caps <- Gen.nonEmptyListOf(Gen.choose(1, 64)).map(_.distinct.sorted)
+      if caps.nonEmpty
+      toks <- Gen.nonEmptyListOf(Gen.choose(0, 100))
+    } yield (caps, toks)
+    forAll(gen) { case (caps, toks) =>
+      val df = spark.createDataFrame(toks.map(Tuple1(_))).toDF("tok")
+      val got = graft.operators.Sampling
+        .lengthBucketAudit(df, col("tok").cast("long"), caps)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))))
+        .toMap
+      val top = caps.last
+      val want = toks.groupBy(t => caps.find(t <= _).getOrElse(top).toLong)
+        .map { case (cap, ts) =>
+          val kept = ts.map(t => math.min(t, top).toLong).sum
+          val pad = ts.size * cap - kept
+          val trunc = ts.map(t => math.max(t - top, 0).toLong).sum
+          cap -> ((ts.size.toLong, kept, pad, trunc,
+            BigDecimal(pad.toDouble / (ts.size * cap))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      assert(got == want, s"caps=$caps toks=$toks")
+    }
+  }
+
+  test("tokenBudgetMix == in-memory reference on random corpora") {
+    import org.apache.spark.sql.functions._
+    val gen = for {
+      n <- Gen.choose(4, 14)
+      rows <- Gen.listOfN(n, for {
+        words <- Gen.choose(1, 9)
+        s <- Gen.oneOf("web", "code", "wiki")
+      } yield (words, s))
+      weights <- Gen.mapOf(Gen.zip(Gen.oneOf("web", "code", "wiki"),
+        Gen.choose(0.0, 2.0)))
+      if weights.nonEmpty
+      budget <- Gen.choose(1L, 60L)
+    } yield (rows, weights, budget)
+    forAll(gen) { case (rows, weights, budget) =>
+      val docs = spark.createDataFrame(
+        rows.zipWithIndex.map { case ((w, s), i) =>
+          (i.toLong, Seq.fill(w)("tok").mkString(" "), s)
+        }).toDF("doc_id", "text", "source")
+      val got = graft.operators.Sampling
+        .tokenBudgetMix(docs, "doc_id", "text", "source", weights, budget)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      // reference: the documented float ops verbatim, md5 deviate by hand
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def deviate(id: Long): Double = {
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) / 4294967296.0
+      }
+      val toks = rows.zipWithIndex.map { case ((w, s), i) => (i.toLong, w.toLong, s) }
+      val totals = toks.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+      val want = toks.groupBy(_._3).flatMap { case (src, ds) =>
+        val ratio = math.min(1.0,
+          weights.getOrElse(src, 0.0) * budget.toDouble / totals(src))
+        val kept = ds.filter(d => deviate(d._1) < ratio)
+        if (kept.isEmpty) None
+        else Some(src -> ((kept.size.toLong, kept.map(_._2).sum,
+          BigDecimal(ratio).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)))
+      }
+      assert(got == want, s"rows=$rows weights=$weights budget=$budget")
+      // the mixture contract: expected kept token mass per present
+      // source is min(total, w·budget) — check the realized mass is
+      // exactly the reference's (determinism), and never exceeds the
+      // source's own total
+      got.foreach { case (src, (_, keptToks, _)) =>
+        assert(keptToks <= totals(src), s"$src kept more than it has")
+      }
+    }
+  }
+
   test("weightedSample == hand md5 filter on the documents table") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
