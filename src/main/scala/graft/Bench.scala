@@ -76,21 +76,54 @@ object Bench {
         assert(graft.operators.OpCaches.trackedCount == 0,
           s"$name left tracked operator caches behind")
       }
+    val measured = measure(names, once)
+
+    println(renderJson(measured, playbackRps, playbackAgg8, sfDir))
+    spark.stop()
+  }
+
+  /** One query's bench outcome: best wall time over the sample rounds
+    * (−1 if ANY sample failed — a fast-failing query must read as
+    * broken, never as a 0.05 s win) and the warmup-pass row count. */
+  final case class QueryResult(sec: Double, rows: Long) {
+    def failed: Boolean = sec < 0 || rows < 0
+  }
+
+  /** Runs the warmup pass + 3 interleaved timing rounds over `names`
+    * through `once` (which returns the row count, or −1 on failure).
+    * Pure harness logic, separated from SparkSession wiring so the
+    * failure-accounting contract is unit-testable (BenchHarnessSpec). */
+  def measure(names: Seq[String], once: String => Long,
+      rounds: Int = 3): Seq[(String, QueryResult)] = {
     val rowCounts = names.map(n => n -> once(n)).toMap // warmup pass
     val best = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to 3; name <- names) {
+    val broken = scala.collection.mutable.Set.empty[String]
+    for (_ <- 1 to rounds; name <- names) {
       val t0 = System.nanoTime()
-      once(name)
+      val rc = once(name)
       val sec = (System.nanoTime() - t0) / 1e9
-      if (best.getOrElse(name, Double.MaxValue) > sec) best(name) = sec
+      if (rc < 0) broken += name
+      else if (best.getOrElse(name, Double.MaxValue) > sec) best(name) = sec
     }
-    val results = names.map(name => name -> (best(name), rowCounts(name)))
+    names.map { name =>
+      val ok = !broken(name) && rowCounts(name) >= 0 && best.contains(name)
+      name -> QueryResult(if (ok) best(name) else -1.0, rowCounts(name))
+    }
+  }
 
-    val qs = results.map { case (k, (sec, _)) => "\"" + k + f"""":$sec%.3f""" }
+  /** The one-line bench JSON. Failed queries appear with timing −1 AND
+    * in a `"failed"` list; the total sums only successful timings, so a
+    * broken query can never flatter the headline number. A non-empty
+    * failed list also sets `"bench_failures"` so the driver sees a
+    * scalar flag even if it only reads top-level fields. */
+  def renderJson(results: Seq[(String, QueryResult)], playbackRps: Double,
+      playbackAgg8: Double, sfDir: String): String = {
+    val qs = results.map { case (k, r) => "\"" + k + f"""":${r.sec}%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"sf":"$sfDir"}""")
-    spark.stop()
+    val failed = results.collect { case (k, r) if r.failed => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val nFailed = results.count(_._2.failed)
+    val total = results.collect { case (_, r) if !r.failed => r.sec }.sum
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"sf":"$sfDir"}"""
   }
 }

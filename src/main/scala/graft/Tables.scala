@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -17,15 +17,23 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read it as a nano-precision long and truncate to
-      // Spark's native microsecond timestamps (DuckDB does the same
-      // ns→µs truncation when reading TIMESTAMP_NS into its µs type).
+      // events.ts has shipped with three physical parquet types so far:
+      //   TIMESTAMP(NANOS)       -> read as long + truncate ns->us (DuckDB
+      //                             applies the same truncation reading
+      //                             TIMESTAMP_NS into its us-precision type)
+      //   timestamp[us] no-tz    -> Spark reads TIMESTAMP_NTZ; the session
+      //                             tz is pinned UTC, so casting to the
+      //                             instant type is micros-identical and
+      //                             keeps unix_micros() et al. analyzable
+      //   timestamp[us] UTC      -> TimestampType directly, no shim
+      // Normalizing here keeps every query free of per-file type guards.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else df
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _                => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

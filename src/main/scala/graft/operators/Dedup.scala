@@ -325,9 +325,13 @@ object Dedup {
     * removed from EVERY document, first occurrence included; lineDedup
     * by contrast keeps one survivor. Frequency counting aggregates
     * paired (md5, xxhash64) line fingerprints — line text never
-    * shuffles — and the resulting boilerplate fingerprint set is small
-    * by construction (only lines repeated across ≥ minDocs docs), so
-    * the removal anti-join broadcasts it against the line stream.
+    * shuffles. The removal anti-join is left UNHINTED: the boilerplate
+    * set's size is corpus-dependent (at C4 scale, lines in ≥ minDocs
+    * docs number in the hundreds of millions — an explicit broadcast
+    * hint would OOM the driver), and with no hint AQE broadcasts it
+    * when its measured size is under the threshold and falls back to a
+    * shuffled anti-join on the narrow (md5, xxhash64) keys otherwise —
+    * both plans are correct, and the shuffled one scales unboundedly.
     * Docs whose every line is boilerplate drop out (same contract as
     * lineDedup's all-duplicate docs).
     *
@@ -343,7 +347,7 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("_docs"))
       .filter(col("_docs") >= minDocs)
       .select(col("_m"), col("_x"))
-    lines.join(broadcast(boiler), Seq("_m", "_x"), "left_anti")
+    lines.join(boiler, Seq("_m", "_x"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         array_join(

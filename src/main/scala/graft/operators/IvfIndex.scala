@@ -226,11 +226,39 @@ object IvfIndex {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Approximate top-k via IVF probing. */
+  /** Oracle-parity centroids: the unit vectors of the `nlist`
+    * smallest-id corpus rows, no Lloyd iteration. An external SQL
+    * engine can rebuild these centroids exactly (ORDER BY id LIMIT
+    * nlist), which makes the ENTIRE IVF pipeline — cell assignment,
+    * probing, candidate top-k, downstream vote — replayable as plain
+    * SQL; trained k-means centroids are not expressible that way. The
+    * v15 registry entry runs this mode for the correctness gate (the
+    * d04 `md5Parity` pattern); production keeps [[train]], whose
+    * centroids give real recall. The collect is `nlist` rows (16-ish)
+    * via TakeOrderedAndProject — bounded like the training sample. */
+  def parityModel(corpus: DataFrame, idCol: String, embCol: String,
+      nlist: Int): Model = {
+    val rows = Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("_id"), col("_unit"))
+      .orderBy(col("_id"))
+      .limit(nlist)
+      .collect()
+    Model(rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Approximate top-k via IVF probing with freshly trained k-means
+    * centroids. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      roundTo: Int = 6): DataFrame =
+    ivfTopKWithModel(corpus, queries, idCol, embCol, k,
+      train(corpus, embCol, nlist), nprobe, roundTo)
+
+  /** [[ivfTopK]] against a caller-supplied [[Model]] — the seam the
+    * parity mode and saved-index search share with the trained path. */
+  def ivfTopKWithModel(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, model: Model, nprobe: Int = 4,
       roundTo: Int = 6): DataFrame = {
-    val model = train(corpus, embCol, nlist)
     // materialize units before the 16-way centroid scoring: otherwise
     // the normalization expression is re-evaluated inside every VecDot
     val units = OpCaches.track(Similarity.withUnit(corpus, embCol)

@@ -601,6 +601,13 @@ object SamplingQueries {
   // the unbiased proportional thinning a weighted pretraining mix
   // specifies. Two narrow aggregates + a broadcast ratio table + a
   // map-side filter — nothing corpus-sized shuffles.
+  // The gate column is the keep ratio scaled to an integer ppm
+  // (round(round(ratio,6)·10⁶), the operator's rounded double re-scaled
+  // with the identical op sequence in the oracle): an integer hash is
+  // immune to any harness engine's float FORMATTING drift, which a
+  // round-6 double is not. The double stays available on the operator
+  // API (Sampling.tokenBudgetMix, property-tested); only the driver
+  // gate uses the ppm form.
   private val s21 = GraftQuery(
     "s21_token_budget_mix",
     (s, d) =>
@@ -609,6 +616,8 @@ object SamplingQueries {
           weights = Map("src0" -> 0.4, "src1" -> 0.25, "src2" -> 0.15,
             "src3" -> 0.2),
           budgetTokens = 3000)
+        .select(col("source"), col("n_docs_kept"), col("n_tokens_kept"),
+          round(col("keep_ratio") * 1e6).cast("long").as("keep_ratio_ppm"))
         .orderBy("source"),
     Some("""WITH base AS (
         SELECT doc_id, source,
@@ -627,7 +636,7 @@ object SamplingQueries {
         WHERE ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::UBIGINT
           / 4294967296.0 < r.ratio)
       SELECT source, count(*) AS n_docs_kept, sum(tok) AS n_tokens_kept,
-        round(any_value(ratio), 6) AS keep_ratio
+        CAST(round(round(any_value(ratio), 6) * 1e6) AS BIGINT) AS keep_ratio_ppm
       FROM kept GROUP BY source ORDER BY source"""))
 
   // --- s22: length-bucket padding audit -------------------------------

@@ -726,15 +726,19 @@ object TextQueries {
         countDistinct(col("fp")).as("_distinct"))
       val lc = base.groupBy("source", "lang").agg(count(lit(1)).as("_n"))
       val tot = lc.groupBy("source").agg(sum(col("_n")).as("_t"))
+      // Ratios ship as ×10⁶ integer ppm/µnat columns — an integer hash
+      // is immune to harness-engine float-formatting drift, which a
+      // round-6 double is not. Both engines run the identical double op
+      // sequence (sum → ×10⁶ → round-to-integer).
       val ent = lc.join(tot, "source")
         .groupBy("source")
-        .agg(round(-sum((col("_n") / col("_t")) * log(col("_n") / col("_t"))), 6)
-          .as("lang_entropy"))
+        .agg(round(-sum((col("_n") / col("_t")) * log(col("_n") / col("_t"))) * 1e6)
+          .cast("long").as("lang_entropy_unat"))
       agg.join(ent, "source")
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          round((col("n_docs") - col("_distinct")).cast("double") / col("n_docs"), 6)
-            .as("dup_rate"),
-          col("lang_entropy"))
+          round((col("n_docs") - col("_distinct")).cast("double") / col("n_docs") * 1e6)
+            .cast("long").as("dup_rate_ppm"),
+          col("lang_entropy_unat"))
         .orderBy("source")
     },
     Some("""WITH b AS (
@@ -748,13 +752,14 @@ object TextQueries {
         FROM b GROUP BY source),
       ent AS (
         SELECT source,
-          round(-sum((n::DOUBLE / t) * ln(n::DOUBLE / t)), 6) AS lang_entropy
+          CAST(round(-sum((n::DOUBLE / t) * ln(n::DOUBLE / t)) * 1e6) AS BIGINT)
+            AS lang_entropy_unat
         FROM (SELECT source, lang, n, sum(n) OVER (PARTITION BY source) AS t
               FROM (SELECT source, lang, count(*) AS n FROM b GROUP BY 1, 2))
         GROUP BY source)
       SELECT a.source, n_docs, n_tokens,
-        round((n_docs - nd)::DOUBLE / n_docs, 6) AS dup_rate,
-        lang_entropy
+        CAST(round((n_docs - nd)::DOUBLE / n_docs * 1e6) AS BIGINT) AS dup_rate_ppm,
+        lang_entropy_unat
       FROM agg a JOIN ent USING (source) ORDER BY source"""))
 
   // --- t23: Zipf rank-frequency slope ---------------------------------

@@ -390,16 +390,78 @@ object VectorQueries {
   // PlanAssertionsSpec pins the no-all-pairs shape.
   /** The v15 composition with its knobs exposed (spec entry point:
     * `nprobe = nlist` probes every cell, making candidates — and
-    * therefore predictions — exactly v12's). */
+    * therefore predictions — exactly v12's). `parity = true` swaps the
+    * trained k-means centroids for [[IvfIndex.parityModel]]'s
+    * deterministic ones (unit vectors of the nlist smallest ids) so an
+    * external SQL engine can replay cell assignment, probing, top-k,
+    * and the vote end-to-end — the registry gate runs parity mode (the
+    * d04 `md5Parity` pattern); production and the recall specs keep
+    * the trained path. */
   def knnLabelAnn(emb: DataFrame, k: Int = 5, nlist: Int = 16,
-      nprobe: Int = 4): DataFrame =
-    labelVote(
-      IvfIndex.ivfTopK(emb, emb, "vec_id", "embedding", k, nlist, nprobe), emb)
+      nprobe: Int = 4, parity: Boolean = false): DataFrame = {
+    val topk =
+      if (parity) IvfIndex.ivfTopKWithModel(emb, emb, "vec_id", "embedding",
+        k, IvfIndex.parityModel(emb, "vec_id", "embedding", nlist), nprobe)
+      else IvfIndex.ivfTopK(emb, emb, "vec_id", "embedding", k, nlist, nprobe)
+    labelVote(topk, emb)
+  }
 
+  // The full IVF pipeline under parity centroids, replayed by the
+  // oracle as plain SQL: centroids = the 16 smallest vec_ids' vectors;
+  // cell scores rank by (cosine DESC, cell-idx DESC) — the engine's
+  // lexicographic (d, i) struct max/sort, where equal scores pick the
+  // larger index; candidates = probed cells' members minus self with
+  // round-6 cosine; then v12's exact vote. Every tie-break the engine
+  // applies (rank by cosine DESC then neighbor_id; vote by count DESC
+  // then label) is mirrored, so rows/schema/hash check exactly.
   private val v15 = GraftQuery(
     "v15_knn_label_ann",
-    (s, d) => knnLabelAnn(Tables(s, d, "embeddings")),
-    None)
+    (s, d) => knnLabelAnn(Tables(s, d, "embeddings"), parity = true),
+    Some("""WITH u AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e AS ce
+        FROM (SELECT vec_id, e FROM u ORDER BY vec_id LIMIT 16)),
+      score AS (
+        SELECT v.vec_id, c.i, list_cosine_similarity(v.e, c.ce) AS d
+        FROM u v CROSS JOIN cent c),
+      assign AS (
+        SELECT vec_id, i AS cell FROM (
+          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d DESC, i DESC) AS rk FROM score)
+        WHERE rk = 1),
+      probe AS (
+        SELECT vec_id AS query_id, i AS cell FROM (
+          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d DESC, i DESC) AS rk FROM score)
+        WHERE rk <= 4),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.e, n.e), 6) AS cosine
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN u q ON q.vec_id = p.query_id
+        JOIN u n ON n.vec_id = a.vec_id),
+      topk AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= 5),
+      votes AS (
+        SELECT t.query_id, u.label AS nb_label, count(*) AS v
+        FROM topk t JOIN u ON u.vec_id = t.neighbor_id
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT query_id AS vec_id, nb_label AS pred_label FROM (
+          SELECT query_id, nb_label, row_number() OVER (
+            PARTITION BY query_id ORDER BY v DESC, nb_label) AS rk
+          FROM votes)
+        WHERE rk = 1)
+      SELECT p.vec_id, u.label AS true_label, p.pred_label,
+        (u.label = p.pred_label) AS correct
+      FROM pred p JOIN u ON u.vec_id = p.vec_id
+      ORDER BY p.vec_id"""))
 
   // --- v16: matryoshka truncation audit -------------------------------
   // Before committing to a cheaper prefix width (MRL embeddings), how

@@ -37,12 +37,16 @@ object StatefulOps {
         })
   }
 
-  /** Adapter: a playback readings frame → [[Keyed]] dataset. */
+  /** Adapter: a playback readings frame → [[Keyed]] dataset. The
+    * timestamp is cast to the instant type before `unix_micros` so an
+    * NTZ-typed source frame (plain `timestamp[us]` parquet) analyzes —
+    * a no-op cast for TimestampType, and micros-identical for NTZ under
+    * the session's pinned-UTC timezone (mirrors [[graft.Tables]]). */
   def keyed(df: DataFrame, keyCol: String, tsCol: String, valueCol: String): Dataset[Keyed] = {
     implicit val enc = Encoders.product[Keyed]
     df.select(
         col(keyCol).cast("string").as("key"),
-        unix_micros(col(tsCol)).as("tsMicros"),
+        unix_micros(col(tsCol).cast("timestamp")).as("tsMicros"),
         col(valueCol).cast("double").as("value"))
       .as[Keyed]
   }
@@ -129,7 +133,11 @@ object StatefulOps {
     * batch q49 aggregation over the same rows. */
   def streamingSessionize(df: DataFrame, keyCol: String, tsCol: String,
       gap: String, delay: String): DataFrame =
-    df.withWatermark(tsCol, delay)
+    // Normalize an NTZ event-time column to the instant type up front
+    // (no-op for TimestampType; micros-identical for NTZ under the
+    // pinned-UTC session tz) so unix_micros below always analyzes.
+    df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, delay)
       .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
       .agg(count(lit(1)).as("n_events"),
         min(unix_micros(col(tsCol))).as("start_us"),

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's failure-accounting contract: a query that fails
+  * (analysis error, runtime error) must surface as FAILED in the output
+  * JSON — timing −1, named in the `failed` list, excluded from the
+  * total — never as a fast wall-clock "win" recorded from the time it
+  * took to throw. (Round 8 shipped three 0.05 s fast-fail artifacts as
+  * timings; this pins the fix.) Pure harness logic, no SparkSession.
+  */
+class BenchHarnessSpec extends AnyFunSuite {
+
+  test("a query failing every run reports timing -1, never its fast-fail wall time") {
+    val once: String => Long = {
+      case "bad" => -1L // Bench.once returns -1 when the query throws
+      case _     => 42L
+    }
+    val results = Bench.measure(Seq("good", "bad"), once).toMap
+    assert(!results("good").failed && results("good").sec >= 0)
+    assert(results("bad").failed && results("bad").sec == -1.0)
+  }
+
+  test("a query failing only in a timing round is still marked failed") {
+    var calls = 0
+    val once: String => Long = { _ =>
+      calls += 1
+      if (calls == 3) -1L else 7L // warmup ok, second timing round fails
+    }
+    val results = Bench.measure(Seq("flaky"), once).toMap
+    assert(results("flaky").failed,
+      "one bad sample must fail the query: its min would otherwise hide the failure")
+  }
+
+  test("renderJson excludes failures from the total and names them") {
+    val rs = Seq(
+      "q_ok" -> Bench.QueryResult(1.5, 100L),
+      "q_broken" -> Bench.QueryResult(-1.0, -1L),
+      "q_ok2" -> Bench.QueryResult(0.5, 10L))
+    val json = Bench.renderJson(rs, 1000.0, 8000.0, "/tmp/sf")
+    assert(json.contains(""""value":2.000"""), json) // 1.5 + 0.5, not + (-1)
+    assert(json.contains(""""failed":["q_broken"]"""), json)
+    assert(json.contains(""""bench_failures":1"""), json)
+    assert(json.contains(""""q_broken":-1.000"""), json)
+  }
+
+  test("all-green run emits an empty failed list and zero failure count") {
+    val json = Bench.renderJson(
+      Seq("a" -> Bench.QueryResult(1.0, 5L)), -1.0, -1.0, "/tmp/sf")
+    assert(json.contains(""""failed":[]"""), json)
+    assert(json.contains(""""bench_failures":0"""), json)
+  }
+}

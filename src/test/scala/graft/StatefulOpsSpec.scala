@@ -264,4 +264,32 @@ class StatefulOpsSpec extends SparkSpec {
         s"flag must stay map-side:\n$exec")
     } finally q.stop()
   }
+
+  test("NTZ-typed event time analyzes and matches the instant-typed twin") {
+    // The driver's parquet generator shipped `timestamp[us]` (no tz) in
+    // round 8, which Spark reads as TIMESTAMP_NTZ — unix_micros rejects
+    // it raw. StatefulOps normalizes at entry (mirroring Tables), so
+    // the same rows produce identical output whichever physical type
+    // the source parquet carries. Batch mode exercises the same
+    // analysis + expressions as the streaming plan.
+    import org.apache.spark.sql.functions._
+    val ltz = Seq(
+        (new java.sql.Timestamp(0L), "u1", 1.0),
+        (new java.sql.Timestamp(2000L), "u1", 2.0),
+        (new java.sql.Timestamp(60000L), "u2", 3.0))
+      .toDF("ts", "user", "v")
+    val ntz = ltz.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+
+    val keyedLtz = StatefulOps.keyed(ltz, "user", "ts", "v").collect().toSet
+    val keyedNtz = StatefulOps.keyed(ntz, "user", "ts", "v").collect().toSet
+    assert(keyedNtz == keyedLtz, s"ntz=$keyedNtz ltz=$keyedLtz")
+
+    val sessLtz = StatefulOps.streamingSessionize(
+      ltz, "user", "ts", gap = "5 seconds", delay = "0 seconds").collect().toSet
+    val sessNtz = StatefulOps.streamingSessionize(
+      ntz, "user", "ts", gap = "5 seconds", delay = "0 seconds").collect().toSet
+    assert(sessNtz == sessLtz, s"ntz=$sessNtz ltz=$sessLtz")
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Round-trip guard for the `events.ts` physical types the driver has
+  * shipped so far. The testdata is regenerated between rounds and the
+  * timestamp physical type has already changed once (parquet
+  * TIMESTAMP(NANOS) → plain `timestamp[us]`/NTZ, which silently broke
+  * every `unix_micros(ts)` query); this spec pins that [[Tables]]
+  * normalizes ALL observed variants to Spark's instant TimestampType
+  * with identical microsecond values, so the next silent regeneration
+  * fails here instead of zeroing out a correctness round.
+  */
+class TablesSpec extends SparkSpec {
+
+  // one known instant, expressed as epoch micros (2024-03-05 06:07:08.123456 UTC)
+  private val micros = Seq(1709618828123456L, 1709618828123457L, 1709705228000000L)
+
+  private def eventsDir(write: String => Unit): String = {
+    val dir = Files.createTempDirectory("graft-tables").toFile
+    dir.deleteOnExit()
+    write(s"${dir.getAbsolutePath}/events.parquet")
+    dir.getAbsolutePath
+  }
+
+  private def loadedMicros(dir: String): Seq[Long] = {
+    val df = Tables(spark, dir, "events")
+    assert(df.schema("ts").dataType == TimestampType,
+      s"Tables must normalize ts to the instant type, got ${df.schema("ts").dataType}")
+    df.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  test("LTZ (timestamp[us] UTC-adjusted) passes through unchanged") {
+    import spark.implicits._
+    val dir = eventsDir { path =>
+      micros.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.parquet(path)
+    }
+    assert(loadedMicros(dir) == micros.sorted)
+  }
+
+  test("NTZ (plain timestamp[us], no timezone) is cast micros-identically") {
+    import spark.implicits._
+    // Spark writes TimestampNTZType as parquet timestamp[us] with
+    // isAdjustedToUTC=false — byte-identical to what the driver's
+    // pyarrow generator ships since round 8's regeneration.
+    val dir = eventsDir { path =>
+      micros.toDF("us")
+        .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+        .coalesce(1).write.parquet(path)
+    }
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      == org.apache.spark.sql.types.TimestampNTZType, "fixture must round-trip as NTZ")
+    // session tz is pinned UTC, so LTZ<->NTZ casts are micros-identical
+    assert(loadedMicros(dir) == micros.sorted)
+  }
+
+  test("nanos-as-long (TIMESTAMP(NANOS) under the legacy read conf) truncates ns->us") {
+    import spark.implicits._
+    // Spark cannot WRITE parquet TIMESTAMP(NANOS); under the
+    // `nanosAsLong` conf Tables sets, a NANOS column arrives as plain
+    // LongType — exactly what a raw int64 ns column reads as, so the
+    // fixture exercises the identical Tables branch. The +999 ns
+    // tail pins the truncation (DuckDB truncates the same way reading
+    // TIMESTAMP_NS into its us-precision type).
+    val dir = eventsDir { path =>
+      micros.toDF("us").select((col("us") * 1000L + 999L).as("ts"))
+        .coalesce(1).write.parquet(path)
+    }
+    assert(loadedMicros(dir) == micros.sorted)
+  }
+}
