@@ -30,6 +30,27 @@ object PqIndex {
       iters: Int = 8, sampleSize: Int = 2048): Model =
     train(IvfIndex.sampleUnits(df, embCol, sampleSize), m, k, iters)
 
+  /** Oracle-parity codebooks — the PQ twin of
+    * [[IvfIndex.parityModel]]: codebook entry j of subspace s is the
+    * s-th sub-slice of the unit vector of the j-th smallest-id corpus
+    * row, no Lloyd iteration. An external SQL engine rebuilds them
+    * with ORDER BY id LIMIT k + list slicing, which makes encode /
+    * ADC / re-rank replayable as plain SQL (the v07/v08 gates);
+    * production keeps [[train]]. Bounded k-row collect. */
+  def parityModel(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int): Model = {
+    val units = Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("_id"), col("_unit"))
+      .orderBy(col("_id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(units.nonEmpty, "empty corpus")
+    val dim = units.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    Model(m, dsub, Array.tabulate(m)(s =>
+      units.map(u => java.util.Arrays.copyOfRange(u, s * dsub, (s + 1) * dsub))))
+  }
+
   /** Per-subspace Lloyd's on an already-collected sample (see
     * [[IvfIndex.sampleUnits]]). */
   def train(sample: Array[Array[Double]], m: Int, k: Int,
@@ -103,10 +124,11 @@ object PqIndex {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, nCentroids: Int = 16, rerankFactor: Int = 20,
-      roundTo: Int = 6): DataFrame = {
-    val sample = IvfIndex.sampleUnits(corpus, embCol)
-    val ivf = IvfIndex.train(sample, nlist, iters = 10)
-    val pq = train(sample, m, nCentroids, iters = 8)
+      roundTo: Int = 6, ivf0: Option[IvfIndex.Model] = None,
+      pq0: Option[Model] = None): DataFrame = {
+    lazy val sample = IvfIndex.sampleUnits(corpus, embCol)
+    val ivf = ivf0.getOrElse(IvfIndex.train(sample, nlist, iters = 10))
+    val pq = pq0.getOrElse(train(sample, m, nCentroids, iters = 8))
     val cUnits = OpCaches.track(Similarity.withUnit(corpus, embCol)
       .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c")))
     // the "index": one narrow (cell, codes) row per doc, built map-side
@@ -224,8 +246,9 @@ object PqIndex {
     * query instead of N. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, m: Int = 8, nCentroids: Int = 16,
-      rerankFactor: Int = 20, roundTo: Int = 6): DataFrame = {
-    val model = train(corpus, embCol, m, nCentroids)
+      rerankFactor: Int = 20, roundTo: Int = 6,
+      model0: Option[Model] = None): DataFrame = {
+    val model = model0.getOrElse(train(corpus, embCol, m, nCentroids))
     val cUnits = OpCaches.track(Similarity.withUnit(corpus, embCol)
       .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c")))
     // cached for the same build-once / search-many reuse as ivfPqTopK

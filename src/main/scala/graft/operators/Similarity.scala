@@ -111,22 +111,30 @@ object Similarity {
     * SimilaritySpec). The ground truth and the IVF index build once
     * (OpCaches memoizes the cell-assigned corpus across probe
     * settings); each sweep point adds only the probe join + a
-    * per-query set intersection. */
+    * per-query set intersection.
+    *
+    * `model`, when supplied, replaces the trained k-means centroids
+    * (e.g. [[IvfIndex.parityModel]] for an SQL-replayable sweep — the
+    * v18 gate); None keeps the trained production path. The reported
+    * recall is the exact rational total_hits / (k · n_queries) — a
+    * single integer division on both engines, immune to float
+    * accumulation-order drift (equal to the mean of per-query recalls,
+    * since ground truth has exactly k rows per query). */
   def ivfRecallSweep(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int, nprobes: Seq[Int],
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, model: Option[IvfIndex.Model] = None): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nlist),
       s"nprobes=$nprobes must be within [1, nlist=$nlist]")
     val truth = bruteForceTopK(corpus, queries, idCol, embCol, k, roundTo)
       .select(col("query_id"), col("neighbor_id"))
+    val m = model.getOrElse(IvfIndex.train(corpus, embCol, nlist))
     val perProbe = nprobes.map { p =>
-      IvfIndex.ivfTopK(corpus, queries, idCol, embCol, k, nlist, p, roundTo)
+      IvfIndex.ivfTopKWithModel(corpus, queries, idCol, embCol, k, m, p, roundTo)
         .select(col("query_id"), col("neighbor_id"))
         .join(truth.withColumn("_hit", lit(1)),
           Seq("query_id", "neighbor_id"), "left")
-        .groupBy(col("query_id"))
-        .agg((count(col("_hit")).cast("double") / k).as("_recall"))
-        .agg(round(avg(col("_recall")), 6).as("avg_recall"))
+        .agg(round(count(col("_hit")).cast("double") /
+          (countDistinct(col("query_id")) * k), roundTo).as("avg_recall"))
         .select(lit(p).as("nprobe"), col("avg_recall"))
     }
     perProbe.reduce(_ unionByName _)

@@ -90,17 +90,54 @@ object VectorQueries {
       AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.9
     ORDER BY a, b"""))
 
-  // --- v05: IVF-probed ANN (coarse k-means quantizer; approximate by
-  //     design → rows-only here, recall pinned in IvfSpec) -------------
+  // --- v05: IVF-probed ANN (approximate by design; the registry gate
+  //     runs parity centroids — unit vectors of the 16 smallest ids —
+  //     so the oracle replays cell assignment, probing, and the
+  //     candidate top-k as plain SQL; trained k-means recall is pinned
+  //     in IvfWinnowSpec, the v15 split-contract pattern) -------------
   private val v05 = GraftQuery(
     "v05_ann_ivf",
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
-      graft.operators.IvfIndex.ivfTopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      graft.operators.IvfIndex.ivfTopKWithModel(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5,
+          graft.operators.IvfIndex.parityModel(emb, "vec_id", "embedding", 16),
+          nprobe = 4)
         .orderBy("query_id", "rank")
     },
-    None,
+    Some("""WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e AS ce
+        FROM (SELECT vec_id, e FROM u ORDER BY vec_id LIMIT 16)),
+      score AS (
+        SELECT v.vec_id, c.i, list_cosine_similarity(v.e, c.ce) AS d
+        FROM u v CROSS JOIN cent c),
+      assign AS (
+        SELECT vec_id, i AS cell FROM (
+          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d DESC, i DESC) AS rk FROM score)
+        WHERE rk = 1),
+      probe AS (
+        SELECT vec_id AS query_id, i AS cell FROM (
+          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d DESC, i DESC) AS rk FROM score
+          WHERE vec_id < 5)
+        WHERE rk <= 4),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.e, n.e), 6) AS cosine
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN u q ON q.vec_id = p.query_id
+        JOIN u n ON n.vec_id = a.vec_id)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+          AS rank
+        FROM cand)
+      WHERE rank <= 5 ORDER BY query_id, rank"""),
     bench = true)
 
   // --- v06: int8 symmetric quantization -------------------------------
@@ -140,32 +177,156 @@ object VectorQueries {
       len(list_filter(qv, x -> abs(x) = 127)) AS n_sat
     FROM q ORDER BY vec_id"""))
 
-  // --- v07: product-quantization ADC top-k (approximate by design →
-  //     rows-only; recall + compression pinned in PqSpec) --------------
+  // --- v07: product-quantization ADC top-k. Approximate by design;
+  //     the gate runs parity codebooks (sub-slices of the 16 smallest
+  //     ids' unit vectors) so the oracle replays encode — the engine's
+  //     argmax of 2·dot − ‖c‖² per subspace, ties to the lowest
+  //     centroid — the ADC sum, the k·rerankFactor cut, and the exact
+  //     re-rank as SQL; trained-codebook recall + compression stay
+  //     pinned in PqSpec (the v15 split-contract pattern) -------------
   private val v07 = GraftQuery(
     "v07_ann_pq",
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
       graft.operators.PqIndex.pqTopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 5, m = 16, nCentroids = 16)
+          "vec_id", "embedding", k = 5, m = 16, nCentroids = 16,
+          model0 = Some(graft.operators.PqIndex.parityModel(
+            emb, "vec_id", "embedding", m = 16, k = 16)))
         .orderBy("query_id", "rank")
     },
-    None,
+    Some("""WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      un AS (
+        SELECT vec_id,
+          list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ue
+        FROM u),
+      cb AS (
+        SELECT s.s, c.j, c.ue[s.s * 4 + 1 : s.s * 4 + 4] AS cs
+        FROM (SELECT unnest(range(0, 16)) AS s) s
+        CROSS JOIN (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, ue
+          FROM (SELECT vec_id, ue FROM un ORDER BY vec_id LIMIT 16)) c),
+      enc AS (
+        SELECT vec_id, s, j AS code FROM (
+          SELECT v.vec_id, c.s, c.j, row_number() OVER (
+              PARTITION BY v.vec_id, c.s
+              ORDER BY 2 * list_inner_product(v.ue[c.s * 4 + 1 : c.s * 4 + 4], c.cs)
+                - list_inner_product(c.cs, c.cs) DESC, c.j) AS rk
+          FROM un v CROSS JOIN cb c)
+        WHERE rk = 1),
+      adc AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          round(sum(list_inner_product(
+            q.ue[e.s * 4 + 1 : e.s * 4 + 4], c.cs)), 6) AS approx_cosine
+        FROM (SELECT * FROM un WHERE vec_id < 5) q
+        JOIN enc e ON e.vec_id <> q.vec_id
+        JOIN cb c ON c.s = e.s AND c.j = e.code
+        GROUP BY 1, 2),
+      cands AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS ar
+          FROM adc)
+        WHERE ar <= 100),
+      exact AS (
+        SELECT c.query_id, c.neighbor_id,
+          round(list_inner_product(q.ue, n.ue), 6) AS cosine
+        FROM cands c
+        JOIN un q ON q.vec_id = c.query_id
+        JOIN un n ON n.vec_id = c.neighbor_id)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+          AS rank
+        FROM exact)
+      WHERE rank <= 5 ORDER BY query_id, rank"""),
     bench = true)
 
   // --- v08: IVF-PQ two-stage ANN (coarse cells + compressed ADC +
-  //     exact re-rank — the production index composition; approximate
-  //     by design → rows-only, recall pinned in PqSpec) ----------------
+  //     exact re-rank — the production index composition). The gate
+  //     runs parity models for BOTH stages (IVF centroids = the 16
+  //     smallest ids' unit vectors; PQ codebooks = their sub-slices),
+  //     so the oracle replays cell assignment, probing, encode, ADC
+  //     over probed candidates, the k·rerankFactor cut, and the exact
+  //     re-rank; trained-path recall stays pinned in PqSpec -----------
   private val v08 = GraftQuery(
     "v08_ann_ivfpq",
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
       graft.operators.PqIndex.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
-          m = 16, nCentroids = 16)
+          m = 16, nCentroids = 16,
+          ivf0 = Some(graft.operators.IvfIndex.parityModel(
+            emb, "vec_id", "embedding", 16)),
+          pq0 = Some(graft.operators.PqIndex.parityModel(
+            emb, "vec_id", "embedding", m = 16, k = 16)))
         .orderBy("query_id", "rank")
     },
-    None,
+    Some("""WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      un AS (
+        SELECT vec_id,
+          list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ue
+        FROM u),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e AS ce
+        FROM (SELECT vec_id, e FROM u ORDER BY vec_id LIMIT 16)),
+      score AS (
+        SELECT v.vec_id, c.i, list_cosine_similarity(v.e, c.ce) AS d
+        FROM u v CROSS JOIN cent c),
+      assign AS (
+        SELECT vec_id, i AS cell FROM (
+          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d DESC, i DESC) AS rk FROM score)
+        WHERE rk = 1),
+      probe AS (
+        SELECT vec_id AS query_id, i AS cell FROM (
+          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d DESC, i DESC) AS rk FROM score
+          WHERE vec_id < 5)
+        WHERE rk <= 8),
+      cb AS (
+        SELECT s.s, c.j, c.ue[s.s * 4 + 1 : s.s * 4 + 4] AS cs
+        FROM (SELECT unnest(range(0, 16)) AS s) s
+        CROSS JOIN (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, ue
+          FROM (SELECT vec_id, ue FROM un ORDER BY vec_id LIMIT 16)) c),
+      enc AS (
+        SELECT vec_id, s, j AS code FROM (
+          SELECT v.vec_id, c.s, c.j, row_number() OVER (
+              PARTITION BY v.vec_id, c.s
+              ORDER BY 2 * list_inner_product(v.ue[c.s * 4 + 1 : c.s * 4 + 4], c.cs)
+                - list_inner_product(c.cs, c.cs) DESC, c.j) AS rk
+          FROM un v CROSS JOIN cb c)
+        WHERE rk = 1),
+      adc AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          round(sum(list_inner_product(
+            q.ue[e.s * 4 + 1 : e.s * 4 + 4], c.cs)), 6) AS approx_cosine
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN enc e ON e.vec_id = a.vec_id
+        JOIN cb c ON c.s = e.s AND c.j = e.code
+        JOIN un q ON q.vec_id = p.query_id
+        GROUP BY 1, 2),
+      cands AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS ar
+          FROM adc)
+        WHERE ar <= 100),
+      exact AS (
+        SELECT c.query_id, c.neighbor_id,
+          round(list_inner_product(q.ue, n.ue), 6) AS cosine
+        FROM cands c
+        JOIN un q ON q.vec_id = c.query_id
+        JOIN un n ON n.vec_id = c.neighbor_id)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+          AS rank
+        FROM exact)
+      WHERE rank <= 5 ORDER BY query_id, rank"""),
     bench = true)
 
   // --- v09: exact cosine range search (radius query) ------------------
@@ -547,19 +708,70 @@ object VectorQueries {
 
   // --- v18: IVF recall-vs-nprobe sweep --------------------------------
   // The knob-picking audit: recall@5 against exact ground truth at each
-  // probe setting, sharing one index build (OpCaches). Deterministic
-  // but the k-means centroids aren't SQL-expressible → rows-only here;
-  // SimilaritySpec pins monotone recall and exact 1.0 at full probing.
+  // probe setting, sharing one index build (OpCaches). The registry
+  // gate runs parity centroids so the oracle replays the whole sweep —
+  // ground truth, per-probe candidates, hit counting — as SQL (recall
+  // is the exact rational hits/(k·n), a single integer division on
+  // both engines); SimilaritySpec pins monotone recall and exact 1.0
+  // at full probing on the trained path.
   private val v18 = GraftQuery(
     "v18_ivf_recall_sweep",
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
       Similarity.ivfRecallSweep(emb, emb.filter(col("vec_id") < 25),
           "vec_id", "embedding", k = 5, nlist = 16,
-          nprobes = Seq(1, 2, 4, 8, 16))
+          nprobes = Seq(1, 2, 4, 8, 16),
+          model = Some(graft.operators.IvfIndex.parityModel(
+            emb, "vec_id", "embedding", 16)))
         .orderBy("nprobe")
     },
-    None)
+    Some("""WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e AS ce
+        FROM (SELECT vec_id, e FROM u ORDER BY vec_id LIMIT 16)),
+      score AS (
+        SELECT v.vec_id, c.i, list_cosine_similarity(v.e, c.ce) AS d
+        FROM u v CROSS JOIN cent c),
+      assign AS (
+        SELECT vec_id, i AS cell FROM (
+          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d DESC, i DESC) AS rk FROM score)
+        WHERE rk = 1),
+      ranked AS (
+        SELECT vec_id AS query_id, i AS cell, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, i DESC) AS prk
+        FROM score WHERE vec_id < 25),
+      truth AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                c.vec_id) AS rank
+          FROM u q, u c WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5),
+      probes(np) AS (VALUES (1), (2), (4), (8), (16)),
+      cand AS (
+        SELECT pr.np, r.query_id, a.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.e, n.e), 6) AS cosine
+        FROM probes pr
+        JOIN ranked r ON r.prk <= pr.np
+        JOIN assign a ON a.cell = r.cell AND a.vec_id <> r.query_id
+        JOIN u q ON q.vec_id = r.query_id
+        JOIN u n ON n.vec_id = a.vec_id),
+      topk AS (
+        SELECT np, query_id, neighbor_id FROM (
+          SELECT np, query_id, neighbor_id, row_number() OVER (
+            PARTITION BY np, query_id ORDER BY cosine DESC, neighbor_id)
+            AS rank
+          FROM cand)
+        WHERE rank <= 5)
+      SELECT CAST(t.np AS INTEGER) AS nprobe,
+        round(count(tr.neighbor_id)::DOUBLE /
+          (count(DISTINCT t.query_id) * 5), 6) AS avg_recall
+      FROM topk t LEFT JOIN truth tr
+        ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
+      GROUP BY t.np ORDER BY nprobe"""))
 
   // --- v19: sampled-pairs cosine distribution histogram ---------------
   // Embedding-space health: the cosine distribution over a

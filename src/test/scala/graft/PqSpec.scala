@@ -47,6 +47,22 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@5 = $recall")
   }
 
+  test("parity codebooks: un-pruned re-rank reproduces brute force exactly") {
+    // With rerankFactor covering the whole corpus, the ADC stage prunes
+    // nothing and the exact re-rank must equal bruteForceTopK row for
+    // row — whatever the codebooks are. This pins the v07 gate's
+    // re-rank plumbing under the parity model; the ADC cut's quality
+    // under TRAINED codebooks is the recall test above.
+    val queries = emb.filter(col("vec_id") < 5)
+    val parity = PqIndex.parityModel(emb, "vec_id", "embedding", m = 16, k = 16)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(_.toSeq).toSet
+    val full = PqIndex.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        m = 16, rerankFactor = 1000000, model0 = Some(parity))
+      .collect().map(_.toSeq).toSet
+    assert(full == exact, "un-pruned parity PQ must equal brute force")
+  }
+
   test("IVF-PQ top-k recall against brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)

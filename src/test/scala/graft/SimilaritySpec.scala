@@ -169,6 +169,47 @@ class SimilaritySpec extends SparkSpec {
     assert(exhaustive == exact, "nprobe=nlist must equal the exact v12 output")
   }
 
+  test("parity models are the smallest-id unit vectors — the SQL-replayable contract") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    // expected: unit vectors of the 16 smallest vec_ids, computed
+    // independently of the operator under test
+    val expected = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy("vec_id").limit(16).collect()
+      .map { r =>
+        val e = r.getSeq[Double](1).toArray
+        val n = math.sqrt(e.map(x => x * x).sum)
+        e.map(_ / n)
+      }
+    val ivf = graft.operators.IvfIndex.parityModel(emb, "vec_id", "embedding", 16)
+    assert(ivf.centroids.length == 16)
+    ivf.centroids.zip(expected).foreach { case (got, exp) =>
+      got.zip(exp).foreach { case (g, x) => assert(math.abs(g - x) < 1e-12) }
+    }
+    val pq = graft.operators.PqIndex.parityModel(emb, "vec_id", "embedding", m = 16, k = 16)
+    assert(pq.m == 16 && pq.dsub == expected.head.length / 16)
+    for (s <- 0 until pq.m; j <- expected.indices; i <- 0 until pq.dsub)
+      assert(math.abs(pq.codebooks(s)(j)(i) - expected(j)(s * pq.dsub + i)) < 1e-12,
+        s"codebook[$s][$j][$i] must be the sub-slice of unit vector $j")
+  }
+
+  test("v15 parity mode: exhaustive probing still reproduces v12 exactly") {
+    // Parity centroids change WHICH cells exist, not the probe/vote
+    // semantics: probing all 16 cells must recover the brute-force
+    // candidates and therefore v12's rows verbatim, independent of how
+    // the centroids were chosen — the gate's approximation error comes
+    // only from nprobe < nlist, same contract as the trained path.
+    val sf = "/root/testdata/sf0.001"
+    val table = Tables(spark, sf, "embeddings")
+    val exact = QueryRegistry.queryMap("v12_knn_label")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val exhaustive = graft.queries.VectorQueries
+      .knnLabelAnn(table, k = 5, nlist = 16, nprobe = 16, parity = true)
+      .collect().map(_.toSeq).toSet
+    assert(exhaustive == exact, "parity + nprobe=nlist must equal the exact v12 output")
+  }
+
   test("v15 at its ANN knobs: full output shape, well-above-chance agreement") {
     val sf = "/root/testdata/sf0.001"
     val exact = QueryRegistry.queryMap("v12_knn_label")(spark, sf)
