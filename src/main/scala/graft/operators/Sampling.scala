@@ -86,6 +86,49 @@ object Sampling {
       .withColumnRenamed("_src", sourceCol)
   }
 
+  /** Temperature-scaled source mixture — the multilingual-pretraining
+    * reweighting (sampling probability ∝ mass^(1/T)): T = 1 reproduces
+    * natural proportions, T → ∞ approaches uniform across sources,
+    * so low-resource sources are upsampled relative to their raw share.
+    * Given `temperature` and a global `budgetTokens`, source s with
+    * token mass n_s gets target share p_s = n_s^(1/T) / Σ n_j^(1/T)
+    * and keeps docs with probability min(1, p_s·budget / n_s) via the
+    * [[md5Unit]] deviate — deterministic, replay-stable, unbiased in
+    * expected token mass.
+    *
+    * Same scale shape as [[tokenBudgetMix]]: one narrow per-source
+    * aggregate, a ≤|sources| share table broadcast back, one map-side
+    * filter, one closing aggregate. Nothing corpus-sized shuffles.
+    * Returns per source: docs/tokens kept and the integer-ppm share
+    * and keep ratio (ppm so the audit hashes exactly across engines). */
+  def temperatureBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, temperature: Double, budgetTokens: Long): DataFrame = {
+    require(temperature > 0, s"temperature=$temperature must be positive")
+    val base = docs.select(col(idCol).as("_id"), col(sourceCol).as("_src"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("_tok"))
+    val masses = base.groupBy(col("_src"))
+      .agg(sum(col("_tok")).as("_total"))
+      .withColumn("_pw",
+        pow(col("_total").cast("double"), lit(1.0 / temperature)))
+    val sumPw = masses.agg(sum(col("_pw")).as("_sumpw"))
+    // share and ratio in exactly this association — the oracle mirrors
+    // the float ops verbatim
+    val ratios = masses.crossJoin(broadcast(sumPw))
+      .select(col("_src"), col("_total"),
+        (col("_pw") / col("_sumpw")).as("_p"))
+      .withColumn("_ratio",
+        least(lit(1.0), col("_p") * lit(budgetTokens.toDouble) / col("_total")))
+    base.join(broadcast(ratios.select(col("_src"), col("_p"), col("_ratio"))),
+        Seq("_src"))
+      .filter(md5Unit(col("_id")) < col("_ratio"))
+      .groupBy(col("_src"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("_tok")).as("n_tokens_kept"),
+        round(first(col("_p")) * 1e6).cast("long").as("target_share_ppm"),
+        round(first(col("_ratio")) * 1e6).cast("long").as("keep_ratio_ppm"))
+      .withColumnRenamed("_src", sourceCol)
+  }
+
   /** Train/val/test assignment by hash bucket. Default 80/10/10. */
   def assignSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     val b = md5Bucket256(key)

@@ -1420,10 +1420,45 @@ object RelationalQueries {
         round(CAST(avg(value) AS DOUBLE), 6) AS mean
       FROM long GROUP BY measure ORDER BY measure"""))
 
+  // --- q52: per-type daily OHLC (time-series candle aggregation) -------
+  // The telemetry roll-up a metrics store serves: for each
+  // (event_type, day), the first and last value by event time plus the
+  // range extremes — open/high/low/close. min_by/max_by make the whole
+  // candle ONE partial-agg'd exchange on the (type, day) key — no
+  // window sort, no self-join; at 100 TB each map task forwards one
+  // candle per (type, day) it saw. The ordering key is the zero-padded
+  // "epoch_us:event_id" string, which (a) makes endpoints
+  // deterministic under timestamp ties and (b) is the composite-key
+  // encoding BOTH engines order identically (the oracle's arg_min
+  // accepts no struct keys; lexicographic order on fixed-width digits
+  // IS numeric order). Output values are untouched source doubles (no
+  // float arithmetic), so the gate hashes exactly.
+  private val q52 = GraftQuery(
+    "q52_event_ohlc",
+    (s, d) => {
+      val ord = format_string("%020d:%020d", unix_micros(col("ts")), col("event_id"))
+      val e = ev(s, d).select(col("event_type"),
+        to_date(col("ts")).as("day"), ord.as("_ord"), col("value"))
+      e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          min_by(col("value"), col("_ord")).as("open_value"),
+          max_by(col("value"), col("_ord")).as("close_value"),
+          min(col("value")).as("low"),
+          max(col("value")).as("high"))
+        .orderBy("event_type", "day")
+    },
+    Some("""SELECT event_type, CAST(ts AS DATE) AS day,
+        count(*) AS n_events,
+        arg_min(value, printf('%020d:%020d', epoch_us(ts), event_id)) AS open_value,
+        arg_max(value, printf('%020d:%020d', epoch_us(ts), event_id)) AS close_value,
+        min(value) AS low, max(value) AS high
+      FROM events GROUP BY 1, 2 ORDER BY event_type, day"""),
+    bench = true)
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51)
+    q51, q52)
 }

@@ -698,7 +698,45 @@ object SamplingQueries {
       FROM documents GROUP BY fold ORDER BY fold"""),
     bench = true)
 
+  // --- s24: temperature-scaled source mixture -------------------------
+  // The multilingual-pretraining reweight: sampling share ∝ token
+  // mass^(1/T), so T=1 keeps natural proportions and higher T flattens
+  // toward uniform, upsampling low-resource sources. Complements s21
+  // (explicit target weights) with the derived-share form every
+  // multilingual recipe quotes. Same shapes as s21: two narrow
+  // aggregates, a broadcast share table, one map-side md5 filter; the
+  // audit ships integer-ppm shares so the hash is float-format-proof.
+  // pow() is the one cross-engine float op; its ≤1-ulp drift sits 10
+  // orders below the ppm rounding grain.
+  private val s24 = GraftQuery(
+    "s24_temperature_mix",
+    (s, d) =>
+      Sampling.temperatureBudgetMix(Tables(s, d, "documents"), "doc_id", "text",
+          "source", temperature = 0.7, budgetTokens = 5000)
+        .orderBy("source"),
+    Some("""WITH base AS (
+        SELECT doc_id, source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        FROM documents),
+      m AS (
+        SELECT source, sum(tok) AS total,
+          pow(sum(tok)::DOUBLE, 1.0 / 0.7) AS pw
+        FROM base GROUP BY source),
+      r AS (
+        SELECT source, total, pw / (SELECT sum(pw) FROM m) AS p,
+          least(1.0, pw / (SELECT sum(pw) FROM m) * 5000.0 / total) AS ratio
+        FROM m),
+      kept AS (
+        SELECT b.source, b.tok, r.p, r.ratio
+        FROM base b JOIN r USING (source)
+        WHERE ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          / 4294967296.0 < r.ratio)
+      SELECT source, count(*) AS n_docs_kept, sum(tok) AS n_tokens_kept,
+        CAST(round(any_value(p) * 1e6) AS BIGINT) AS target_share_ppm,
+        CAST(round(any_value(ratio) * 1e6) AS BIGINT) AS keep_ratio_ppm
+      FROM kept GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
+      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
 }

@@ -801,7 +801,103 @@ object TextQueries {
       FROM top"""),
     bench = true)
 
+  // --- t24: n-gram novelty score --------------------------------------
+  // The curation signal orthogonal to duplication: what fraction of a
+  // document's 3-gram shingles appears in NO other document? Template
+  // soup scores near 0, fresh content near 1 — the per-doc number a
+  // mixture targets ("keep novel, downweight boilerplate-adjacent").
+  // Shape at scale: text never shuffles — shingles reduce to md5
+  // fingerprints at the scan, one (fp → distinct-doc count) aggregate,
+  // one narrow fp join back; both sides are fixed-width keys, and the
+  // per-fp row count is bounded by docs-per-shingle (the agg side is
+  // one row per distinct shingle regardless of corpus size).
+  private val t24 = GraftQuery(
+    "t24_ngram_novelty",
+    (s, d) => {
+      val ds = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("_s"))
+        .select(col("doc_id"), md5(col("_s")).as("_fp"))
+      val fpc = ds.groupBy(col("_fp"))
+        .agg(countDistinct(col("doc_id")).as("_nd"))
+      ds.join(fpc, "_fp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("_nd") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_shingles") * 1e6)
+            .cast("long").as("novelty_ppm"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, text FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(1, len(string_split_regex(trim(text), '\s+')) - 2)),
+          i -> CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+            THEN string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                 string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                 string_split_regex(trim(text), '\s+')[i+2]
+            ELSE array_to_string(string_split_regex(trim(text), '\s+'), ' ') END)) AS s
+        FROM p),
+      ds AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      fpc AS (SELECT s, count(DISTINCT doc_id) AS nd FROM ds GROUP BY s),
+      per AS (
+        SELECT d.doc_id, count(*) AS n_shingles,
+          sum(CASE WHEN f.nd = 1 THEN 1 ELSE 0 END) AS n_novel
+        FROM ds d JOIN fpc f ON f.s = d.s GROUP BY 1)
+      SELECT doc_id, n_shingles, n_novel,
+        CAST(round(n_novel::DOUBLE / n_shingles * 1e6) AS BIGINT) AS novelty_ppm
+      FROM per ORDER BY doc_id"""),
+    bench = true)
+
+  // --- t25: effective (dedup-adjusted) token mass per source -----------
+  // The number a training-data card actually quotes: raw token mass vs
+  // the mass that survives exact dedup — identical normalized texts
+  // count once. Complements t22's doc-count dup rate with the
+  // token-weighted view (one 10-copy 10k-token doc wastes more budget
+  // than ten 2-token dups). Two narrow aggregates over (source, fp,
+  // tok): the inner one collapses copies (min(tok) — copies tokenize
+  // identically, min is just the deterministic pick), the outer sums
+  // masses; text never shuffles, fingerprints do.
+  private val t25 = GraftQuery(
+    "t25_effective_tokens",
+    (s, d) => {
+      val base = Tables(s, d, "documents").select(
+        col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("_tok"),
+        TextAnalysis.fingerprint(col("text")).as("_fp"))
+      val raw = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum(col("_tok")).as("n_tokens"))
+      val uniq = base.groupBy(col("source"), col("_fp"))
+        .agg(min(col("_tok")).as("_utok"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_unique_docs"),
+          sum(col("_utok")).as("effective_tokens"))
+      raw.join(uniq, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_unique_docs"), col("effective_tokens"),
+          round(col("effective_tokens").cast("double") / col("n_tokens") * 1e6)
+            .cast("long").as("efficiency_ppm"))
+        .orderBy("source")
+    },
+    Some("""WITH b AS (
+        SELECT source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      raw AS (
+        SELECT source, count(*) AS n_docs, sum(tok) AS n_tokens
+        FROM b GROUP BY source),
+      uniq AS (
+        SELECT source, count(*) AS n_unique_docs, sum(utok) AS effective_tokens
+        FROM (SELECT source, fp, min(tok) AS utok FROM b GROUP BY 1, 2)
+        GROUP BY source)
+      SELECT r.source, n_docs, n_tokens, n_unique_docs, effective_tokens,
+        CAST(round(effective_tokens::DOUBLE / n_tokens * 1e6) AS BIGINT)
+          AS efficiency_ppm
+      FROM raw r JOIN uniq USING (source) ORDER BY r.source"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
 }

@@ -802,6 +802,36 @@ object VectorQueries {
       FROM p GROUP BY 1 ORDER BY bucket"""),
     bench = true)
 
+  // --- v20: per-dimension distribution audit ---------------------------
+  // The whitening/normalization diagnostic a dataset card runs before
+  // committing an embedding space: per dimension, mean, population
+  // stddev, and exact extremes. Dead dims (σ≈0), offset dims (|mean|
+  // large), and clipped dims (extremes at a codec bound) all surface
+  // here. posexplode → one narrow (dim) aggregate: the shuffle carries
+  // (dim, partial moments) only — 64 rows out regardless of corpus
+  // size; extremes are untouched source floats (hash-exact), moments
+  // are round-6 like v14's centroids.
+  private val v20 = GraftQuery(
+    "v20_dim_stats",
+    (s, d) =>
+      Tables(s, d, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(round(avg(col("x")), 6).as("mean"),
+          round(stddev_pop(col("x")), 6).as("std"),
+          min(col("x")).as("vmin"),
+          max(col("x")).as("vmax"))
+        .orderBy("dim"),
+    Some("""WITH x AS (
+        SELECT t.i - 1 AS dim, embedding[t.i]::DOUBLE AS x
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t)
+      SELECT CAST(dim AS INTEGER) AS dim,
+        round(avg(x), 6) AS mean,
+        round(stddev_pop(x), 6) AS std,
+        min(x) AS vmin, max(x) AS vmax
+      FROM x GROUP BY dim ORDER BY dim"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19)
+    v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20)
 }

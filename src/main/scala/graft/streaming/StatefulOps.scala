@@ -144,6 +144,33 @@ object StatefulOps {
         max(unix_micros(col(tsCol))).as("end_us"))
       .select(col(keyCol), col("start_us"), col("end_us"), col("n_events"))
 
+  /** Streaming OHLC candles — the live twin of the q52 batch roll-up:
+    * per (key, tumbling event-time window), open/close picked by
+    * min_by/max_by over the zero-padded "epoch_us:id" ordering string
+    * (deterministic under timestamp ties, and the same composite-key
+    * encoding the batch query and its SQL oracle use) plus the range
+    * extremes. One watermarked windowed aggregate: per-open-candle
+    * state is five scalars regardless of event rate, append mode emits
+    * each candle exactly once when the watermark closes its window.
+    * The NTZ cast at entry mirrors [[graft.Tables]]. */
+  def streamingOhlc(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, windowDur: String,
+      delay: String): DataFrame = {
+    val ord = format_string("%020d:%020d",
+      unix_micros(col(tsCol)), col(idCol))
+    df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, delay)
+      .groupBy(col(keyCol), window(col(tsCol), windowDur).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col(valueCol), ord).as("open_value"),
+        max_by(col(valueCol), ord).as("close_value"),
+        min(col(valueCol)).as("low"),
+        max(col(valueCol)).as("high"))
+      .select(col(keyCol), col("w.start").as("window_start"),
+        col("n_events"), col("open_value"), col("close_value"),
+        col("low"), col("high"))
+  }
+
   /** Watermarked stream-stream interval join: each left row pairs with
     * same-key right rows whose event time falls in
     * [left.ts − lookback, left.ts + lookahead] — the streaming twin of

@@ -286,4 +286,41 @@ class PlanAssertionsSpec extends SparkSpec {
     val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(finalSection).size
     assert(exchanges <= 2, s"$exchanges exchanges:\n${finalSection.take(800)}")
   }
+
+  test("q52 OHLC: one partial-agg'd exchange, no window sort, no join") {
+    val plan = executedPlan("q52_event_ohlc")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Join"), finalSection.take(800))
+    assert(!finalSection.contains("Window"), finalSection.take(800))
+    // min_by/max_by combine map-side: partial_min_by before the exchange
+    assert("partial_min_by".r.findFirstIn(finalSection).isDefined,
+      finalSection.take(1200))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(hashEx == 1, s"$hashEx hash exchanges:\n${finalSection.take(1200)}")
+  }
+
+  test("t24 novelty: only fingerprints shuffle, never document text") {
+    val plan = executedPlan("t24_ngram_novelty")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"), finalSection.take(1200))
+    // the shuffled attributes are doc_id + the md5 fingerprint; the
+    // text column must be projected away before any exchange — assert
+    // no exchange carries `text`
+    "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(finalSection)
+      .foreach { m =>
+        assert(!m.group(1).contains("text"),
+          s"text on the shuffle: ${m.matched}")
+      }
+    // frequency agg combines map-side before its exchange
+    assert(finalSection.contains("partial_count"), finalSection.take(1200))
+  }
+
+  test("s24 temperature mix: share table broadcasts, corpus filter is map-side") {
+    val plan = executedPlan("s24_temperature_mix")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"), finalSection.take(800))
+    assert(!finalSection.contains("SortMergeJoin"), finalSection.take(800))
+    // the 1-row Σpw join is a broadcast nested loop, never a cartesian
+    assert(!finalSection.contains("CartesianProduct"), finalSection.take(800))
+  }
 }

@@ -288,6 +288,45 @@ class SamplingSpec extends SparkSpec {
       "verdicts depend only on (id, totals): identical across runs")
   }
 
+  test("temperatureBudgetMix: T=1 is natural shares, high T flattens, deterministic") {
+    import graft.operators.TextAnalysis
+    val masses = docs.groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = masses.values.sum.toDouble
+    // budget far above the corpus mass: every ratio clamps to 1, all
+    // sources survive, and the reported target shares are exercised
+    // without any source dropping to zero kept docs
+    def shares(t: Double): Map[String, Long] =
+      Sampling.temperatureBudgetMix(docs, "doc_id", "text", "source",
+          temperature = t, budgetTokens = 10000000L)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // T = 1: target share must be each source's natural token share
+    val nat = shares(1.0)
+    masses.foreach { case (src, n) =>
+      val expected = math.round(n / total * 1e6)
+      assert(math.abs(nat(src) - expected) <= 1,
+        s"$src natural share ${nat(src)} ppm vs $expected")
+    }
+    // higher temperature compresses the spread toward uniform
+    def spread(m: Map[String, Long]) = m.values.max - m.values.min
+    val flat = shares(4.0)
+    assert(spread(flat) < spread(nat),
+      s"T=4 spread ${spread(flat)} must shrink vs T=1 ${spread(nat)}")
+    // ppm shares are a probability partition (rounding slack only)
+    assert(math.abs(flat.values.sum - 1000000L) <= flat.size,
+      s"shares sum to ~1e6 ppm, got ${flat.values.sum}")
+    // replay-stable
+    val a = Sampling.temperatureBudgetMix(docs, "doc_id", "text", "source", 0.7, 5000)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    val b = Sampling.temperatureBudgetMix(docs, "doc_id", "text", "source", 0.7, 5000)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(a == b, "identical across runs")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureBudgetMix(docs, "doc_id", "text", "source", 0.0, 100)
+    }
+  }
+
   test("dsirWeights: target-domain docs score higher, deterministically") {
     val out = Sampling.dsirWeights(docs, "doc_id", "text",
       isTarget = col("lang") === "en")

@@ -265,6 +265,37 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingOhlc matches the batch candle aggregation across batches") {
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val candles = StatefulOps.streamingOhlc(
+      input.toDF().toDF("ts", "event_id", "event_type", "value"),
+      "event_type", "ts", "event_id", "value",
+      windowDur = "10 seconds", delay = "0 seconds")
+    val q = candles.writeStream.format("memory").queryName("ohlc")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // one window [0,10) for type a split across micro-batches, with a
+    // timestamp TIE at t=2 resolved by event_id (ids 2 then 3 — the
+    // open must be id 2's value); type b is a singleton window; the
+    // final late-window event only advances the watermark to flush
+    val rows = Seq(
+      Seq((ts(2), 2L, "a", 5.0), (ts(4), 4L, "a", 9.0)),
+      Seq((ts(2), 3L, "a", 1.0), (ts(7), 7L, "a", 3.0), (ts(3), 5L, "b", 2.0)),
+      Seq((ts(100), 9L, "a", 0.0))) // watermark flush sentinel
+    try {
+      rows.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.sql(
+          """SELECT event_type, n_events, open_value, close_value, low, high
+             FROM ohlc WHERE window_start < timestamp'1970-01-01 00:00:50'""")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == Set(
+        Seq("a", 4L, 5.0, 3.0, 1.0, 9.0), // open = id2's 5.0 (tie), close = t7's 3.0
+        Seq("b", 1L, 2.0, 2.0, 2.0, 2.0)), s"got $streamed")
+    } finally q.stop()
+  }
+
   test("NTZ-typed event time analyzes and matches the instant-typed twin") {
     // The driver's parquet generator shipped `timestamp[us]` (no tz) in
     // round 8, which Spark reads as TIMESTAMP_NTZ — unix_micros rejects
