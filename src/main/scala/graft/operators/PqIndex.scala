@@ -38,11 +38,17 @@ object PqIndex {
     * ADC / re-rank replayable as plain SQL (the v07/v08 gates);
     * production keeps [[train]]. Bounded k-row collect. */
   def parityModel(corpus: DataFrame, idCol: String, embCol: String,
-      m: Int, k: Int): Model = {
-    val units = Similarity.withUnit(corpus, embCol)
+      m: Int, k: Int): Model =
+    parityFromUnits(Similarity.withUnit(corpus, embCol)
       .select(col(idCol).as("_id"), col("_unit"))
       .orderBy(col("_id")).limit(k).collect()
-      .map(_.getSeq[Double](1).toArray)
+      .map(_.getSeq[Double](1).toArray), m)
+
+  /** Parity codebooks from already-collected unit vectors — an IVF
+    * [[IvfIndex.Model]]'s parity centroids ARE these units, so an
+    * IVF-PQ parity composition (v08) slices one collect instead of
+    * scanning the corpus twice. */
+  def parityFromUnits(units: Array[Array[Double]], m: Int): Model = {
     require(units.nonEmpty, "empty corpus")
     val dim = units.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")

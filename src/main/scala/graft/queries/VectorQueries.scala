@@ -253,13 +253,15 @@ object VectorQueries {
     "v08_ann_ivfpq",
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
+      // one parity collect: the PQ codebooks are sub-slices of the IVF
+      // parity centroids (both are the 16 smallest ids' unit vectors)
+      val ivfM = graft.operators.IvfIndex.parityModel(
+        emb, "vec_id", "embedding", 16)
       graft.operators.PqIndex.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
           m = 16, nCentroids = 16,
-          ivf0 = Some(graft.operators.IvfIndex.parityModel(
-            emb, "vec_id", "embedding", 16)),
-          pq0 = Some(graft.operators.PqIndex.parityModel(
-            emb, "vec_id", "embedding", m = 16, k = 16)))
+          ivf0 = Some(ivfM),
+          pq0 = Some(graft.operators.PqIndex.parityFromUnits(ivfM.centroids, 16)))
         .orderBy("query_id", "rank")
     },
     Some("""WITH u AS (
