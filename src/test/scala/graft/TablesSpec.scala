@@ -58,6 +58,50 @@ class TablesSpec extends SparkSpec {
     assert(loadedMicros(dir) == micros.sorted)
   }
 
+  test("schema canary: every driver table loads with the column types queries assume") {
+    // The driver regenerates /root/testdata between rounds and has
+    // already changed a physical type once (events.ts, round 8). This
+    // canary pins every column the query surface depends on, so the
+    // next silent regeneration fails ONE focused unit test instead of
+    // an opaque swath of the correctness gate.
+    import org.apache.spark.sql.types._
+    val sf = "/root/testdata/sf0.001"
+    val expected: Map[String, Map[String, DataType]] = Map(
+      "events" -> Map("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Map("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
+      // the date-ish columns ship as plain timestamp[us] (NTZ) and the
+      // whole query surface + oracles were written against that — the
+      // canary pins the status quo, whatever it is, so DRIFT is what
+      // fails, not any particular choice
+      "lineitem" -> Map("l_orderkey" -> LongType, "l_quantity" -> DoubleType,
+        "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+        "l_shipdate" -> TimestampNTZType, "l_returnflag" -> StringType),
+      "orders" -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampNTZType),
+      "customer" -> Map("c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+        "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType),
+      "supplier" -> Map("s_suppkey" -> LongType, "s_nationkey" -> IntegerType),
+      "part" -> Map("p_partkey" -> LongType, "p_brand" -> StringType,
+        "p_size" -> IntegerType),
+      "nation" -> Map("n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType),
+      "region" -> Map("r_regionkey" -> IntegerType))
+    expected.foreach { case (table, cols) =>
+      val schema = Tables(spark, sf, table).schema
+      cols.foreach { case (name, tpe) =>
+        assert(schema.fieldNames.contains(name), s"$table.$name missing")
+        assert(schema(name).dataType == tpe,
+          s"$table.$name drifted: expected $tpe, got ${schema(name).dataType} " +
+            "— the driver regenerated testdata with a new physical type; " +
+            "normalize it in Tables (see the events.ts precedent)")
+      }
+    }
+  }
+
   test("nanos-as-long (TIMESTAMP(NANOS) under the legacy read conf) truncates ns->us") {
     import spark.implicits._
     // Spark cannot WRITE parquet TIMESTAMP(NANOS); under the
