@@ -1455,10 +1455,50 @@ object RelationalQueries {
       FROM events GROUP BY 1, 2 ORDER BY event_type, day"""),
     bench = true)
 
+  // --- q53: activity streaks (gaps-and-islands) ------------------------
+  // Engagement analytics no windowed aggregate expresses directly: per
+  // user, consecutive-calendar-day activity runs. The classic
+  // gaps-and-islands rewrite — distinct active days, then
+  // date_sub(day, row_number) is constant within a run — needs ONE
+  // exchange on user_id that the distinct, the window, and both
+  // aggregations all reuse (no re-partition between steps; at 100 TB
+  // the plan's only wide edge is that single user-keyed shuffle).
+  private val q53 = GraftQuery(
+    "q53_activity_streaks",
+    (s, d) => {
+      val days = ev(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = days
+        .withColumn("_anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("_anchor"))
+        .agg(count(lit(1)).as("_len"))
+      islands.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("_len")).as("longest_streak"),
+          sum(col("_len")).as("active_days"))
+        .filter(col("longest_streak") >= 3)
+        .orderBy("user_id")
+    },
+    Some("""WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      islands AS (
+        SELECT user_id, anchor, count(*) AS len FROM (
+          SELECT user_id,
+            day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+              AS INTEGER) AS anchor
+          FROM days)
+        GROUP BY user_id, anchor)
+      SELECT user_id, count(*) AS n_streaks,
+        max(len) AS longest_streak, sum(len) AS active_days
+      FROM islands GROUP BY user_id
+      HAVING max(len) >= 3 ORDER BY user_id"""),
+    bench = true)
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52)
+    q51, q52, q53)
 }

@@ -736,7 +736,33 @@ object SamplingQueries {
         CAST(round(any_value(ratio) * 1e6) AS BIGINT) AS keep_ratio_ppm
       FROM kept GROUP BY source ORDER BY source"""))
 
+  // --- s25: sample representativeness audit ---------------------------
+  // Before trusting an eval/dev sample, check it covers every
+  // (lang, source) cell near its corpus share: per cell, corpus count,
+  // the s01 deterministic 10% sample's count, and the coverage in ppm.
+  // One pass computes both sides — the sample membership is the same
+  // map-side md5 predicate s01 uses, aggregated as a conditional count
+  // (no join of two scans, no second read of the corpus).
+  private val s25 = GraftQuery(
+    "s25_sample_coverage",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_corpus"),
+          sum(when(Sampling.md5Bucket256(col("doc_id")) < 26, 1L)
+            .otherwise(0L)).as("n_sample"))
+        .select(col("lang"), col("source"), col("n_corpus"), col("n_sample"),
+          round(col("n_sample").cast("double") / col("n_corpus") * 1e6)
+            .cast("long").as("coverage_ppm"))
+        .orderBy("lang", "source"),
+    Some("""SELECT lang, source, count(*) AS n_corpus,
+        sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+          THEN 1 ELSE 0 END) AS n_sample,
+        CAST(round(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+          THEN 1 ELSE 0 END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS coverage_ppm
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
+      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25)
 }

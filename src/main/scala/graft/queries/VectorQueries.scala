@@ -834,6 +834,46 @@ object VectorQueries {
         min(x) AS vmin, max(x) AS vmax
       FROM x GROUP BY dim ORDER BY dim"""))
 
+  // --- v21: hubness audit ----------------------------------------------
+  // The high-dimensional pathology check: in a healthy space, in-degree
+  // over the query set's exact top-5 lists is spread thin; a "hub"
+  // vector appearing in many lists (and anti-hubs in none) distorts
+  // retrieval and kNN labels. Output is the in-degree histogram over
+  // the whole corpus (degree 0 = anti-hubs included via the left join).
+  // Exact top-k over a bounded query prefix (the v01 shape: query side
+  // broadcasts, corpus never shuffles), then two narrow aggregates —
+  // the degree table is ≤ k·|queries| rows and broadcasts back.
+  private val v21 = GraftQuery(
+    "v21_hubness",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val deg = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding", k = 5)
+        .groupBy(col("neighbor_id"))
+        .agg(count(lit(1)).as("_deg"))
+      emb.select(col("vec_id"))
+        .join(broadcast(deg), col("vec_id") === col("neighbor_id"), "left")
+        .select(coalesce(col("_deg"), lit(0L)).as("in_degree"))
+        .groupBy(col("in_degree"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("in_degree")
+    },
+    Some("""WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      topk AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                c.vec_id) AS rank
+          FROM u q, u c WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5),
+      deg AS (
+        SELECT neighbor_id, count(*) AS d FROM topk GROUP BY neighbor_id)
+      SELECT coalesce(d.d, 0) AS in_degree, count(*) AS n_vectors
+      FROM u LEFT JOIN deg d ON d.neighbor_id = u.vec_id
+      GROUP BY 1 ORDER BY in_degree"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20)
+    v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21)
 }

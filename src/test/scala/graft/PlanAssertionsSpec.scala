@@ -315,6 +315,30 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(finalSection.contains("partial_count"), finalSection.take(1200))
   }
 
+  test("q53 streaks: map-side day dedup first, then narrow user-keyed chain") {
+    val plan = executedPlan("q53_activity_streaks")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Join"), finalSection.take(800))
+    // the (user, day) distinct MUST partial-aggregate before its
+    // exchange: a user's thousand events per day collapse to one row
+    // per map task, so the first shuffle moves ~active-user-days, not
+    // events. After that, exactly one more (narrow) exchange re-keys
+    // the deduped days to user_id for the window + both aggs. A
+    // single-exchange variant (repartition by user first) would
+    // shuffle EVERY raw event — more bytes at scale, not fewer.
+    // (plan prints top-down: the partial dedup is the bottom-most
+    // operator chain, so it appears AFTER the last exchange in the
+    // string, between it and the FileScan)
+    val lastEx = finalSection.lastIndexOf("Exchange hashpartitioning")
+    val below = finalSection.substring(lastEx)
+    assert(below.contains("HashAggregate") && below.contains("FileScan"),
+      s"no map-side dedup below the bottom exchange:\n${below.take(600)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(hashEx == 2, s"$hashEx hash exchanges:\n${finalSection.take(1200)}")
+    // both aggregation steps after the window combine map-side
+    assert(finalSection.contains("partial_count"), finalSection.take(1200))
+  }
+
   test("s24 temperature mix: share table broadcasts, corpus filter is map-side") {
     val plan = executedPlan("s24_temperature_mix")
     val finalSection = plan.split("== Initial Plan ==").head
