@@ -1045,8 +1045,68 @@ object DedupQueries {
       ORDER BY source_a, source_b"""),
     bench = true)
 
+  // --- d27: block-level payload dedup audit ---------------------------
+  // Storage-style dedup over opaque BINARY media payloads: slice each
+  // payload into fixed 128-byte blocks, digest each block, and report
+  // how much of the corpus's byte mass is redundant at block
+  // granularity. Catches what whole-payload digests (d21) cannot: the
+  // planted near-copies (suffix-edited) share every block except their
+  // last, so block accounting shows most of their bytes as duplicated
+  // while file-level dedup sees them as unique. Payloads never shuffle
+  // — the explode and slicing are map-side; only (16-byte digest,
+  // block length) pairs reach the two narrow aggregates. All outputs
+  // are exact integers but the ppm ratio, which is itself an integer.
+  private val d27 = GraftQuery(
+    "d27_block_dedup",
+    (s, d) => {
+      val media = planted(s, d).select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      val blocks = media
+        .withColumn("_len", length(col("payload")))
+        .select(col("media_id"), col("payload"),
+          explode(expr("sequence(0, cast(ceil(_len / 128.0) as int) - 1)")).as("_i"))
+        .withColumn("_blk", expr("substring(payload, _i * 128 + 1, 128)"))
+        .select(col("media_id"), md5(col("_blk")).as("_bfp"),
+          length(col("_blk")).cast("long").as("_blen"))
+      val stats = blocks.agg(
+        countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_blocks"),
+        countDistinct(col("_bfp")).as("distinct_blocks"),
+        sum(col("_blen")).as("bytes_total"))
+      val uniq = blocks.groupBy(col("_bfp"))
+        .agg(min(col("_blen")).as("_ul"))
+        .agg(sum(col("_ul")).as("bytes_dedup"))
+      stats.crossJoin(uniq).select(
+        col("n_media"), col("n_blocks"), col("distinct_blocks"),
+        (col("n_blocks") - col("distinct_blocks")).as("dup_blocks"),
+        col("bytes_total"), col("bytes_dedup"),
+        (col("bytes_total") - col("bytes_dedup")).as("bytes_saved"),
+        round(col("bytes_dedup").cast("double") / col("bytes_total") * 1e6)
+          .cast("long").as("dedup_ppm"))
+    },
+    Some(s"""WITH p AS ($plantedSql),
+      b AS (
+        SELECT doc_id AS media_id,
+          md5(substr(text, t.i * 128 + 1, 128)) AS bfp,
+          CAST(len(substr(text, t.i * 128 + 1, 128)) AS BIGINT) AS blen
+        FROM p CROSS JOIN (SELECT unnest(range(0, 8)) AS i) t
+        WHERE t.i * 128 < len(text)),
+      s AS (
+        SELECT count(DISTINCT media_id) AS n_media, count(*) AS n_blocks,
+          count(DISTINCT bfp) AS distinct_blocks,
+          CAST(sum(blen) AS BIGINT) AS bytes_total
+        FROM b),
+      u AS (
+        SELECT CAST(sum(ul) AS BIGINT) AS bytes_dedup
+        FROM (SELECT bfp, min(blen) AS ul FROM b GROUP BY bfp))
+      SELECT n_media, n_blocks, distinct_blocks,
+        n_blocks - distinct_blocks AS dup_blocks,
+        bytes_total, bytes_dedup, bytes_total - bytes_dedup AS bytes_saved,
+        CAST(round(bytes_dedup::DOUBLE / bytes_total * 1e6) AS BIGINT) AS dedup_ppm
+      FROM s CROSS JOIN u"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      d24, d25, d26)
+      d24, d25, d26, d27)
 }
