@@ -1495,10 +1495,43 @@ object RelationalQueries {
       HAVING max(len) >= 3 ORDER BY user_id"""),
     bench = true)
 
+  // --- q54: changelog compaction (latest state per key) ----------------
+  // The upsert-compaction every table-format maintenance job runs:
+  // treat events as a changelog and keep each user's latest row by
+  // (ts, event_id) — max_by over the same zero-padded composite key as
+  // q52, so ties are deterministic and the oracle's arg_max compares
+  // the identical string. ONE partial-agg'd exchange on the key: each
+  // map task forwards one candidate row per user it saw, which is the
+  // shape that lets a 100 TB changelog compact into |keys| rows
+  // without a window sort or self-join.
+  private val q54 = GraftQuery(
+    "q54_latest_state",
+    (s, d) => {
+      val ord = format_string("%020d:%020d", unix_micros(col("ts")), col("event_id"))
+      ev(s, d).select(col("user_id"), col("event_type"), col("value"), ord.as("_ord"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_versions"),
+          max_by(col("event_type"), col("_ord")).as("last_event_type"),
+          max_by(col("value"), col("_ord")).as("last_value"),
+          max(col("_ord")).as("_last"))
+        .select(col("user_id"), col("n_versions"),
+          col("last_event_type"), col("last_value"),
+          expr("cast(split(_last, ':')[0] as bigint)").as("last_ts_us"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_versions,
+        arg_max(event_type, printf('%020d:%020d', epoch_us(ts), event_id))
+          AS last_event_type,
+        arg_max(value, printf('%020d:%020d', epoch_us(ts), event_id))
+          AS last_value,
+        CAST(string_split(max(printf('%020d:%020d', epoch_us(ts), event_id)),
+          ':')[1] AS BIGINT) AS last_ts_us
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53)
+    q51, q52, q53, q54)
 }
