@@ -26,10 +26,15 @@ object Sampling {
   def md5Bucket256(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
 
+  /** The [[md5Bucket256]] cutoff [[deterministicSample]] uses for a
+    * fraction — exposed so audits OF a sample (s25) share the exact
+    * membership predicate instead of re-deriving the constant. */
+  def bucketThreshold256(fraction: Double): Int = (fraction * 256).round.toInt
+
   /** Deterministic uniform sample of ~fraction of rows, keyed on
     * `key` (map-side filter; no shuffle, no RNG). */
   def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
-    df.filter(md5Bucket256(key) < (fraction * 256).round.toInt)
+    df.filter(md5Bucket256(key) < bucketThreshold256(fraction))
 
   /** Portable uniform deviate in [0, 1): 32 bits of the md5 hex
     * prefix over 2³² — bit-identical in any engine with md5. */

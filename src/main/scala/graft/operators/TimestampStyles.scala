@@ -91,6 +91,22 @@ object TimestampStyles {
     * `{asset, timestamp, readings: {datapoint → value}}`
     * (csvplayback.py:760-771), timestamp stringified with microseconds +
     * offset like the reference's `str(datetime)`. */
+  /** Bias added to epoch micros inside [[eventOrderKey]] so the padded
+    * decimal rendering of ANY representable instant is positive —
+    * lexicographic order on negative zero-padded decimals is the
+    * REVERSE of numeric order ("-…1" < "-…2" but −1 > −2), so an
+    * unbiased key would misorder pre-1970 events. 5e18 keeps the sum
+    * inside Long for any timestamp parquet can carry. */
+  val OrderKeyBiasUs: Long = 5000000000000000000L
+
+  /** Zero-padded "biased_epoch_us:id" composite ordering string — the
+    * deterministic (event time, id) tie-broken key min_by/max_by
+    * endpoint picks share with their SQL-oracle arg_min/arg_max twins
+    * (which accept no struct keys; fixed-width digit strings compare
+    * like the numbers). `id` must be non-negative. */
+  def eventOrderKey(ts: Column, id: Column): Column =
+    format_string("%020d:%020d", unix_micros(ts) + lit(OrderKeyBiasUs), id)
+
   def asReadings(df: DataFrame, assetName: String): DataFrame = {
     val dataCols = df.columns.filterNot(c => c == RowIdx || c == TsCol)
     val entries: Seq[Column] = dataCols.map(c => struct(lit(c), col(c).cast("string")))

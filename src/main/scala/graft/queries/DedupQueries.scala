@@ -1046,23 +1046,31 @@ object DedupQueries {
     bench = true)
 
   // --- d27: block-level payload dedup audit ---------------------------
-  // Storage-style dedup over opaque BINARY media payloads: slice each
-  // payload into fixed 128-byte blocks, digest each block, and report
-  // how much of the corpus's byte mass is redundant at block
-  // granularity. Catches what whole-payload digests (d21) cannot: the
-  // planted near-copies (suffix-edited) share every block except their
-  // last, so block accounting shows most of their bytes as duplicated
-  // while file-level dedup sees them as unique. Payloads never shuffle
-  // — the explode and slicing are map-side; only (16-byte digest,
-  // block length) pairs reach the two narrow aggregates. All outputs
-  // are exact integers but the ppm ratio, which is itself an integer.
+  // Storage-style dedup at fixed 128-unit block granularity: slice each
+  // payload into blocks, digest each block, and report how much of the
+  // corpus's content mass is redundant below whole-payload granularity.
+  // Catches what whole-payload digests (d21) cannot: the planted
+  // near-copies (suffix-edited) share every block except their last, so
+  // block accounting shows most of their content as duplicated while
+  // file-level dedup sees them as unique. Blocks here are 128
+  // CHARACTERS of the decoded payload — both engines slice the same
+  // code points and md5 the same UTF-8 bytes for ANY text, where a raw
+  // byte slice could not be oracle-checked (the harness DuckDB's md5 is
+  // VARCHAR-only); a real media build swaps in byte slicing with
+  // identical plumbing. Zero-length payloads contribute zero blocks
+  // (guarded on both sides — Spark's sequence(0,-1) would otherwise
+  // DESCEND and emit two phantom rows). Payloads never shuffle — the
+  // explode and slicing are map-side; only (16-byte digest, block
+  // length) pairs reach the two narrow aggregates. All outputs are
+  // exact integers, including the ppm ratio.
   private val d27 = GraftQuery(
     "d27_block_dedup",
     (s, d) => {
       val media = planted(s, d).select(col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("payload"))
+        col("text").as("payload"))
       val blocks = media
         .withColumn("_len", length(col("payload")))
+        .filter(col("_len") > 0)
         .select(col("media_id"), col("payload"),
           explode(expr("sequence(0, cast(ceil(_len / 128.0) as int) - 1)")).as("_i"))
         .withColumn("_blk", expr("substring(payload, _i * 128 + 1, 128)"))
@@ -1072,37 +1080,42 @@ object DedupQueries {
         countDistinct(col("media_id")).as("n_media"),
         count(lit(1)).as("n_blocks"),
         countDistinct(col("_bfp")).as("distinct_blocks"),
-        sum(col("_blen")).as("bytes_total"))
+        sum(col("_blen")).as("chars_total"))
       val uniq = blocks.groupBy(col("_bfp"))
         .agg(min(col("_blen")).as("_ul"))
-        .agg(sum(col("_ul")).as("bytes_dedup"))
+        .agg(sum(col("_ul")).as("chars_dedup"))
       stats.crossJoin(uniq).select(
         col("n_media"), col("n_blocks"), col("distinct_blocks"),
         (col("n_blocks") - col("distinct_blocks")).as("dup_blocks"),
-        col("bytes_total"), col("bytes_dedup"),
-        (col("bytes_total") - col("bytes_dedup")).as("bytes_saved"),
-        round(col("bytes_dedup").cast("double") / col("bytes_total") * 1e6)
+        col("chars_total"), col("chars_dedup"),
+        (col("chars_total") - col("chars_dedup")).as("chars_saved"),
+        round(col("chars_dedup").cast("double") / col("chars_total") * 1e6)
           .cast("long").as("dedup_ppm"))
     },
+    // the block index range is a generous constant (512 blocks = 64k
+    // chars, two orders above the corpus max) because DuckDB 1.0 cannot
+    // lateral-join generate_series on a column; the i*128 < len filter
+    // keeps only real blocks, and a doc that ever exceeds the constant
+    // would change n_blocks -> caught by the gate, not silently capped
     Some(s"""WITH p AS ($plantedSql),
       b AS (
         SELECT doc_id AS media_id,
           md5(substr(text, t.i * 128 + 1, 128)) AS bfp,
           CAST(len(substr(text, t.i * 128 + 1, 128)) AS BIGINT) AS blen
-        FROM p CROSS JOIN (SELECT unnest(range(0, 8)) AS i) t
+        FROM p CROSS JOIN (SELECT unnest(range(0, 512)) AS i) t
         WHERE t.i * 128 < len(text)),
       s AS (
         SELECT count(DISTINCT media_id) AS n_media, count(*) AS n_blocks,
           count(DISTINCT bfp) AS distinct_blocks,
-          CAST(sum(blen) AS BIGINT) AS bytes_total
+          CAST(sum(blen) AS BIGINT) AS chars_total
         FROM b),
       u AS (
-        SELECT CAST(sum(ul) AS BIGINT) AS bytes_dedup
+        SELECT CAST(sum(ul) AS BIGINT) AS chars_dedup
         FROM (SELECT bfp, min(blen) AS ul FROM b GROUP BY bfp))
       SELECT n_media, n_blocks, distinct_blocks,
         n_blocks - distinct_blocks AS dup_blocks,
-        bytes_total, bytes_dedup, bytes_total - bytes_dedup AS bytes_saved,
-        CAST(round(bytes_dedup::DOUBLE / bytes_total * 1e6) AS BIGINT) AS dedup_ppm
+        chars_total, chars_dedup, chars_total - chars_dedup AS chars_saved,
+        CAST(round(chars_dedup::DOUBLE / chars_total * 1e6) AS BIGINT) AS dedup_ppm
       FROM s CROSS JOIN u"""))
 
   val all: Seq[GraftQuery] =

@@ -1426,17 +1426,19 @@ object RelationalQueries {
   // range extremes — open/high/low/close. min_by/max_by make the whole
   // candle ONE partial-agg'd exchange on the (type, day) key — no
   // window sort, no self-join; at 100 TB each map task forwards one
-  // candle per (type, day) it saw. The ordering key is the zero-padded
-  // "epoch_us:event_id" string, which (a) makes endpoints
+  // candle per (type, day) it saw. The ordering key is
+  // [[graft.operators.TimestampStyles.eventOrderKey]] — the zero-padded
+  // biased "epoch_us:event_id" string, which (a) makes endpoints
   // deterministic under timestamp ties and (b) is the composite-key
-  // encoding BOTH engines order identically (the oracle's arg_min
-  // accepts no struct keys; lexicographic order on fixed-width digits
-  // IS numeric order). Output values are untouched source doubles (no
-  // float arithmetic), so the gate hashes exactly.
+  // encoding BOTH engines order identically for any instant, pre-1970
+  // included (the oracle's arg_min accepts no struct keys;
+  // lexicographic order on fixed-width positive digits IS numeric
+  // order). Output values are untouched source doubles (no float
+  // arithmetic), so the gate hashes exactly.
   private val q52 = GraftQuery(
     "q52_event_ohlc",
     (s, d) => {
-      val ord = format_string("%020d:%020d", unix_micros(col("ts")), col("event_id"))
+      val ord = graft.operators.TimestampStyles.eventOrderKey(col("ts"), col("event_id"))
       val e = ev(s, d).select(col("event_type"),
         to_date(col("ts")).as("day"), ord.as("_ord"), col("value"))
       e.groupBy(col("event_type"), col("day"))
@@ -1449,8 +1451,10 @@ object RelationalQueries {
     },
     Some("""SELECT event_type, CAST(ts AS DATE) AS day,
         count(*) AS n_events,
-        arg_min(value, printf('%020d:%020d', epoch_us(ts), event_id)) AS open_value,
-        arg_max(value, printf('%020d:%020d', epoch_us(ts), event_id)) AS close_value,
+        arg_min(value, printf('%020d:%020d',
+          epoch_us(ts) + 5000000000000000000, event_id)) AS open_value,
+        arg_max(value, printf('%020d:%020d',
+          epoch_us(ts) + 5000000000000000000, event_id)) AS close_value,
         min(value) AS low, max(value) AS high
       FROM events GROUP BY 1, 2 ORDER BY event_type, day"""),
     bench = true)
@@ -1507,7 +1511,7 @@ object RelationalQueries {
   private val q54 = GraftQuery(
     "q54_latest_state",
     (s, d) => {
-      val ord = format_string("%020d:%020d", unix_micros(col("ts")), col("event_id"))
+      val ord = graft.operators.TimestampStyles.eventOrderKey(col("ts"), col("event_id"))
       ev(s, d).select(col("user_id"), col("event_type"), col("value"), ord.as("_ord"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_versions"),
@@ -1516,16 +1520,18 @@ object RelationalQueries {
           max(col("_ord")).as("_last"))
         .select(col("user_id"), col("n_versions"),
           col("last_event_type"), col("last_value"),
-          expr("cast(split(_last, ':')[0] as bigint)").as("last_ts_us"))
+          (expr("cast(split(_last, ':')[0] as bigint)") -
+            lit(graft.operators.TimestampStyles.OrderKeyBiasUs)).as("last_ts_us"))
         .orderBy("user_id")
     },
     Some("""SELECT user_id, count(*) AS n_versions,
-        arg_max(event_type, printf('%020d:%020d', epoch_us(ts), event_id))
-          AS last_event_type,
-        arg_max(value, printf('%020d:%020d', epoch_us(ts), event_id))
-          AS last_value,
-        CAST(string_split(max(printf('%020d:%020d', epoch_us(ts), event_id)),
-          ':')[1] AS BIGINT) AS last_ts_us
+        arg_max(event_type, printf('%020d:%020d',
+          epoch_us(ts) + 5000000000000000000, event_id)) AS last_event_type,
+        arg_max(value, printf('%020d:%020d',
+          epoch_us(ts) + 5000000000000000000, event_id)) AS last_value,
+        CAST(string_split(max(printf('%020d:%020d',
+          epoch_us(ts) + 5000000000000000000, event_id)), ':')[1] AS BIGINT)
+          - 5000000000000000000 AS last_ts_us
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[GraftQuery] = Seq(

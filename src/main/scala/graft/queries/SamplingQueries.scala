@@ -743,22 +743,27 @@ object SamplingQueries {
   // One pass computes both sides — the sample membership is the same
   // map-side md5 predicate s01 uses, aggregated as a conditional count
   // (no join of two scans, no second read of the corpus).
+  // the membership predicate is DERIVED from the same threshold
+  // deterministicSample computes (not a re-hardcoded constant), so the
+  // audit can never silently diverge from the sample it claims to
+  // measure; the oracle interpolates the same cutoff as 2-digit hex
+  private val s25Cut = Sampling.bucketThreshold256(0.1)
   private val s25 = GraftQuery(
     "s25_sample_coverage",
     (s, d) =>
       Tables(s, d, "documents")
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_corpus"),
-          sum(when(Sampling.md5Bucket256(col("doc_id")) < 26, 1L)
+          sum(when(Sampling.md5Bucket256(col("doc_id")) < s25Cut, 1L)
             .otherwise(0L)).as("n_sample"))
         .select(col("lang"), col("source"), col("n_corpus"), col("n_sample"),
           round(col("n_sample").cast("double") / col("n_corpus") * 1e6)
             .cast("long").as("coverage_ppm"))
         .orderBy("lang", "source"),
-    Some("""SELECT lang, source, count(*) AS n_corpus,
-        sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    Some(f"""SELECT lang, source, count(*) AS n_corpus,
+        sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$s25Cut%02x'
           THEN 1 ELSE 0 END) AS n_sample,
-        CAST(round(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        CAST(round(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$s25Cut%02x'
           THEN 1 ELSE 0 END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS coverage_ppm
       FROM documents GROUP BY lang, source ORDER BY lang, source"""))
 

@@ -12,6 +12,38 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+  /** SQL mirror of the parity-IVF prelude (unit corpus, smallest-id
+    * centroids, cell scores, engine-tie-broken assignment and probes) —
+    * shared by the v05/v08/v15/v18 oracles so the tie-break-sensitive
+    * lines exist ONCE (the d03 `shingleCteSql` precedent). The engine
+    * contract mirrored here: [[graft.operators.IvfIndex.parityModel]]
+    * centroids are the 16 smallest ids' unit vectors; cell ranking is
+    * the lexicographic (d, i) struct max/sort, where equal scores pick
+    * the LARGER index → `ORDER BY d DESC, i DESC`. `uCols` lets a
+    * caller carry extra columns (v15 needs `label`); `queryPred`
+    * bounds the probe side's query set; `nprobe` its cells. */
+  private def parityIvfCteSql(uCols: String, queryPred: String,
+      nprobe: Int): String =
+    s"""u AS (
+        SELECT $uCols FROM embeddings),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e AS ce
+        FROM (SELECT vec_id, e FROM u ORDER BY vec_id LIMIT 16)),
+      score AS (
+        SELECT v.vec_id, c.i, list_cosine_similarity(v.e, c.ce) AS d
+        FROM u v CROSS JOIN cent c),
+      assign AS (
+        SELECT vec_id, i AS cell FROM (
+          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d DESC, i DESC) AS rk FROM score)
+        WHERE rk = 1),
+      probe AS (
+        SELECT vec_id AS query_id, i AS cell FROM (
+          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d DESC, i DESC) AS rk FROM score
+          WHERE $queryPred)
+        WHERE rk <= $nprobe)"""
+
   // --- v01: exact cosine top-k ----------------------------------------
   private val v01 = GraftQuery(
     "v01_cosine_topk",
@@ -106,25 +138,8 @@ object VectorQueries {
           nprobe = 4)
         .orderBy("query_id", "rank")
     },
-    Some("""WITH u AS (
-        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-      cent AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e AS ce
-        FROM (SELECT vec_id, e FROM u ORDER BY vec_id LIMIT 16)),
-      score AS (
-        SELECT v.vec_id, c.i, list_cosine_similarity(v.e, c.ce) AS d
-        FROM u v CROSS JOIN cent c),
-      assign AS (
-        SELECT vec_id, i AS cell FROM (
-          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
-            ORDER BY d DESC, i DESC) AS rk FROM score)
-        WHERE rk = 1),
-      probe AS (
-        SELECT vec_id AS query_id, i AS cell FROM (
-          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
-            ORDER BY d DESC, i DESC) AS rk FROM score
-          WHERE vec_id < 5)
-        WHERE rk <= 4),
+    Some(s"""WITH ${parityIvfCteSql("vec_id, embedding::DOUBLE[] AS e",
+        "vec_id < 5", nprobe = 4)},
       cand AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
           round(list_cosine_similarity(q.e, n.e), 6) AS cosine
@@ -264,29 +279,12 @@ object VectorQueries {
           pq0 = Some(graft.operators.PqIndex.parityFromUnits(ivfM.centroids, 16)))
         .orderBy("query_id", "rank")
     },
-    Some("""WITH u AS (
-        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    Some(s"""WITH ${parityIvfCteSql("vec_id, embedding::DOUBLE[] AS e",
+        "vec_id < 5", nprobe = 8)},
       un AS (
         SELECT vec_id,
           list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ue
         FROM u),
-      cent AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e AS ce
-        FROM (SELECT vec_id, e FROM u ORDER BY vec_id LIMIT 16)),
-      score AS (
-        SELECT v.vec_id, c.i, list_cosine_similarity(v.e, c.ce) AS d
-        FROM u v CROSS JOIN cent c),
-      assign AS (
-        SELECT vec_id, i AS cell FROM (
-          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
-            ORDER BY d DESC, i DESC) AS rk FROM score)
-        WHERE rk = 1),
-      probe AS (
-        SELECT vec_id AS query_id, i AS cell FROM (
-          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
-            ORDER BY d DESC, i DESC) AS rk FROM score
-          WHERE vec_id < 5)
-        WHERE rk <= 8),
       cb AS (
         SELECT s.s, c.j, c.ue[s.s * 4 + 1 : s.s * 4 + 4] AS cs
         FROM (SELECT unnest(range(0, 16)) AS s) s
@@ -580,24 +578,8 @@ object VectorQueries {
   private val v15 = GraftQuery(
     "v15_knn_label_ann",
     (s, d) => knnLabelAnn(Tables(s, d, "embeddings"), parity = true),
-    Some("""WITH u AS (
-        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-      cent AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e AS ce
-        FROM (SELECT vec_id, e FROM u ORDER BY vec_id LIMIT 16)),
-      score AS (
-        SELECT v.vec_id, c.i, list_cosine_similarity(v.e, c.ce) AS d
-        FROM u v CROSS JOIN cent c),
-      assign AS (
-        SELECT vec_id, i AS cell FROM (
-          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
-            ORDER BY d DESC, i DESC) AS rk FROM score)
-        WHERE rk = 1),
-      probe AS (
-        SELECT vec_id AS query_id, i AS cell FROM (
-          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
-            ORDER BY d DESC, i DESC) AS rk FROM score)
-        WHERE rk <= 4),
+    Some(s"""WITH ${parityIvfCteSql("vec_id, label, embedding::DOUBLE[] AS e",
+        "TRUE", nprobe = 4)},
       cand AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
           round(list_cosine_similarity(q.e, n.e), 6) AS cosine
@@ -727,19 +709,11 @@ object VectorQueries {
             emb, "vec_id", "embedding", 16)))
         .orderBy("nprobe")
     },
-    Some("""WITH u AS (
-        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-      cent AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e AS ce
-        FROM (SELECT vec_id, e FROM u ORDER BY vec_id LIMIT 16)),
-      score AS (
-        SELECT v.vec_id, c.i, list_cosine_similarity(v.e, c.ce) AS d
-        FROM u v CROSS JOIN cent c),
-      assign AS (
-        SELECT vec_id, i AS cell FROM (
-          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
-            ORDER BY d DESC, i DESC) AS rk FROM score)
-        WHERE rk = 1),
+    // the shared prelude's `probe` CTE goes unused here (the sweep
+    // ranks cells per nprobe value itself via `ranked`); DuckDB
+    // ignores unreferenced CTEs
+    Some(s"""WITH ${parityIvfCteSql("vec_id, embedding::DOUBLE[] AS e",
+        "vec_id < 25", nprobe = 16)},
       ranked AS (
         SELECT vec_id AS query_id, i AS cell, row_number() OVER (
           PARTITION BY vec_id ORDER BY d DESC, i DESC) AS prk

@@ -156,8 +156,7 @@ object StatefulOps {
   def streamingOhlc(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, windowDur: String,
       delay: String): DataFrame = {
-    val ord = format_string("%020d:%020d",
-      unix_micros(col(tsCol)), col(idCol))
+    val ord = graft.operators.TimestampStyles.eventOrderKey(col(tsCol), col(idCol))
     df.withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withWatermark(tsCol, delay)
       .groupBy(col(keyCol), window(col(tsCol), windowDur).as("w"))
