@@ -517,13 +517,37 @@ object HashExpressions {
     * [[graft.functions.Vec.randomPlanes]] exactly — `Random(seed)`
     * Gaussians drawn plane-major — so signatures are bit-identical to
     * the per-plane form at the same seeds. */
+  /** Uniform deviate in [0, 1) from a string key: the md5 digest's
+    * first 4 bytes as an unsigned 32-bit over 2³² — EXACTLY
+    * `('0x' || substr(md5(key), 1, 8))::UBIGINT / 4294967296.0` in any
+    * SQL engine with md5, the cross-engine contract the parity plane
+    * mode below and the sampling operators share. */
+  def md5UnitOf(key: String): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v.toDouble / 4294967296.0
+  }
+
   case class BandedHyperplaneSigs(child: Expression, bandBits: Int,
-      bands: Int, dim: Int, seed: Long)
+      bands: Int, dim: Int, seed: Long, md5Parity: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     require(bandBits >= 1 && bandBits <= 63, "1..63 bits per band")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // Gaussian planes (seeded JVM Random) for production; `md5Parity`
+    // swaps in centered md5-uniform components keyed "band:bit:dim" so
+    // an external SQL engine rebuilds the planes bit-for-bit (the v03
+    // oracle) — sign-LSH needs only a symmetric direction distribution,
+    // so the uniform cube trades a little isotropy for replayability.
     @transient private lazy val planes: Array[Array[Double]] =
-      Array.tabulate(bands) { b =>
+      if (md5Parity)
+        Array.tabulate(bands) { b =>
+          Array.tabulate(bandBits * dim) { off =>
+            md5UnitOf(s"$b:${off / dim}:${off % dim}") - 0.5
+          }
+        }
+      else Array.tabulate(bands) { b =>
         val rnd = new scala.util.Random(seed + b)
         Array.fill(bandBits * dim)(rnd.nextGaussian())
       }
@@ -669,8 +693,9 @@ object HashExpressions {
   def minhash_band_keys(sig: Column, bands: Int): Column =
     column(MinHashBandKeys(expression(sig), bands))
   def banded_hyperplane_sigs(unit: Column, bandBits: Int, bands: Int,
-      dim: Int, seed: Long): Column =
-    column(BandedHyperplaneSigs(expression(unit), bandBits, bands, dim, seed))
+      dim: Int, seed: Long, md5Parity: Boolean = false): Column =
+    column(BandedHyperplaneSigs(expression(unit), bandBits, bands, dim, seed,
+      md5Parity))
   def minhash64(shingles: Column, numHashes: Int): Column =
     column(MinHash64(expression(shingles), numHashes))
   def simhash64(tokens: Column, md5Parity: Boolean = false): Column =

@@ -324,13 +324,18 @@ object Similarity {
     * 1-(1-p)^tables where p is the per-table probe hit rate. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nbits: Int = 12, tables: Int = 4,
-      seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+      seed: Long = 42L, roundTo: Int = 6,
+      md5Parity: Boolean = false): DataFrame = {
     val dim = corpus.select(size(col(embCol))).head(1).headOption
       .map(_.getInt(0)).getOrElse(1) // empty corpus → empty result, no crash
     // one kernel call emits every table's signature (planes derived
-    // from the seed per executor — no plane literals in the plan)
+    // from the seed per executor — no plane literals in the plan);
+    // `md5Parity` swaps Gaussian planes for md5-derived ones an
+    // external SQL engine reproduces (the v03 gate; recall specs keep
+    // the Gaussian production path)
     def sigs(unit: org.apache.spark.sql.Column) =
-      graft.functions.HashExpressions.banded_hyperplane_sigs(unit, nbits, tables, dim, seed)
+      graft.functions.HashExpressions.banded_hyperplane_sigs(
+        unit, nbits, tables, dim, seed, md5Parity)
     // materialize units before the tables*nbits plane dots (else the
     // normalization expression re-evaluates inside every dot product)
     val cUnits = OpCaches.track(withUnit(corpus, embCol)

@@ -76,17 +76,68 @@ object VectorQueries {
     FROM u a, u b WHERE a.vec_id < b.vec_id
     ORDER BY cosine DESC, a, b LIMIT 20"""))
 
-  // --- v03: LSH-bucketed ANN (scale path; approximate by design, so
-  //     covered rows-only here and vs brute force in SimilaritySpec) ---
+  // --- v03: LSH-bucketed ANN (scale path). The gate runs md5-parity
+  //     hyperplanes — plane component (t, j, i) is the centered
+  //     md5-uniform of "t:j:i", which the oracle rebuilds bit-for-bit —
+  //     so signature computation, the own-bucket + 1-bit-flip
+  //     multiprobe, candidate dedup, and the exact re-rank all replay
+  //     as SQL (the d04/v05 parity pattern); Gaussian planes stay the
+  //     production path with recall pinned in SimilaritySpec. Sign
+  //     bits use strict `> 0` on both engines; the plane dot's float
+  //     accumulation-order drift only matters within ~1e-13 of zero —
+  //     ten orders below the dot's scale.
   private val v03 = GraftQuery(
     "v03_ann_lsh",
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
-          "embedding", k = 5, nbits = 6)
+          "embedding", k = 5, nbits = 6, md5Parity = true)
         .orderBy("query_id", "rank")
     },
-    None,
+    Some("""WITH u0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      un AS (
+        SELECT vec_id,
+          list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ue
+        FROM u0),
+      pl AS (
+        SELECT t.t, j.j, i.i,
+          ('0x' || substr(md5(t.t || ':' || j.j || ':' || i.i), 1, 8))::UBIGINT
+            / 4294967296.0 - 0.5 AS w
+        FROM (SELECT unnest(range(0, 4)) AS t) t
+        CROSS JOIN (SELECT unnest(range(0, 6)) AS j) j
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+      acc AS (
+        SELECT v.vec_id, p.t, p.j, sum(v.ue[p.i + 1] * p.w) AS a
+        FROM un v CROSS JOIN pl p
+        GROUP BY 1, 2, 3),
+      sig AS (
+        SELECT vec_id, t,
+          sum(CASE WHEN a > 0 THEN CAST(1 AS BIGINT) << j
+            ELSE CAST(0 AS BIGINT) END) AS s
+        FROM acc GROUP BY 1, 2),
+      probes AS (
+        SELECT q.vec_id AS query_id, q.t,
+          CASE WHEN m.m < 0 THEN q.s
+            ELSE xor(q.s, CAST(1 AS BIGINT) << m.m) END AS ps
+        FROM (SELECT * FROM sig WHERE vec_id < 5) q
+        CROSS JOIN (SELECT unnest(range(-1, 6)) AS m) m),
+      cand AS (
+        SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+        FROM probes p JOIN sig c ON c.t = p.t AND c.s = p.ps
+        WHERE c.vec_id <> p.query_id),
+      scored AS (
+        SELECT c.query_id, c.neighbor_id,
+          round(list_cosine_similarity(q.e, n.e), 6) AS cosine
+        FROM cand c
+        JOIN u0 q ON q.vec_id = c.query_id
+        JOIN u0 n ON n.vec_id = c.neighbor_id)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+          AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank"""),
     bench = true)
 
   // --- v04: embedding near-dup detection over planted perturbations ---

@@ -152,6 +152,14 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall too low for 4 tables x 1-bit multiprobe at dim 64")
+    // the v03 gate's md5-parity planes (uniform-cube directions instead
+    // of Gaussian) must retrieve comparably — parity trades isotropy
+    // for SQL replayability, not retrieval quality
+    val parity = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nbits = 6, tables = 4, md5Parity = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val parityRecall = (exact & parity).size.toDouble / exact.size
+    assert(parityRecall >= 0.5, s"parity-plane recall $parityRecall too low")
   }
 
   test("v15 ANN-composed kNN labels: exhaustive probing reproduces v12 exactly") {
