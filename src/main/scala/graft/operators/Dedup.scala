@@ -356,6 +356,49 @@ object Dedup {
           "\n").as("clean_text"))
   }
 
+  /** Storage-style block-level dedup audit: slice each document's
+    * content into fixed `blockChars`-character blocks, digest each
+    * block, and report corpus-wide block redundancy — the
+    * below-whole-document view that shows a suffix-edited near-copy as
+    * mostly duplicated where file-level digests see it as unique.
+    * Zero-length texts contribute zero blocks (guarded: Spark's
+    * `sequence(0, -1)` DESCENDS and would emit phantom rows).
+    * Content never shuffles — slicing is map-side; only (16-byte
+    * digest, block length) pairs reach the two narrow aggregates.
+    * Returns ONE row: (n_media, n_blocks, distinct_blocks, dup_blocks,
+    * chars_total, chars_dedup, chars_saved, dedup_ppm) — all exact
+    * integers (d27's gate; property-tested in PropertySpec). */
+  def blockDedupStats(df: DataFrame, idCol: String, textCol: String,
+      blockChars: Int = 128): DataFrame = {
+    require(blockChars >= 1, s"blockChars=$blockChars must be positive")
+    val blocks = df
+      .select(col(idCol).as("_bid"), col(textCol).as("_payload"))
+      .withColumn("_len", length(col("_payload")))
+      .filter(col("_len") > 0)
+      .select(col("_bid"), col("_payload"),
+        explode(expr(s"sequence(0, cast(ceil(_len / $blockChars.0) as int) - 1)"))
+          .as("_i"))
+      .withColumn("_blk",
+        expr(s"substring(_payload, _i * $blockChars + 1, $blockChars)"))
+      .select(col("_bid"), md5(col("_blk")).as("_bfp"),
+        length(col("_blk")).cast("long").as("_blen"))
+    val stats = blocks.agg(
+      countDistinct(col("_bid")).as("n_media"),
+      count(lit(1)).as("n_blocks"),
+      countDistinct(col("_bfp")).as("distinct_blocks"),
+      sum(col("_blen")).as("chars_total"))
+    val uniq = blocks.groupBy(col("_bfp"))
+      .agg(min(col("_blen")).as("_ul"))
+      .agg(sum(col("_ul")).as("chars_dedup"))
+    stats.crossJoin(uniq).select(
+      col("n_media"), col("n_blocks"), col("distinct_blocks"),
+      (col("n_blocks") - col("distinct_blocks")).as("dup_blocks"),
+      col("chars_total"), col("chars_dedup"),
+      (col("chars_total") - col("chars_dedup")).as("chars_saved"),
+      round(col("chars_dedup").cast("double") / col("chars_total") * 1e6)
+        .cast("long").as("dedup_ppm"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the token stream: bit k of the signature is the

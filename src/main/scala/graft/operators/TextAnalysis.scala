@@ -125,6 +125,33 @@ object TextAnalysis {
   def wordShinglesAll(text: Column, k: Int): Column =
     graft.functions.HashExpressions.ngrams(tokens(text), k, distinct = false)
 
+  /** Per-document n-gram novelty: the fraction of a document's k-word
+    * shingles appearing in NO other document — the curation signal
+    * orthogonal to duplication (template soup scores near 0, fresh
+    * content near 1). Scale shape: text never shuffles — shingles
+    * reduce to md5 fingerprints at the scan, one (fp → distinct-doc
+    * count) aggregate, one narrow fp join back; both sides are
+    * fixed-width keys and the agg side is one row per distinct shingle
+    * regardless of corpus size. Returns (idCol, n_shingles, n_novel,
+    * novelty_ppm) — the ppm is an integer so the audit hashes exactly
+    * across engines (t24's gate; property-tested vs an in-memory
+    * reference in PropertySpec). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val ds = df
+      .select(col(idCol), explode(wordShingles(col(textCol), k)).as("_s"))
+      .select(col(idCol), md5(col("_s")).as("_fp"))
+    val fpc = ds.groupBy(col("_fp"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+    ds.join(fpc, "_fp")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_nd") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles") * 1e6)
+          .cast("long").as("novelty_ppm"))
+  }
+
   /** Pure-builtin shingle reference (k-1 chained zip_with lambdas) —
     * kept as the cross-check for the NGrams expression in tests; the
     * HOF lambdas evaluate interpreted per element, so the hot paths use

@@ -1065,33 +1065,7 @@ object DedupQueries {
   // exact integers, including the ppm ratio.
   private val d27 = GraftQuery(
     "d27_block_dedup",
-    (s, d) => {
-      val media = planted(s, d).select(col("doc_id").as("media_id"),
-        col("text").as("payload"))
-      val blocks = media
-        .withColumn("_len", length(col("payload")))
-        .filter(col("_len") > 0)
-        .select(col("media_id"), col("payload"),
-          explode(expr("sequence(0, cast(ceil(_len / 128.0) as int) - 1)")).as("_i"))
-        .withColumn("_blk", expr("substring(payload, _i * 128 + 1, 128)"))
-        .select(col("media_id"), md5(col("_blk")).as("_bfp"),
-          length(col("_blk")).cast("long").as("_blen"))
-      val stats = blocks.agg(
-        countDistinct(col("media_id")).as("n_media"),
-        count(lit(1)).as("n_blocks"),
-        countDistinct(col("_bfp")).as("distinct_blocks"),
-        sum(col("_blen")).as("chars_total"))
-      val uniq = blocks.groupBy(col("_bfp"))
-        .agg(min(col("_blen")).as("_ul"))
-        .agg(sum(col("_ul")).as("chars_dedup"))
-      stats.crossJoin(uniq).select(
-        col("n_media"), col("n_blocks"), col("distinct_blocks"),
-        (col("n_blocks") - col("distinct_blocks")).as("dup_blocks"),
-        col("chars_total"), col("chars_dedup"),
-        (col("chars_total") - col("chars_dedup")).as("chars_saved"),
-        round(col("chars_dedup").cast("double") / col("chars_total") * 1e6)
-          .cast("long").as("dedup_ppm"))
-    },
+    (s, d) => Dedup.blockDedupStats(planted(s, d), "doc_id", "text"),
     // the block index range is a generous constant (512 blocks = 64k
     // chars, two orders above the corpus max) because DuckDB 1.0 cannot
     // lateral-join generate_series on a column; the i*128 < len filter

@@ -813,22 +813,9 @@ object TextQueries {
   // one row per distinct shingle regardless of corpus size).
   private val t24 = GraftQuery(
     "t24_ngram_novelty",
-    (s, d) => {
-      val ds = Tables(s, d, "documents")
-        .select(col("doc_id"),
-          explode(TextAnalysis.wordShingles(col("text"), 3)).as("_s"))
-        .select(col("doc_id"), md5(col("_s")).as("_fp"))
-      val fpc = ds.groupBy(col("_fp"))
-        .agg(countDistinct(col("doc_id")).as("_nd"))
-      ds.join(fpc, "_fp")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("_nd") === 1, 1L).otherwise(0L)).as("n_novel"))
-        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-          round(col("n_novel").cast("double") / col("n_shingles") * 1e6)
-            .cast("long").as("novelty_ppm"))
-        .orderBy("doc_id")
-    },
+    (s, d) =>
+      TextAnalysis.ngramNovelty(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
     Some("""WITH p AS (SELECT doc_id, text FROM documents),
       sh AS (
         SELECT doc_id, list_distinct(list_transform(

@@ -490,6 +490,78 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ngramNovelty == in-memory reference on random duplicated corpora") {
+    import org.apache.spark.sql.functions._
+    // tiny vocab + shared phrase prefixes so shingles genuinely collide
+    // across docs, and occasional exact copies
+    val gen = for {
+      n <- Gen.choose(3, 10)
+      rows <- Gen.listOfN(n, for {
+        words <- Gen.choose(1, 8)
+        ws <- Gen.listOfN(words, Gen.oneOf("a", "b", "c", "d"))
+      } yield ws.mkString(" "))
+      dupOf <- Gen.choose(0, n - 1)
+    } yield rows :+ rows(dupOf) // always at least one exact copy
+    forAll(gen) { texts =>
+      val docs = spark.createDataFrame(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }).toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis
+        .ngramNovelty(docs, "doc_id", "text", k = 3)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // reference: wordShingles semantics by hand — distinct 3-grams,
+      // docs under 3 tokens contribute their whole token string
+      def shingles(t: String): Set[String] = {
+        val toks = t.trim.split("\\s+").toSeq
+        if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+        else Set(toks.mkString(" "))
+      }
+      val perDoc = texts.zipWithIndex.map { case (t, i) => i.toLong -> shingles(t) }
+      val docCount = perDoc.flatMap { case (id, ss) => ss.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val want = perDoc.map { case (id, ss) =>
+        val novel = ss.count(s => docCount(s) == 1).toLong
+        id -> ((ss.size.toLong, novel,
+          BigDecimal(novel.toDouble / ss.size * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      }.toMap
+      assert(got == want, s"texts=$texts")
+    }
+  }
+
+  test("blockDedupStats == in-memory reference incl. empty and near-copy texts") {
+    import org.apache.spark.sql.functions._
+    val gen = for {
+      n <- Gen.choose(2, 8)
+      rows <- Gen.listOfN(n, for {
+        len <- Gen.oneOf(0, 1, 5, 7, 8, 9, 20)
+        cs <- Gen.listOfN(len, Gen.oneOf('x', 'y'))
+      } yield cs.mkString)
+      dupOf <- Gen.choose(0, n - 1)
+    } yield rows :+ (rows(dupOf) + "z") // a suffix-edited near-copy
+    forAll(gen) { texts =>
+      val docs = spark.createDataFrame(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }).toDF("doc_id", "text")
+      // blockChars = 4 so multi-block payloads are common at these sizes
+      val got = graft.operators.Dedup
+        .blockDedupStats(docs, "doc_id", "text", blockChars = 4)
+        .collect().map(_.toSeq).head
+      val blocks = texts.zipWithIndex.flatMap { case (t, i) =>
+        t.grouped(4).map(b => (i.toLong, b)) }
+      val distinct = blocks.map(_._2).distinct
+      val total = blocks.map(_._2.length.toLong).sum
+      val dedup = distinct.map(_.length.toLong).sum
+      val want = Seq(
+        blocks.map(_._1).distinct.size.toLong, blocks.size.toLong,
+        distinct.size.toLong, blocks.size.toLong - distinct.size,
+        total, dedup, total - dedup,
+        BigDecimal(dedup.toDouble / total * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(got == want, s"texts=$texts")
+    }
+  }
+
   test("weightedSample == hand md5 filter on the documents table") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
