@@ -899,6 +899,49 @@ object VectorQueries {
       FROM u LEFT JOIN deg d ON d.neighbor_id = u.vec_id
       GROUP BY 1 ORDER BY in_degree"""))
 
+  // --- v22: modality alignment audit -----------------------------------
+  // The referential-integrity gate a multimodal pipeline runs before
+  // training: every document should have an embedding row and vice
+  // versa. Full outer join on the id — the only shape that sees BOTH
+  // directions of drift (docs re-curated after embedding, embeddings
+  // computed from a stale snapshot) — collapsed to one exact-integer
+  // summary row. At scale this is one co-partitioned sort-merge join on
+  // the narrow id columns; neither text nor vectors ride the shuffle.
+  private val v22 = GraftQuery(
+    "v22_modality_alignment",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+      val vecs = Tables(s, d, "embeddings").select(col("vec_id"))
+      docs.join(vecs, col("doc_id") === col("vec_id"), "full_outer")
+        .agg(
+          count(col("doc_id")).as("n_docs"),
+          count(col("vec_id")).as("n_vecs"),
+          sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+            .otherwise(0L)).as("n_aligned"),
+          sum(when(col("vec_id").isNull, 1L).otherwise(0L))
+            .as("docs_missing_embedding"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L))
+            .as("vecs_missing_doc"))
+        .select(col("n_docs"), col("n_vecs"), col("n_aligned"),
+          col("docs_missing_embedding"), col("vecs_missing_doc"),
+          round(col("n_aligned").cast("double") /
+            greatest(col("n_docs"), col("n_vecs")) * 1e6)
+            .cast("long").as("alignment_ppm"))
+    },
+    Some("""SELECT count(doc_id) AS n_docs, count(vec_id) AS n_vecs,
+        sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+          THEN 1 ELSE 0 END) AS n_aligned,
+        sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END)
+          AS docs_missing_embedding,
+        sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS vecs_missing_doc,
+        CAST(round(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+            THEN 1 ELSE 0 END)::DOUBLE
+          / greatest(count(doc_id), count(vec_id)) * 1e6) AS BIGINT)
+          AS alignment_ppm
+      FROM (SELECT doc_id FROM documents) d
+      FULL OUTER JOIN (SELECT vec_id FROM embeddings) e
+        ON d.doc_id = e.vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21)
+    v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22)
 }
