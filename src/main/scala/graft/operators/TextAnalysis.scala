@@ -141,8 +141,12 @@ object TextAnalysis {
     val ds = df
       .select(col(idCol), explode(wordShingles(col(textCol), k)).as("_s"))
       .select(col(idCol), md5(col("_s")).as("_fp"))
+    // (id, fp) pairs are UNIQUE by construction (wordShingles is
+    // distinct-ified per document), so the docs-per-shingle count is a
+    // plain count — countDistinct would rebuild that distinctness with
+    // an extra (fp, id) aggregate layer before the exchange for nothing
     val fpc = ds.groupBy(col("_fp"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
+      .agg(count(lit(1)).as("_nd"))
     ds.join(fpc, "_fp")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
