@@ -25,6 +25,23 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getSeq[Double](2)).toSeq == again.map(_.getSeq[Double](2)).toSeq)
   }
 
+  test("distributed feature extraction equals the local FakeCodec kernel per row") {
+    // pins the d06 VALUES, not just determinism: the partition-batched
+    // distributed path must reproduce FakeCodec.decode applied locally
+    // to each payload's bytes — the contract that survives swapping the
+    // stub for a real decoder (only the kernel changes, not the plumbing)
+    val rows = media.orderBy("media_id").limit(10)
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    val got = Multimodal.extractFeatures(media, dim = 8)
+      .orderBy("media_id").limit(10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    rows.foreach { case (id, payload) =>
+      val want = Multimodal.FakeCodec.decode(payload, dim = 8).toSeq
+      assert(got(id) == want, s"media $id: distributed != local kernel")
+    }
+  }
+
   test("payload-size-aware repartitioning bounds bytes per task") {
     val parts = Multimodal.repartitionForPayloads(media, bytesPerPartition = 4096)
       .rdd.getNumPartitions
