@@ -88,7 +88,11 @@ def main(sf_dir, out_dir):
     npass = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
     for k, v in results.items():
         print(f"{'PASS' if v.startswith(('OK', 'ROWS_ONLY')) else 'FAIL'} {k}: {v}")
-    print(f"\n{npass}/{len(results)} pass")
+    # oracle-engine provenance: the round-8 s21/t22 driver-red vs
+    # local-green divergence was traced to the HARNESS environment (a
+    # different DuckDB release evaluating the oracle SQL), so every log
+    # states which engine produced it
+    print(f"\n{npass}/{len(results)} pass  (duckdb {duckdb.__version__})")
     return 0 if npass == len(results) else 1
 
 
