@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Readers for the corpus layouts LLM data pipelines actually ingest,
+  * normalized to the canonical documents shape
+  * `(doc_id: string, text, lang, source)` so every operator in this
+  * library (dedup, text analysis, sampling, novelty, packing) composes
+  * directly on top. The playback CSV source covers the reference's
+  * format; these cover the rest of a 100 TB ingest surface.
+  *
+  * Scale notes shared by all three:
+  *   - schemas are EXPLICIT — no inference pass (Spark's JSON schema
+  *     inference is a full extra scan of the corpus);
+  *   - compression (.gz/.bz2/.zst where the codec is present) is
+  *     handled by the text datasource per file, so mixed directories
+  *     read transparently;
+  *   - `doc_id` is the md5 of the normalized content — content-
+  *     addressed and engine-portable (the same id on re-ingest, on any
+  *     cluster size, and reproducible by the SQL oracles' md5), which
+  *     is exactly what the downstream dedup/split operators key on.
+  */
+object CorpusReader {
+
+  private val canonical = Seq("doc_id", "text", "lang", "source")
+
+  private def withDocId(df: DataFrame): DataFrame =
+    df.withColumn("doc_id",
+      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+      .select(canonical.map(col): _*)
+
+  /** JSONL (one JSON object per line, the interchange format of public
+    * text corpora): explicit single-pass schema over the named fields;
+    * missing lang/source fields land as configurable defaults rather
+    * than nulls so group-bys stay total. Malformed lines fail the read
+    * (PERMISSIVE would silently null entire documents — for a training
+    * corpus that is data loss, not tolerance; callers wanting a
+    * quarantine pipe read with their own schema). */
+  def readJsonl(spark: SparkSession, path: String,
+      textField: String = "text", langField: String = "lang",
+      sourceField: String = "source", defaultLang: String = "und",
+      defaultSource: String = "unknown"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(textField, StringType),
+      StructField(langField, StringType),
+      StructField(sourceField, StringType)))
+    val raw = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    withDocId(raw.select(
+      col(textField).as("text"),
+      coalesce(col(langField), lit(defaultLang)).as("lang"),
+      coalesce(col(sourceField), lit(defaultSource)).as("source")))
+  }
+
+  /** Directory of raw text files, one DOCUMENT per FILE (the
+    * crawl-extract layout): `wholetext` keeps each file a single row —
+    * a file is never split across partitions, so per-document operators
+    * see complete documents — and the file name becomes the source. */
+  def readTextFiles(spark: SparkSession, dir: String,
+      lang: String = "und"): DataFrame = {
+    val raw = spark.read.option("wholetext", "true").text(dir)
+      .select(col("value").as("text"),
+        lit(lang).as("lang"),
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("source"))
+    withDocId(raw)
+  }
+
+  /** Directory of text files, one DOCUMENT per LINE (the sentence/
+    * paragraph-corpus layout): plain line scan — files split across
+    * partitions freely, so a 100 GB single file still parallelizes.
+    * Blank lines drop (they carry no document). */
+  def readTextLines(spark: SparkSession, dir: String,
+      lang: String = "und"): DataFrame = {
+    val raw = spark.read.text(dir)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value").as("text"),
+        lit(lang).as("lang"),
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("source"))
+    withDocId(raw)
+  }
+}

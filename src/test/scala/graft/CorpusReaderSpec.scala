@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import graft.sources.CorpusReader
+import org.apache.spark.sql.functions._
+
+class CorpusReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def write(path: String, content: String): Unit =
+    Files.write(Paths.get(path), content.getBytes("UTF-8"))
+
+  private def writeGz(path: String, content: String): Unit = {
+    val out = new GZIPOutputStream(Files.newOutputStream(Paths.get(path)))
+    out.write(content.getBytes("UTF-8")); out.close()
+  }
+
+  test("readJsonl: explicit schema, defaults for missing fields, gz transparent") {
+    val dir = tmpDir("jsonl")
+    write(s"$dir/a.jsonl",
+      """{"text":"alpha beta gamma","lang":"en","source":"web"}
+        |{"text":"delta epsilon"}
+        |""".stripMargin)
+    writeGz(s"$dir/b.jsonl.gz",
+      """{"text":"zeta eta theta","lang":"fr","source":"books"}
+        |""".stripMargin)
+    val docs = CorpusReader.readJsonl(spark, dir)
+    assert(docs.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
+    val rows = docs.select("text", "lang", "source")
+      .as[(String, String, String)].collect().toSet
+    assert(rows == Set(
+      ("alpha beta gamma", "en", "web"),
+      ("delta epsilon", "und", "unknown"), // defaults, not nulls
+      ("zeta eta theta", "fr", "books")))
+    // content-addressed id: md5 of the normalized text, the same key
+    // TextAnalysis.fingerprint computes — dedup composes directly
+    val ids = docs.select("doc_id", "text").as[(String, String)].collect()
+    ids.foreach { case (id, text) =>
+      val fp = Seq(text).toDF("t")
+        .select(md5(lower(regexp_replace(trim(col("t")), "\\s+", " "))))
+        .head().getString(0)
+      assert(id == fp)
+    }
+  }
+
+  test("readJsonl: malformed lines FAIL the read rather than nulling documents") {
+    val dir = tmpDir("jsonlbad")
+    write(s"$dir/bad.jsonl", "{\"text\":\"ok\"}\nnot json at all\n")
+    intercept[Exception] {
+      CorpusReader.readJsonl(spark, dir).collect()
+    }
+  }
+
+  test("readTextFiles: one document per file, file name as source") {
+    val dir = tmpDir("wholetext")
+    write(s"$dir/doc1.txt", "first document body\nwith a second line")
+    write(s"$dir/doc2.txt", "second document")
+    val docs = CorpusReader.readTextFiles(spark, dir)
+    val bySource = docs.select("source", "text").as[(String, String)]
+      .collect().toMap
+    assert(bySource.keySet == Set("doc1.txt", "doc2.txt"))
+    assert(bySource("doc1.txt").contains("second line"),
+      "wholetext keeps a multi-line file as ONE document")
+  }
+
+  test("readTextLines: one document per non-blank line across files") {
+    val dir = tmpDir("lines")
+    write(s"$dir/a.txt", "line one\n\nline two\n")
+    writeGz(s"$dir/b.txt.gz", "line three\n")
+    val docs = CorpusReader.readTextLines(spark, dir)
+    assert(docs.select("text").as[String].collect().toSet ==
+      Set("line one", "line two", "line three")) // blank dropped
+  }
+
+  test("canonical shape composes with the library operators directly") {
+    val dir = tmpDir("compose")
+    write(s"$dir/c.jsonl",
+      """{"text":"a b c d e f","lang":"en","source":"s1"}
+        |{"text":"a b c d e f","lang":"en","source":"s1"}
+        |{"text":"totally different words here","lang":"en","source":"s2"}
+        |""".stripMargin)
+    val docs = CorpusReader.readJsonl(spark, dir)
+    // exact dedup keys on the content-addressed id out of the box
+    val deduped = graft.operators.Dedup.exactKeepFirst(docs, "text", "doc_id")
+    assert(deduped.count() == 2, "identical documents collapse")
+    val stats = graft.operators.TextAnalysis
+      .ngramNovelty(docs, "doc_id", "text")
+    // the duplicated doc's single distinct id appears once in novelty
+    assert(stats.count() == 2)
+  }
+}
