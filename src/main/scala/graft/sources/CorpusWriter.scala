@@ -38,4 +38,24 @@ object CorpusWriter {
       .save(outDir)
     sharded
   }
+
+  /** JSONL export — the interchange shard format training stacks
+    * consume directly: same deterministic shard/position layout as
+    * [[writeSharded]], written as (optionally gzip-compressed)
+    * line-delimited JSON. Column order inside each object follows the
+    * input schema, so re-running over the same corpus is byte-stable.
+    * Round-trips through [[CorpusReader.readJsonl]] (spec-pinned):
+    * content-addressed ids regenerate identically from the text. */
+  def writeJsonl(df: DataFrame, key: Column, outDir: String,
+      nShards: Int, compress: Boolean = true, salt: String = ""): DataFrame = {
+    val sharded = Sampling.shardAssignment(df, key, nShards, salt)
+    val w = sharded
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write
+      .partitionBy("shard")
+      .mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(outDir)
+    sharded
+  }
 }

@@ -77,6 +77,26 @@ class CorpusReaderSpec extends SparkSpec {
       Set("line one", "line two", "line three")) // blank dropped
   }
 
+  test("writeJsonl -> readJsonl round-trip: content and ids regenerate exactly") {
+    val src = tmpDir("rt_src"); val out = tmpDir("rt_out")
+    write(s"$src/in.jsonl",
+      """{"text":"round trip one","lang":"en","source":"s1"}
+        |{"text":"round trip two two","lang":"de","source":"s2"}
+        |{"text":"round trip three","lang":"en","source":"s1"}
+        |""".stripMargin)
+    val docs = CorpusReader.readJsonl(spark, src)
+    graft.sources.CorpusWriter.writeJsonl(
+      docs, col("doc_id"), out, nShards = 2)
+    val back = CorpusReader.readJsonl(spark, s"$out/shard=*")
+    // the reader re-derives doc_id from content, so equality of full
+    // rows proves the export preserved text/lang/source byte-exactly
+    assert(back.select("doc_id", "text", "lang", "source").collect().map(_.toSeq).toSet
+      == docs.select("doc_id", "text", "lang", "source").collect().map(_.toSeq).toSet)
+    // gzip shards on disk (the training-stack interchange layout)
+    val files = java.nio.file.Files.walk(Paths.get(out)).toArray.map(_.toString)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString("\n"))
+  }
+
   test("canonical shape composes with the library operators directly") {
     val dir = tmpDir("compose")
     write(s"$dir/c.jsonl",
