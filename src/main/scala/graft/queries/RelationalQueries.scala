@@ -1494,7 +1494,7 @@ object RelationalQueries {
           FROM days)
         GROUP BY user_id, anchor)
       SELECT user_id, count(*) AS n_streaks,
-        max(len) AS longest_streak, sum(len) AS active_days
+        max(len) AS longest_streak, CAST(sum(len) AS BIGINT) AS active_days
       FROM islands GROUP BY user_id
       HAVING max(len) >= 3 ORDER BY user_id"""),
     bench = true)

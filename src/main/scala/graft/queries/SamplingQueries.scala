@@ -635,7 +635,8 @@ object SamplingQueries {
         FROM base b JOIN r USING (source)
         WHERE ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::UBIGINT
           / 4294967296.0 < r.ratio)
-      SELECT source, count(*) AS n_docs_kept, sum(tok) AS n_tokens_kept,
+      SELECT source, count(*) AS n_docs_kept,
+        CAST(sum(tok) AS BIGINT) AS n_tokens_kept,
         CAST(round(round(any_value(ratio), 6) * 1e6) AS BIGINT) AS keep_ratio_ppm
       FROM kept GROUP BY source ORDER BY source"""))
 
@@ -731,7 +732,8 @@ object SamplingQueries {
         FROM base b JOIN r USING (source)
         WHERE ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::UBIGINT
           / 4294967296.0 < r.ratio)
-      SELECT source, count(*) AS n_docs_kept, sum(tok) AS n_tokens_kept,
+      SELECT source, count(*) AS n_docs_kept,
+        CAST(sum(tok) AS BIGINT) AS n_tokens_kept,
         CAST(round(any_value(p) * 1e6) AS BIGINT) AS target_share_ppm,
         CAST(round(any_value(ratio) * 1e6) AS BIGINT) AS keep_ratio_ppm
       FROM kept GROUP BY source ORDER BY source"""))
@@ -761,8 +763,8 @@ object SamplingQueries {
             .cast("long").as("coverage_ppm"))
         .orderBy("lang", "source"),
     Some(f"""SELECT lang, source, count(*) AS n_corpus,
-        sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$s25Cut%02x'
-          THEN 1 ELSE 0 END) AS n_sample,
+        CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$s25Cut%02x'
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
         CAST(round(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$s25Cut%02x'
           THEN 1 ELSE 0 END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS coverage_ppm
       FROM documents GROUP BY lang, source ORDER BY lang, source"""))

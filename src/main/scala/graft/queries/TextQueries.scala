@@ -747,7 +747,8 @@ object TextQueries {
           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         FROM documents),
       agg AS (
-        SELECT source, count(*) AS n_docs, sum(tok) AS n_tokens,
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(tok) AS BIGINT) AS n_tokens,
           count(DISTINCT fp) AS nd
         FROM b GROUP BY source),
       ent AS (
@@ -830,7 +831,7 @@ object TextQueries {
       fpc AS (SELECT s, count(DISTINCT doc_id) AS nd FROM ds GROUP BY s),
       per AS (
         SELECT d.doc_id, count(*) AS n_shingles,
-          sum(CASE WHEN f.nd = 1 THEN 1 ELSE 0 END) AS n_novel
+          CAST(sum(CASE WHEN f.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
         FROM ds d JOIN fpc f ON f.s = d.s GROUP BY 1)
       SELECT doc_id, n_shingles, n_novel,
         CAST(round(n_novel::DOUBLE / n_shingles * 1e6) AS BIGINT) AS novelty_ppm
@@ -873,10 +874,12 @@ object TextQueries {
           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         FROM documents),
       raw AS (
-        SELECT source, count(*) AS n_docs, sum(tok) AS n_tokens
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(tok) AS BIGINT) AS n_tokens
         FROM b GROUP BY source),
       uniq AS (
-        SELECT source, count(*) AS n_unique_docs, sum(utok) AS effective_tokens
+        SELECT source, count(*) AS n_unique_docs,
+          CAST(sum(utok) AS BIGINT) AS effective_tokens
         FROM (SELECT source, fp, min(tok) AS utok FROM b GROUP BY 1, 2)
         GROUP BY source)
       SELECT r.source, n_docs, n_tokens, n_unique_docs, effective_tokens,

@@ -929,11 +929,12 @@ object VectorQueries {
             .cast("long").as("alignment_ppm"))
     },
     Some("""SELECT count(doc_id) AS n_docs, count(vec_id) AS n_vecs,
-        sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
-          THEN 1 ELSE 0 END) AS n_aligned,
-        sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END)
+        CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+        CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
           AS docs_missing_embedding,
-        sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS vecs_missing_doc,
+        CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS vecs_missing_doc,
         CAST(round(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
             THEN 1 ELSE 0 END)::DOUBLE
           / greatest(count(doc_id), count(vec_id)) * 1e6) AS BIGINT)

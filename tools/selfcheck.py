@@ -38,6 +38,31 @@ def table_hash(rows, cols):
     return h.hexdigest()
 
 
+# Output types the driver's harness is known to hash differently than
+# the Python fetchall() coercion this script sees (round-9 judge proof:
+# a query was driver-red iff its oracle produced a HUGEINT column —
+# DuckDB types a bare integer sum() as int128). fetchall() coerces
+# HUGEINT to int, so value comparison alone is blind to it; lint the
+# declared relation types instead and force CAST(... AS BIGINT).
+UNSTABLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def lint_oracle_types(con, oracles):
+    """Return {name: [(col, type), ...]} for oracles whose output schema
+    contains a driver-unstable type. Empty dict == lint clean."""
+    bad = {}
+    for name, sql in oracles.items():
+        try:
+            rel = con.sql(sql)
+        except Exception:
+            continue  # execution errors surface in the main loop
+        hits = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in UNSTABLE_TYPES]
+        if hits:
+            bad[name] = hits
+    return bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
@@ -48,6 +73,7 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     results = {}
+    type_lint = lint_oracle_types(con, oracles)
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
@@ -83,6 +109,11 @@ def main(sf_dir, out_dir):
                 if a != b:
                     print(f"  [{name}] spark: {a}\n  [{name}] duck : {b}")
                     break
+        elif name in type_lint:
+            hits = ", ".join(f"{c}:{t}" for c, t in type_lint[name])
+            results[name] = (f"ORACLE_TYPE_LINT [{hits}] — values match but "
+                             "the driver hashes this type differently; "
+                             "CAST the column to BIGINT")
         else:
             results[name] = f"OK({len(got)})"
     npass = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
