@@ -26,6 +26,7 @@ object QueryRegistry {
       queries.DedupQueries.all ++
       queries.VectorQueries.all ++
       queries.SamplingQueries.all ++
+      queries.IngestQueries.all ++
       queries.PlaybackQueries.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -109,7 +109,19 @@ object PlaybackBench {
       }
       best
     } finally {
-      started.foreach(q => try q.stop() catch { case _: Throwable => () })
+      // Graceful teardown: close the admission gate so no micro-batch
+      // is in flight, drain until every query's trigger goes idle, then
+      // stop. Stopping a mid-batch stream interrupts live noop-write
+      // tasks and logs "DataWritingSparkTask: Aborting commit" at ERROR
+      // level into an otherwise-green bench artifact.
+      graft.streaming.CsvPlaybackStream.quiesce.set(true)
+      try {
+        val drainDeadline = System.nanoTime() + 5L * 1000000000L
+        while (started.exists(q => q.isActive && q.status.isTriggerActive) &&
+            System.nanoTime() < drainDeadline)
+          Thread.sleep(50)
+        started.foreach(q => try q.stop() catch { case _: Throwable => () })
+      } finally graft.streaming.CsvPlaybackStream.quiesce.set(false)
       spark.streams.removeListener(listener)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(workDir).iterator().asScala.toSeq.reverse

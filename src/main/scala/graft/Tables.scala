@@ -28,6 +28,13 @@ object Tables {
       //   timestamp[us] UTC      -> TimestampType directly, no shim
       // Normalizing here keeps every query free of per-file type guards.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The NTZ->instant cast below is micros-identical ONLY under a
+      // UTC session zone; a non-UTC session would silently shift every
+      // ts value. All entry points pin UTC, but the invariant belongs
+      // where it is relied on — enforce, don't assume.
+      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "Tables requires spark.sql.session.timeZone=UTC (the NTZ " +
+          "events.ts normalization is only lossless under UTC)")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

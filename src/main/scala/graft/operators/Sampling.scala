@@ -117,7 +117,13 @@ object Sampling {
         pow(col("_total").cast("double"), lit(1.0 / temperature)))
     val sumPw = masses.agg(sum(col("_pw")).as("_sumpw"))
     // share and ratio in exactly this association — the oracle mirrors
-    // the float ops verbatim
+    // the float ops verbatim. Residual caveat (the one float op NOT
+    // order-pinned): Σ n_j^(1/T) is an unordered double reduction whose
+    // accumulation order neither Spark nor DuckDB specifies, so "mirrors
+    // verbatim" holds per-term but not for the sum's rounding path; the
+    // ppm grain on every reported column absorbs any such ulp-level
+    // difference (a flip would need two sources' shares within ~1e-12
+    // of a 0.5-ppm boundary — astronomically unlikely, not impossible)
     val ratios = masses.crossJoin(broadcast(sumPw))
       .select(col("_src"), col("_total"),
         (col("_pw") / col("_sumpw")).as("_p"))

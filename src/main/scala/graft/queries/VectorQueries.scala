@@ -19,19 +19,30 @@ object VectorQueries {
     * contract mirrored here: [[graft.operators.IvfIndex.parityModel]]
     * centroids are the 16 smallest ids' unit vectors; cell ranking is
     * the lexicographic (d, i) struct max/sort, where equal scores pick
-    * the LARGER index → `ORDER BY d DESC, i DESC`. `uCols` lets a
-    * caller carry extra columns (v15 needs `label`); `queryPred`
-    * bounds the probe side's query set; `nprobe` its cells. */
+    * the LARGER index → `ORDER BY d DESC, i DESC`. The cell score `d`
+    * feeds that ranking UNROUNDED, so it must replay the engine's
+    * float op sequence exactly: normalize each vector once
+    * (x / sqrt(Σx²), the `Similarity.withUnit` sequence), then a plain
+    * inner product of pre-normalized units — NOT
+    * `list_cosine_similarity` over raw vectors, whose different op
+    * order could flip a near-tied cell assignment on regenerated
+    * testdata. `uCols` lets a caller carry extra columns (v15 needs
+    * `label`); `queryPred` bounds the probe side's query set; `nprobe`
+    * its cells. */
   private def parityIvfCteSql(uCols: String, queryPred: String,
       nprobe: Int): String =
     s"""u AS (
         SELECT $uCols FROM embeddings),
+      pun AS (
+        SELECT vec_id,
+          list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS pe
+        FROM u),
       cent AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e AS ce
-        FROM (SELECT vec_id, e FROM u ORDER BY vec_id LIMIT 16)),
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, pe AS ce
+        FROM (SELECT vec_id, pe FROM pun ORDER BY vec_id LIMIT 16)),
       score AS (
-        SELECT v.vec_id, c.i, list_cosine_similarity(v.e, c.ce) AS d
-        FROM u v CROSS JOIN cent c),
+        SELECT v.vec_id, c.i, list_inner_product(v.pe, c.ce) AS d
+        FROM pun v CROSS JOIN cent c),
       assign AS (
         SELECT vec_id, i AS cell FROM (
           SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
@@ -943,6 +954,49 @@ object VectorQueries {
       FULL OUTER JOIN (SELECT vec_id FROM embeddings) e
         ON d.doc_id = e.vec_id"""))
 
+  // --- v23/v24/v25: TRAINED-model ANN bench twins ----------------------
+  // v05/v07/v08's registry entries run parity models (smallest-id
+  // centroids / sub-slice codebooks) so their DuckDB oracles can replay
+  // every step as SQL — which means the bench was timing the gate
+  // variant, not the production path. These twins run the identical
+  // search pipelines with freshly TRAINED k-means models (the
+  // deterministic xxhash64-ordered sample + Lloyd's, the path a real
+  // deployment uses; recall pinned in IvfWinnowSpec/PqSpec). k-means
+  // assignments aren't SQL-replayable tie-stably, so these are
+  // rows-only gated (no oracle) and exist to keep the production
+  // timing honest in BENCH alongside the parity-gated v05/v07/v08.
+  private val v23 = GraftQuery(
+    "v23_ann_ivf_trained",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      graft.operators.IvfIndex.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+    None, bench = true)
+
+  private val v24 = GraftQuery(
+    "v24_ann_pq_trained",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      graft.operators.PqIndex.pqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, m = 16, nCentroids = 16)
+        .orderBy("query_id", "rank")
+    },
+    None, bench = true)
+
+  private val v25 = GraftQuery(
+    "v25_ann_ivfpq_trained",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      graft.operators.PqIndex.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+          m = 16, nCentroids = 16)
+        .orderBy("query_id", "rank")
+    },
+    None, bench = true)
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
-    v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22)
+    v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
+    v23, v24, v25)
 }

@@ -14,9 +14,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * Scale notes shared by all three:
   *   - schemas are EXPLICIT — no inference pass (Spark's JSON schema
   *     inference is a full extra scan of the corpus);
-  *   - compression (.gz/.bz2/.zst where the codec is present) is
-  *     handled by the text datasource per file, so mixed directories
-  *     read transparently;
+  *   - compression is handled by the text datasource per file, so
+  *     mixed directories read transparently: .gz and .bz2 work
+  *     everywhere (both have pure-Java codecs — round-trip-pinned in
+  *     CorpusReaderSpec); .zst additionally requires a native
+  *     libhadoop+zstd at runtime (absent in this build environment,
+  *     so it is NOT pinned here — deployments with the native lib get
+  *     it through the same per-extension codec dispatch);
   *   - `doc_id` is the md5 of the normalized content — content-
   *     addressed and engine-portable (the same id on re-ingest, on any
   *     cluster size, and reproducible by the SQL oracles' md5), which
@@ -37,7 +41,13 @@ object CorpusReader {
     * than nulls so group-bys stay total. Malformed lines fail the read
     * (PERMISSIVE would silently null entire documents — for a training
     * corpus that is data loss, not tolerance; callers wanting a
-    * quarantine pipe read with their own schema). */
+    * quarantine pipe read with their own schema). FAILFAST only rejects
+    * lines that don't parse, so a WELL-FORMED object missing the text
+    * field (or carrying `"text": null`) would otherwise slip through as
+    * a null-text row — and a null doc_id, a null key poisoning every
+    * downstream dedup/split group-by. Those rows fail the read too
+    * (`raise_error` at first occurrence, map-side), keeping the
+    * docstring's totality claim enforced rather than assumed. */
   def readJsonl(spark: SparkSession, path: String,
       textField: String = "text", langField: String = "lang",
       sourceField: String = "source", defaultLang: String = "und",
@@ -48,7 +58,10 @@ object CorpusReader {
       StructField(sourceField, StringType)))
     val raw = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
     withDocId(raw.select(
-      col(textField).as("text"),
+      when(col(textField).isNull, raise_error(concat(
+          lit(s"readJsonl: well-formed line with null/missing '$textField' in "),
+          input_file_name())))
+        .otherwise(col(textField)).as("text"),
       coalesce(col(langField), lit(defaultLang)).as("lang"),
       coalesce(col(sourceField), lit(defaultSource)).as("source")))
   }

@@ -45,13 +45,20 @@ object CorpusWriter {
     * line-delimited JSON. Column order inside each object follows the
     * input schema, so re-running over the same corpus is byte-stable.
     * Round-trips through [[CorpusReader.readJsonl]] (spec-pinned):
-    * content-addressed ids regenerate identically from the text. */
+    * content-addressed ids regenerate identically from the text.
+    *
+    * The synthetic `pos` column is dropped before serialization (a
+    * post-sort projection, so in-file line order IS position order):
+    * `partitionBy` already strips `shard` into the directory name, and
+    * an extra `pos` field per record would make every exported object
+    * carry a layout artifact no loader schema expects. */
   def writeJsonl(df: DataFrame, key: Column, outDir: String,
       nShards: Int, compress: Boolean = true, salt: String = ""): DataFrame = {
     val sharded = Sampling.shardAssignment(df, key, nShards, salt)
     val w = sharded
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
+      .drop("pos")
       .write
       .partitionBy("shard")
       .mode("overwrite")

@@ -45,6 +45,16 @@ object CsvPlaybackStream {
 
   val SHORT_NAME = "csvplayback"
 
+  /** JVM-wide admission gate for graceful bench/test teardown. While
+    * set, every playback source's `latestOffset` stops granting new
+    * chunks (it returns the start offset unchanged), so after one
+    * trigger interval no micro-batch is in flight and `query.stop()`'s
+    * thread interrupt lands on an idle stream instead of killing live
+    * write tasks (which logs "DataWritingSparkTask: Aborting commit"
+    * ERRORs into otherwise-green bench artifacts). Scoped to teardown:
+    * set it, drain, stop the queries, clear it. */
+  val quiesce = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Sub-partition granularity: a batch range splits into ~SUB_SPLIT-row
     * partitions, and the seek index records the byte offset of every
     * SUB_SPLIT-th line so readers position in O(1). */
@@ -343,6 +353,7 @@ class CsvPlaybackMicroBatchStream(cfg: PlaybackConfig)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val so = start.asInstanceOf[PlaybackOffset]
+    if (CsvPlaybackStream.quiesce.get()) return so // teardown drain
     val s = so.totalRows
     anchorFromOffset(so) // recovery: restore state before the rotate check
     // EOF post-processing: the previous trigger finished the file (all

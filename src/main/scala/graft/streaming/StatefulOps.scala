@@ -170,6 +170,52 @@ object StatefulOps {
         col("low"), col("high"))
   }
 
+  final case class Streak(key: String, startDay: Long, endDay: Long, len: Long)
+
+  /** Streaming activity streaks — the live twin of the q53 batch
+    * gaps-and-islands query: per key, maximal runs of consecutive
+    * calendar days with at least one event. State per key is two day
+    * ordinals (current streak start + last active day) regardless of
+    * streak length or event rate. A streak EMITS when it closes — the
+    * first event on a day ≥ lastDay + 2 proves the run ended at
+    * lastDay (append semantics; the still-open tail streak lives only
+    * in state, exactly the part a batch re-run over the full history
+    * would still be free to extend).
+    *
+    * Ordering contract: per key, event DAYS must arrive non-decreasing
+    * across micro-batches (the playback/replay order; within a batch
+    * any order is fine — the group sorts). A day earlier than the
+    * current streak's last day is ignored rather than re-opening a
+    * closed streak, so late data degrades to under-counting gaps,
+    * never to corrupt state. StatefulOpsSpec pins closed-streak parity
+    * against the batch q53 islands over the same rows. */
+  def streamingStreaks(input: Dataset[Keyed]): Dataset[Streak] = {
+    implicit val streakEnc = Encoders.product[Streak]
+    // state = (streak start day, last active day), as a plain tuple:
+    // a non-public case class breaks the state encoder's codegen
+    implicit val stEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val microsPerDay = 86400L * 1000000L
+    input
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Keyed], state: GroupState[(Long, Long)]) => {
+          val days = rows.map(r => Math.floorDiv(r.tsMicros, microsPerDay))
+            .toSeq.distinct.sorted
+          val closed = Seq.newBuilder[Streak]
+          var st = if (state.exists) state.get else null
+          days.foreach { d =>
+            if (st == null) st = (d, d)
+            else if (d > st._2 + 1) {
+              closed += Streak(key, st._1, st._2, st._2 - st._1 + 1)
+              st = (d, d)
+            } else if (d > st._2) st = (st._1, d)
+            // d <= last active day: already counted (or late) — ignore
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+        })
+  }
+
   /** Watermarked stream-stream interval join: each left row pairs with
     * same-key right rows whose event time falls in
     * [left.ts − lookback, left.ts + lookahead] — the streaming twin of

@@ -20,7 +20,16 @@ class CorpusReaderSpec extends SparkSpec {
     out.write(content.getBytes("UTF-8")); out.close()
   }
 
-  test("readJsonl: explicit schema, defaults for missing fields, gz transparent") {
+  private def writeBz2(path: String, content: String): Unit = {
+    // Hadoop's BZip2Codec (pure-Java path, no native lib needed) —
+    // the same codec the text datasource dispatches to on read
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(new org.apache.hadoop.conf.Configuration())
+    val out = codec.createOutputStream(Files.newOutputStream(Paths.get(path)))
+    out.write(content.getBytes("UTF-8")); out.close()
+  }
+
+  test("readJsonl: explicit schema, defaults for missing fields, gz/bz2 transparent") {
     val dir = tmpDir("jsonl")
     write(s"$dir/a.jsonl",
       """{"text":"alpha beta gamma","lang":"en","source":"web"}
@@ -29,6 +38,9 @@ class CorpusReaderSpec extends SparkSpec {
     writeGz(s"$dir/b.jsonl.gz",
       """{"text":"zeta eta theta","lang":"fr","source":"books"}
         |""".stripMargin)
+    writeBz2(s"$dir/c.jsonl.bz2",
+      """{"text":"iota kappa lambda","lang":"el","source":"wiki"}
+        |""".stripMargin)
     val docs = CorpusReader.readJsonl(spark, dir)
     assert(docs.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
     val rows = docs.select("text", "lang", "source")
@@ -36,7 +48,8 @@ class CorpusReaderSpec extends SparkSpec {
     assert(rows == Set(
       ("alpha beta gamma", "en", "web"),
       ("delta epsilon", "und", "unknown"), // defaults, not nulls
-      ("zeta eta theta", "fr", "books")))
+      ("zeta eta theta", "fr", "books"),
+      ("iota kappa lambda", "el", "wiki"))) // bz2: pure-Java codec path
     // content-addressed id: md5 of the normalized text, the same key
     // TextAnalysis.fingerprint computes — dedup composes directly
     val ids = docs.select("doc_id", "text").as[(String, String)].collect()
@@ -53,6 +66,23 @@ class CorpusReaderSpec extends SparkSpec {
     write(s"$dir/bad.jsonl", "{\"text\":\"ok\"}\nnot json at all\n")
     intercept[Exception] {
       CorpusReader.readJsonl(spark, dir).collect()
+    }
+  }
+
+  test("readJsonl: well-formed lines with null/missing text FAIL the read") {
+    // FAILFAST only rejects unparseable JSON — these two lines parse
+    // fine but would yield null text AND null doc_id (a null dedup key)
+    for (line <- Seq("{\"lang\":\"en\",\"source\":\"s1\"}",
+                     "{\"text\":null,\"lang\":\"en\"}")) {
+      val dir = tmpDir("jsonlnulltext")
+      write(s"$dir/n.jsonl", "{\"text\":\"fine\"}\n" + line + "\n")
+      val e = intercept[Exception] {
+        CorpusReader.readJsonl(spark, dir).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("readJsonl")),
+        s"expected the null-text raise_error, got: $e")
     }
   }
 
@@ -95,6 +125,13 @@ class CorpusReaderSpec extends SparkSpec {
     // gzip shards on disk (the training-stack interchange layout)
     val files = java.nio.file.Files.walk(Paths.get(out)).toArray.map(_.toString)
     assert(files.exists(_.endsWith(".json.gz")), files.mkString("\n"))
+    // interchange purity: exported objects carry ONLY the input schema —
+    // the synthetic pos column is dropped before serialization (in-file
+    // line order is position order), and shard lives in the dir name
+    val rawLines = spark.read.textFile(s"$out/shard=*").collect()
+    assert(rawLines.nonEmpty && rawLines.forall(l =>
+        !l.contains("\"pos\"") && !l.contains("\"shard\"")),
+      "JSONL records must not leak layout columns")
   }
 
   test("canonical shape composes with the library operators directly") {

@@ -323,4 +323,42 @@ class StatefulOpsSpec extends SparkSpec {
       ntz, "user", "ts", gap = "5 seconds", delay = "0 seconds").collect().toSet
     assert(sessNtz == sessLtz, s"ntz=$sessNtz ltz=$sessLtz")
   }
+
+  test("streamingStreaks: closed streaks match the batch q53 islands") {
+    implicit val sq = spark.sqlContext
+    val day = 86400L * 1000000L
+    def ev(key: String, d: Long, offs: Long = 0L) =
+      StatefulOps.Keyed(key, d * day + offs, 1.0)
+    val input = MemoryStream[StatefulOps.Keyed]
+    val streaks = StatefulOps.streamingStreaks(input.toDS())
+    val q = streaks.writeStream.format("memory").queryName("streaks")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    // u1: days 1,2,3 then 6,7 then 10 (two closed streaks by the end);
+    // u2: days 2,3 then 9 (one closed); streak 1-2-3 spans a batch
+    // boundary and day 3 repeats across batches (dedup within state)
+    val batches = Seq(
+      Seq(ev("u1", 1), ev("u1", 2), ev("u2", 2), ev("u2", 3)),
+      Seq(ev("u1", 3), ev("u1", 3, 5L)),        // extends + same-day repeat
+      Seq(ev("u1", 6), ev("u1", 7), ev("u2", 9)), // closes u1[1-3], u2[2-3]
+      Seq(ev("u1", 10)))                          // closes u1[6-7]
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.sql(
+          "SELECT key, startDay, endDay, len FROM streaks")
+        .as[(String, Long, Long, Long)].collect().toSet
+      // batch gaps-and-islands over the SAME rows (the q53 shape),
+      // minus each key's final island (still open in streaming state)
+      val allDays = batches.flatten
+        .map(k => (k.key, Math.floorDiv(k.tsMicros, day))).distinct
+      val islands = allDays.groupBy(_._1).flatMap { case (k, rows) =>
+        val ds = rows.map(_._2).sorted
+        val runs = ds.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: tail, d) if d == e + 1 => (s, d) :: tail
+          case (acc, d) => (d, d) :: acc
+        }.reverse
+        runs.dropRight(1).map { case (s, e) => (k, s, e, e - s + 1) }
+      }.toSet
+      assert(streamed == islands, s"streamed=$streamed batch=$islands")
+    } finally q.stop()
+  }
 }

@@ -102,6 +102,27 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("non-UTC session timeZone is rejected, not silently shifted") {
+    import spark.implicits._
+    // The NTZ->instant cast in Tables is micros-identical ONLY under
+    // UTC; a non-UTC session would shift every events.ts value with no
+    // error. Tables enforces the invariant instead of assuming it.
+    val dir = eventsDir { path =>
+      micros.toDF("us")
+        .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+        .coalesce(1).write.parquet(path)
+    }
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        Tables(spark, dir, "events")
+      }
+      assert(e.getMessage.contains("timeZone"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+    assert(loadedMicros(dir) == micros.sorted) // restored session works
+  }
+
   test("nanos-as-long (TIMESTAMP(NANOS) under the legacy read conf) truncates ns->us") {
     import spark.implicits._
     // Spark cannot WRITE parquet TIMESTAMP(NANOS); under the
