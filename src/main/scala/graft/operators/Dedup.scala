@@ -167,6 +167,50 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Asymmetric containment near-dup pairs: for docs a < b,
+    * containment = |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|) over the
+    * k-shingle sets — the inclusion detector symmetric Jaccard
+    * structurally misses (a 10-line snippet wholly embedded in a
+    * 10-page document has tiny Jaccard but containment 1.0; quote
+    * farms, scraped mirrors-with-chrome, and prompt-template
+    * expansions all look exactly like this in a training corpus).
+    *
+    * Scale shape: shingles reduce to md5 fingerprints AT THE SCAN
+    * (text never shuffles); candidates come from the (fp → id)
+    * equi-join; shingles present in more than `maxShingleDocFreq`
+    * docs are excluded from candidate generation AND overlap counting
+    * (a boilerplate shingle shared by half the corpus is noise, not
+    * inclusion evidence — and it is exactly the shingle that would
+    * otherwise make the self-join quadratic). Per-doc set sizes ride
+    * a separate narrow aggregate. The filter applies to the ROUNDED
+    * score so external replays agree at the boundary. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.9,
+      maxShingleDocFreq: Long = 10000): DataFrame = {
+    val fps = OpCaches.track(df.select(col(idCol).as("_id"),
+        explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_s"))
+      .select(col("_id"), md5(col("_s")).as("_fp"))
+      .distinct())
+    val rare = fps.groupBy(col("_fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxShingleDocFreq)
+      .select(col("_fp"))
+    val cand = fps.join(rare, "_fp")
+    val sizes = fps.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val shared = cand.select(col("_fp"), col("_id").as("a"))
+      .join(cand.select(col("_fp"), col("_id").as("b")), "_fp")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("_shared"))
+    shared
+      .join(sizes.select(col("_id").as("a"), col("_n").as("_na")), "a")
+      .join(sizes.select(col("_id").as("b"), col("_n").as("_nb")), "b")
+      .withColumn("containment", round(
+        col("_shared").cast("double") / least(col("_na"), col("_nb")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   /** Cross-corpus near-dup pairs — FUZZY decontamination (the exact
     * 5-gram overlap of [[contaminated]] misses a paraphrased or
     * lightly-edited benchmark leak; this catches anything above the

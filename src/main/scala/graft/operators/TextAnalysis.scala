@@ -420,4 +420,52 @@ object TextAnalysis {
     * `char_entropy`. */
   def charEntropy(text: Column): Column =
     graft.functions.HashExpressions.char_entropy(text)
+
+  /** Pairwise source-divergence matrix: Jensen-Shannon divergence (nats)
+    * between each source pair's smoothed unigram distributions over the
+    * corpus-wide top-`vocabSize` vocabulary (deterministic heap cut:
+    * rank by count DESC, then word). Add-`alpha` smoothing over the
+    * FIXED vocab makes every probability strictly positive, so the
+    * formula is total; 0 = identical word mix, ln 2 = disjoint support.
+    * The number a dataset card quotes for "how different are my slices"
+    * and a mixture planner reads before setting weights.
+    *
+    * Scale shape: the corpus-sized work is one token explode into a
+    * map-side-combined (word → count) aggregate; everything after runs
+    * on a |sources| × vocabSize grid with the vocab broadcast. Output:
+    * (source_a, source_b, js_div) for a < b, js_div rounded to 6 dp
+    * (the two Σ p·ln(p/m) sums are unordered double reductions — the
+    * rounding grain absorbs sum-order ulp drift). */
+  def sourceDivergenceMatrix(docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String, textCol: String, vocabSize: Int = 200,
+      alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(sourceCol).as("_src"),
+      explode(tokens(col(textCol))).as("word"))
+    val vocab = tok.groupBy(col("word"))
+      .agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("word"))
+      .limit(vocabSize)
+      .select(col("word"))
+    val cnt = tok.join(broadcast(vocab), Seq("word"))
+      .groupBy(col("_src"), col("word"))
+      .agg(count(lit(1)).as("_nsw"))
+    val tot = cnt.groupBy(col("_src")).agg(sum(col("_nsw")).as("_ns"))
+    val grid = tot.crossJoin(broadcast(vocab))
+    val p = grid.join(cnt, Seq("_src", "word"), "left")
+      .select(col("_src"), col("word"),
+        ((coalesce(col("_nsw"), lit(0L)).cast("double") + alpha) /
+          (col("_ns").cast("double") + alpha * vocabSize)).as("_p"))
+    val a = p.select(col("_src").as("source_a"), col("word"),
+      col("_p").as("_pa"))
+    val b = p.select(col("_src").as("source_b"), col("word"),
+      col("_p").as("_pb"))
+    a.join(b, Seq("word"))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("_m", (col("_pa") + col("_pb")) / 2)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(round(
+        sum(col("_pa") * log(col("_pa") / col("_m"))) * 0.5 +
+          sum(col("_pb") * log(col("_pb") / col("_m"))) * 0.5,
+        6).as("js_div"))
+  }
 }

@@ -1092,8 +1092,54 @@ object DedupQueries {
         CAST(round(chars_dedup::DOUBLE / chars_total * 1e6) AS BIGINT) AS dedup_ppm
       FROM s CROSS JOIN u"""))
 
+  // --- d28: asymmetric containment near-dup ----------------------------
+  // The inclusion detector Jaccard misses: a snippet wholly embedded in
+  // a longer doc has tiny Jaccard (|∩|/|∪| shrinks with the big doc)
+  // but containment |∩|/min(|A|,|B|) = 1.0. The query plants one
+  // 8-token prefix snippet per small doc (+3M ids) and runs
+  // [[Dedup.containmentPairs]] over documents ∪ snippets; every planted
+  // snippet must surface against its source doc, plus any natural
+  // full-containment pairs. Oracle replays shingling, md5 fingerprints,
+  // the doc-frequency cap, and the rounded-score threshold as SQL.
+  private val d28 = GraftQuery(
+    "d28_containment_neardup",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val snippets = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ")
+            .as("text"))
+      Dedup.containmentPairs(docs.unionByName(snippets), "doc_id", "text",
+          shingleK = 3, threshold = 0.9, maxShingleDocFreq = 10000)
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH p AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000,
+          array_to_string(string_split_regex(trim(text), '\\s+')[1:8], ' ')
+        FROM documents WHERE doc_id < 10),
+      shl AS ($shingleCteSql),
+      sfp AS (
+        SELECT doc_id, md5(s) AS fp
+        FROM (SELECT doc_id, unnest(sh) AS s FROM shl)),
+      rare AS (SELECT fp FROM sfp GROUP BY fp HAVING count(*) <= 10000),
+      cand AS (SELECT sfp.doc_id, sfp.fp FROM sfp JOIN rare USING (fp)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sfp GROUP BY doc_id),
+      shared AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ns
+        FROM cand x JOIN cand y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT a, b, round(ns::DOUBLE / least(na.n, nb.n), 6) AS containment
+        FROM shared
+        JOIN sizes na ON na.doc_id = a
+        JOIN sizes nb ON nb.doc_id = b)
+      SELECT a, b, containment FROM scored
+      WHERE containment >= 0.9 ORDER BY a, b"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      d24, d25, d26, d27)
+      d24, d25, d26, d27, d28)
 }

@@ -887,7 +887,55 @@ object TextQueries {
           AS efficiency_ppm
       FROM raw r JOIN uniq USING (source) ORDER BY r.source"""))
 
+  // --- t26: pairwise source divergence matrix --------------------------
+  // The "how different are my corpus slices really" number a dataset
+  // card quotes and a mixture planner (s08/s21/s24) consumes: for every
+  // source pair, Jensen-Shannon divergence between smoothed unigram
+  // distributions over the corpus-wide top-200 vocabulary (the heap-cut
+  // bounded-vocab pattern of t20/t23 — rank by count DESC then word, so
+  // the vocab is deterministic). Smoothing is add-½ over the FIXED
+  // 200-word vocab, making every p strictly positive and the formula
+  // total. 0 = indistinguishable word mix, ln 2 ≈ 0.693 = disjoint.
+  //
+  // Scale shape: the only corpus-sized work is the token explode into
+  // the (word → count) aggregate; the vocab is a 200-row broadcast, the
+  // per-(source, word) grid is |sources|·200 rows, and the pairwise
+  // join is over that tiny grid — at 100 TB the matrix costs one
+  // map-side-combined word count, same as t03. Float caveat: the two
+  // Σ p·ln(p/m) sums are unordered double reductions (the s24 caveat);
+  // at 6-dp rounding over ≤200 terms of ~1e-3 the margin is ~1e10 ulps.
+  private val t26 = GraftQuery(
+    "t26_source_divergence",
+    (s, d) =>
+      TextAnalysis.sourceDivergenceMatrix(
+          Tables(s, d, "documents"), "source", "text",
+          vocabSize = 200, alpha = 0.5)
+        .orderBy("source_a", "source_b"),
+    Some("""WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      freq AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+      vocab AS (
+        SELECT word FROM (
+          SELECT word, row_number() OVER (ORDER BY n DESC, word) AS rk
+          FROM freq) WHERE rk <= 200),
+      cnt AS (
+        SELECT source, word, count(*) AS nsw
+        FROM tok JOIN vocab USING (word) GROUP BY 1, 2),
+      tot AS (SELECT source, sum(nsw) AS ns FROM cnt GROUP BY source),
+      grid AS (SELECT t.source, t.ns, v.word FROM tot t CROSS JOIN vocab v),
+      p AS (
+        SELECT g.source, g.word,
+          (coalesce(c.nsw, 0)::DOUBLE + 0.5) / (g.ns::DOUBLE + 0.5 * 200) AS p
+        FROM grid g LEFT JOIN cnt c
+          ON c.source = g.source AND c.word = g.word)
+      SELECT a.source AS source_a, b.source AS source_b,
+        round(sum(a.p * ln(a.p / ((a.p + b.p) / 2))) * 0.5 +
+              sum(b.p * ln(b.p / ((a.p + b.p) / 2))) * 0.5, 6) AS js_div
+      FROM p a JOIN p b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 }

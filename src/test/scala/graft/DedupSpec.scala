@@ -372,6 +372,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment finds a snippet inside a long doc that Jaccard misses") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog while rain " +
+        "falls softly on distant silver hills and rivers keep moving " +
+        "toward an old gray sea past quiet villages"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // ⊂ doc 1
+      (3L, "completely unrelated text about database engines and " +
+        "vectorized execution pipelines")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text",
+        shingleK = 3, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"snippet must surface: $got")
+    // the same pair is invisible to symmetric Jaccard at any useful
+    // threshold — that asymmetry is the operator's reason to exist
+    val jac = Dedup.jaccardForPairs(Seq((1L, 2L)).toDF("a", "b"),
+        corpus, "doc_id", "text")
+      .select("jaccard").as[Double].head()
+    assert(jac < 0.5, s"jaccard should miss the inclusion: $jac")
+  }
+
+  test("containment doc-frequency cap excludes boilerplate shingles as evidence") {
+    // two docs sharing ONLY a boilerplate sentence that appears in
+    // every doc: with the cap below the corpus size, that shared
+    // content stops counting and the pair drops below threshold
+    val boiler = "all rights reserved by the example corporation"
+    val corpus = (1L to 6L).map(i =>
+      (i, s"$boiler unique words number $i ${"x" * i.toInt}"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.9, maxShingleDocFreq = 3)
+    assert(capped.count() == 0, "boilerplate-only overlap must not pair")
+  }
+
   test("sourceOverlapMatrix fans a 3-source doc into all 3 ordered pairs") {
     val df = Seq(
       ("shared doc", "a"), ("shared doc", "b"), ("Shared  doc", "c"), // norm dup

@@ -256,4 +256,29 @@ class TextAnalysisSpec extends SparkSpec {
     // idempotent: applying to an already-unique sequence is identity
     assert(sig(Seq("x y z")) == Seq("x y z"))
   }
+
+  test("source divergence: identical mixes ~0, disjoint mixes ~ln 2, symmetric bounds") {
+    import org.apache.spark.sql.functions._
+    // token mass must dominate the smoothing mass (alpha * vocabSize)
+    // for the divergence to approach its analytic endpoints
+    val docs = Seq(
+      ("s1", Seq.fill(50)("alpha beta gamma delta alpha beta").mkString(" ")),
+      ("s2", Seq.fill(50)("alpha beta gamma delta alpha beta").mkString(" ")),
+      ("s3", Seq.fill(50)("omega sigma tau phi omega sigma").mkString(" ")))
+      .toDF("source", "text")
+    val m = TextAnalysis.sourceDivergenceMatrix(docs, "source", "text",
+        vocabSize = 10, alpha = 0.5)
+      .select("source_a", "source_b", "js_div")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    // identical word mixes: divergence ~0 (not exactly 0 — smoothing
+    // over the shared vocab keeps both strictly positive)
+    assert(m(("s1", "s2")) < 0.01, m.toString)
+    // disjoint vocab: close to the ln 2 ceiling
+    assert(m(("s1", "s3")) > 0.5 && m(("s1", "s3")) <= math.log(2.0) + 1e-9,
+      m.toString)
+    // JS is symmetric, so one ordered pair per combination is the
+    // whole matrix: 3 sources -> 3 pairs, all in [0, ln 2]
+    assert(m.size == 3 && m.values.forall(v => v >= 0 && v <= math.log(2.0) + 1e-9))
+  }
 }
