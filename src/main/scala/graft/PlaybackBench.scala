@@ -109,18 +109,28 @@ object PlaybackBench {
       }
       best
     } finally {
-      // Graceful teardown: close the admission gate so no micro-batch
-      // is in flight, drain until every query's trigger goes idle, then
-      // stop. Stopping a mid-batch stream interrupts live noop-write
-      // tasks and logs "DataWritingSparkTask: Aborting commit" at ERROR
-      // level into an otherwise-green bench artifact.
+      // Graceful teardown: close the admission gate so no NEW
+      // micro-batch is planned, then stop queries ONE AT A TIME, each
+      // once its own in-flight batch drains. Stopping a mid-batch
+      // stream interrupts live noop-write tasks and logs
+      // "DataWritingSparkTask: Aborting commit" at ERROR level into an
+      // otherwise-green bench artifact. A wait-for-ALL-idle barrier
+      // fails here: with n concurrent 500k-row batches staggered over
+      // a shared pool there is rarely an instant when every stream is
+      // idle at once — but per-query, a quiesced stream finishes its
+      // current batch and then only ticks empty triggers (latestOffset
+      // returns start; no jobs, no write tasks), so interrupting it
+      // after ITS drain is abort-free. Sequential stops also free
+      // cores for the remaining drains.
       graft.streaming.CsvPlaybackStream.quiesce.set(true)
       try {
-        val drainDeadline = System.nanoTime() + 5L * 1000000000L
-        while (started.exists(q => q.isActive && q.status.isTriggerActive) &&
-            System.nanoTime() < drainDeadline)
-          Thread.sleep(50)
-        started.foreach(q => try q.stop() catch { case _: Throwable => () })
+        started.foreach { q =>
+          val deadline = System.nanoTime() + 10L * 1000000000L
+          while (q.isActive && q.status.isTriggerActive &&
+              System.nanoTime() < deadline)
+            Thread.sleep(50)
+          try q.stop() catch { case _: Throwable => () }
+        }
       } finally graft.streaming.CsvPlaybackStream.quiesce.set(false)
       spark.streams.removeListener(listener)
       import scala.jdk.CollectionConverters._

@@ -996,7 +996,66 @@ object VectorQueries {
     },
     None, bench = true)
 
+  // --- v26: anisotropy / embedding-collapse audit ----------------------
+  // Ethayarajh (2019)-style cone diagnostic: if embeddings collapse
+  // toward a shared direction, every cosine-based operator in this
+  // library (dedup thresholds, ANN recall, kNN votes) silently
+  // degrades. ||mean(unit)||² IS the anisotropy, and the exact average
+  // pairwise cosine follows from the same per-dimension sums by the
+  // identity Σᵢⱼ cos(i,j) = ||Σ u||², so the audit needs ONE narrow
+  // per-dimension aggregate — never a pairwise join. At 100 TB: one
+  // corpus scan into a 64-row partial-agg'd sum, then scalar math.
+  private val v26 = GraftQuery(
+    "v26_anisotropy",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      // the withUnit normalization sequence, keeping the norm column
+      // (withUnit drops it; the audit reports raw-norm stats too)
+      val e = graft.functions.Vec.asDouble(col("embedding"))
+      val base = emb.withColumn("_nrm", graft.functions.Vec.norm(e))
+        .filter(col("_nrm") > 0)
+        .select(col("_nrm"),
+          transform(e, x => x / col("_nrm")).as("_unit"))
+      val dimSums = base
+        .select(posexplode(col("_unit")).as(Seq("_dim", "_x")))
+        .groupBy(col("_dim")).agg(sum(col("_x")).as("_s"))
+      val s2 = dimSums.agg(sum(col("_s") * col("_s")).as("_S"))
+      base.agg(count(lit(1)).as("n_vecs"),
+          avg(col("_nrm")).as("_mn"),
+          stddev_samp(col("_nrm")).as("_sd"))
+        .crossJoin(s2)
+        .select(col("n_vecs"),
+          round(col("_mn"), 6).as("mean_norm"),
+          round(col("_sd"), 6).as("std_norm"),
+          round(col("_S") / (col("n_vecs") * col("n_vecs")), 6)
+            .as("anisotropy"),
+          round((col("_S") - col("n_vecs")) /
+            (col("n_vecs") * (col("n_vecs") - lit(1))), 6)
+            .as("avg_pairwise_cosine"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e
+        WHERE sqrt(list_inner_product(v, v)) > 0),
+      u AS (
+        SELECT vec_id, nrm, list_transform(v, x -> x / nrm) AS ue FROM n),
+      d AS (
+        SELECT i, sum(ue[i]) AS s
+        FROM u CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY i),
+      s2 AS (SELECT sum(s * s) AS big_s FROM d),
+      st AS (SELECT count(*) AS n_vecs, avg(nrm) AS mn,
+               stddev_samp(nrm) AS sd FROM u)
+      SELECT n_vecs,
+        round(mn, 6) AS mean_norm,
+        round(sd, 6) AS std_norm,
+        round(big_s / (n_vecs * n_vecs), 6) AS anisotropy,
+        round((big_s - n_vecs) / (n_vecs * (n_vecs - 1)), 6)
+          AS avg_pairwise_cosine
+      FROM st CROSS JOIN s2"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
-    v23, v24, v25)
+    v23, v24, v25, v26)
 }

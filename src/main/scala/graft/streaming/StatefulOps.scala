@@ -216,6 +216,61 @@ object StatefulOps {
         })
   }
 
+  final case class SourcedDoc(source: String, docId: Long, nTokens: Long)
+  final case class BudgetedDoc(source: String, docId: Long, nTokens: Long,
+    budgetUsed: Long)
+
+  /** Adapter: a streaming documents frame → [[SourcedDoc]] dataset with
+    * the library's standard whitespace token count computed map-side. */
+  def sourcedDocs(df: DataFrame, sourceCol: String, idCol: String,
+      textCol: String): Dataset[SourcedDoc] = {
+    implicit val enc = Encoders.product[SourcedDoc]
+    df.select(col(sourceCol).cast("string").as("source"),
+        col(idCol).cast("long").as("docId"),
+        graft.operators.TextAnalysis.tokenCount(col(textCol))
+          .cast("long").as("nTokens"))
+      .as[SourcedDoc]
+  }
+
+  /** Streaming per-source token-budget admission — the live-ingest twin
+    * of the batch budget samplers (s16/s21): each arriving doc is
+    * admitted while its source's CUMULATIVE token count stays within
+    * `budgetTokens`; once a source's budget is exhausted every later
+    * doc from it drops. State per source is one long (tokens used), so
+    * state size is |sources| regardless of stream length — this is the
+    * "stop ingesting a source once we have enough" control a live
+    * crawl pipeline runs, where the batch samplers' keep-ratio
+    * thinning needs totals that don't exist yet mid-stream.
+    *
+    * Determinism contract: within a micro-batch, docs admit in docId
+    * order (the group sorts); across batches, admission follows
+    * arrival order — replaying the same batch sequence reproduces the
+    * same admitted set exactly. A doc larger than the remaining budget
+    * is SKIPPED (not truncated) and the budget stays available for
+    * later smaller docs — the knapsack-greedy semantics budget-capped
+    * ingestion wants. */
+  def streamingTokenBudget(input: Dataset[SourcedDoc],
+      budgetTokens: Long): Dataset[BudgetedDoc] = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    implicit val outEnc = Encoders.product[BudgetedDoc]
+    implicit val stEnc = Encoders.scalaLong
+    input
+      .groupByKey(_.source)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[SourcedDoc], state: GroupState[Long]) => {
+          var used = if (state.exists) state.get else 0L
+          val admitted = Seq.newBuilder[BudgetedDoc]
+          rows.toSeq.sortBy(_.docId).foreach { d =>
+            if (used + d.nTokens <= budgetTokens) {
+              used += d.nTokens
+              admitted += BudgetedDoc(source, d.docId, d.nTokens, used)
+            } // over budget: skip, leave remaining budget for smaller docs
+          }
+          state.update(used)
+          admitted.result().iterator
+        })
+  }
+
   /** Watermarked stream-stream interval join: each left row pairs with
     * same-key right rows whose event time falls in
     * [left.ts − lookback, left.ts + lookahead] — the streaming twin of

@@ -347,4 +347,41 @@ class PlanAssertionsSpec extends SparkSpec {
     // the 1-row Σpw join is a broadcast nested loop, never a cartesian
     assert(!finalSection.contains("CartesianProduct"), finalSection.take(800))
   }
+
+  test("d28 containment: fp equi-join candidates, text never on a shuffle") {
+    val plan = executedPlan("d28_containment_neardup")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"), finalSection.take(1200))
+    assert(!finalSection.contains("BroadcastNestedLoopJoin"), finalSection.take(1200))
+    // candidates pair through the md5 fingerprint equi-join; the text
+    // column reduces to fingerprints at the scan and never shuffles
+    "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(finalSection)
+      .foreach { m =>
+        assert(!m.group(1).contains("text"),
+          s"text on the shuffle: ${m.matched}")
+      }
+  }
+
+  test("t26 source divergence: one corpus-sized word count, matrix math broadcasts") {
+    val plan = executedPlan("t26_source_divergence")
+    val finalSection = plan.split("== Initial Plan ==").head
+    // the vocab cut is a TakeOrdered heap (no global sort) and the
+    // vocab/grid joins broadcast — the only SMJ-eligible join would be
+    // corpus-sized, and there must not be one
+    assert(finalSection.contains("TakeOrderedAndProject"), finalSection.take(1200))
+    assert(!finalSection.contains("SortMergeJoin"), finalSection.take(1200))
+    // word-count aggregates combine map-side before their exchange
+    assert(finalSection.contains("partial_count"), finalSection.take(1200))
+  }
+
+  test("v26 anisotropy: per-dim sums partial-aggregate, no pairwise join") {
+    val plan = executedPlan("v26_anisotropy")
+    val finalSection = plan.split("== Initial Plan ==").head
+    // the whole audit is narrow aggregates + scalar math on 1-row /
+    // 64-row frames: any SMJ or cartesian would mean a pairwise
+    // vector join snuck in
+    assert(!finalSection.contains("SortMergeJoin"), finalSection.take(1200))
+    assert(!finalSection.contains("CartesianProduct"), finalSection.take(1200))
+    assert(finalSection.contains("partial_sum"), finalSection.take(1200))
+  }
 }

@@ -324,6 +324,33 @@ class StatefulOpsSpec extends SparkSpec {
     assert(sessNtz == sessLtz, s"ntz=$sessNtz ltz=$sessLtz")
   }
 
+  test("streamingTokenBudget: admits in order until each source's budget exhausts") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StatefulOps.SourcedDoc]
+    val out = StatefulOps.streamingTokenBudget(input.toDS(), budgetTokens = 10)
+    val q = out.writeStream.format("memory").queryName("budget")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    def d(s: String, id: Long, tok: Long) = StatefulOps.SourcedDoc(s, id, tok)
+    try {
+      // batch 1: s1 uses 7 of 10; s2 uses 9 of 10 (in docId order)
+      input.addData(d("s1", 2, 4), d("s1", 1, 3), d("s2", 1, 9))
+      q.processAllAvailable()
+      // batch 2: s1's id 3 (tok 4) exceeds remaining 3 -> skipped, but
+      // id 4 (tok 3) still fits; s2 is exhausted for anything > 1
+      input.addData(d("s1", 3, 4), d("s1", 4, 3), d("s2", 2, 2))
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT source, docId, nTokens, budgetUsed FROM budget")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        ("s1", 1L, 3L, 3L),   // batch 1, docId order: 1 before 2
+        ("s1", 2L, 4L, 7L),
+        ("s2", 1L, 9L, 9L),
+        ("s1", 4L, 3L, 10L)), // id 3 skipped (over budget), id 4 admitted
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("streamingStreaks: closed streaks match the batch q53 islands") {
     implicit val sq = spark.sqlContext
     val day = 86400L * 1000000L
