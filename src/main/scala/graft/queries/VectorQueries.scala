@@ -1055,7 +1055,43 @@ object VectorQueries {
           AS avg_pairwise_cosine
       FROM st CROSS JOIN s2"""))
 
+  // --- v27: IVF cell-balance audit -------------------------------------
+  // The index-health number that predicts IVF tail latency: per-cell
+  // population and share. A skewed inverted file makes every probe of
+  // the hot cell scan a disproportionate candidate list — at 100 TB
+  // the imbalance factor (max cell / mean cell) IS the p99 multiplier
+  // for single-probe searches, and the audit that says "retrain with
+  // more/better centroids" before a slow index ships. One narrow
+  // aggregate over (cell) after map-side assignment; the 16-row share
+  // window is trivial. Runs the parity model so the oracle replays
+  // assignment exactly (trained-model balance is exercised in
+  // IvfWinnowSpec).
+  private val v27 = GraftQuery(
+    "v27_ivf_cell_balance",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val m = graft.operators.IvfIndex.parityModel(emb, "vec_id", "embedding", 16)
+      val assigned = Similarity.withUnit(emb, "embedding")
+        .select(col("vec_id"),
+          graft.operators.IvfIndex.assignCell(col("_unit"), m).as("cell"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("share_ppm",
+          round(col("n_vecs").cast("double") /
+            sum(col("n_vecs")).over(w) * 1e6).cast("long"))
+        .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+          col("share_ppm"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH ${parityIvfCteSql("vec_id, embedding::DOUBLE[] AS e",
+        "vec_id < 0", nprobe = 1)}
+      SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vecs,
+        CAST(round(count(*)::DOUBLE
+          / (SELECT count(*) FROM assign) * 1e6) AS BIGINT) AS share_ppm
+      FROM assign GROUP BY cell ORDER BY cell"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
-    v23, v24, v25, v26)
+    v23, v24, v25, v26, v27)
 }

@@ -579,4 +579,43 @@ class PropertySpec extends SparkSpec {
       }.map(_._1).toSet
     assert(got == want)
   }
+
+  test("containment pairs equal the in-memory shingle-set reference") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    // small random corpora: 4-7 docs of 3-14 tokens over an 8-word
+    // vocab, so shared shingles (and full inclusions) actually occur
+    val corpus: Gen[Seq[String]] = for {
+      n <- Gen.choose(4, 7)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(3, 14)
+        ws <- Gen.listOfN(len, Gen.choose(0, vocab.size - 1))
+      } yield ws.map(vocab).mkString(" "))
+    } yield docs
+    forAll(corpus, n = 5) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .containmentPairs(df, "doc_id", "text", shingleK = 3, threshold = 0.5)
+        .select("a", "b", "containment")
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      // reference: explicit shingle sets, exact |∩|/min, same rounding
+      def shingles(t: String): Set[String] = {
+        val ws = t.trim.split("\\s+").toSeq
+        if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+        else Set(ws.mkString(" "))
+      }
+      val sets = docs.zipWithIndex.map { case (t, i) => i.toLong -> shingles(t) }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        c = BigDecimal((sa & sb).size.toDouble / math.min(sa.size, sb.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if c >= 0.5
+      } yield (a, b) -> c).toMap
+      assert(got == want, s"docs=$docs\ngot=$got\nwant=$want")
+    }
+  }
 }
