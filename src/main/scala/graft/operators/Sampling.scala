@@ -140,6 +140,73 @@ object Sampling {
       .withColumnRenamed("_src", sourceCol)
   }
 
+  /** Waterfilled mixture allocation — the cap-aware budget solver a
+    * mixture plan actually needs: [[tokenBudgetMix]]'s proportional
+    * targets w_j·B silently over-ask sources smaller than their target
+    * (the keep ratio clamps at 1 and the surplus budget evaporates).
+    * Waterfilling solves Σ min(m_j, w_j·λ) = B for the water level λ:
+    * sources with m_j ≤ w_j·λ are CAPPED (fully taken) and their
+    * unused share flows to the rest, so the budget is hit exactly
+    * whenever Σm ≥ B. The closed form needs no iteration: sort by the
+    * cap threshold m_j/w_j; source j is capped iff serving everyone at
+    * λ = m_j/w_j still costs ≤ B (prefixM_j + ratio_j·sufW_j ≤ B, a
+    * prefix/suffix-sum window over the sorted ≤|sources| rows); then
+    * λ = (B − Σ_capped m) / Σ_uncapped w.
+    *
+    * Scale shape: one map-side token count + one narrow per-source
+    * aggregate; everything after runs on the ≤|sources|-row table
+    * (the unpartitioned windows are bounded by construction — same
+    * contract as the s21/s24 ratio tables). Sources absent from
+    * `weights` are excluded (allocation 0 by definition). Output per
+    * weighted source: mass, allocated tokens, capped flag (0/1), and
+    * keep_ratio_ppm — exactly 1e6 for capped sources. All float ops
+    * are associated identically in the SQL oracle. */
+  def waterfillBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "waterfill weights must be strictly positive")
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    val base = docs.select(col(sourceCol).as("_src"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("_tok"))
+    val wMap = map(weights.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v))
+    }: _*)
+    val masses = base.groupBy(col("_src"))
+      .agg(sum(col("_tok")).as("_m"))
+      .withColumn("_w", element_at(wMap, col("_src")))
+      .filter(col("_w").isNotNull)
+      .withColumn("_ratio", col("_m").cast("double") / col("_w"))
+    val ord = Window.orderBy(col("_ratio"), col("_src"))
+    val ranked = masses
+      .withColumn("_prefixM", sum(col("_m")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_sufW", coalesce(sum(col("_w")).over(
+        ord.rowsBetween(1, Window.unboundedFollowing)), lit(0.0)))
+      .withColumn("_capped",
+        col("_prefixM").cast("double") + col("_ratio") * col("_sufW") <=
+          lit(budgetTokens.toDouble))
+    val lam = ranked.agg(
+        sum(when(col("_capped"), col("_m")).otherwise(lit(0L))).as("_cm"),
+        sum(when(!col("_capped"), col("_w")).otherwise(lit(0.0))).as("_uw"))
+      .select(when(col("_uw") > 0,
+          (lit(budgetTokens.toDouble) - col("_cm").cast("double")) /
+            col("_uw"))
+        .otherwise(lit(0.0)) // all capped: λ is unused (ANSI-safe)
+        .as("_lambda"))
+    ranked.crossJoin(broadcast(lam))
+      .select(col("_src").as(sourceCol),
+        col("_m").as("n_tokens"),
+        when(col("_capped"), col("_m"))
+          .otherwise(round(col("_w") * col("_lambda")).cast("long"))
+          .as("alloc_tokens"),
+        col("_capped").cast("int").as("capped"),
+        when(col("_capped"), lit(1000000L))
+          .otherwise(round(col("_w") * col("_lambda") / col("_m") * 1e6)
+            .cast("long"))
+          .as("keep_ratio_ppm"))
+  }
+
   /** Train/val/test assignment by hash bucket. Default 80/10/10. */
   def assignSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     val b = md5Bucket256(key)

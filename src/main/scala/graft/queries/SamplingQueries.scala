@@ -769,7 +769,59 @@ object SamplingQueries {
           THEN 1 ELSE 0 END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS coverage_ppm
       FROM documents GROUP BY lang, source ORDER BY lang, source"""))
 
+  // --- s26: waterfilled mixture allocation -----------------------------
+  // The cap-aware budget solver (Σ min(m_j, w_j·λ) = B): proportional
+  // targets over-ask small sources and evaporate the surplus; the
+  // water level λ redistributes it. Weights cover six sources sized so
+  // the fixture exercises BOTH regimes — three cap (fully taken) and
+  // three scale at λ — plus the excluded-source path (14 unweighted
+  // sources drop). The oracle replays the sort, the prefix/suffix
+  // window cap test, λ, and the allocations with identical float
+  // association.
+  private val s26 = GraftQuery(
+    "s26_waterfill_mix",
+    (s, d) =>
+      Sampling.waterfillBudgetMix(Tables(s, d, "documents"),
+          "doc_id", "text", "source",
+          weights = Map("src0" -> 0.35, "src1" -> 0.25, "src2" -> 0.20,
+            "src3" -> 0.10, "src4" -> 0.06, "src5" -> 0.04),
+          budgetTokens = 6000)
+        .orderBy("source"),
+    Some("""WITH base AS (
+        SELECT source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        FROM documents),
+      w(src, w) AS (VALUES ('src0', 0.35), ('src1', 0.25), ('src2', 0.20),
+        ('src3', 0.10), ('src4', 0.06), ('src5', 0.04)),
+      m AS (
+        SELECT source, CAST(sum(tok) AS BIGINT) AS m, any_value(w.w) AS w
+        FROM base JOIN w ON w.src = source
+        GROUP BY source),
+      m2 AS (SELECT source, m, w, m::DOUBLE / w AS ratio FROM m),
+      r AS (
+        SELECT *,
+          sum(m) OVER (ORDER BY ratio, source
+            ROWS UNBOUNDED PRECEDING) AS prefixM,
+          coalesce(sum(w) OVER (ORDER BY ratio, source
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS sufW
+        FROM m2),
+      c AS (
+        SELECT *, (prefixM::DOUBLE + ratio * sufW) <= 6000.0 AS capped
+        FROM r),
+      l AS (
+        SELECT (6000.0 - sum(CASE WHEN capped THEN m ELSE 0 END)::DOUBLE)
+            / sum(CASE WHEN capped THEN 0 ELSE w END) AS lambda
+        FROM c)
+      SELECT source, m AS n_tokens,
+        CASE WHEN capped THEN m
+          ELSE CAST(round(w * lambda) AS BIGINT) END AS alloc_tokens,
+        CAST(capped AS INTEGER) AS capped,
+        CASE WHEN capped THEN CAST(1000000 AS BIGINT)
+          ELSE CAST(round(w * lambda / m * 1e6) AS BIGINT)
+          END AS keep_ratio_ppm
+      FROM c CROSS JOIN l ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25)
+      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26)
 }

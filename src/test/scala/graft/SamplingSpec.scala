@@ -350,4 +350,42 @@ class SamplingSpec extends SparkSpec {
     scored.foreach { case (id, _, w) => assert(again(id) == w) }
     graft.operators.OpCaches.release(spark)
   }
+
+  test("waterfillBudgetMix: budget hit exactly, caps bind, surplus redistributes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 4 sources: s1 tiny (10 tokens, 40% target = way over-asked),
+    // s2 small (30, 30%), s3/s4 large. budget 200.
+    def doc(src: String, id: Long, tok: Int) =
+      (id, src, Seq.fill(tok)("w").mkString(" "))
+    val docs = (
+      (1L to 1L).map(i => doc("s1", i, 10)) ++
+      (2L to 2L).map(i => doc("s2", i, 30)) ++
+      (3L to 3L).map(i => doc("s3", i, 500)) ++
+      (4L to 4L).map(i => doc("s4", i, 500))).toDF("doc_id", "source", "text")
+    val got = graft.operators.Sampling.waterfillBudgetMix(docs,
+        "doc_id", "text", "source",
+        Map("s1" -> 0.4, "s2" -> 0.3, "s3" -> 0.2, "s4" -> 0.1),
+        budgetTokens = 200)
+      .select("source", "n_tokens", "alloc_tokens", "capped", "keep_ratio_ppm")
+      .as[(String, Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // analytic: s1 caps (10 ≪ 0.4λ), s2 caps (30 vs 0.3λ); remaining
+    // budget 160 over weights 0.3 → λ = 533.33, s3 = 106.67, s4 = 53.33
+    assert(got("s1") == ("s1", 10L, 10L, 1, 1000000L), got.toString)
+    assert(got("s2") == ("s2", 30L, 30L, 1, 1000000L), got.toString)
+    assert(got("s3")._3 == 107L && got("s3")._4 == 0, got.toString)
+    assert(got("s4")._3 == 53L && got("s4")._4 == 0, got.toString)
+    // the budget is consumed exactly (±1 from per-source rounding)
+    val total = got.values.map(_._3).sum
+    assert(math.abs(total - 200L) <= 1, s"total=$total")
+    // degenerate regime: budget beyond the corpus → everything capped
+    val all = graft.operators.Sampling.waterfillBudgetMix(docs,
+        "doc_id", "text", "source",
+        Map("s1" -> 0.4, "s2" -> 0.3, "s3" -> 0.2, "s4" -> 0.1),
+        budgetTokens = 100000)
+      .select("source", "n_tokens", "alloc_tokens", "capped")
+      .as[(String, Long, Long, Int)].collect()
+    assert(all.forall(r => r._3 == r._2 && r._4 == 1), all.mkString(","))
+  }
 }
