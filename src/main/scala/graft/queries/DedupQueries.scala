@@ -1136,7 +1136,8 @@ object DedupQueries {
         JOIN sizes na ON na.doc_id = a
         JOIN sizes nb ON nb.doc_id = b)
       SELECT a, b, containment FROM scored
-      WHERE containment >= 0.9 ORDER BY a, b"""))
+      WHERE containment >= 0.9 ORDER BY a, b"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,

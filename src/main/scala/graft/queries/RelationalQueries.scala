@@ -1534,10 +1534,73 @@ object RelationalQueries {
           - 5000000000000000000 AS last_ts_us
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // --- q55: funnel with per-step timeout -------------------------------
+  // The product-analytics funnel as actually specified: each next step
+  // must land within Δ (1 h here) of the previous step's FIRST
+  // occurrence, not merely after it (q32's unbounded chain). Same
+  // one-exchange shape as q32 — all three chained min-over-window
+  // stages share the single user_id partition — with the timeout folded
+  // into each window's predicate, plus per-stage conversion ppm. At
+  // 100 TB this is still exactly one wide edge (the user-keyed
+  // exchange); the funnel depth only adds window passes over the same
+  // partitioning, never another shuffle.
+  private val q55 = GraftQuery(
+    "q55_funnel_timeout",
+    (s, d) => {
+      val hourUs = 3600L * 1000000L
+      val wu = Window.partitionBy(col("user_id"))
+      val staged = ev(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("v_us",
+          min(when(col("event_type") === "view", col("us"))).over(wu))
+        .withColumn("c_us",
+          min(when(col("event_type") === "click" &&
+            col("us") >= col("v_us") &&
+            col("us") <= col("v_us") + hourUs, col("us"))).over(wu))
+        .withColumn("p_us",
+          min(when(col("event_type") === "purchase" &&
+            col("us") >= col("c_us") &&
+            col("us") <= col("c_us") + hourUs, col("us"))).over(wu))
+        .groupBy(col("user_id"))
+        .agg(max(col("v_us")).as("v_us"), max(col("c_us")).as("c_us"),
+          max(col("p_us")).as("p_us"))
+      staged
+        .agg(count(col("v_us")).as("n_view"), count(col("c_us")).as("n_click"),
+          count(col("p_us")).as("n_purchase"))
+        .select(expr("""stack(3,
+            '1_view', n_view, CAST(1000000 AS BIGINT),
+            '2_click', n_click, CAST(round(n_click / n_view * 1e6) AS BIGINT),
+            '3_purchase', n_purchase,
+              CAST(round(n_purchase / n_click * 1e6) AS BIGINT)
+          ) AS (stage, n_users, conv_ppm)"""))
+        .orderBy("stage")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, min(us) AS v_us FROM e
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.us) AS c_us FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.us >= v.v_us
+        AND e.us <= v.v_us + 3600000000 GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.us) AS p_us FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.us >= c.c_us
+        AND e.us <= c.c_us + 3600000000 GROUP BY 1),
+    n AS (SELECT (SELECT count(*) FROM v) AS nv,
+      (SELECT count(*) FROM c) AS nc, (SELECT count(*) FROM p) AS np)
+    SELECT * FROM (
+      SELECT '1_view' AS stage, nv AS n_users,
+        CAST(1000000 AS BIGINT) AS conv_ppm FROM n
+      UNION ALL SELECT '2_click', nc,
+        CAST(round(nc / nv * 1e6) AS BIGINT) FROM n
+      UNION ALL SELECT '3_purchase', np,
+        CAST(round(np / nc * 1e6) AS BIGINT) FROM n)
+    ORDER BY stage"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54)
+    q51, q52, q53, q54, q55)
 }

@@ -933,7 +933,8 @@ object TextQueries {
         round(sum(a.p * ln(a.p / ((a.p + b.p) / 2))) * 0.5 +
               sum(b.p * ln(b.p / ((a.p + b.p) / 2))) * 0.5, 6) AS js_div
       FROM p a JOIN p b ON a.word = b.word AND a.source < b.source
-      GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+      GROUP BY 1, 2 ORDER BY source_a, source_b"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
