@@ -42,4 +42,39 @@ class CorpusWriterSpec extends SparkSpec {
         .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("ORC layout: same deterministic shard/pos assignment, lossless readback") {
+    // writeSharded's format parameter rides straight into the
+    // DataFrameWriter — ORC (bundled with Spark) is the other columnar
+    // layout training stacks consume; the assignment must be identical
+    // to the parquet one (it is computed before the writer).
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang")
+    val pq = java.nio.file.Files.createTempDirectory("cw-parquet").toString
+    val orc = java.nio.file.Files.createTempDirectory("cw-orc").toString
+    try {
+      val a = CorpusWriter.writeSharded(docs, col("doc_id"), pq, nShards = 4)
+      val b = CorpusWriter.writeSharded(docs, col("doc_id"), orc, nShards = 4,
+        format = "orc")
+      assert(a.select("doc_id", "shard", "pos").collect().toSet ==
+        b.select("doc_id", "shard", "pos").collect().toSet,
+        "assignment must be format-independent")
+      val back = spark.read.orc(orc)
+      assert(back.count() == docs.count())
+      assert(back.select("doc_id").as[Long].collect().sorted.toSeq ==
+        docs.select("doc_id").as[Long].collect().sorted.toSeq)
+      // ORC shard files preserve in-file pos order too
+      for (sh <- 0 until 4) {
+        val physical = spark.read.orc(s"$orc/shard=$sh")
+          .select("pos").as[Long].collect().toSeq
+        assert(physical == physical.sorted, s"orc shard $sh out of pos order")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(pq, orc).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
 }

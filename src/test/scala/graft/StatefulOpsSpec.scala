@@ -351,6 +351,54 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingTokenBudget: budget state survives a checkpoint restart") {
+    // The property that matters operationally: if the admission state
+    // did NOT survive a restart, the source's budget would reset and
+    // the stream would over-admit. A file source + checkpoint replays
+    // the real recovery path (MemoryStream cannot restart).
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("budget-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("budget-ckpt").toString
+    val schema = StructType(Seq(StructField("source", StringType),
+      StructField("docId", LongType), StructField("nTokens", LongType)))
+    def stream() = StatefulOps.streamingTokenBudget(
+      spark.readStream.schema(schema).json(dir)
+        .select(col("source"), col("docId"), col("nTokens"))
+        .as[StatefulOps.SourcedDoc](org.apache.spark.sql.Encoders.product),
+      budgetTokens = 10)
+    def write(name: String, lines: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        lines.getBytes("UTF-8"))
+    // run 1: s1 admits 7 of 10
+    write("b1.json",
+      """{"source":"s1","docId":1,"nTokens":4}
+        |{"source":"s1","docId":2,"nTokens":3}
+        |""".stripMargin)
+    val out1 = java.nio.file.Files.createTempDirectory("budget-out").toString
+    val q1 = stream().writeStream.format("json")
+      .option("path", out1).option("checkpointLocation", ckpt).start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // run 2 (fresh query, same checkpoint): docId 3 (tok 4) must be
+    // REJECTED — only possible if the used=7 state was recovered;
+    // docId 4 (tok 3) fits the remaining 3 exactly
+    write("b2.json",
+      """{"source":"s1","docId":3,"nTokens":4}
+        |{"source":"s1","docId":4,"nTokens":3}
+        |""".stripMargin)
+    val q2 = stream().writeStream.format("json")
+      .option("path", out1).option("checkpointLocation", ckpt).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val admitted = spark.read
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("docId", LongType), StructField("nTokens", LongType),
+        StructField("budgetUsed", LongType))))
+      .json(out1)
+      .select("docId", "budgetUsed").as[(Long, Long)].collect().toMap
+    assert(admitted == Map(1L -> 4L, 2L -> 7L, 4L -> 10L),
+      s"restart must preserve budget state: $admitted")
+  }
+
   test("streamingStreaks: closed streaks match the batch q53 islands") {
     implicit val sq = spark.sqlContext
     val day = 86400L * 1000000L
