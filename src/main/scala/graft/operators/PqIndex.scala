@@ -108,6 +108,23 @@ object PqIndex {
   def adcScore(qUnit: Column, codes: Column, model: Model): Column =
     graft.functions.HashExpressions.pq_adc_score(qUnit, codes, model.codebooks)
 
+  /** ‖reconstruction‖² of a codes row — Σ_s ‖centroid_s(code_s)‖² —
+    * via a flat (s·k + j) table of per-centroid self-inner-products
+    * riding the plan as a literal: m lookups per row, map-side, no
+    * shuffle. With [[adcScore]](u, codes) as the numerator this gives
+    * the exact reconstruction cosine cos(u, decode(codes)) =
+    * adc / sqrt(reconNormSq) for unit u — the distortion a PQ
+    * configuration audit reports. */
+  def reconstructionNormSq(codes: Column, model: Model): Column = {
+    val k = model.codebooks.head.length
+    val selfIp = model.codebooks.flatten.map(c => c.map(x => x * x).sum)
+    val flat = array(selfIp.toSeq.map(lit(_)): _*)
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(model.m - 1)),
+        (c, s) => element_at(flat, s * lit(k) + c + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
   /** IVF-PQ two-stage ANN — the composition production vector indexes
     * run (the FAISS IndexIVFPQ shape): the coarse quantizer restricts
     * each query to its `nprobe` nearest cells, so candidates drop to

@@ -52,5 +52,35 @@ object IngestQueries {
         min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM ids GROUP BY source, lang ORDER BY source, lang"""))
 
-  val all: Seq[GraftQuery] = Seq(i01)
+  // --- i02: raw-text-lines export → re-ingest round-trip audit ---------
+  // The one-document-per-line layout (sentence/paragraph corpora):
+  // export every document's text as one raw line, re-ingest with
+  // [[CorpusReader.readTextLines]], and audit the content-addressed id
+  // inventory against the original table. Valid because the driver's
+  // documents are single-line and non-blank (both asserted by the
+  // count match itself: a newline inside a text would split a doc and
+  // change n_docs; a blank would drop one). Same scale shape as i01
+  // with a splittable plain-text scan instead of the JSON parse.
+  private val i02 = GraftQuery(
+    "i02_textlines_roundtrip",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select(col("text"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-i02").toString
+      docs.write.mode("overwrite").text(out)
+      CorpusReader.readTextLines(s, out)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    },
+    Some("""WITH ids AS (
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_id
+        FROM documents)
+      SELECT count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM ids"""))
+
+  val all: Seq[GraftQuery] = Seq(i01, i02)
 }

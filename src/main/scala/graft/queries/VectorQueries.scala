@@ -1091,7 +1091,93 @@ object VectorQueries {
           / (SELECT count(*) FROM assign) * 1e6) AS BIGINT) AS share_ppm
       FROM assign GROUP BY cell ORDER BY cell"""))
 
+  // --- v28: PQ distortion-vs-m sweep -----------------------------------
+  // The compression-tuning curve an index team reads before choosing a
+  // PQ configuration: per subspace count m, the reconstruction cosine
+  // cos(u, decode(encode(u))) — numerator is the ADC identity score
+  // Σ_s dot(u_s, c_s), denominator the reconstruction norm from the
+  // per-centroid self-IP table. More subspaces → shorter sub-slices →
+  // higher fidelity at more bytes/vector; the sweep quantifies the
+  // trade. Parity codebooks per m so the oracle replays encode and
+  // both sums exactly (trained-codebook distortion stays covered by
+  // PqSpec's recall pins). Map-side except one narrow per-m aggregate.
+  private def pqDistortion(s: org.apache.spark.sql.SparkSession, d: String,
+      m: Int): DataFrame = {
+    val emb = Tables(s, d, "embeddings")
+    val model = graft.operators.PqIndex.parityModel(
+      emb, "vec_id", "embedding", m, 16)
+    Similarity.withUnit(emb, "embedding")
+      .select(col("vec_id"), col("_unit"))
+      .withColumn("_codes",
+        graft.operators.PqIndex.encode(col("_unit"), model))
+      .withColumn("_cos",
+        graft.operators.PqIndex.adcScore(col("_unit"), col("_codes"), model) /
+          sqrt(graft.operators.PqIndex.reconstructionNormSq(
+            col("_codes"), model)))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("_cos")), 6).as("avg_recon_cosine"),
+        round(min(col("_cos")), 6).as("min_recon_cosine"))
+      .select(lit(m.toLong).as("m"), col("n_vecs"),
+        col("avg_recon_cosine"), col("min_recon_cosine"))
+  }
+
+  /** One per-m distortion block of the v28 oracle (sub-dim `dsub` =
+    * 64/m): parity codebooks, the v07 encode replay (argmax of
+    * 2·dot − ‖c‖², ties lowest j), then the exact reconstruction
+    * cosine per doc. */
+  private def pqDistortionSql(m: Int): String = {
+    val d = 64 / m
+    s"""SELECT CAST($m AS BIGINT) AS m, count(*) AS n_vecs,
+        round(avg(num / sqrt(den2)), 6) AS avg_recon_cosine,
+        round(min(num / sqrt(den2)), 6) AS min_recon_cosine
+      FROM (
+        SELECT e.vec_id,
+          sum(list_inner_product(
+            v.ue[c.s * $d + 1 : c.s * $d + $d], c.cs)) AS num,
+          sum(list_inner_product(c.cs, c.cs)) AS den2
+        FROM (
+          SELECT vec_id, s, j AS code FROM (
+            SELECT v.vec_id, c.s, c.j, row_number() OVER (
+                PARTITION BY v.vec_id, c.s
+                ORDER BY 2 * list_inner_product(
+                    v.ue[c.s * $d + 1 : c.s * $d + $d], c.cs)
+                  - list_inner_product(c.cs, c.cs) DESC, c.j) AS rk
+            FROM un v CROSS JOIN cb$m c)
+          WHERE rk = 1) e
+        JOIN cb$m c ON c.s = e.s AND c.j = e.code
+        JOIN un v ON v.vec_id = e.vec_id
+        GROUP BY e.vec_id)"""
+  }
+
+  private def pqCbSql(m: Int): String = {
+    val d = 64 / m
+    s"""cb$m AS (
+        SELECT s.s, c.j, c.ue[s.s * $d + 1 : s.s * $d + $d] AS cs
+        FROM (SELECT unnest(range(0, $m)) AS s) s
+        CROSS JOIN (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, ue
+          FROM (SELECT vec_id, ue FROM un ORDER BY vec_id LIMIT 16)) c)"""
+  }
+
+  private val v28 = GraftQuery(
+    "v28_pq_distortion_sweep",
+    (s, d) => pqDistortion(s, d, 8).unionByName(pqDistortion(s, d, 16))
+      .orderBy("m"),
+    Some(s"""WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      un AS (
+        SELECT vec_id,
+          list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ue
+        FROM u),
+      ${pqCbSql(8)},
+      ${pqCbSql(16)}
+      SELECT * FROM (
+        ${pqDistortionSql(8)}
+        UNION ALL
+        ${pqDistortionSql(16)})
+      ORDER BY m"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
-    v23, v24, v25, v26, v27)
+    v23, v24, v25, v26, v27, v28)
 }

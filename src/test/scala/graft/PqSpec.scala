@@ -32,6 +32,34 @@ class PqSpec extends SparkSpec {
     assert(mae < 0.15, s"mean abs error $mae")
   }
 
+  test("reconstruction cosine: exact vs hand-decoded, monotone in m (trained)") {
+    // reconNormSq + adcScore(u, codes) must equal cos(u, decode(codes))
+    // computed by hand from the model; and finer subspaces (larger m,
+    // shorter sub-slices) reconstruct at least as well on average.
+    def avgRecon(m: Int): Double = {
+      val model = PqIndex.train(emb, "embedding", m = m, k = 16)
+      val rows = Similarity.withUnit(emb, "embedding")
+        .select(col("_unit"),
+          PqIndex.encode(col("_unit"), model).as("_codes"))
+        .withColumn("_cos",
+          PqIndex.adcScore(col("_unit"), col("_codes"), model) /
+            sqrt(PqIndex.reconstructionNormSq(col("_codes"), model)))
+        .select(col("_unit"), col("_codes"), col("_cos"))
+        .as[(Seq[Double], Seq[Int], Double)].collect()
+      // hand decode + cosine for a sample of rows
+      rows.take(20).foreach { case (u, codes, got) =>
+        val r = codes.zipWithIndex.flatMap { case (j, s) => model.codebooks(s)(j) }
+        val num = u.zip(r).map { case (a, b) => a * b }.sum
+        val den = math.sqrt(r.map(x => x * x).sum)
+        assert(math.abs(got - num / den) < 1e-9, s"hand=${num / den} got=$got")
+      }
+      rows.map(_._3).sum / rows.length
+    }
+    val a8 = avgRecon(8); val a16 = avgRecon(16)
+    assert(a16 >= a8 - 1e-6, s"m=16 ($a16) must not reconstruct worse than m=8 ($a8)")
+    assert(a8 > 0.2 && a16 <= 1.0 + 1e-9, s"a8=$a8 a16=$a16")
+  }
+
   test("PQ top-k recall against brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
