@@ -187,6 +187,11 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.9,
       maxShingleDocFreq: Long = 10000): DataFrame = {
+    require(shingleK >= 1, s"shingleK=$shingleK must be >= 1")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold must be in (0, 1]")
+    require(maxShingleDocFreq >= 2,
+      s"maxShingleDocFreq=$maxShingleDocFreq: below 2 no shingle can pair")
     val fps = OpCaches.track(df.select(col(idCol).as("_id"),
         explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_s"))
       .select(col("_id"), md5(col("_s")).as("_fp"))

@@ -439,6 +439,9 @@ object TextAnalysis {
   def sourceDivergenceMatrix(docs: org.apache.spark.sql.DataFrame,
       sourceCol: String, textCol: String, vocabSize: Int = 200,
       alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(vocabSize >= 1, s"vocabSize=$vocabSize must be >= 1")
+    require(alpha > 0, s"alpha=$alpha must be positive (zero probabilities " +
+      "would make the KL terms partial)")
     val tok = docs.select(col(sourceCol).as("_src"),
       explode(tokens(col(textCol))).as("word"))
     val vocab = tok.groupBy(col("word"))

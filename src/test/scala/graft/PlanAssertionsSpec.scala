@@ -348,6 +348,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!finalSection.contains("CartesianProduct"), finalSection.take(800))
   }
 
+  test("q55 timeout funnel: three chained windows share ONE user exchange") {
+    val plan = executedPlan("q55_funnel_timeout")
+    val finalSection = plan.split("== Initial Plan ==").head
+    // funnel depth must cost window passes, never extra shuffles: the
+    // only hash exchange is the user_id partition all three stages ride
+    val userEx = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(finalSection).size
+    assert(userEx == 1, s"$userEx user exchanges:\n${finalSection.take(1200)}")
+    assert(!finalSection.contains("Join"), finalSection.take(800))
+  }
+
   test("d28 containment: fp equi-join candidates, text never on a shuffle") {
     val plan = executedPlan("d28_containment_neardup")
     val finalSection = plan.split("== Initial Plan ==").head
