@@ -444,14 +444,28 @@ object TextAnalysis {
       "would make the KL terms partial)")
     val tok = docs.select(col(sourceCol).as("_src"),
       explode(tokens(col(textCol))).as("word"))
-    val vocab = tok.groupBy(col("word"))
+    // Exactly TWO corpus scans, however many times the plan references
+    // the counts (the naive DAG re-derived the corpus aggregate per
+    // reference — 10 scans observed at 2 pair-join branches × 5 uses):
+    //   scan 1 — global word counts, TakeOrdered heap cut, and the
+    //     ≤vocabSize words collect to the driver (bounded, the
+    //     IvfIndex-training-collect pattern) to become a literal
+    //     filter;
+    //   scan 2 — the (source, in-vocab word) counts, a ≤|sources| ×
+    //     vocabSize frame cached via OpCaches so the grid join and both
+    //     pair-join branches reuse it instead of rescanning.
+    val vocabWords: Array[String] = tok.groupBy(col("word"))
       .agg(count(lit(1)).as("_n"))
       .orderBy(col("_n").desc, col("word"))
       .limit(vocabSize)
-      .select(col("word"))
-    val cnt = tok.join(broadcast(vocab), Seq("word"))
-      .groupBy(col("_src"), col("word"))
-      .agg(count(lit(1)).as("_nsw"))
+      .select(col("word")).collect().map(_.getString(0))
+    val vocab = docs.sparkSession
+      .createDataset(vocabWords.toSeq)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("word")
+    val cnt = OpCaches.track(
+      tok.filter(col("word").isin(vocabWords.toSeq: _*))
+        .groupBy(col("_src"), col("word"))
+        .agg(count(lit(1)).as("_nsw")))
     val tot = cnt.groupBy(col("_src")).agg(sum(col("_nsw")).as("_ns"))
     val grid = tot.crossJoin(broadcast(vocab))
     val p = grid.join(cnt, Seq("_src", "word"), "left")
@@ -462,7 +476,10 @@ object TextAnalysis {
       col("_p").as("_pa"))
     val b = p.select(col("_src").as("source_b"), col("word"),
       col("_p").as("_pb"))
-    a.join(b, Seq("word"))
+    // the pair join runs over the |sources| × vocabSize grid — bounded
+    // by construction, so broadcast it rather than letting a size
+    // estimate pick a sort-merge join over two re-computed branches
+    a.join(broadcast(b), Seq("word"))
       .filter(col("source_a") < col("source_b"))
       .withColumn("_m", (col("_pa") + col("_pb")) / 2)
       .groupBy(col("source_a"), col("source_b"))
