@@ -373,16 +373,19 @@ class PlanAssertionsSpec extends SparkSpec {
       }
   }
 
-  test("t26 source divergence: one corpus-sized word count, matrix math broadcasts") {
+  test("t26 source divergence: cached in-vocab counts, matrix math broadcasts") {
     val plan = executedPlan("t26_source_divergence")
     val finalSection = plan.split("== Initial Plan ==").head
-    // the vocab cut is a TakeOrdered heap (no global sort) and the
-    // vocab/grid joins broadcast — the only SMJ-eligible join would be
-    // corpus-sized, and there must not be one
-    assert(finalSection.contains("TakeOrderedAndProject"), finalSection.take(1200))
+    // scan-count contract: the vocab was collected in its own bounded
+    // job (not in this plan), and every downstream reference reads the
+    // CACHED (source, in-vocab word) count frame instead of rescanning
+    // the corpus — so the main plan shows InMemoryTableScan and no
+    // sort-merge join (the only SMJ-eligible join would be
+    // corpus-sized, and there must not be one)
+    assert(finalSection.contains("InMemoryTableScan"), finalSection.take(1200))
     assert(!finalSection.contains("SortMergeJoin"), finalSection.take(1200))
-    // word-count aggregates combine map-side before their exchange
-    assert(finalSection.contains("partial_count"), finalSection.take(1200))
+    assert(finalSection.contains("BroadcastHashJoin"), finalSection.take(1200))
+    graft.operators.OpCaches.release(spark)
   }
 
   test("v26 anisotropy: per-dim sums partial-aggregate, no pairwise join") {
