@@ -580,6 +580,44 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("waterfill allocation satisfies the analytic invariants on random mixes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cases: Gen[(Seq[Long], Seq[Double], Long)] = for {
+      n <- Gen.choose(2, 6)
+      masses <- Gen.listOfN(n, Gen.choose(5L, 2000L))
+      weights <- Gen.listOfN(n, Gen.choose(1, 100).map(_.toDouble))
+      budget <- Gen.choose(10L, 4000L)
+    } yield (masses, weights, budget)
+    forAll(cases, n = 6) { case (masses, weights, budget) =>
+      val srcs = masses.indices.map(i => f"s$i%02d")
+      val docs = masses.zip(srcs).map { case (m, s) =>
+        (s.hashCode.toLong, s, Seq.fill(m.toInt)("w").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val wmap = srcs.zip(weights).toMap
+      val got = graft.operators.Sampling.waterfillBudgetMix(
+          docs, "doc_id", "text", "source", wmap, budget)
+        .select("source", "n_tokens", "alloc_tokens", "capped")
+        .as[(String, Long, Long, Int)].collect()
+      val totalM = masses.sum
+      val totalAlloc = got.map(_._3).sum
+      // (a) never allocate above a source's mass
+      got.foreach { case (s, m, a, _) =>
+        assert(a <= m && a >= 0, s"$s alloc=$a mass=$m") }
+      // (b) budget consumed exactly up to per-source rounding (±1 per
+      //     uncapped source), or the whole corpus if it fits
+      val target = math.min(budget, totalM)
+      val slack = got.count(_._4 == 0).max(1)
+      assert(math.abs(totalAlloc - target) <= slack,
+        s"masses=$masses weights=$weights budget=$budget " +
+          s"alloc=$totalAlloc target=$target")
+      // (c) capped sources are fully taken; uncapped never are (unless
+      //     rounding lands exactly on the mass)
+      got.foreach { case (s, m, a, c) =>
+        if (c == 1) assert(a == m, s"$s capped but alloc=$a mass=$m") }
+    }
+  }
+
   test("containment pairs equal the in-memory shingle-set reference") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -399,6 +399,48 @@ class StatefulOpsSpec extends SparkSpec {
       s"restart must preserve budget state: $admitted")
   }
 
+  test("streamingStreaks: open-streak state survives a checkpoint restart") {
+    // Recovery pin (the budget test's twin): a streak spanning the
+    // restart must close with its FULL length — losing state would
+    // emit a short streak or none.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val day = 86400L * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("streak-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("streak-ckpt").toString
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("tsMicros", LongType), StructField("value", DoubleType)))
+    def stream() = StatefulOps.streamingStreaks(
+      spark.readStream.schema(schema).json(dir)
+        .as[StatefulOps.Keyed](org.apache.spark.sql.Encoders.product))
+    def write(name: String, rows: Seq[(String, Long)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        rows.map { case (k, d) =>
+          s"""{"key":"$k","tsMicros":${d * day},"value":1.0}"""
+        }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val out = java.nio.file.Files.createTempDirectory("streak-out").toString
+    // run 1: days 1,2 — streak open at restart
+    write("b1.json", Seq(("u", 1L), ("u", 2L)))
+    val q1 = stream().writeStream.format("json")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // run 2: day 3 extends ACROSS the restart; day 9 closes [1..3]
+    write("b2.json", Seq(("u", 3L)))
+    write("b3.json", Seq(("u", 9L)))
+    val q2 = stream().writeStream.format("json")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val closed = spark.read
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("startDay", LongType), StructField("endDay", LongType),
+        StructField("len", LongType))))
+      .json(out)
+      .select("startDay", "endDay", "len").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(closed == Set((1L, 3L, 3L)),
+      s"the restart-spanning streak must close at full length: $closed")
+  }
+
   test("streamingStreaks: closed streaks match the batch q53 islands") {
     implicit val sq = spark.sqlContext
     val day = 86400L * 1000000L
