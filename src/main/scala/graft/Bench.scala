@@ -59,7 +59,14 @@ object Bench {
     // 5-10× with all three consecutive runs slow), while round-robin
     // spreads a query's three samples minutes apart so the min sees at
     // least one clean run.
-    val names = QueryRegistry.benchNames
+    // dev knob: bench only the named queries (comma-separated) —
+    // iterating on one operator shouldn't pay the full 40-query set
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) =>
+        val want = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        QueryRegistry.benchNames.filter(want)
+      case None => QueryRegistry.benchNames
+    }
     // Each sample pays its own operator-cache builds: queries register
     // intermediate frames (ANN indexes, signature/window-hash streams)
     // in OpCaches, and Spark's CacheManager would otherwise hand a

@@ -176,37 +176,100 @@ object Dedup {
     * expansions all look exactly like this in a training corpus).
     *
     * Scale shape: shingles reduce to md5 fingerprints AT THE SCAN
-    * (text never shuffles); candidates come from the (fp → id)
-    * equi-join; shingles present in more than `maxShingleDocFreq`
-    * docs are excluded from candidate generation AND overlap counting
-    * (a boilerplate shingle shared by half the corpus is noise, not
-    * inclusion evidence — and it is exactly the shingle that would
-    * otherwise make the self-join quadratic). Per-doc set sizes ride
-    * a separate narrow aggregate. The filter applies to the ROUNDED
-    * score so external replays agree at the boundary. */
+    * (text never shuffles); shingles present in more than
+    * `maxShingleDocFreq` docs are excluded from candidate generation
+    * AND overlap counting (a boilerplate shingle shared by half the
+    * corpus is noise, not inclusion evidence — and it is exactly the
+    * shingle that would otherwise make the self-join quadratic).
+    * Per-doc set sizes ride a separate narrow aggregate. The filter
+    * applies to the ROUNDED score so external replays agree at the
+    * boundary.
+    *
+    * Candidate generation has two shapes, selected by `prefixFilter`,
+    * with MEASURED trade-offs (bench, sf0.1 synthetic docs):
+    *
+    *   - `false` (default): the exhaustive (fp → id) self-join. Its
+    *     cost is Σ_fp df², which the df cap already bounds LINEARLY in
+    *     corpus size (Σ df² ≤ cap·Σ df) — and on corpora whose
+    *     shingles are mostly unique (synthetic text, or any corpus
+    *     that already went through exact/near dedup, where df ≈ 1 for
+    *     almost every fp) the self-join IS linear and nothing beats
+    *     it: the bench showed the prefix variant ~35% slower here,
+    *     because its per-doc window sort and array-verify joins are
+    *     pure overhead when candidates were never quadratic.
+    *   - `true`: the LOSSLESS prefix filter from the set-similarity-
+    *     join literature (PPJoin's length/positional family, adapted
+    *     to containment-over-min). A passing pair's SMALLER side
+    *     shares ≥ tEff·m of its m total fingerprints, so at most
+    *     (1−tEff)·m of them can miss the other doc, and any
+    *     floor((1−tEff)·m)+1 of its rare fps must contain a
+    *     shared-and-rare fp (pigeonhole; tEff is the rounded
+    *     threshold's lower bound, so the cut is conservative w.r.t.
+    *     the final round(·,6) ≥ threshold filter). Each doc indexes
+    *     only its floor((1−tEff)·n)+1 RAREST fps (global (df, fp)
+    *     order — rarest first minimizes fan-out) against the other
+    *     side's full rare set — Σ df² becomes Σ_fp prefixDf·df — and
+    *     exact overlaps are counted only for surviving candidates via
+    *     per-doc sorted fp arrays. This is the path for raw web-scale
+    *     text, where boilerplate pushes df mass toward the cap and
+    *     the self-join's cap·Σdf bound is the thing that explodes.
+    *
+    * Both paths produce bit-identical output (property-tested against
+    * the in-memory reference, df cap and threshold boundary included). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.9,
-      maxShingleDocFreq: Long = 10000): DataFrame = {
+      maxShingleDocFreq: Long = 10000,
+      prefixFilter: Boolean = false): DataFrame = {
     require(shingleK >= 1, s"shingleK=$shingleK must be >= 1")
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold must be in (0, 1]")
     require(maxShingleDocFreq >= 2,
       s"maxShingleDocFreq=$maxShingleDocFreq: below 2 no shingle can pair")
+    // (id, fp) pairs are unique by construction — wordShingles is
+    // distinct-ified per document — so no global distinct: a .distinct()
+    // here would re-shuffle the corpus's biggest intermediate (the
+    // exploded shingle stream) to remove nothing. The oracle's sfp CTE
+    // relies on the same per-doc distinctness.
     val fps = OpCaches.track(df.select(col(idCol).as("_id"),
         explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_s"))
-      .select(col("_id"), md5(col("_s")).as("_fp"))
-      .distinct())
+      .select(col("_id"), md5(col("_s")).as("_fp")))
     val rare = fps.groupBy(col("_fp"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxShingleDocFreq)
-      .select(col("_fp"))
-    val cand = fps.join(rare, "_fp")
     val sizes = fps.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val shared = cand.select(col("_fp"), col("_id").as("a"))
-      .join(cand.select(col("_fp"), col("_id").as("b")), "_fp")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("_shared"))
+    val shared =
+      if (!prefixFilter) {
+        val cand = fps.join(rare.select(col("_fp")), "_fp")
+        cand.select(col("_fp"), col("_id").as("a"))
+          .join(cand.select(col("_fp"), col("_id").as("b")), "_fp")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("_shared"))
+      } else {
+        // round(c, 6) >= threshold admits c >= threshold − 5e-7; widen
+        // by another 5e-7 so the bound can never clip a boundary pair
+        val tEff = threshold - 1e-6
+        val cand = OpCaches.track(fps.join(rare, "_fp"))
+        val wPrefix = Window.partitionBy(col("_id"))
+          .orderBy(col("_df").asc, col("_fp").asc)
+        val prefix = cand.join(sizes, "_id")
+          .withColumn("_rk", row_number().over(wPrefix))
+          .filter(col("_rk") <= floor((lit(1.0) - lit(tEff)) * col("_n")) + 1)
+          .select(col("_fp"), col("_id").as("_px"))
+        val pairs = prefix
+          .join(cand.select(col("_fp"), col("_id").as("_cy")), "_fp")
+          .filter(col("_px") =!= col("_cy"))
+          .select(least(col("_px"), col("_cy")).as("a"),
+            greatest(col("_px"), col("_cy")).as("b"))
+          .distinct()
+        val rareSets = cand.groupBy(col("_id"))
+          .agg(sort_array(collect_list(col("_fp"))).as("_set"))
+        pairs
+          .join(rareSets.select(col("_id").as("a"), col("_set").as("_sa")), "a")
+          .join(rareSets.select(col("_id").as("b"), col("_set").as("_sb")), "b")
+          .select(col("a"), col("b"),
+            size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("_shared"))
+      }
     shared
       .join(sizes.select(col("_id").as("a"), col("_n").as("_na")), "a")
       .join(sizes.select(col("_id").as("b"), col("_n").as("_nb")), "b")

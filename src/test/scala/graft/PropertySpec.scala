@@ -656,4 +656,50 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"docs=$docs\ngot=$got\nwant=$want")
     }
   }
+
+  test("containment prefix filter is lossless under a df cap and tight threshold") {
+    import spark.implicits._
+    // The prefix filter indexes only each doc's rarest fps; the df cap
+    // makes "rare" a strict subset of a doc's shingles while sizes
+    // still count ALL of them — exactly the interaction that could
+    // clip a boundary pair if the pigeonhole bound were off by one.
+    // High thresholds (0.75/0.9) make prefixes as short as possible.
+    val vocab = Vector("a1", "b2", "c3", "d4", "e5", "f6")
+    val corpus: Gen[(Seq[String], Double)] = for {
+      n <- Gen.choose(5, 8)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(3, 12)
+        ws <- Gen.listOfN(len, Gen.choose(0, vocab.size - 1))
+      } yield ws.map(vocab).mkString(" "))
+      thr <- Gen.oneOf(0.75, 0.9)
+    } yield (docs, thr)
+    forAll(corpus, n = 5) { case (docs, thr) =>
+      val cap = 3L
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def run(prefix: Boolean) = graft.operators.Dedup
+        .containmentPairs(df, "doc_id", "text", shingleK = 3,
+          threshold = thr, maxShingleDocFreq = cap, prefixFilter = prefix)
+        .select("a", "b", "containment")
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      def shingles(t: String): Set[String] = {
+        val ws = t.trim.split("\\s+").toSeq
+        if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+        else Set(ws.mkString(" "))
+      }
+      val sets = docs.zipWithIndex.map { case (t, i) => i.toLong -> shingles(t) }
+      val dfreq = sets.flatMap(_._2).groupBy(identity).map { case (s, o) => s -> o.size }
+      val rareOf = sets.map { case (i, s) => i -> s.filter(dfreq(_) <= cap) }.toMap
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        shared = (rareOf(a) & rareOf(b)).size
+        c = BigDecimal(shared.toDouble / math.min(sa.size, sb.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if c >= thr
+      } yield (a, b) -> c).toMap
+      assert(run(prefix = false) == want, s"naive thr=$thr docs=$docs")
+      assert(run(prefix = true) == want, s"prefix thr=$thr docs=$docs")
+    }
+  }
 }
