@@ -1597,10 +1597,48 @@ object RelationalQueries {
         CAST(round(np / nc * 1e6) AS BIGINT) FROM n)
     ORDER BY stage"""))
 
+  // --- q56: peak concurrency (interval sweep) --------------------------
+  // "How many sessions were active AT ONCE, at the worst moment of each
+  // day" — the capacity-planning number a max-over-windowed-counts
+  // approximation undercounts (bucketed counts miss peaks straddling
+  // bucket edges). Exact sweep: each (user, day) activity interval
+  // emits +1 at its start and −1 at its end, and the peak is the max
+  // running sum in (us, delta DESC) order — delta DESC makes the
+  // boundary inclusive (a session starting the instant another ends
+  // overlaps it). Both engines use the default RANGE window frame, so
+  // tie groups accumulate identically.
+  //
+  // Scale shape: the sweep never sees raw events — intervals come from
+  // one (day, user) partial aggregate, and the swept stream is 2 rows
+  // per session. The one wide edge is the day-keyed exchange; the
+  // within-partition sort is over a day's session boundaries, not its
+  // events. Peak-day skew is bounded by sessions/day; at 100 TB a
+  // pathological day splits into a chunked two-phase sweep (per-chunk
+  // sums, then a prefix over chunk totals) without changing the shape.
+  private val q56 = GraftQuery(
+    "q56_peak_concurrency",
+    (s, d) => graft.operators.EventOps.peakConcurrencyDaily(ev(s, d)),
+    Some("""WITH iv AS (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+          min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM events GROUP BY 1, 2),
+      b AS (
+        SELECT day, lo AS us, 1 AS delta FROM iv
+        UNION ALL
+        SELECT day, hi, -1 FROM iv),
+      r AS (
+        SELECT day, sum(delta) OVER (
+          PARTITION BY day ORDER BY us, delta DESC) AS running
+        FROM b)
+      SELECT day, CAST(max(running) AS BIGINT) AS peak_concurrent,
+        CAST(count(*) / 2 AS BIGINT) AS n_sessions
+      FROM r GROUP BY day ORDER BY day"""),
+    bench = true)
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55)
+    q51, q52, q53, q54, q55, q56)
 }

@@ -85,4 +85,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("1970-01-02", 0)) == 1) // u3 cohort
     assert(got(("1970-01-02", 2)) == 1) // u3 back at offset 2
   }
+
+  test("peak concurrency sweep is exact, end-inclusive, per-day partitioned") {
+    val day = 86400L
+    val ev = Seq(
+      // day 0: u1 [10,100], u2 [50,150], u3 [100,100] → 3 overlap at 100;
+      //        u4 [200,300], u5 [300,300] → boundary-inclusive pair of 2
+      (ts(10), 1L), (ts(100), 1L),
+      (ts(50), 2L), (ts(150), 2L),
+      (ts(100), 3L),
+      (ts(200), 4L), (ts(300), 4L),
+      (ts(300), 5L),
+      // day 1: two disjoint singleton-ish sessions → peak 1
+      (ts(day + 10), 1L), (ts(day + 20), 1L),
+      (ts(day + 30), 2L))
+      .toDF("ts", "user_id")
+    val got = graft.operators.EventOps.peakConcurrencyDaily(ev)
+      .select(date_format(col("day"), "yyyy-MM-dd"),
+        col("peak_concurrent"), col("n_sessions"))
+      .as[(String, Long, Long)].collect().toList
+    assert(got == List(("1970-01-01", 3L, 5L), ("1970-01-02", 1L, 2L)),
+      got.toString)
+  }
 }
