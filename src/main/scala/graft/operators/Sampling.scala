@@ -158,15 +158,23 @@ object Sampling {
     * (the unpartitioned windows are bounded by construction — same
     * contract as the s21/s24 ratio tables). Sources absent from
     * `weights` are excluded (allocation 0 by definition). Output per
-    * weighted source: mass, allocated tokens, capped flag (0/1), and
-    * keep_ratio_ppm — exactly 1e6 for capped sources. All float ops
-    * are associated identically in the SQL oracle. */
+    * weighted source: one-epoch mass, allocated tokens, capped flag
+    * (0/1), and keep_ratio_ppm = alloc/m in ppm — exactly
+    * maxEpochs·1e6 for capped sources (1e6 in the E = 1 plain
+    * waterfill). All float ops are associated identically in the SQL
+    * oracle. */
   def waterfillBudgetMix(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, weights: Map[String, Double],
-      budgetTokens: Long): DataFrame = {
+      budgetTokens: Long, maxEpochs: Int = 1): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "waterfill weights must be strictly positive")
     require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    // maxEpochs > 1 is the repetition-aware plan (Σ min(E·m_j, w_j·λ)
+    // = B): a source may be seen up to E times before its cap bites,
+    // the way every data-constrained pretraining mix repeats its
+    // high-quality sources. E = 1 degenerates to the plain waterfill —
+    // same caps, same λ, same ppm — so one solver serves both.
+    require(maxEpochs >= 1, s"maxEpochs=$maxEpochs must be >= 1")
     val base = docs.select(col(sourceCol).as("_src"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("_tok"))
     val wMap = map(weights.toSeq.flatMap {
@@ -176,18 +184,19 @@ object Sampling {
       .agg(sum(col("_tok")).as("_m"))
       .withColumn("_w", element_at(wMap, col("_src")))
       .filter(col("_w").isNotNull)
-      .withColumn("_ratio", col("_m").cast("double") / col("_w"))
+      .withColumn("_c", col("_m") * lit(maxEpochs.toLong))
+      .withColumn("_ratio", col("_c").cast("double") / col("_w"))
     val ord = Window.orderBy(col("_ratio"), col("_src"))
     val ranked = masses
-      .withColumn("_prefixM", sum(col("_m")).over(
+      .withColumn("_prefixC", sum(col("_c")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("_sufW", coalesce(sum(col("_w")).over(
         ord.rowsBetween(1, Window.unboundedFollowing)), lit(0.0)))
       .withColumn("_capped",
-        col("_prefixM").cast("double") + col("_ratio") * col("_sufW") <=
+        col("_prefixC").cast("double") + col("_ratio") * col("_sufW") <=
           lit(budgetTokens.toDouble))
     val lam = ranked.agg(
-        sum(when(col("_capped"), col("_m")).otherwise(lit(0L))).as("_cm"),
+        sum(when(col("_capped"), col("_c")).otherwise(lit(0L))).as("_cm"),
         sum(when(!col("_capped"), col("_w")).otherwise(lit(0.0))).as("_uw"))
       .select(when(col("_uw") > 0,
           (lit(budgetTokens.toDouble) - col("_cm").cast("double")) /
@@ -197,11 +206,11 @@ object Sampling {
     ranked.crossJoin(broadcast(lam))
       .select(col("_src").as(sourceCol),
         col("_m").as("n_tokens"),
-        when(col("_capped"), col("_m"))
+        when(col("_capped"), col("_c"))
           .otherwise(round(col("_w") * col("_lambda")).cast("long"))
           .as("alloc_tokens"),
         col("_capped").cast("int").as("capped"),
-        when(col("_capped"), lit(1000000L))
+        when(col("_capped"), lit(maxEpochs * 1000000L))
           .otherwise(round(col("_w") * col("_lambda") / col("_m") * 1e6)
             .cast("long"))
           .as("keep_ratio_ppm"))

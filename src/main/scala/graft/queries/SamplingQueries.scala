@@ -821,7 +821,65 @@ object SamplingQueries {
           END AS keep_ratio_ppm
       FROM c CROSS JOIN l ORDER BY source"""))
 
+  // --- s27: epoch-capped waterfill -------------------------------------
+  // The data-constrained regime: when the budget exceeds what one pass
+  // over the weighted sources supplies, real mixture plans REPEAT
+  // sources (up to E epochs) rather than evaporate budget. Same
+  // closed-form solver as s26 with caps E·m_j; keep_ratio_ppm becomes
+  // epochs-in-ppm (capped sources pin at E·1e6, uncapped land
+  // anywhere in (0, E·1e6)). Budget 9000 against ~1.45k-token sources
+  // at E = 2 puts the heavy-weight sources at the epoch cap and the
+  // light ones under λ — both regimes in one fixture, robust to the
+  // driver's testdata regeneration (masses sit near 1.3–1.6k per
+  // source at every sf).
+  private val s27 = GraftQuery(
+    "s27_epoch_waterfill_mix",
+    (s, d) =>
+      Sampling.waterfillBudgetMix(Tables(s, d, "documents"),
+          "doc_id", "text", "source",
+          weights = Map("src0" -> 0.35, "src1" -> 0.25, "src2" -> 0.20,
+            "src3" -> 0.10, "src4" -> 0.06, "src5" -> 0.04),
+          budgetTokens = 9000, maxEpochs = 2)
+        .withColumnRenamed("keep_ratio_ppm", "epochs_ppm")
+        .orderBy("source"),
+    Some("""WITH base AS (
+        SELECT source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        FROM documents),
+      w(src, w) AS (VALUES ('src0', 0.35), ('src1', 0.25), ('src2', 0.20),
+        ('src3', 0.10), ('src4', 0.06), ('src5', 0.04)),
+      m AS (
+        SELECT source, CAST(sum(tok) AS BIGINT) AS m, any_value(w.w) AS w
+        FROM base JOIN w ON w.src = source
+        GROUP BY source),
+      m2 AS (SELECT source, m, w, m * 2 AS c,
+        (m * 2)::DOUBLE / w AS ratio FROM m),
+      r AS (
+        SELECT *,
+          sum(c) OVER (ORDER BY ratio, source
+            ROWS UNBOUNDED PRECEDING) AS prefixC,
+          coalesce(sum(w) OVER (ORDER BY ratio, source
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS sufW
+        FROM m2),
+      c AS (
+        SELECT *, (prefixC::DOUBLE + ratio * sufW) <= 9000.0 AS capped
+        FROM r),
+      l AS (
+        SELECT (9000.0 - sum(CASE WHEN capped THEN c ELSE 0 END)::DOUBLE)
+            / sum(CASE WHEN capped THEN 0 ELSE w END) AS lambda
+        FROM c)
+      SELECT source, m AS n_tokens,
+        CAST(CASE WHEN capped THEN c
+          ELSE CAST(round(w * lambda) AS BIGINT) END AS BIGINT)
+          AS alloc_tokens,
+        CAST(capped AS INTEGER) AS capped,
+        CASE WHEN capped THEN CAST(2000000 AS BIGINT)
+          ELSE CAST(round(w * lambda / m * 1e6) AS BIGINT)
+          END AS epochs_ppm
+      FROM c CROSS JOIN l ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26)
+      s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
+      s27)
 }

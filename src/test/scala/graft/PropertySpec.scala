@@ -583,38 +583,39 @@ class PropertySpec extends SparkSpec {
   test("waterfill allocation satisfies the analytic invariants on random mixes") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val cases: Gen[(Seq[Long], Seq[Double], Long)] = for {
+    val cases: Gen[(Seq[Long], Seq[Double], Long, Int)] = for {
       n <- Gen.choose(2, 6)
       masses <- Gen.listOfN(n, Gen.choose(5L, 2000L))
       weights <- Gen.listOfN(n, Gen.choose(1, 100).map(_.toDouble))
       budget <- Gen.choose(10L, 4000L)
-    } yield (masses, weights, budget)
-    forAll(cases, n = 6) { case (masses, weights, budget) =>
+      epochs <- Gen.oneOf(1, 1, 2, 4) // E = 1 (the plain fill) dominates
+    } yield (masses, weights, budget, epochs)
+    forAll(cases, n = 6) { case (masses, weights, budget, epochs) =>
       val srcs = masses.indices.map(i => f"s$i%02d")
       val docs = masses.zip(srcs).map { case (m, s) =>
         (s.hashCode.toLong, s, Seq.fill(m.toInt)("w").mkString(" "))
       }.toDF("doc_id", "source", "text")
       val wmap = srcs.zip(weights).toMap
       val got = graft.operators.Sampling.waterfillBudgetMix(
-          docs, "doc_id", "text", "source", wmap, budget)
+          docs, "doc_id", "text", "source", wmap, budget, maxEpochs = epochs)
         .select("source", "n_tokens", "alloc_tokens", "capped")
         .as[(String, Long, Long, Int)].collect()
-      val totalM = masses.sum
+      val totalC = masses.sum * epochs
       val totalAlloc = got.map(_._3).sum
-      // (a) never allocate above a source's mass
+      // (a) never allocate above a source's epoch cap E·m
       got.foreach { case (s, m, a, _) =>
-        assert(a <= m && a >= 0, s"$s alloc=$a mass=$m") }
+        assert(a <= m * epochs && a >= 0, s"$s alloc=$a cap=${m * epochs}") }
       // (b) budget consumed exactly up to per-source rounding (±1 per
-      //     uncapped source), or the whole corpus if it fits
-      val target = math.min(budget, totalM)
+      //     uncapped source), or the whole E-epoch corpus if it fits
+      val target = math.min(budget, totalC)
       val slack = got.count(_._4 == 0).max(1)
       assert(math.abs(totalAlloc - target) <= slack,
-        s"masses=$masses weights=$weights budget=$budget " +
+        s"masses=$masses weights=$weights budget=$budget E=$epochs " +
           s"alloc=$totalAlloc target=$target")
-      // (c) capped sources are fully taken; uncapped never are (unless
-      //     rounding lands exactly on the mass)
+      // (c) capped sources are fully taken (all E epochs); uncapped
+      //     never are (unless rounding lands exactly on the cap)
       got.foreach { case (s, m, a, c) =>
-        if (c == 1) assert(a == m, s"$s capped but alloc=$a mass=$m") }
+        if (c == 1) assert(a == m * epochs, s"$s capped but alloc=$a") }
     }
   }
 
