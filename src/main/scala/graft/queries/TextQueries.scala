@@ -936,7 +936,77 @@ object TextQueries {
       GROUP BY 1, 2 ORDER BY source_a, source_b"""),
     bench = true)
 
+  // --- t27: top-N 3-gram coverage ladder ------------------------------
+  // How concentrated is the corpus's phrase mass? coverage_ppm(N) =
+  // (occurrences of the N most frequent 3-grams) / (all 3-gram
+  // occurrences): template-heavy corpora concentrate fast (high
+  // coverage at small N), diverse prose doesn't — the aggregate twin
+  // of t24's per-document novelty, and the number that says how far a
+  // "drop the top boilerplate phrases" scrub would reach. Multiset
+  // shingles (wordShinglesAll — repetition IS the signal here). Shape:
+  // one (3-gram → count) shuffle; the top-10000 cut is a TakeOrdered
+  // heap, the rank window is constant-bounded, and the total mass is a
+  // map-side sum over documents — no second corpus pass through the
+  // aggregate.
+  private val t27 = GraftQuery(
+    "t27_ngram_coverage",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val counts = docs
+        .select(explode(TextAnalysis.wordShinglesAll(col("text"), 3)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n"))
+      val top = counts.orderBy(col("n").desc, col("g")).limit(10000)
+      val w = Window.orderBy(col("n").desc, col("g"))
+      val masses = top.withColumn("rank", row_number().over(w))
+        .agg(sum(when(col("rank") <= 100, col("n"))).as("m100"),
+          sum(when(col("rank") <= 1000, col("n"))).as("m1000"),
+          sum(col("n")).as("m10000"))
+      val total = docs.agg(
+        sum(size(TextAnalysis.wordShinglesAll(col("text"), 3)))
+          .cast("long").as("_total"))
+      masses.crossJoin(broadcast(total))
+        .select(expr("""stack(3,
+            CAST(100 AS BIGINT), m100,
+            CAST(1000 AS BIGINT), m1000,
+            CAST(10000 AS BIGINT), m10000) AS (top_n, mass)"""),
+          col("_total"))
+        .select(col("top_n"), col("mass").cast("long").as("mass"),
+          round(col("mass").cast("double") / col("_total") * 1e6)
+            .cast("long").as("coverage_ppm"))
+        .orderBy("top_n")
+    },
+    Some("""WITH tg0 AS (
+        SELECT list_transform(
+          generate_series(1, greatest(1,
+            len(string_split_regex(trim(text), '\s+')) - 2)),
+          i -> CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+            THEN string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                 string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                 string_split_regex(trim(text), '\s+')[i+2]
+            ELSE array_to_string(string_split_regex(trim(text), '\s+'), ' ')
+            END) AS gs
+        FROM documents),
+      tg AS (SELECT unnest(gs) AS g FROM tg0),
+      counts AS (SELECT g, count(*) AS n FROM tg GROUP BY g),
+      top AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, g) AS rank
+        FROM counts ORDER BY n DESC, g LIMIT 10000),
+      tot AS (SELECT CAST(sum(len(gs)) AS BIGINT) AS total FROM tg0),
+      agg AS (
+        SELECT CAST(sum(CASE WHEN rank <= 100 THEN n END) AS BIGINT) AS m100,
+          CAST(sum(CASE WHEN rank <= 1000 THEN n END) AS BIGINT) AS m1000,
+          CAST(sum(n) AS BIGINT) AS m10000
+        FROM top)
+      SELECT top_n, mass,
+        CAST(round(mass::DOUBLE / total * 1e6) AS BIGINT) AS coverage_ppm
+      FROM (SELECT CAST(100 AS BIGINT) AS top_n, m100 AS mass FROM agg
+        UNION ALL SELECT CAST(1000 AS BIGINT), m1000 FROM agg
+        UNION ALL SELECT CAST(10000 AS BIGINT), m10000 FROM agg)
+      CROSS JOIN tot ORDER BY top_n"""),
+    bench = true)
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
+      t27)
 }
