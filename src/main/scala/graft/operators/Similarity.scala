@@ -101,6 +101,61 @@ object Similarity {
         round(col("n_overlap").cast("double") / k, 6).as("overlap_frac"))
   }
 
+  /** One-bit (sign) signature of an embedding, bitpacked into a single
+    * long: bit i is set iff component i is strictly positive (the v03
+    * convention — `> 0` on both engines). Normalization never flips a
+    * sign, so the signature of the raw vector equals the unit
+    * vector's. Built with a zip against the 64 power-of-two literals —
+    * no variable shifts, one codegen'd fold per row; each power is
+    * added at most once, so the fold cannot overflow (bit 63 is
+    * Long.MinValue by design). Supports dims ≤ 64 (this table is
+    * 64-wide); wider embeddings need an array-of-longs signature. */
+  def signBits(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(Vec.asDouble(vec), powers,
+        (x, p) => when(x > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Binary-quantization retrieval audit: for each query, the overlap
+    * between the exact cosine top-k and the top-k under Hamming
+    * distance on 1-bit sign signatures — the measurement that says
+    * whether 64× compression (one long per vector) retains enough
+    * ranking signal for a coarse first pass. Output per query:
+    * (query_id, n_overlap, sum_hamming) — all integers, so the audit
+    * hashes exactly across engines; Hamming ties break on neighbor_id
+    * (integer metric, no float tie risk at all on the binary side).
+    *
+    * Scale shape: signatures reduce each vector to 8 BYTES at the
+    * scan, the query side broadcasts, and the Hamming scan is one
+    * xor+popcount per pair inside codegen — the corpus never
+    * shuffles. The exact side reuses [[bruteForceTopK]] (the audit
+    * needs ground truth by definition); production retrieval would
+    * run the binary pass alone as the candidate generator. */
+  def binarySignOverlap(corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      signBits(col(embCol)).as("sig_c"))
+    val q = queries.select(col(idCol).as("query_id"),
+      signBits(col(embCol)).as("sig_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val btopk = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        bit_count(col("sig_q").bitwiseXOR(col("sig_c"))).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val etopk = bruteForceTopK(corpus, queries, idCol, embCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    btopk.join(etopk.withColumn("_hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("_hit")).as("n_overlap"),
+        sum(col("hamming")).as("sum_hamming"))
+  }
+
   /** IVF recall-vs-nprobe sweep: for each candidate `nprobe`, the
     * average recall@k of [[IvfIndex.ivfTopK]] against the exact
     * [[bruteForceTopK]] ground truth — the audit that picks the probe

@@ -1177,7 +1177,57 @@ object VectorQueries {
         ${pqDistortionSql(16)})
       ORDER BY m"""))
 
+  // --- v29: binary (sign) quantization retrieval audit ----------------
+  // The 64×-compression question: does one BIT per dimension retain
+  // enough ranking signal for a coarse first pass? Per query, the
+  // overlap between exact cosine top-10 and Hamming top-10 over
+  // bitpacked sign signatures (one long per 64-dim vector), plus the
+  // binary side's total Hamming mass. Integer metric end to end — the
+  // binary ranking has NO float tie risk — and the exact side reuses
+  // v01's rounded-cosine contract. Engine runs xor+popcount on packed
+  // longs inside codegen; the oracle expands the same signatures
+  // per-dimension (sign-disagreement count ≡ popcount of xor).
+  private val v29 = GraftQuery(
+    "v29_binary_hamming_audit",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.binarySignOverlap(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10)
+        .orderBy("query_id")
+    },
+    Some("""WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      q AS (SELECT vec_id, e FROM u WHERE vec_id < 10),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          sum(CASE WHEN (q.e[dims.i] > 0) <> (c.e[dims.i] > 0)
+            THEN 1 ELSE 0 END) AS hamming
+        FROM q CROSS JOIN u c CROSS JOIN dims
+        WHERE c.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      btopk AS (
+        SELECT query_id, neighbor_id, hamming FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY hamming, neighbor_id) AS rk FROM ham)
+        WHERE rk <= 10),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+        FROM u q, u c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      etopk AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+        WHERE rank <= 10)
+      SELECT b.query_id,
+        CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_overlap,
+        CAST(sum(b.hamming) AS BIGINT) AS sum_hamming
+      FROM btopk b LEFT JOIN etopk e USING (query_id, neighbor_id)
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
-    v23, v24, v25, v26, v27, v28)
+    v23, v24, v25, v26, v27, v28, v29)
 }

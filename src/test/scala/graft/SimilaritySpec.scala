@@ -285,6 +285,37 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("lshNearDupPairs"))
   }
 
+  test("signBits packs strict-positive signs into the expected long") {
+    import spark.implicits._
+    // dims 0, 1, 63 positive; dim 2 exactly 0.0 must NOT set its bit
+    val v = Array.fill(64)(-1.0f)
+    v(0) = 0.5f; v(1) = 2.0f; v(2) = 0.0f; v(63) = 1e-9f
+    val got = Seq(Tuple1(v)).toDF("embedding")
+      .select(Similarity.signBits(col("embedding")).as("s"))
+      .as[Long].head()
+    assert(got == (1L | 2L | (1L << 63)), s"got=$got")
+    // scaling never flips a signature: unit-normalized twin agrees
+    val scaled = Seq(Tuple1(v.map(_ * 7.5f))).toDF("embedding")
+      .select(Similarity.signBits(col("embedding")).as("s"))
+      .as[Long].head()
+    assert(scaled == got)
+  }
+
+  test("binary overlap audit: identical binary/exact rankings give full overlap") {
+    import spark.implicits._
+    // orthogonal one-hot-ish vectors: cosine ranking and Hamming
+    // ranking agree exactly, so every query overlaps k/k
+    val rows = (0 until 8).map { i =>
+      val v = Array.fill(64)(-1.0f); v(i) = 1.0f; (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.binarySignOverlap(df, df.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 3)
+      .select("query_id", "n_overlap")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L), got.toString)
+  }
+
   test("hyperplane signature is deterministic and balanced-ish") {
     val planes = Vec.randomPlanes(6, 64)
     val sigs = Similarity.withUnit(emb, "embedding")
