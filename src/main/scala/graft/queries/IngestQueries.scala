@@ -34,7 +34,7 @@ object IngestQueries {
       val out = java.nio.file.Files
         .createTempDirectory("graft-i01").toString
       CorpusWriter.writeJsonl(docs, col("text"), out, nShards = 4)
-      CorpusReader.readJsonl(s, s"$out/shard=*")
+      CorpusReader.readJsonl(s, out, recursive = true)
         .groupBy(col("source"), col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -45,7 +45,7 @@ object IngestQueries {
     },
     Some("""WITH ids AS (
         SELECT source, lang,
-          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_id
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS doc_id
         FROM documents)
       SELECT source, lang, count(*) AS n_docs,
         count(DISTINCT doc_id) AS n_distinct,
@@ -76,11 +76,49 @@ object IngestQueries {
           max(col("doc_id")).as("max_id"))
     },
     Some("""WITH ids AS (
-        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_id
+        SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS doc_id
         FROM documents)
       SELECT count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct,
         min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM ids"""))
 
-  val all: Seq[GraftQuery] = Seq(i01, i02)
+  // --- i03: one-document-per-FILE export → wholetext re-ingest ---------
+  // The crawl-extract layout ([[CorpusReader.readTextFiles]]): each
+  // document lives in its own file, `wholetext` keeps a file one row
+  // (a doc can never split across partitions). The export writes a
+  // bounded 100-doc subset through partitionBy(doc_id) — one row per
+  // doc ⇒ exactly one part file per doc directory — and the audit
+  // proves every byte survived the cycle via the content-addressed
+  // inventory (the collapse-then-trim normalization in
+  // [[CorpusReader]] absorbs the text sink's trailing newline; a
+  // trim-FIRST order would not — trim strips only spaces). Bounded
+  // BY DESIGN: a per-file layout at corpus scale is a listing
+  // pathology, which is exactly why the production readers are the
+  // sharded i01/i02 layouts; this gate covers the reader used at the
+  // crawl-extract EDGE, where per-file inputs are what upstream hands
+  // you.
+  private val i03 = GraftQuery(
+    "i03_textfiles_roundtrip",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").as("value"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-i03").toString
+      docs.write.mode("overwrite").partitionBy("doc_id").text(out)
+      CorpusReader.readTextFiles(s, out, recursive = true)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    },
+    Some("""WITH ids AS (
+        SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS doc_id
+        FROM documents WHERE doc_id < 100)
+      SELECT count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM ids"""))
+
+  val all: Seq[GraftQuery] = Seq(i01, i02, i03)
 }

@@ -30,9 +30,16 @@ object CorpusReader {
 
   private val canonical = Seq("doc_id", "text", "lang", "source")
 
+  // Collapse-THEN-trim: trim only strips spaces (both Spark and
+  // DuckDB), so trim-first would leave a trailing '\n' — e.g. the one
+  // every text-sink file ends with — to become a trailing ' ' after
+  // the collapse, silently changing the content address across a
+  // write/read round trip. Replacing first turns ANY edge whitespace
+  // into spaces that trim then removes, so a doc keeps one id no
+  // matter which serialization it last passed through.
   private def withDocId(df: DataFrame): DataFrame =
     df.withColumn("doc_id",
-      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
       .select(canonical.map(col): _*)
 
   /** JSONL (one JSON object per line, the interchange format of public
@@ -51,12 +58,17 @@ object CorpusReader {
   def readJsonl(spark: SparkSession, path: String,
       textField: String = "text", langField: String = "lang",
       sourceField: String = "source", defaultLang: String = "und",
-      defaultSource: String = "unknown"): DataFrame = {
+      defaultSource: String = "unknown",
+      recursive: Boolean = false): DataFrame = {
     val schema = StructType(Seq(
       StructField(textField, StringType),
       StructField(langField, StringType),
       StructField(sourceField, StringType)))
-    val raw = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    // Recursive concrete-root listing for sharded layouts (shard=K/
+    // dirs): same rationale as [[readTextFiles]] — a wildcard in the
+    // path trips a FileStreamSink metadata probe stack trace.
+    val raw = spark.read.schema(schema).option("mode", "FAILFAST")
+      .option("recursiveFileLookup", recursive.toString).json(path)
     withDocId(raw.select(
       when(col(textField).isNull, raise_error(concat(
           lit(s"readJsonl: well-formed line with null/missing '$textField' in "),
@@ -69,10 +81,15 @@ object CorpusReader {
   /** Directory of raw text files, one DOCUMENT per FILE (the
     * crawl-extract layout): `wholetext` keeps each file a single row —
     * a file is never split across partitions, so per-document operators
-    * see complete documents — and the file name becomes the source. */
+    * see complete documents — and the file name becomes the source.
+    * `recursive` descends into subdirectories (hidden `_`/`.` files
+    * skipped by Spark's file index) — pass the concrete root rather
+    * than a wildcard glob, which trips a noisy FileStreamSink metadata
+    * probe on the non-existent literal path. */
   def readTextFiles(spark: SparkSession, dir: String,
-      lang: String = "und"): DataFrame = {
-    val raw = spark.read.option("wholetext", "true").text(dir)
+      lang: String = "und", recursive: Boolean = false): DataFrame = {
+    val raw = spark.read.option("wholetext", "true")
+      .option("recursiveFileLookup", recursive.toString).text(dir)
       .select(col("value").as("text"),
         lit(lang).as("lang"),
         regexp_extract(input_file_name(), "([^/]+)$", 1).as("source"))

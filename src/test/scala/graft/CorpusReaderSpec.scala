@@ -55,7 +55,7 @@ class CorpusReaderSpec extends SparkSpec {
     val ids = docs.select("doc_id", "text").as[(String, String)].collect()
     ids.foreach { case (id, text) =>
       val fp = Seq(text).toDF("t")
-        .select(md5(lower(regexp_replace(trim(col("t")), "\\s+", " "))))
+        .select(md5(lower(trim(regexp_replace(col("t"), "\\s+", " ")))))
         .head().getString(0)
       assert(id == fp)
     }
@@ -117,7 +117,7 @@ class CorpusReaderSpec extends SparkSpec {
     val docs = CorpusReader.readJsonl(spark, src)
     graft.sources.CorpusWriter.writeJsonl(
       docs, col("doc_id"), out, nShards = 2)
-    val back = CorpusReader.readJsonl(spark, s"$out/shard=*")
+    val back = CorpusReader.readJsonl(spark, out, recursive = true)
     // the reader re-derives doc_id from content, so equality of full
     // rows proves the export preserved text/lang/source byte-exactly
     assert(back.select("doc_id", "text", "lang", "source").collect().map(_.toSeq).toSet
