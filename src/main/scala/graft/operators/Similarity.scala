@@ -156,6 +156,55 @@ object Similarity {
         sum(col("hamming")).as("sum_hamming"))
   }
 
+  /** Two-stage retrieval: binary-Hamming candidate generation followed
+    * by an exact cosine rerank of only the surviving candidates — the
+    * standard production shape (bit-sliced first pass, float second
+    * pass) that [[binarySignOverlap]] audits the first stage of. Per
+    * query: top-`nCandidates` corpus rows by (hamming, id) over packed
+    * sign signatures, then exact rounded-cosine top-`k` within that
+    * candidate set.
+    *
+    * Scale shape: stage 1 is the signature scan — queries broadcast,
+    * corpus never shuffles, xor+popcount in codegen; its window
+    * shuffles only (query_id, neighbor_id, hamming) triples, never
+    * vectors. Stage 2 re-joins the narrow candidate list (|Q|·C rows,
+    * broadcast) back to the corpus BY ID, so full-width vectors are
+    * only read for the ~C/N fraction of the corpus that survived the
+    * bit pass — that read-avoidance is the entire point of the
+    * architecture. Output: (query_id, rank, neighbor_id, cosine,
+    * hamming), k rows per query. */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nCandidates: Int,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(nCandidates >= k, s"nCandidates=$nCandidates must be >= k=$k")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      signBits(col(embCol)).as("sig_c"))
+    val q = queries.select(col(idCol).as("query_id"),
+      signBits(col(embCol)).as("sig_q"))
+    val wh = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val cands = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        bit_count(col("sig_q").bitwiseXOR(col("sig_c"))).cast("long"))
+      .withColumn("_crk", row_number().over(wh))
+      .filter(col("_crk") <= nCandidates)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val cu = withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
+    val qu = withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit").as("u_q"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cu.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(qu), Seq("query_id"))
+      .withColumn("cosine", round(Vec.dot(col("u_c"), col("u_q")), roundTo))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("hamming"))
+  }
+
   /** IVF recall-vs-nprobe sweep: for each candidate `nprobe`, the
     * average recall@k of [[IvfIndex.ivfTopK]] against the exact
     * [[bruteForceTopK]] ground truth — the audit that picks the probe

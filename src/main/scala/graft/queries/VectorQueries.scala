@@ -1227,7 +1227,87 @@ object VectorQueries {
       FROM btopk b LEFT JOIN etopk e USING (query_id, neighbor_id)
       GROUP BY 1 ORDER BY 1"""))
 
+  // --- v30: two-stage retrieval — binary prefilter, exact rerank ------
+  // The production composition v29 only audits half of: the packed
+  // sign-bit pass keeps the cheapest top-50 candidates per query, the
+  // float pass reranks ONLY those 50 by exact cosine, and the audit
+  // reports recall@10 of the two-stage result against brute force
+  // plus the winning neighbor. The candidate cut means full-width
+  // vectors are read for 10% of the corpus (50 of 500) — at 100 TB
+  // that read-avoidance is the architecture. Deterministic: integer
+  // hamming + id tie-break picks candidates, rounded cosine + id
+  // tie-break reranks.
+  private val v30 = GraftQuery(
+    "v30_rerank_retrieval",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val rr = Similarity.rerankTopK(emb, qs, "vec_id", "embedding",
+        k = 10, nCandidates = 50)
+      val exact = Similarity
+        .bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1))
+      rr.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(
+          count(col("_hit")).as("n_recall_hits"),
+          max(when(col("rank") === 1, col("neighbor_id")))
+            .as("top_neighbor"),
+          max(when(col("rank") === 1, col("cosine"))).as("top_cosine"),
+          sum(col("hamming")).as("sum_hamming"))
+        .orderBy("query_id")
+    },
+    Some("""WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      un AS (
+        SELECT vec_id,
+          list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ue
+        FROM u),
+      q AS (SELECT vec_id, e FROM u WHERE vec_id < 10),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          sum(CASE WHEN (q.e[dims.i] > 0) <> (c.e[dims.i] > 0)
+            THEN 1 ELSE 0 END) AS hamming
+        FROM q CROSS JOIN u c CROSS JOIN dims
+        WHERE c.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      cands AS (
+        SELECT query_id, neighbor_id, hamming FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY hamming, neighbor_id) AS crk FROM ham)
+        WHERE crk <= 50),
+      rr AS (
+        SELECT query_id, neighbor_id, hamming, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM (
+          SELECT cd.query_id, cd.neighbor_id, cd.hamming,
+            round(list_inner_product(qu.ue, cu.ue), 6) AS cosine
+          FROM cands cd
+          JOIN un qu ON qu.vec_id = cd.query_id
+          JOIN un cu ON cu.vec_id = cd.neighbor_id)),
+      rtopk AS (SELECT * FROM rr WHERE rank <= 10),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+        FROM u q, u c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      etopk AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+        WHERE rank <= 10)
+      SELECT r.query_id,
+        CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_recall_hits,
+        max(CASE WHEN r.rank = 1 THEN r.neighbor_id END) AS top_neighbor,
+        max(CASE WHEN r.rank = 1 THEN r.cosine END) AS top_cosine,
+        CAST(sum(r.hamming) AS BIGINT) AS sum_hamming
+      FROM rtopk r LEFT JOIN etopk e USING (query_id, neighbor_id)
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
-    v23, v24, v25, v26, v27, v28, v29)
+    v23, v24, v25, v26, v27, v28, v29, v30)
 }

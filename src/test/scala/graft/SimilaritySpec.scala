@@ -316,6 +316,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L), got.toString)
   }
 
+  test("rerank with exhaustive candidates equals brute force exactly") {
+    val n = emb.count().toInt
+    val qs = emb.filter(col("vec_id") < 3)
+    // candidate budget = whole corpus ⇒ the bit prefilter drops
+    // nothing and the float pass IS brute force
+    val rr = Similarity.rerankTopK(emb, qs, "vec_id", "embedding",
+        k = 5, nCandidates = n)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(_.toSeq).toSet
+    val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(rr == bf)
+  }
+
+  test("rerank candidate budget bounds work and guards reject bad k") {
+    val qs = emb.filter(col("vec_id") < 2)
+    val rr = Similarity.rerankTopK(emb, qs, "vec_id", "embedding",
+      k = 4, nCandidates = 4)
+    // nCandidates = k: the rerank can only reorder the 4 bit-pass
+    // survivors; still exactly k rows per query
+    assert(rr.groupBy("query_id").count().as[(Long, Long)].collect()
+      .toMap.values.toSet == Set(4L))
+    intercept[IllegalArgumentException] {
+      Similarity.rerankTopK(emb, qs, "vec_id", "embedding",
+        k = 5, nCandidates = 4)
+    }
+  }
+
   test("hyperplane signature is deterministic and balanced-ish") {
     val planes = Vec.randomPlanes(6, 64)
     val sigs = Similarity.withUnit(emb, "embedding")
