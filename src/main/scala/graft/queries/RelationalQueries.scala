@@ -1635,10 +1635,71 @@ object RelationalQueries {
       FROM r GROUP BY day ORDER BY day"""),
     bench = true)
 
+  // --- q57: SCD2 interval construction (changelog → history table) -----
+  // The warehouse dimension-history build: collapse each user's
+  // event_type stream into versioned [valid_from, valid_to) rows —
+  // version N's valid_to is version N+1's valid_from, the current
+  // state stays open (NULL valid_to). Gaps-and-islands via the
+  // change-flag running sum; run boundaries use the (ts, event_id)
+  // total order so same-microsecond events can't make run membership
+  // engine-dependent. Distinct from q38 (transition COUNTS) and q53
+  // (presence streaks): this materializes the interval table itself.
+  //
+  // Scale shape: ONE user-keyed exchange serves all three stages —
+  // the change-detect window sorts within user, the (user, version)
+  // aggregate reuses the partitioning (subset-key clustering), and
+  // the closing lead() re-sorts the already-collapsed run rows. The
+  // 100 TB changelog compacts to |runs| rows before the only
+  // per-version pass. Bounded to 20 users: the gate hashes the full
+  // interval TABLE, not a summary, so output stays inspection-sized.
+  private val q57 = GraftQuery(
+    "q57_scd2_intervals",
+    (s, d) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("event_type"), 1).over(wOrd)
+      val runs = ev(s, d).filter(col("user_id") < 20)
+        .withColumn("_chg",
+          when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("version", sum(col("_chg")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val iv = runs.groupBy(col("user_id"), col("version"))
+        .agg(min(col("event_type")).as("state"),
+          min(unix_micros(col("ts"))).as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      iv.withColumn("valid_to_us",
+          lead(col("valid_from_us"), 1).over(wv))
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from_us"), col("valid_to_us"), col("n_events"))
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events WHERE user_id < 20),
+      r AS (
+        SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+            OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      v AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id
+          ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS version
+        FROM r),
+      iv AS (
+        SELECT user_id, version, min(event_type) AS state,
+          min(us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+        FROM v GROUP BY 1, 2)
+      SELECT user_id, CAST(version AS BIGINT) AS version, state,
+        valid_from_us,
+        lead(valid_from_us) OVER (
+          PARTITION BY user_id ORDER BY version) AS valid_to_us,
+        n_events
+      FROM iv ORDER BY user_id, version"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56)
+    q51, q52, q53, q54, q55, q56, q57)
 }
