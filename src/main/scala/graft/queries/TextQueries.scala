@@ -1005,8 +1005,50 @@ object TextQueries {
       CROSS JOIN tot ORDER BY top_n"""),
     bench = true)
 
+  // --- t28: distinctive terms per source -------------------------------
+  // t26 says HOW FAR two sources' vocabularies diverge; this says WITH
+  // WHAT — the dataset-card "characteristic vocabulary" list. Same
+  // tf-idf kernel as t08 run at source altitude: a source is the
+  // "document", tf = term count across the source's docs, idf =
+  // ln(n_sources / sources-containing-term), so corpus-universal words
+  // score exactly 0 and never rank. Reusing [[TextAnalysis.tfidfTopK]]
+  // verbatim (it is generic over the grouping key) keeps one kernel
+  // under test for both altitudes.
+  //
+  // Scale shape: identical to t08 — two map-side-combined aggregates
+  // (source-term tf, then term df) and a broadcast of the vocab-sized
+  // df table; the per-source top-k window shuffles only (source, term,
+  // tfidf) triples. |sources| is small by construction, so the window
+  // side is trivially bounded.
+  private val t28 = GraftQuery(
+    "t28_source_terms",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val nSrc = docs.select("source").distinct().count()
+      TextAnalysis.tfidfTopK(docs, "source", "text", k = 5, docCount = nSrc)
+        .orderBy("source", "rank")
+    },
+    Some("""WITH toks AS (
+        SELECT source,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tfc AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+      scored AS (
+        SELECT t.source, t.term,
+          round(t.tf * ln(CAST((SELECT count(DISTINCT source)
+            FROM documents) AS DOUBLE) / d.df), 6) AS tfidf
+        FROM tfc t JOIN dfc d USING (term)),
+      ranked AS (
+        SELECT source, term, tfidf,
+          row_number() OVER (PARTITION BY source
+            ORDER BY tfidf DESC, term) AS rank
+        FROM scored)
+      SELECT source, rank, term, tfidf FROM ranked
+      WHERE rank <= 5 ORDER BY source, rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-      t27)
+      t27, t28)
 }
