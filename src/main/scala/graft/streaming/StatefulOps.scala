@@ -289,6 +289,58 @@ object StatefulOps {
     * join only — it emits as soon as a match arrives, needs no extra
     * watermark semantics, and is the shape outer interval joins build
     * on. */
+  final case class Scd2Event(key: String, tsMicros: Long, eventId: Long,
+    state: String)
+  final case class Scd2Interval(key: String, version: Long, state: String,
+    validFromUs: Long, validToUs: Long, nEvents: Long)
+
+  /** Streaming SCD2 compaction — the incremental twin of the batch
+    * q57 history build: per-key state is the OPEN interval (version,
+    * state, valid_from, event count); a state-changing event closes it
+    * (emitting a [[Scd2Interval]] whose valid_to is the new run's
+    * valid_from, exactly the batch contract) and opens the next
+    * version. Events repeat-confirming the current state only bump the
+    * count — a changelog compacts to |runs| emitted rows however long
+    * it streams, with O(1) state per key.
+    *
+    * Rows sort by the same (ts, event_id) total order q57 uses, within
+    * each micro-batch; like [[streamingStreaks]], cross-batch
+    * out-of-order arrival is the playback source's ordering contract,
+    * not re-checked here. A row carrying the ts boundary of the open
+    * interval but an EARLIER order key than anything seen would need
+    * retraction semantics no append-mode stream offers — q57 remains
+    * the authority for reprocessing history; this operator is for
+    * tailing it forward. StatefulOpsSpec pins closed-interval parity
+    * against the batch run-collapse over the same rows. */
+  def streamingScd2(input: Dataset[Scd2Event]): Dataset[Scd2Interval] = {
+    implicit val outEnc = Encoders.product[Scd2Interval]
+    // open interval as a plain tuple (see streamingStreaks): version,
+    // state label, valid_from micros, events-in-run
+    implicit val stEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    input
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Scd2Event],
+            gs: GroupState[(Long, String, Long, Long)]) => {
+          val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.eventId))
+          val closed = Seq.newBuilder[Scd2Interval]
+          var open = if (gs.exists) gs.get else null
+          sorted.foreach { r =>
+            if (open == null) open = (1L, r.state, r.tsMicros, 1L)
+            else if (r.state == open._2)
+              open = open.copy(_4 = open._4 + 1)
+            else {
+              closed += Scd2Interval(key, open._1, open._2, open._3,
+                r.tsMicros, open._4)
+              open = (open._1 + 1, r.state, r.tsMicros, 1L)
+            }
+          }
+          if (open != null) gs.update(open)
+          closed.result().iterator
+        })
+  }
+
   def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, delay: String,
       lookback: String, lookahead: String): DataFrame = {

@@ -441,6 +441,89 @@ class StatefulOpsSpec extends SparkSpec {
       s"the restart-spanning streak must close at full length: $closed")
   }
 
+  test("streamingScd2: closed intervals match the batch q57 run-collapse") {
+    implicit val sq = spark.sqlContext
+    def e(key: String, us: Long, id: Long, st: String) =
+      StatefulOps.Scd2Event(key, us, id, st)
+    val input = MemoryStream[StatefulOps.Scd2Event]
+    val iv = StatefulOps.streamingScd2(input.toDS())
+    val q = iv.writeStream.format("memory").queryName("scd2")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    // u1: view view click view (3 runs, run 1 spans a batch edge);
+    // u2: click click (1 run, never closes); same-ts rows on u1 use
+    // event_id as the order tie-break (ids 40,41 both at us=400)
+    val batches = Seq(
+      Seq(e("u1", 100, 1, "view"), e("u2", 150, 2, "click")),
+      Seq(e("u1", 200, 3, "view"), e("u1", 300, 4, "click"),
+        e("u2", 250, 5, "click")),
+      Seq(e("u1", 400, 41, "view"), e("u1", 400, 40, "view")))
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.sql("SELECT key, version, state, validFromUs, " +
+          "validToUs, nEvents FROM scd2")
+        .as[(String, Long, String, Long, Long, Long)].collect().toSet
+      // batch run-collapse over the same rows, minus each key's final
+      // (still-open) run — the q57 shape
+      val expected = batches.flatten.groupBy(_.key).flatMap {
+        case (k, rows) =>
+          val ordered = rows.sortBy(r => (r.tsMicros, r.eventId))
+          val runs = ordered.foldLeft(List.empty[(String, Long, Long)]) {
+            case ((st, from, n) :: tail, r) if r.state == st =>
+              (st, from, n + 1) :: tail
+            case (acc, r) => (r.state, r.tsMicros, 1L) :: acc
+          }.reverse
+          runs.zipWithIndex.zip(runs.drop(1)).map {
+            case (((st, from, n), i), (_, nextFrom, _)) =>
+              (k, i + 1L, st, from, nextFrom, n)
+          }
+      }.toSet
+      assert(streamed == expected, s"streamed=$streamed batch=$expected")
+    } finally q.stop()
+  }
+
+  test("streamingScd2: version counter survives a checkpointed restart") {
+    // Recovery pin: the open interval (version 2, "click") must resume
+    // from the checkpoint — losing state would restart numbering at
+    // version 1 and report a wrong valid_from.
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("scd2-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("scd2-out").toString
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("tsMicros", LongType), StructField("eventId", LongType),
+      StructField("state", StringType)))
+    def stream() = StatefulOps.streamingScd2(
+      spark.readStream.schema(schema).json(dir)
+        .as[StatefulOps.Scd2Event](org.apache.spark.sql.Encoders.product))
+    def write(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        rows.map { case (us, id, st) =>
+          s"""{"key":"u1","tsMicros":$us,"eventId":$id,"state":"$st"}"""
+        }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // run 1: view → click (closes v1, leaves v2 "click" open)
+    write("b1.json", Seq((100L, 1L, "view"), (200L, 2L, "click")))
+    val q1 = stream().writeStream.format("json")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // run 2: view closes v2 ACROSS the restart; error closes v3
+    write("b2.json", Seq((300L, 3L, "view")))
+    write("b3.json", Seq((400L, 4L, "error")))
+    val q2 = stream().writeStream.format("json")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("version", LongType), StructField("state", StringType),
+        StructField("validFromUs", LongType),
+        StructField("validToUs", LongType), StructField("nEvents", LongType))))
+      .json(out)
+      .select("version", "state", "validFromUs", "validToUs")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set((1L, "view", 100L, 200L), (2L, "click", 200L, 300L),
+      (3L, "view", 300L, 400L)),
+      s"restart must continue version numbering: $got")
+  }
+
   test("streamingStreaks: closed streaks match the batch q53 islands") {
     implicit val sq = spark.sqlContext
     val day = 86400L * 1000000L
