@@ -224,6 +224,30 @@ object Sampling {
     when(b < trainLim, "train").when(b < valLim, "val").otherwise("test")
   }
 
+  /** Group-aware split assignment: every member of a group gets the
+    * split of the group's REPRESENTATIVE (its minimum id), so a
+    * duplicate cluster can never straddle train and held-out — the
+    * constructive fix for the leakage [[s19-style audits]] detect
+    * after the fact. Per-doc hashing (the naive [[assignSplit]]) puts
+    * two copies of one document in different splits with probability
+    * 2·p·(1−p); hashing the representative makes that probability 0
+    * by construction.
+    *
+    * Scale shape: one exchange keyed on the group column to find each
+    * group's min id, then an equi-join of that narrow (group, rep)
+    * table back onto the rows — group keys and ids only, text never
+    * shuffles when callers fingerprint first (the intended usage:
+    * pass [[graft.operators.TextAnalysis.fingerprint]] output). */
+  def groupAwareSplit(df: DataFrame, groupCol: Column, idCol: Column,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val reps = df.select(groupCol.as("_grp"), idCol.as("_id"))
+      .groupBy(col("_grp")).agg(min(col("_id")).as("_rep"))
+    df.withColumn("_grp", groupCol)
+      .join(reps, "_grp")
+      .withColumn("split", assignSplit(col("_rep"), trainPct, valPct))
+      .drop("_grp", "_rep")
+  }
+
   /** Per-stratum fractions (e.g. downsample dominant languages).
     * Missing strata keep everything. */
   def stratifiedSample(df: DataFrame, stratum: Column, key: Column,

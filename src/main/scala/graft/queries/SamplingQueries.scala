@@ -878,8 +878,70 @@ object SamplingQueries {
           END AS epochs_ppm
       FROM c CROSS JOIN l ORDER BY source"""))
 
+  // --- s28: duplicate-cluster-aware split assignment -------------------
+  // The constructive twin of s19: s19 DETECTS held-out/train leakage
+  // after a naive per-doc split; this PREVENTS the exact-dup case by
+  // construction — every member of a content-fingerprint cluster
+  // inherits the split of the cluster's min-id representative, so a
+  // duplicated document can never sit in train and val at once.
+  // Planted exact copies (doc_id+7M, same text, like s19's plant)
+  // guarantee multi-member clusters regardless of how the driver
+  // regenerates testdata; n_docs_moved counts members whose group
+  // split differs from their naive per-doc split — the leakage the
+  // naive assignment would have caused.
+  //
+  // Scale shape: fingerprint first (text leaves the plan at the md5),
+  // one fp-keyed exchange for the min-id representative, one narrow
+  // (fp, rep) join back, then a 3-row aggregate. Same cost class as
+  // d01's exact dedup.
+  private val s28 = GraftQuery(
+    "s28_group_split",
+    (s, d) => {
+      val base = Tables(s, d, "documents").select("doc_id", "text")
+      val planted = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 7000000).as("doc_id"), col("text"))
+      val docs = base.unionByName(planted)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      Sampling.groupAwareSplit(docs, col("fp"), col("doc_id"))
+        .withColumn("naive", Sampling.assignSplit(col("doc_id")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_clusters"),
+          sum(when(col("split") =!= col("naive"), 1L).otherwise(0L))
+            .as("n_docs_moved"))
+        .orderBy("split")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 7000000, text FROM documents WHERE doc_id < 40),
+      n AS (
+        SELECT doc_id,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM p),
+      c AS (SELECT fp, min(doc_id) AS rep FROM n GROUP BY fp),
+      a AS (
+        SELECT nn.doc_id, nn.fp,
+          CASE WHEN substr(md5(CAST(c.rep AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train'
+            WHEN substr(md5(CAST(c.rep AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val'
+            ELSE 'test' END AS split,
+          CASE WHEN substr(md5(CAST(nn.doc_id AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train'
+            WHEN substr(md5(CAST(nn.doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val'
+            ELSE 'test' END AS naive
+        FROM n nn JOIN c USING (fp))
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters,
+        CAST(sum(CASE WHEN split <> naive THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_docs_moved
+      FROM a GROUP BY split ORDER BY split"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
       s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-      s27)
+      s27, s28)
 }

@@ -388,4 +388,29 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long, Int)].collect()
     assert(all.forall(r => r._3 == r._2 && r._4 == 1), all.mkString(","))
   }
+
+  test("groupAwareSplit: cluster members never straddle splits") {
+    import org.apache.spark.sql.functions._
+    val base = docs.select(col("doc_id"), col("text"))
+    // plant an exact copy of every doc — clusters of exactly 2
+    val planted = base.select((col("doc_id") + 9000000).as("doc_id"),
+      col("text"))
+    val both = base.unionByName(planted)
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col("text")))
+    val split = graft.operators.Sampling
+      .groupAwareSplit(both, col("fp"), col("doc_id"))
+    // invariant: one split per cluster
+    val perCluster = split.groupBy("fp")
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).as[Long].collect().head
+    assert(perCluster == 1L, "a cluster straddled splits")
+    // the representative is the min id, so an original doc's split is
+    // unchanged vs the naive assignment (copies inherit it)
+    val orig = split.filter(col("doc_id") < 9000000)
+      .withColumn("naive", graft.operators.Sampling.assignSplit(col("doc_id")))
+      .filter(col("split") =!= col("naive")).count()
+    assert(orig == 0L, "an original doc moved away from its own split")
+    // row count preserved (the join is 1:1 on fp)
+    assert(split.count() == both.count())
+  }
 }
