@@ -398,4 +398,30 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!finalSection.contains("CartesianProduct"), finalSection.take(1200))
     assert(finalSection.contains("partial_sum"), finalSection.take(1200))
   }
+
+  test("date-partitioned lake layout: partition pruning at the scan") {
+    // The 100 TB table layout this engine assumes downstream: a
+    // partitionBy(day) parquet lake where a day predicate must prune
+    // DIRECTORIES (PartitionFilters), not just row groups, and data
+    // predicates still push into the surviving files.
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ppr").toString
+    Tables(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val df = spark.read.parquet(out)
+      .filter(col("day") === "2024-01-02" && col("value") > 5.0)
+      .select("event_id", "value")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*2024-01-02".r
+      .findFirstIn(plan).isDefined, plan.take(900))
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(value,5.0\\)".r
+      .findFirstIn(plan).isDefined, plan.take(900))
+    // the scan must read only the two projected data columns
+    val schema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .get.group(1)
+    assert(schema.split(",").length == 2, schema)
+  }
 }
