@@ -205,6 +205,69 @@ object Similarity {
         col("cosine"), col("hamming"))
   }
 
+  /** Recall-vs-candidate-depth sweep for the two-stage binary
+    * pipeline — [[ivfRecallSweep]]'s twin for [[rerankTopK]]: how deep
+    * must the bit-pass candidate list be before the reranked top-k
+    * recovers the exact top-k? The knob an index team turns before
+    * committing a C, traded against the C/N fraction of full-width
+    * vectors the rerank re-reads.
+    *
+    * One Hamming scan ranked to max(C), one exact rescore of that
+    * candidate set, and one brute-force ground truth are shared by
+    * every sweep point (OpCaches memoizes the scored frame); each
+    * point adds only a filter + top-k window + narrow hit join.
+    * Reported recall is the exact rational n_hits / (k·|Q|) in integer
+    * ppm — no float accumulation to drift. Recall is non-decreasing in
+    * C and exactly 1.0 at C = |corpus|−1 (exhaustive candidates =
+    * brute force; both pinned in SimilaritySpec). */
+  def rerankRecallSweep(corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, nCandidates: Seq[Int],
+      roundTo: Int = 6): DataFrame = {
+    require(nCandidates.nonEmpty && nCandidates.forall(_ >= k),
+      s"nCandidates=$nCandidates must all be >= k=$k")
+    val cmax = nCandidates.max
+    val truth = bruteForceTopK(corpus, queries, idCol, embCol, k, roundTo)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      signBits(col(embCol)).as("sig_c"))
+    val q = queries.select(col(idCol).as("query_id"),
+      signBits(col(embCol)).as("sig_q"))
+    val wh = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val cands = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        bit_count(col("sig_q").bitwiseXOR(col("sig_c"))).cast("long"))
+      .withColumn("_crk", row_number().over(wh))
+      .filter(col("_crk") <= cmax)
+      .select(col("query_id"), col("neighbor_id"), col("_crk"))
+    val cu = withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
+    val qu = withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit").as("u_q"))
+    val scored = OpCaches.track(
+      cu.join(broadcast(cands), Seq("neighbor_id"))
+        .join(broadcast(qu), Seq("query_id"))
+        .withColumn("cosine",
+          round(Vec.dot(col("u_c"), col("u_q")), roundTo))
+        .select(col("query_id"), col("neighbor_id"), col("_crk"),
+          col("cosine")))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val per = nCandidates.map { cN =>
+      scored.filter(col("_crk") <= cN)
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .join(truth.withColumn("_hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("_hit")).as("n_hits"),
+          (countDistinct(col("query_id")) * lit(k.toLong)).as("_denom"))
+        .select(lit(cN.toLong).as("n_candidates"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("_denom") * 1e6)
+            .cast("long").as("recall_ppm"))
+    }
+    per.reduce(_ unionByName _)
+  }
+
   /** IVF recall-vs-nprobe sweep: for each candidate `nprobe`, the
     * average recall@k of [[IvfIndex.ivfTopK]] against the exact
     * [[bruteForceTopK]] ground truth — the audit that picks the probe

@@ -1307,7 +1307,84 @@ object VectorQueries {
       FROM rtopk r LEFT JOIN etopk e USING (query_id, neighbor_id)
       GROUP BY 1 ORDER BY 1"""))
 
+  // --- v31: rerank recall-vs-candidate-depth sweep ---------------------
+  // The tuning curve for v30's C knob: recall@10 of the two-stage
+  // pipeline at candidate depths {10, 25, 50}, exact-rational ppm.
+  // One Hamming scan, one rescore, one ground truth shared across the
+  // sweep; each depth adds a filter + top-k window. Non-decreasing in
+  // C by construction (SimilaritySpec pins monotonicity and the
+  // exhaustive-C = brute-force endpoint).
+  private def v31BlockSql(cN: Int): String =
+    s"""SELECT CAST($cN AS BIGINT) AS n_candidates,
+        CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_hits,
+        CAST(round(sum(CASE WHEN e.neighbor_id IS NOT NULL
+            THEN 1 ELSE 0 END)::DOUBLE
+          / (10 * (SELECT count(*) FROM qs)) * 1e6) AS BIGINT)
+          AS recall_ppm
+      FROM (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored WHERE crk <= $cN)
+        WHERE rank <= 10) r
+      LEFT JOIN etopk e USING (query_id, neighbor_id)"""
+
+  private val v31 = GraftQuery(
+    "v31_rerank_recall_sweep",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      Similarity.rerankRecallSweep(emb, qs, "vec_id", "embedding",
+          k = 10, nCandidates = Seq(10, 25, 50))
+        .orderBy("n_candidates")
+    },
+    Some(s"""WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      un AS (
+        SELECT vec_id,
+          list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ue
+        FROM u),
+      qs AS (SELECT vec_id, e FROM u WHERE vec_id < 10),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          sum(CASE WHEN (q.e[dims.i] > 0) <> (c.e[dims.i] > 0)
+            THEN 1 ELSE 0 END) AS hamming
+        FROM qs q CROSS JOIN u c CROSS JOIN dims
+        WHERE c.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      cands AS (
+        SELECT query_id, neighbor_id, crk FROM (
+          SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY hamming, neighbor_id) AS crk FROM ham)
+        WHERE crk <= 50),
+      scored AS (
+        SELECT cd.query_id, cd.neighbor_id, cd.crk,
+          round(list_inner_product(qu.ue, cu.ue), 6) AS cosine
+        FROM cands cd
+        JOIN un qu ON qu.vec_id = cd.query_id
+        JOIN un cu ON cu.vec_id = cd.neighbor_id),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+        FROM u q, u c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      etopk AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+        WHERE rank <= 10)
+      SELECT * FROM (
+        ${v31BlockSql(10)}
+        UNION ALL
+        ${v31BlockSql(25)}
+        UNION ALL
+        ${v31BlockSql(50)})
+      ORDER BY n_candidates"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
-    v23, v24, v25, v26, v27, v28, v29, v30)
+    v23, v24, v25, v26, v27, v28, v29, v30, v31)
 }

@@ -344,6 +344,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rerank recall sweep: monotone in C, exact at exhaustive depth") {
+    val qs = emb.filter(col("vec_id") < 3)
+    val n = emb.count().toInt
+    val got = Similarity.rerankRecallSweep(emb, qs, "vec_id", "embedding",
+        k = 5, nCandidates = Seq(5, 20, n - 1))
+      .orderBy("n_candidates")
+      .select("recall_ppm").as[Long].collect().toSeq
+    assert(got == got.sorted, s"recall must be non-decreasing in C: $got")
+    assert(got.last == 1000000L, s"exhaustive C must recover brute force: $got")
+  }
+
   test("hyperplane signature is deterministic and balanced-ish") {
     val planes = Vec.randomPlanes(6, 64)
     val sigs = Similarity.withUnit(emb, "embedding")
