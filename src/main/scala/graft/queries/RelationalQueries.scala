@@ -1696,10 +1696,45 @@ object RelationalQueries {
         n_events
       FROM iv ORDER BY user_id, version"""))
 
+  // --- q58: semi-structured props via VariantType ----------------------
+  // The Spark-4-native path for schema-on-read JSON: q16 regex/
+  // get_json_object-extracts the props string per access; this parses
+  // it ONCE into the binary Variant encoding and does typed
+  // `variant_get` field access — the representation a lakehouse keeps
+  // semi-structured columns in so repeated field reads never re-parse
+  // text. try_-variants keep the pipeline total (malformed JSON or a
+  // missing/mistyped field lands in n_bad, never a task failure — the
+  // contract a 100 TB ingest needs). Map-side parse+extract, one
+  // event_type-keyed aggregate.
+  private val q58 = GraftQuery(
+    "q58_variant_props",
+    (s, d) => {
+      val k = try_variant_get(try_parse_json(col("props")), "$.k", "int")
+      ev(s, d).select(col("event_type"), k.as("_k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("_k")).as("n_with_k"),
+          (count(lit(1)) - count(col("_k"))).as("n_bad"),
+          min(col("_k")).as("min_k"),
+          max(col("_k")).as("max_k"),
+          sum(col("_k").cast("long")).as("sum_k"),
+          round(avg(col("_k")), 6).as("avg_k"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+        count(*) AS n_events,
+        count(TRY_CAST(props->>'$.k' AS INTEGER)) AS n_with_k,
+        count(*) - count(TRY_CAST(props->>'$.k' AS INTEGER)) AS n_bad,
+        min(TRY_CAST(props->>'$.k' AS INTEGER)) AS min_k,
+        max(TRY_CAST(props->>'$.k' AS INTEGER)) AS max_k,
+        CAST(sum(TRY_CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+        round(avg(TRY_CAST(props->>'$.k' AS INTEGER)), 6) AS avg_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57)
+    q51, q52, q53, q54, q55, q56, q57, q58)
 }
