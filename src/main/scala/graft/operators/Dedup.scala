@@ -925,6 +925,39 @@ object Dedup {
         round(col("shared_docs") / col("_nb"), 6).as("share_of_b"))
   }
 
+  // ----------------------------------------------- structural templates
+
+  /** Structural template mining: cluster documents by their PUNCTUATION
+    * SKELETON — every alphanumeric run collapsed to `w`, case folded,
+    * so "[sys] entry#12: ok;" and "[sys] entry#973: ok;" share one
+    * skeleton while differing in every content fingerprint. This is
+    * the detector for machine-generated / form-letter boilerplate that
+    * content-level dedup structurally misses: the texts are all
+    * DISTINCT (exact dedup keeps every one) yet carry one template's
+    * worth of signal. A skeleton group with high n_docs and
+    * n_distinct_texts ≈ n_docs is the smoking gun — many unique
+    * fillings of one form.
+    *
+    * Scale shape: text leaves the plan at two map-side md5s (skeleton,
+    * content); one skeleton-keyed aggregate; the report is a top-k
+    * heap cut (count DESC, fp tie-break — deterministic). Nothing
+    * text-sized shuffles. */
+  def templateSkeletons(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 2, topK: Int = 20): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs: a template needs >= 2 docs")
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    val sk = md5(regexp_replace(lower(trim(col(textCol))), "[a-z0-9]+", "w"))
+    df.select(col(idCol).as("_id"), sk.as("skeleton_fp"),
+        TextAnalysis.fingerprint(col(textCol)).as("_cfp"))
+      .groupBy(col("skeleton_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("_cfp")).as("n_distinct_texts"),
+        min(col("_id")).as("example_id"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("skeleton_fp"))
+      .limit(topK)
+  }
+
   // --------------------------------------------------- exact n-gram jaccard
 
   /** Exact n-gram Jaccard over explicit candidate pairs: a baseline /

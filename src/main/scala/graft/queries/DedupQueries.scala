@@ -1139,8 +1139,52 @@ object DedupQueries {
       WHERE containment >= 0.9 ORDER BY a, b"""),
     bench = true)
 
+  // --- d29: structural template mining ---------------------------------
+  // Form-letter / machine-generated boilerplate detection: cluster by
+  // punctuation skeleton (alnum runs → 'w', case folded) so documents
+  // that are all DISTINCT under content dedup — unique fillings of one
+  // form — surface as one group with n_distinct_texts ≈ n_docs. The
+  // plant writes 15 log-line-shaped docs (+4M ids) with distinct ids
+  // and payloads but one shared "[sys] entry#N: status=ok; code=K;"
+  // skeleton; the gate's top-20 report must contain that cluster plus
+  // whatever natural shape groups the corpus has. Text leaves the plan
+  // at two map-side md5s; one skeleton-keyed aggregate; top-k heap cut.
+  private val d29 = GraftQuery(
+    "d29_template_skeletons",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val templated = docs.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          concat(lit("[sys] entry#"), col("doc_id").cast("string"),
+            lit(": status=ok; code="), (col("doc_id") % 7).cast("string"),
+            lit(";")).as("text"))
+      Dedup.templateSkeletons(docs.unionByName(templated),
+          "doc_id", "text", minDocs = 2, topK = 20)
+        .orderBy(col("n_docs").desc, col("skeleton_fp"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 4000000,
+          '[sys] entry#' || CAST(doc_id AS VARCHAR) ||
+          ': status=ok; code=' || CAST(doc_id % 7 AS VARCHAR) || ';'
+        FROM documents WHERE doc_id < 15),
+      sk AS (
+        SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '[a-z0-9]+', 'w', 'g'))
+            AS skeleton_fp,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS cfp
+        FROM p),
+      g AS (
+        SELECT skeleton_fp, count(*) AS n_docs,
+          count(DISTINCT cfp) AS n_distinct_texts,
+          min(doc_id) AS example_id
+        FROM sk GROUP BY 1 HAVING count(*) >= 2)
+      SELECT skeleton_fp, n_docs, n_distinct_texts, example_id
+      FROM g ORDER BY n_docs DESC, skeleton_fp LIMIT 20"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      d24, d25, d26, d27, d28)
+      d24, d25, d26, d27, d28, d29)
 }

@@ -420,4 +420,25 @@ class DedupSpec extends SparkSpec {
       ("a", "c", 1L, 0.25, 1.0),
       ("b", "c", 1L, 0.5, 1.0)), got.toString)
   }
+
+  test("templateSkeletons groups distinct fillings of one form") {
+    val df = Seq(
+      (1L, "[log] id=1; ok"), (2L, "[log] id=22; ok"),     // one template
+      (3L, "[log] id=333; ok"),
+      (4L, "totally different text"), (5L, "another unrelated doc here"),
+      (6L, "x=9!"), (7L, "y=77!"))                         // second template
+      .toDF("doc_id", "text")
+    val got = Dedup.templateSkeletons(df, "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // two groups survive minDocs=2: the log template (3 distinct
+    // texts) first, then the assignment template (2); docs 4/5 differ
+    // in word count so their plain-prose skeletons stay singletons
+    assert(got.map(r => (r._2, r._3, r._4)) == Seq((3L, 3L, 1L), (2L, 2L, 6L)),
+      got.toString)
+    // singleton shapes never report
+    assert(!got.exists(_._4 == 4L))
+    intercept[IllegalArgumentException] {
+      Dedup.templateSkeletons(df, "doc_id", "text", minDocs = 1)
+    }
+  }
 }
