@@ -1047,8 +1047,62 @@ object TextQueries {
       SELECT source, rank, term, tfidf FROM ranked
       WHERE rank <= 5 ORDER BY source, rank"""))
 
+  // --- t29: per-source LM-score quality histogram ----------------------
+  // The distribution a CCNet-style curation pass actually thresholds
+  // on: t11's bigram-LM negative log likelihood per doc, bucketed at
+  // half-nat grain PER SOURCE — which slices are head (low NLL,
+  // predictable text) vs tail. Bucketing runs on the ROUNDED per-doc
+  // score (the t11 contract), so both engines bucket the same 6-dp
+  // number and the edge can't flip; per-bucket spread is min/max
+  // (order-insensitive exact), never a float mean whose summation
+  // order could drift. Same corpus-sized work as t11 (the LM counts);
+  // the histogram adds one narrow id join for source and a
+  // (source, bucket)-keyed aggregate.
+  private val t29 = GraftQuery(
+    "t29_lm_quality_histogram",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val v = docs
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .agg(countDistinct(col("w"))).head().getLong(0)
+      TextAnalysis.bigramLmScore(docs, docs, "doc_id", "text", vocabSize = v)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("nll_bucket", floor(col("avg_nll") * 2).cast("long"))
+        .groupBy(col("source"), col("nll_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_nll")).as("min_nll"),
+          max(col("avg_nll")).as("max_nll"))
+        .orderBy("source", "nll_bucket")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    uni AS (
+      SELECT w1, count(*) AS cu FROM (
+        SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    big AS (
+      SELECT w1, w2, count(*) AS cb FROM (
+        SELECT t[g] AS w1, t[g + 1] AS w2
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS g FROM toks))
+      GROUP BY 1, 2),
+    docbi AS (
+      SELECT doc_id, t[g] AS w1, t[g + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS g
+        FROM toks)),
+    scored AS (
+      SELECT doc_id,
+        round(-avg(ln((coalesce(cb, 0) + 0.5) /
+          (coalesce(cu, 0) + 0.5 * (SELECT v FROM vocab)))), 6) AS avg_nll
+      FROM docbi LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
+      GROUP BY doc_id)
+    SELECT d.source, CAST(floor(s.avg_nll * 2) AS BIGINT) AS nll_bucket,
+      count(*) AS n_docs, min(s.avg_nll) AS min_nll, max(s.avg_nll) AS max_nll
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY 1, 2 ORDER BY source, nll_bucket"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-      t27, t28)
+      t27, t28, t29)
 }
