@@ -1694,7 +1694,8 @@ object RelationalQueries {
         lead(valid_from_us) OVER (
           PARTITION BY user_id ORDER BY version) AS valid_to_us,
         n_events
-      FROM iv ORDER BY user_id, version"""))
+      FROM iv ORDER BY user_id, version"""),
+    bench = true)
 
   // --- q58: semi-structured props via VariantType ----------------------
   // The Spark-4-native path for schema-on-read JSON: q16 regex/

@@ -1305,7 +1305,8 @@ object VectorQueries {
         max(CASE WHEN r.rank = 1 THEN r.cosine END) AS top_cosine,
         CAST(sum(r.hamming) AS BIGINT) AS sum_hamming
       FROM rtopk r LEFT JOIN etopk e USING (query_id, neighbor_id)
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
 
   // --- v31: rerank recall-vs-candidate-depth sweep ---------------------
   // The tuning curve for v30's C knob: recall@10 of the two-stage
