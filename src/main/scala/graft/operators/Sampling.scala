@@ -163,6 +163,45 @@ object Sampling {
     * maxEpochs·1e6 for capped sources (1e6 in the E = 1 plain
     * waterfill). All float ops are associated identically in the SQL
     * oracle. */
+  /** Annealed temperature-mixture schedule: one [[temperatureBudgetMix]]
+    * share/ratio table PER EPOCH, with the temperature decaying along
+    * `temps` — the curriculum that starts training smoothed toward
+    * uniform (high T upsamples low-resource sources) and anneals toward
+    * natural proportions. This emits the PLAN (epoch × source →
+    * target_share_ppm, keep_ratio_ppm), not the filtered docs; feed any
+    * epoch's row set to the md5-deviate filter to materialize it.
+    *
+    * Scale shape: ONE corpus-sized token aggregate total — the per-
+    * source mass table (|sources| rows) is computed once and every
+    * epoch's shares derive from it with per-row pow/ratio arithmetic.
+    * Float parity: callers interpolate the SAME 1/T doubles into any
+    * external replay (the s29 oracle does); Σ pw keeps the s24
+    * sum-order caveat, absorbed by the ppm grain. */
+  def annealedMixtureSchedule(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, temps: Seq[Double],
+      budgetTokens: Long): DataFrame = {
+    require(temps.nonEmpty && temps.forall(_ > 0),
+      s"temps=$temps must all be positive")
+    val base = docs.select(col(sourceCol).as("_src"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("_tok"))
+    val masses = base.groupBy(col("_src"))
+      .agg(sum(col("_tok")).as("_total")).cache()
+    val perEpoch = temps.zipWithIndex.map { case (t, e) =>
+      val withPw = masses.withColumn("_pw",
+        pow(col("_total").cast("double"), lit(1.0 / t)))
+      val sumPw = withPw.agg(sum(col("_pw")).as("_sumpw"))
+      withPw.crossJoin(broadcast(sumPw))
+        .select(lit(e.toLong).as("epoch"), col("_src").as(sourceCol),
+          round(lit(t) * 1e6).cast("long").as("temperature_ppm"),
+          round(col("_pw") / col("_sumpw") * 1e6).cast("long")
+            .as("target_share_ppm"),
+          round(least(lit(1.0), col("_pw") / col("_sumpw") *
+              lit(budgetTokens.toDouble) / col("_total")) * 1e6)
+            .cast("long").as("keep_ratio_ppm"))
+    }
+    perEpoch.reduce(_ unionByName _)
+  }
+
   def waterfillBudgetMix(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, weights: Map[String, Double],
       budgetTokens: Long, maxEpochs: Int = 1): DataFrame = {

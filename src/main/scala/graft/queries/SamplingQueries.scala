@@ -940,8 +940,47 @@ object SamplingQueries {
           AS n_docs_moved
       FROM a GROUP BY split ORDER BY split"""))
 
+  // --- s29: annealed temperature-mixture schedule ----------------------
+  // The epoch curriculum s24 is one frame of: T decays 2.0 → 0.686
+  // over four epochs (decay 0.7), so training starts smoothed toward
+  // uniform (low-resource sources upsampled) and anneals toward
+  // natural proportions. Emits the schedule table (epoch × source →
+  // temperature/target-share/keep-ratio ppm), derived from ONE corpus
+  // token aggregate reused across all epochs. Float parity: the exact
+  // 1/T doubles computed in Scala are interpolated into the oracle
+  // text, so pow sees bit-identical exponents on both engines; the
+  // Σ pw sum-order caveat (s24) is absorbed by the ppm grain.
+  private val s29Temps: Seq[Double] =
+    (0 until 4).map(e => 2.0 * math.pow(0.7, e))
+  private val s29Budget = 500000L
+
+  private def s29EpochSql(e: Int, t: Double): String =
+    s"""SELECT CAST($e AS BIGINT) AS epoch, source,
+        CAST(round($t * 1e6) AS BIGINT) AS temperature_ppm,
+        CAST(round(pw / sumpw * 1e6) AS BIGINT) AS target_share_ppm,
+        CAST(round(least(1.0, pw / sumpw * ${s29Budget.toDouble}
+          / total::DOUBLE) * 1e6) AS BIGINT) AS keep_ratio_ppm
+      FROM (SELECT source, total, pow(total::DOUBLE, ${1.0 / t}) AS pw,
+          sum(pow(total::DOUBLE, ${1.0 / t})) OVER () AS sumpw
+        FROM masses)"""
+
+  private val s29 = GraftQuery(
+    "s29_annealed_mixture",
+    (s, d) =>
+      Sampling.annealedMixtureSchedule(Tables(s, d, "documents"),
+          "doc_id", "text", "source", s29Temps, s29Budget)
+        .orderBy("epoch", "source"),
+    Some(s"""WITH masses AS (
+        SELECT source, sum(len(string_split_regex(trim(text), '\\s+')))
+          AS total
+        FROM documents GROUP BY source)
+      SELECT * FROM (
+        ${s29Temps.zipWithIndex.map { case (t, e) => s29EpochSql(e, t) }
+          .mkString("\n        UNION ALL\n        ")})
+      ORDER BY epoch, source"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
       s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-      s27, s28)
+      s27, s28, s29)
 }

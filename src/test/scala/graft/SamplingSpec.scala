@@ -413,4 +413,29 @@ class SamplingSpec extends SparkSpec {
     // row count preserved (the join is 1:1 on fp)
     assert(split.count() == both.count())
   }
+
+  test("annealedMixtureSchedule: T=1 is natural shares, higher T smooths") {
+    import org.apache.spark.sql.functions._
+    val sched = graft.operators.Sampling.annealedMixtureSchedule(
+      docs, "doc_id", "text", "source", temps = Seq(4.0, 1.0),
+      budgetTokens = 100000L)
+    val byEpoch = sched.select("epoch", "source", "target_share_ppm")
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    // epoch 1 (T=1): share ∝ mass — recompute naturally
+    val masses = docs.select(col("source"),
+        graft.operators.TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("tok"))
+      .groupBy("source").agg(sum("tok").as("m"))
+      .as[(String, Long)].collect().toMap
+    val total = masses.values.sum.toDouble
+    byEpoch(1L).foreach { case (_, src, ppm) =>
+      val want = math.round(masses(src) / total * 1e6)
+      assert(math.abs(ppm - want) <= 1, s"$src: $ppm vs $want")
+    }
+    // epoch 0 (T=4) is strictly more uniform: max share shrinks
+    assert(byEpoch(0L).map(_._3).max < byEpoch(1L).map(_._3).max)
+    // every epoch's shares sum to ~1e6 (ppm rounding slack)
+    byEpoch.values.foreach { rows =>
+      assert(math.abs(rows.map(_._3).sum - 1000000L) <= rows.size) }
+  }
 }
