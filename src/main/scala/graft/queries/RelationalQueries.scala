@@ -1732,10 +1732,72 @@ object RelationalQueries {
         round(avg(TRY_CAST(props->>'$.k' AS INTEGER)), 6) AS avg_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // --- q59: first-/last-touch purchase attribution ---------------------
+  // The marketing-attribution split q32's funnel doesn't answer: for
+  // each purchase, WHICH channel gets credit — the user's first
+  // pre-purchase event (first-touch) or their most recent one
+  // (last-touch)? Both models from the same two IGNORE NULLS windows
+  // over the (ts, event_id) total order; purchases with no preceding
+  // touch credit 'direct'. Values aggregate in exact integer cents
+  // (round(value·100) per event), so no float summation order can
+  // shift a total. One user-keyed exchange serves both windows; the
+  // attribution aggregate is over |purchases| narrow rows.
+  private val q59 = GraftQuery(
+    "q59_touch_attribution",
+    (s, d) => {
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val p = ev(s, d)
+        .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+        .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          coalesce(col("first_touch"), lit("direct")).as("fch"),
+          coalesce(col("last_touch"), lit("direct")).as("lch"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val byFirst = p.groupBy(col("fch").as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("sum_value_cents"))
+        .withColumn("model", lit("first"))
+      val byLast = p.groupBy(col("lch").as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("sum_value_cents"))
+        .withColumn("model", lit("last"))
+      byFirst.unionByName(byLast)
+        .select("model", "channel", "n_purchases", "sum_value_cents")
+        .orderBy("model", "channel")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        FROM events),
+      t AS (
+        SELECT *,
+          first_value(CASE WHEN event_type <> 'purchase'
+            THEN event_type END IGNORE NULLS) OVER w AS first_touch,
+          last_value(CASE WHEN event_type <> 'purchase'
+            THEN event_type END IGNORE NULLS) OVER w AS last_touch
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      p AS (
+        SELECT coalesce(first_touch, 'direct') AS fch,
+          coalesce(last_touch, 'direct') AS lch,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM t WHERE event_type = 'purchase')
+      SELECT * FROM (
+        SELECT 'first' AS model, fch AS channel, count(*) AS n_purchases,
+          CAST(sum(cents) AS BIGINT) AS sum_value_cents
+        FROM p GROUP BY 2
+        UNION ALL
+        SELECT 'last', lch, count(*), CAST(sum(cents) AS BIGINT)
+        FROM p GROUP BY 2)
+      ORDER BY model, channel"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }
