@@ -1101,8 +1101,47 @@ object TextQueries {
     FROM scored s JOIN documents d USING (doc_id)
     GROUP BY 1, 2 ORDER BY source, nll_bucket"""))
 
+  // --- t30: subword fertility per source -------------------------------
+  // The tokenizer-planning number: how many BPE-ish pre-tokens
+  // ([[TextAnalysis.regexTokens]] — alnum runs + single punctuation
+  // marks, the GPT-2-style pre-tokenization boundary) per whitespace
+  // word, by source. High fertility = punctuation/code-heavy slices
+  // that will cost more sequence length per word after real BPE. The
+  // oracle cannot replay the lookaround split (RE2 has no
+  // lookarounds) but counts the IDENTICAL quantity from first
+  // principles: |alnum runs| + |non-alnum non-space chars| — exactly
+  // what the split-and-drop-blanks yields, which TextAnalysisSpec
+  // pins on the kernel directly. Map-side counting, one source-keyed
+  // aggregate.
+  private val t30 = GraftQuery(
+    "t30_subword_fertility",
+    (s, d) => {
+      val words = TextAnalysis.tokenCount(col("text")).cast("long")
+      val subs = size(TextAnalysis.regexTokens(col("text"))).cast("long")
+      Tables(s, d, "documents")
+        .select(col("source"), words.as("_w"), subs.as("_s"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_w")).as("word_tokens"),
+          sum(col("_s")).as("subword_tokens"),
+          round(sum(col("_s")).cast("double") / sum(col("_w")) * 1e6)
+            .cast("long").as("fertility_ppm"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+          AS word_tokens,
+        CAST(sum(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))
+          + len(regexp_extract_all(text, '[^\p{L}\p{N}\s]'))) AS BIGINT)
+          AS subword_tokens,
+        CAST(round(sum(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))
+            + len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')))::DOUBLE
+          / sum(len(string_split_regex(trim(text), '\s+'))) * 1e6)
+          AS BIGINT) AS fertility_ppm
+      FROM documents GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-      t27, t28, t29)
+      t27, t28, t29, t30)
 }

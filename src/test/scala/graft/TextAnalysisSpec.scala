@@ -281,4 +281,16 @@ class TextAnalysisSpec extends SparkSpec {
     // whole matrix: 3 sources -> 3 pairs, all in [0, ln 2]
     assert(m.size == 3 && m.values.forall(v => v >= 0 && v <= math.log(2.0) + 1e-9))
   }
+
+  test("regexTokens: alnum runs plus single punctuation, blanks dropped") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("ab!cd e.f", "x=9; !!", "plain words here", " ")
+      .toDF("t")
+    val got = df.select(TextAnalysis.regexTokens(col("t")).as("r"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("ab", "!", "cd", "e", ".", "f"), got(0).toString)
+    assert(got(1) == Seq("x", "=", "9", ";", "!", "!"), got(1).toString)
+    assert(got(2) == Seq("plain", "words", "here"))
+    assert(got(3).isEmpty, got(3).toString)
+  }
 }
