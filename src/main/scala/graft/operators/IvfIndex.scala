@@ -246,6 +246,48 @@ object IvfIndex {
     Model(rows.map(_.getSeq[Double](1).toArray))
   }
 
+  /** Probe COST curve — the denominator of the recall-vs-nprobe
+    * trade [[graft.operators.Similarity.ivfRecallSweep]] reports the
+    * numerator of: for each `nprobe`, how many candidate rows the
+    * probed cells actually contain, total and as the average ppm
+    * share of the corpus each query scans. Recall without this number
+    * is half a tuning decision; nprobe = nlist must cost exactly
+    * 1e6 ppm (exhaustive scan) and cost is strictly monotone in
+    * nprobe (both natural invariants for a spec).
+    *
+    * Scale shape: one corpus assignment scan collapsed to |cells|
+    * counts; the query side ranks cells against the ≤nlist centroid
+    * literals and joins the tiny count table — nothing corpus-sized
+    * moves per sweep point. */
+  def probeCostCurve(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, nprobes: Seq[Int], model: Model): DataFrame = {
+    require(nprobes.nonEmpty &&
+      nprobes.forall(p => p >= 1 && p <= model.nlist),
+      s"nprobes=$nprobes must be within [1, nlist=${model.nlist}]")
+    val units = Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("_id"), col("_unit"))
+    val cellCounts = OpCaches.track(units
+      .select(assignCell(col("_unit"), model).as("_cell"))
+      .groupBy(col("_cell")).agg(count(lit(1)).as("_n")))
+    val nCorpus = corpus.count()
+    val qUnits = Similarity.withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit"))
+    val nQueries = qUnits.count()
+    val per = nprobes.map { p =>
+      qUnits
+        .select(col("query_id"),
+          explode(probeCells(col("_unit"), model, p)).as("_cell"))
+        .join(broadcast(cellCounts), Seq("_cell"))
+        .agg(sum(col("_n")).as("total_candidates"))
+        .select(lit(p.toLong).as("nprobe"),
+          col("total_candidates"),
+          round(col("total_candidates").cast("double") /
+              lit((nCorpus * nQueries).toDouble) * 1e6)
+            .cast("long").as("scan_share_ppm"))
+    }
+    per.reduce(_ unionByName _)
+  }
+
   /** Approximate top-k via IVF probing with freshly trained k-means
     * centroids. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

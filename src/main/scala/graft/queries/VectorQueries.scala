@@ -1385,7 +1385,63 @@ object VectorQueries {
         ${v31BlockSql(50)})
       ORDER BY n_candidates"""))
 
+  // --- v32: IVF probe cost curve ---------------------------------------
+  // The cost axis v18's recall sweep doesn't report: candidate rows
+  // actually scanned per nprobe, total and as the average per-query
+  // corpus share (ppm). Together the two curves are the
+  // recall-vs-cost trade an index team actually tunes on. Parity
+  // model (smallest-id centroids) so the oracle replays cell
+  // assignment and probe ranking exactly; cost at nprobe = nlist is
+  // 1e6 ppm by construction (IvfIndexSpec pins it plus
+  // monotonicity).
+  private val v32 = GraftQuery(
+    "v32_ivf_cost_curve",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val m = IvfIndex.parityModel(emb, "vec_id", "embedding", nlist = 16)
+      IvfIndex.probeCostCurve(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", nprobes = Seq(1, 2, 4, 16), model = m)
+        .orderBy("nprobe")
+    },
+    Some("""WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      pun AS (
+        SELECT vec_id,
+          list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS pe
+        FROM u),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, pe AS ce
+        FROM (SELECT vec_id, pe FROM pun ORDER BY vec_id LIMIT 16)),
+      score AS (
+        SELECT v.vec_id, c.i, list_inner_product(v.pe, c.ce) AS d
+        FROM pun v CROSS JOIN cent c),
+      assign AS (
+        SELECT vec_id, i AS cell FROM (
+          SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d DESC, i DESC) AS rk FROM score)
+        WHERE rk = 1),
+      cellcounts AS (SELECT cell, count(*) AS n FROM assign GROUP BY 1),
+      pranked AS (
+        SELECT vec_id AS query_id, i AS cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d DESC, i DESC) AS rk
+        FROM score WHERE vec_id < 10),
+      denom AS (
+        SELECT (SELECT count(*) FROM assign)::DOUBLE *
+          (SELECT count(DISTINCT query_id) FROM pranked) AS dn),
+      curve AS (
+        SELECT p.p AS nprobe,
+          CAST(sum(c.n) AS BIGINT) AS total_candidates,
+          CAST(round(sum(c.n)::DOUBLE / (SELECT dn FROM denom) * 1e6)
+            AS BIGINT) AS scan_share_ppm
+        FROM (SELECT unnest([1, 2, 4, 16]) AS p) p
+        JOIN pranked r ON r.rk <= p.p
+        JOIN cellcounts c ON c.cell = r.cell
+        GROUP BY 1)
+      SELECT CAST(nprobe AS BIGINT) AS nprobe, total_candidates,
+        scan_share_ppm
+      FROM curve ORDER BY nprobe"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
-    v23, v24, v25, v26, v27, v28, v29, v30, v31)
+    v23, v24, v25, v26, v27, v28, v29, v30, v31, v32)
 }

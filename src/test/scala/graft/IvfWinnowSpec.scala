@@ -140,4 +140,24 @@ class IvfWinnowSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(fp.length == 1)
   }
+
+  test("probe cost curve: monotone in nprobe, exhaustive = whole corpus") {
+    import graft.operators.IvfIndex
+    val m = IvfIndex.parityModel(emb, "vec_id", "embedding", nlist = 8)
+    val qs = emb.filter(col("vec_id") < 3)
+    val got = IvfIndex.probeCostCurve(emb, qs, "vec_id", "embedding",
+        nprobes = Seq(1, 2, 8), model = m)
+      .orderBy("nprobe")
+      .as[(Long, Long, Long)].collect().toSeq
+    val costs = got.map(_._2)
+    assert(costs == costs.sorted && costs.distinct == costs,
+      s"cost must be strictly monotone in nprobe: $got")
+    // probing every cell scans the whole corpus for every query
+    assert(got.last._2 == emb.count() * 3 && got.last._3 == 1000000L,
+      got.toString)
+    intercept[IllegalArgumentException] {
+      IvfIndex.probeCostCurve(emb, qs, "vec_id", "embedding",
+        nprobes = Seq(0), model = m)
+    }
+  }
 }
