@@ -1183,8 +1183,94 @@ object DedupQueries {
       SELECT skeleton_fp, n_docs, n_distinct_texts, example_id
       FROM g ORDER BY n_docs DESC, skeleton_fp LIMIT 20"""))
 
+  // --- d30: near-dup threshold savings sweep ---------------------------
+  // The "what does each threshold buy" table read before committing a
+  // near-dup cutoff: one LSH candidate pass at the LOOSEST threshold
+  // (0.5 — pairs are exact-verified Jaccard, so tighter thresholds are
+  // plain filters over the same pair table), then per threshold the
+  // pair count and the distinct docs touched. Sweeping costs no extra
+  // candidate generation — exactly how a production calibration run
+  // avoids re-shingling the corpus per candidate cutoff. The plant
+  // grades mutation strength so the sweep differentiates: an appended
+  // token (Jaccard ≈ 0.97, survives 0.9), a 4/5 prefix (≈ 0.8, survives 0.7),
+  // a 3/5 prefix (≈ 0.6, survives only 0.5), and a 2/5 prefix (< 0.5, never a pair with
+  // its source — only with the longer prefix). Thresholds compare
+  // against the 4-dp rounded Jaccard on both engines.
+  private val d30 = GraftQuery(
+    "d30_threshold_savings",
+    (s, d) => {
+      val base = Tables(s, d, "documents").select("doc_id", "text")
+      val ts = split(trim(col("text")), "\\s+")
+      def prefix(num: Int, den: Int) = array_join(
+        slice(ts, lit(1), greatest(lit(3),
+          floor(size(ts) * num / den).cast("int"))), " ")
+      def mutate(offset: Long, text: org.apache.spark.sql.Column) =
+        base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + offset).as("doc_id"), text.as("text"))
+      val corpus = base
+        .unionByName(mutate(5000000L, concat(col("text"), lit(" graftdup"))))
+        .unionByName(mutate(5200000L, prefix(3, 5)))
+        .unionByName(mutate(5300000L, prefix(4, 5)))
+        .unionByName(mutate(5400000L, prefix(2, 5)))
+      val pairs = Dedup.minhashNearDupPairs(corpus,
+        "doc_id", "text", numHashes = 128, bands = 64, threshold = 0.5)
+      val exploded = pairs.select(col("jaccard"),
+        explode(array(col("a"), col("b"))).as("d"))
+      val per = Seq(0.5, 0.7, 0.9).map { t =>
+        exploded.filter(col("jaccard") >= t)
+          .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+            countDistinct(col("d")).as("n_docs_affected"))
+          .select(lit((t * 1e6).round).as("threshold_ppm"),
+            col("n_pairs"), col("n_docs_affected"))
+      }
+      per.reduce(_ unionByName _).orderBy("threshold_ppm")
+    },
+    Some(s"""WITH ts AS (
+        SELECT doc_id, text,
+          string_split_regex(trim(text), '\\s+') AS tk
+        FROM documents),
+      p AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 5000000, text || ' graftdup'
+        FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 5200000,
+          array_to_string(tk[1 : greatest(3,
+            CAST(floor(len(tk) * 3 / 5) AS INT))], ' ')
+        FROM ts WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 5300000,
+          array_to_string(tk[1 : greatest(3,
+            CAST(floor(len(tk) * 4 / 5) AS INT))], ' ')
+        FROM ts WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 5400000,
+          array_to_string(tk[1 : greatest(3,
+            CAST(floor(len(tk) * 2 / 5) AS INT))], ' ')
+        FROM ts WHERE doc_id < 10),
+      sh AS ($shingleCteSql),
+      j AS (
+        SELECT a.doc_id AS a, b.doc_id AS b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+            AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      e AS (
+        SELECT jac, a AS d FROM j WHERE jac >= 0.5
+        UNION ALL
+        SELECT jac, b FROM j WHERE jac >= 0.5),
+      t AS (SELECT unnest([500000, 700000, 900000]) AS threshold_ppm)
+      SELECT CAST(t.threshold_ppm AS BIGINT) AS threshold_ppm,
+        -- count(e.jac), not count(*): an empty threshold keeps its
+        -- null-extended LEFT JOIN row, which must tally as 0 pairs
+        CAST(count(e.jac) / 2 AS BIGINT) AS n_pairs,
+        CAST(count(DISTINCT e.d) AS BIGINT) AS n_docs_affected
+      FROM t LEFT JOIN e ON e.jac >= t.threshold_ppm / 1e6
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      d24, d25, d26, d27, d28, d29)
+      d24, d25, d26, d27, d28, d29, d30)
 }
