@@ -1794,10 +1794,42 @@ object RelationalQueries {
         FROM p GROUP BY 2)
       ORDER BY model, channel"""))
 
+  // --- q60: daily percentile trend with day-over-day delta -------------
+  // The SLO dashboard shape: exact P50/P95 of value per day (q35's
+  // interpolated order statistic at daily grain) plus the
+  // day-over-day P50 delta — the "did the median move" number an
+  // on-call reads first. The trend lag runs over the already-
+  // aggregated ~31-row day table (a single tiny partition by then);
+  // the corpus-sized work is one day-keyed percentile aggregate.
+  // Deltas subtract the ROUNDED p50s, so the difference is parity-
+  // exact; the first day's delta is NULL by contract.
+  private val q60 = GraftQuery(
+    "q60_daily_percentile_trend",
+    (s, d) => {
+      val daily = ev(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("dod_p50",
+          round(col("p50") - lag(col("p50"), 1).over(w), 4))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+          round(quantile_cont(value, 0.5), 4) AS p50,
+          round(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY 1)
+      SELECT day, n_events, p50, p95,
+        round(p50 - lag(p50) OVER (ORDER BY day), 4) AS dod_p50
+      FROM daily ORDER BY day"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
 }
