@@ -979,8 +979,56 @@ object SamplingQueries {
           .mkString("\n        UNION ALL\n        ")})
       ORDER BY epoch, source"""))
 
+  // --- s30: fixed context-length efficiency sweep ----------------------
+  // The "pick the sequence length" curve: if every doc becomes ONE
+  // fixed-L sequence (pad short, truncate long), what does each L
+  // cost? Short L truncates content away; long L pads capacity away.
+  // Reports, per candidate L: utilization (kept tokens over n·L
+  // capacity) and truncation loss (tokens cut over corpus tokens),
+  // both exact-integer ratios in ppm. s22 answers the variable-bucket
+  // variant (smallest rung per doc); this is the single-global-cap
+  // trade. One token-count pass; the sweep is a 5-way explode of
+  // narrow (tok, cap) rows into one keyed aggregate.
+  private val s30 = GraftQuery(
+    "s30_context_length_sweep",
+    (s, d) => {
+      val caps = Seq(64, 128, 256, 512, 1024)
+      Tables(s, d, "documents")
+        .select(graft.operators.TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("tok"))
+        .withColumn("cap", explode(array(caps.map(c => lit(c.toLong)): _*)))
+        .groupBy(col("cap"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("tok"), col("cap"))).as("kept_tokens"),
+          sum(greatest(col("tok") - col("cap"), lit(0L)))
+            .as("truncated_tokens"),
+          round(sum(least(col("tok"), col("cap"))).cast("double") /
+              (count(lit(1)) * col("cap")) * 1e6).cast("long")
+            .as("utilization_ppm"),
+          round(sum(greatest(col("tok") - col("cap"), lit(0L)))
+              .cast("double") / sum(col("tok")) * 1e6).cast("long")
+            .as("truncation_loss_ppm"))
+        .orderBy("cap")
+    },
+    Some("""WITH t AS (
+        SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          AS tok
+        FROM documents),
+      g AS (
+        SELECT tok, cap FROM t
+        CROSS JOIN (SELECT CAST(unnest([64, 128, 256, 512, 1024]) AS BIGINT)
+          AS cap))
+      SELECT cap, count(*) AS n_docs,
+        CAST(sum(least(tok, cap)) AS BIGINT) AS kept_tokens,
+        CAST(sum(greatest(tok - cap, 0)) AS BIGINT) AS truncated_tokens,
+        CAST(round(sum(least(tok, cap))::DOUBLE / (count(*) * cap) * 1e6)
+          AS BIGINT) AS utilization_ppm,
+        CAST(round(sum(greatest(tok - cap, 0))::DOUBLE / sum(tok) * 1e6)
+          AS BIGINT) AS truncation_loss_ppm
+      FROM g GROUP BY cap ORDER BY cap"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
       s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-      s27, s28, s29)
+      s27, s28, s29, s30)
 }
