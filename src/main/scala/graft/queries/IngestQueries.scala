@@ -120,5 +120,40 @@ object IngestQueries {
         min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM ids"""))
 
-  val all: Seq[GraftQuery] = Seq(i01, i02, i03)
+  // --- i04: CSV export → re-ingest round-trip audit --------------------
+  // The quoting/escaping gate: CSV is the one interchange format where
+  // serialization can silently corrupt text (embedded commas, quotes,
+  // leading zeros...). Export the documents table through Spark's
+  // RFC-4180 writer, re-ingest with [[CorpusReader.readCsv]], and
+  // hash-match the content-addressed inventory against the ORIGINAL
+  // table — any writer/reader escaping asymmetry changes an md5
+  // extremum. Same audit shape (and oracle) as i01; only the codec
+  // under test differs.
+  private val i04 = GraftQuery(
+    "i04_csv_roundtrip",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("text"), col("lang"), col("source"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-i04").toString
+      docs.write.mode("overwrite").option("header", "true").csv(out)
+      CorpusReader.readCsv(s, out)
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source", "lang")
+    },
+    Some("""WITH ids AS (
+        SELECT source, lang,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS doc_id
+        FROM documents)
+      SELECT source, lang, count(*) AS n_docs,
+        count(DISTINCT doc_id) AS n_distinct,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM ids GROUP BY source, lang ORDER BY source, lang"""))
+
+  val all: Seq[GraftQuery] = Seq(i01, i02, i03, i04)
 }

@@ -42,6 +42,37 @@ object CorpusReader {
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
       .select(canonical.map(col): _*)
 
+  /** CSV corpus layout (header + quoted fields — the spreadsheet-era
+    * interchange a surprising share of public text datasets still
+    * ship as): explicit (text, lang, source) schema, FAILFAST, with
+    * the same null-text guard as [[readJsonl]] — a quoting bug that
+    * nulls a field fails the read instead of minting a null doc_id.
+    * Spark's CSV codec handles embedded commas/quotes via standard
+    * RFC-4180 double-quoting; the i04 gate round-trips the corpus
+    * through writer+reader and checks the content-addressed inventory
+    * against the original table, so any escaping asymmetry hashes
+    * red. Single-line documents only (multiLine parsing makes the
+    * scan non-splittable; a corpus with embedded newlines belongs in
+    * JSONL). */
+  def readCsv(spark: SparkSession, path: String,
+      recursive: Boolean = false): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType)))
+    val raw = spark.read.schema(schema)
+      .option("header", "true").option("mode", "FAILFAST")
+      .option("recursiveFileLookup", recursive.toString)
+      .csv(path)
+    withDocId(raw.select(
+      when(col("text").isNull, raise_error(concat(
+          lit("readCsv: row with null/missing text in "),
+          input_file_name())))
+        .otherwise(col("text")).as("text"),
+      coalesce(col("lang"), lit("und")).as("lang"),
+      coalesce(col("source"), lit("unknown")).as("source")))
+  }
+
   /** JSONL (one JSON object per line, the interchange format of public
     * text corpora): explicit single-pass schema over the named fields;
     * missing lang/source fields land as configurable defaults rather

@@ -150,4 +150,27 @@ class CorpusReaderSpec extends SparkSpec {
     // the duplicated doc's single distinct id appears once in novelty
     assert(stats.count() == 2)
   }
+
+  test("readCsv round-trips adversarial quoting exactly") {
+    import org.apache.spark.sql.functions.col
+    // the texts CSV escaping gets wrong when it gets anything wrong:
+    // embedded commas, RFC-4180 double quotes, a leading quote, a
+    // field that looks like a number with a leading zero
+    val texts = Seq(
+      """a, b, and c""",
+      """she said "hi, there" twice""",
+      """"leading quote""",
+      """0042 with spaces   inside""")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (t, "en", s"s$i") }
+      .toDF("text", "lang", "source")
+    val out = java.nio.file.Files
+      .createTempDirectory("csv-rt").toString
+    df.write.mode("overwrite").option("header", "true").csv(out)
+    val back = CorpusReader.readCsv(spark, out)
+    assert(back.select("text").as[String].collect().toSet == texts.toSet)
+    // content addressing survives the cycle
+    val ids = back.select("doc_id").as[String].collect().toSet
+    assert(ids.size == texts.size)
+  }
 }
