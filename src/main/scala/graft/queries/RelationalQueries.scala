@@ -1826,10 +1826,51 @@ object RelationalQueries {
         round(p50 - lag(p50) OVER (ORDER BY day), 4) AS dod_p50
       FROM daily ORDER BY day"""))
 
+  // --- q61: fulfillment latency by order priority ----------------------
+  // The order-to-ship SLA analytic (the TPC-H Q12 question restated
+  // over the driver's slim columns): per priority, how long from
+  // order to line shipment — exact integer day diffs feed count/avg/
+  // P50/P95 and a >90-day late share in ppm. The join is the
+  // fact-fact lineitem ⋈ orders edge (the shape ScaleOps.writeBucketed
+  // exists for at 100 TB — bucket both sides on orderkey once, never
+  // shuffle either again); here the orders side is dimension-sized
+  // and AQE broadcasts it.
+  private val q61 = GraftQuery(
+    "q61_ship_latency",
+    (s, d) => {
+      val days = datediff(col("l_shipdate"), col("o_orderdate"))
+        .cast("long")
+      li(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        .join(ord(s, d).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), days.as("days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(avg(col("days")), 4).as("avg_days"),
+          round(expr("percentile(days, 0.5)"), 4).as("p50_days"),
+          round(expr("percentile(days, 0.95)"), 4).as("p95_days"),
+          round(sum(when(col("days") > 90, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)) * 1e6).cast("long")
+            .as("late_ppm"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH j AS (
+        SELECT o_orderpriority,
+          CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT o_orderpriority, count(*) AS n_lines,
+        round(avg(days), 4) AS avg_days,
+        round(quantile_cont(days, 0.5), 4) AS p50_days,
+        round(quantile_cont(days, 0.95), 4) AS p95_days,
+        CAST(round(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END)::DOUBLE
+          / count(*) * 1e6) AS BIGINT) AS late_ppm
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 }
