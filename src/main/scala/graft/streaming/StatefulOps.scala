@@ -341,6 +341,49 @@ object StatefulOps {
         })
   }
 
+  final case class TouchEvent(key: String, tsMicros: Long, eventId: Long,
+    eventType: String, value: Double)
+  final case class Attribution(key: String, tsMicros: Long, eventId: Long,
+    firstTouch: String, lastTouch: String, cents: Long)
+
+  /** Streaming first-/last-touch attribution — the incremental twin of
+    * the batch q59: per-key state is just (first pre-purchase touch,
+    * most recent pre-purchase touch); a purchase event emits an
+    * [[Attribution]] row crediting both (in exact integer cents),
+    * touchless purchases credit "direct". Purchases never update the
+    * touch state, mirroring the batch windows' strict
+    * rows-before-current frame over non-purchase events. O(1) state
+    * per key — two channel labels — however long the stream runs;
+    * downstream aggregation by (model, channel) is an ordinary
+    * streaming groupBy. Same in-batch (ts, event_id) ordering contract
+    * as [[streamingScd2]]. */
+  def streamingAttribution(input: Dataset[TouchEvent],
+      purchaseType: String = "purchase"): Dataset[Attribution] = {
+    implicit val outEnc = Encoders.product[Attribution]
+    implicit val stEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    input
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[TouchEvent],
+            gs: GroupState[(String, String)]) => {
+          val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.eventId))
+          val out = Seq.newBuilder[Attribution]
+          var st = if (gs.exists) gs.get else null
+          sorted.foreach { r =>
+            if (r.eventType == purchaseType) {
+              val (f, l) = if (st == null) ("direct", "direct") else st
+              out += Attribution(key, r.tsMicros, r.eventId, f, l,
+                math.round(r.value * 100))
+            } else {
+              st = if (st == null) (r.eventType, r.eventType)
+                   else (st._1, r.eventType)
+            }
+          }
+          if (st != null) gs.update(st)
+          out.result().iterator
+        })
+  }
+
   def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, delay: String,
       lookback: String, lookahead: String): DataFrame = {

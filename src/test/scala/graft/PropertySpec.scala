@@ -703,4 +703,39 @@ class PropertySpec extends SparkSpec {
       assert(run(prefix = true) == want, s"prefix thr=$thr docs=$docs")
     }
   }
+
+  test("templateSkeletons is filler-invariant and content-sensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a "form" alternates punctuation scaffolding with alnum filler;
+    // regenerating fillers must preserve the skeleton fingerprint,
+    // touching the scaffolding must change it
+    val scaffold = for {
+      nSeg <- Gen.choose(2, 5)
+      seps <- Gen.listOfN(nSeg, Gen.oneOf(": ", "; ", "# ", "=", "! ", ", "))
+    } yield seps
+    val filler: Gen[String] = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    forAll(scaffold) { seps =>
+      def render(fs: Seq[String]): String =
+        fs.zip(seps).map { case (f, p) => f + p }.mkString + "end"
+      val fillsA = seps.indices.map(i =>
+        filler.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i + 1L)).get)
+      val fillsB = seps.indices.map(i =>
+        filler.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i + 100L)).get)
+      val df = Seq((1L, render(fillsA)), (2L, render(fillsB)),
+        (3L, render(fillsA).replace(seps.head.trim.headOption.getOrElse(';'), '~')))
+        .toDF("doc_id", "text")
+      val sk = df.select(col("doc_id"), org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.trim(col("text"))),
+          "[a-z0-9]+", "w")).as("fp"))
+        .as[(Long, String)].collect().toMap
+      assert(sk(1L) == sk(2L),
+        s"different fillers must share a skeleton: ${render(fillsA)} vs ${render(fillsB)}")
+      if (seps.head.trim.nonEmpty)
+        assert(sk(1L) != sk(3L), "changing scaffolding must change the skeleton")
+    }
+  }
 }

@@ -524,6 +524,35 @@ class StatefulOpsSpec extends SparkSpec {
       s"restart must continue version numbering: $got")
   }
 
+  test("streamingAttribution: matches the batch q59 touch semantics") {
+    implicit val sq = spark.sqlContext
+    def e(k: String, us: Long, id: Long, t: String, v: Double = 0.0) =
+      StatefulOps.TouchEvent(k, us, id, t, v)
+    val input = MemoryStream[StatefulOps.TouchEvent]
+    val q = StatefulOps.streamingAttribution(input.toDS())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    // u1: view → click → purchase(3.21) → purchase(1.005, across batch);
+    // u2: purchase with NO touches (direct/direct); the second u1
+    // purchase must still credit (view, click) — purchases don't
+    // update touch state
+    val batches = Seq(
+      Seq(e("u1", 100, 1, "view"), e("u1", 200, 2, "click"),
+        e("u2", 150, 3, "purchase", 9.99)),
+      Seq(e("u1", 300, 4, "purchase", 3.21)),
+      Seq(e("u1", 400, 5, "purchase", 1.01)))
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val got = spark.sql(
+          "SELECT key, eventId, firstTouch, lastTouch, cents FROM attr")
+        .as[(String, Long, String, String, Long)].collect().toSet
+      assert(got == Set(
+        ("u2", 3L, "direct", "direct", 999L),
+        ("u1", 4L, "view", "click", 321L),
+        ("u1", 5L, "view", "click", 101L)), got.toString)
+    } finally q.stop()
+  }
+
   test("streamingStreaks: closed streaks match the batch q53 islands") {
     implicit val sq = spark.sqlContext
     val day = 86400L * 1000000L
