@@ -1441,7 +1441,88 @@ object VectorQueries {
         scan_share_ppm
       FROM curve ORDER BY nprobe"""))
 
+  // --- v33: the recall-vs-cost tuning table ----------------------------
+  // v18 (recall per nprobe) ⋈ v32 (candidates scanned per nprobe) on
+  // one parity model and ONE query set — the single table an index
+  // team reads to pick nprobe: each row is a (recall, fraction of
+  // corpus scanned) point on the trade curve. Both component sweeps
+  // share the cell-assignment scan through OpCaches; the join is 5
+  // rows. Exhaustive probing must land at recall 1.0 for exactly
+  // 1e6 ppm scanned — both endpoints already spec-pinned in their
+  // component operators.
+  private val v33 = GraftQuery(
+    "v33_recall_cost_table",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 25)
+      val m = IvfIndex.parityModel(emb, "vec_id", "embedding", nlist = 16)
+      val probes = Seq(1, 2, 4, 8, 16)
+      val recall = Similarity.ivfRecallSweep(emb, qs, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobes = probes, model = Some(m))
+        .select(col("nprobe").cast("long").as("nprobe"), col("avg_recall"))
+      val cost = IvfIndex.probeCostCurve(emb, qs, "vec_id", "embedding",
+        nprobes = probes, model = m)
+      recall.join(cost, "nprobe")
+        .select(col("nprobe"), col("avg_recall"),
+          col("total_candidates"), col("scan_share_ppm"))
+        .orderBy("nprobe")
+    },
+    Some(s"""WITH ${parityIvfCteSql("vec_id, embedding::DOUBLE[] AS e",
+        "vec_id < 25", nprobe = 16)},
+      ranked AS (
+        SELECT vec_id AS query_id, i AS cell, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, i DESC) AS prk
+        FROM score WHERE vec_id < 25),
+      truth AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                c.vec_id) AS rank
+          FROM u q, u c WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5),
+      probes(np) AS (VALUES (1), (2), (4), (8), (16)),
+      cand AS (
+        SELECT pr.np, r.query_id, a.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.e, n.e), 6) AS cosine
+        FROM probes pr
+        JOIN ranked r ON r.prk <= pr.np
+        JOIN assign a ON a.cell = r.cell AND a.vec_id <> r.query_id
+        JOIN u q ON q.vec_id = r.query_id
+        JOIN u n ON n.vec_id = a.vec_id),
+      topk AS (
+        SELECT np, query_id, neighbor_id FROM (
+          SELECT np, query_id, neighbor_id, row_number() OVER (
+            PARTITION BY np, query_id ORDER BY cosine DESC, neighbor_id)
+            AS rank
+          FROM cand)
+        WHERE rank <= 5),
+      rec AS (
+        SELECT t.np AS nprobe,
+          round(count(tr.neighbor_id)::DOUBLE /
+            (count(DISTINCT t.query_id) * 5), 6) AS avg_recall
+        FROM topk t LEFT JOIN truth tr
+          ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
+        GROUP BY t.np),
+      cellcounts AS (SELECT cell, count(*) AS n FROM assign GROUP BY 1),
+      denom AS (
+        SELECT (SELECT count(*) FROM assign)::DOUBLE *
+          (SELECT count(DISTINCT query_id) FROM ranked) AS dn),
+      cost AS (
+        SELECT pr.np AS nprobe,
+          CAST(sum(c.n) AS BIGINT) AS total_candidates,
+          CAST(round(sum(c.n)::DOUBLE / (SELECT dn FROM denom) * 1e6)
+            AS BIGINT) AS scan_share_ppm
+        FROM probes pr
+        JOIN ranked r ON r.prk <= pr.np
+        JOIN cellcounts c ON c.cell = r.cell
+        GROUP BY 1)
+      SELECT CAST(rec.nprobe AS BIGINT) AS nprobe, rec.avg_recall,
+        cost.total_candidates, cost.scan_share_ppm
+      FROM rec JOIN cost ON rec.nprobe = cost.nprobe
+      ORDER BY nprobe"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
-    v23, v24, v25, v26, v27, v28, v29, v30, v31, v32)
+    v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33)
 }

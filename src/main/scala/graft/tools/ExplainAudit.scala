@@ -24,13 +24,19 @@ object ExplainAudit {
       .foreach { q =>
         try {
           val df = q.impl(spark, sfDir)
-          // foreach executes THIS dataframe's plan (finalizing AQE)
-          // without materializing the result on the driver — count()
-          // would execute a different (count-aggregated) plan, and
-          // collect() would pull corpus-sized outputs (t19/t20 are
-          // per-doc) into driver memory at larger scale factors
-          df.foreach(_ => ())
+          // Execute the physical plan DIRECTLY: foreach/count wrap the
+          // dataframe in their own plan, leaving this one
+          // isFinalPlan=false — the audit would then read the static
+          // AQE plan (no whole-stage-codegen markers, no runtime join
+          // conversions). executedPlan.execute() runs the
+          // AdaptiveSparkPlanExec itself (finalizing it) without
+          // materializing corpus-sized output on the driver (t19/t20
+          // are per-doc).
+          df.queryExecution.executedPlan.execute().foreach(_ => ())
+          // a finalized AdaptiveSparkPlan prints the final plan AND an
+          // "== Initial Plan ==" section — count only the former
           val plan = df.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
           def n(pat: String) = pat.r.findAllIn(plan).length
           val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan)
             .filterNot(_ == "PushedFilters: []").mkString(" | ")
