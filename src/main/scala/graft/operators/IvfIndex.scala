@@ -269,7 +269,11 @@ object IvfIndex {
     val cellCounts = OpCaches.track(units
       .select(assignCell(col("_unit"), model).as("_cell"))
       .groupBy(col("_cell")).agg(count(lit(1)).as("_n")))
-    val nCorpus = corpus.count()
+    // share of the INDEXED corpus: withUnit drops zero-norm vectors,
+    // so the denominator must count what the cells actually hold — a
+    // raw corpus.count() would silently deflate the ppm on data with
+    // unindexable rows
+    val nCorpus = units.count()
     val qUnits = Similarity.withUnit(queries, embCol)
       .select(col(idCol).as("query_id"), col("_unit"))
     val nQueries = qUnits.count()

@@ -159,5 +159,14 @@ class IvfWinnowSpec extends SparkSpec {
       IvfIndex.probeCostCurve(emb, qs, "vec_id", "embedding",
         nprobes = Seq(0), model = m)
     }
+    // a zero-norm (unindexable) vector must not deflate the ppm: the
+    // denominator is the INDEXED corpus, so exhaustive probing still
+    // reads exactly 1e6 ppm
+    val withZero = emb.select("vec_id", "embedding").unionByName(
+      Seq((99999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val gz = IvfIndex.probeCostCurve(withZero, qs, "vec_id", "embedding",
+        nprobes = Seq(8), model = m)
+      .as[(Long, Long, Long)].collect().head
+    assert(gz._2 == emb.count() * 3 && gz._3 == 1000000L, gz.toString)
   }
 }
