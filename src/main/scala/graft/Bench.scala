@@ -34,11 +34,18 @@ object Bench {
     // dev knob: skip the playback stages to isolate query timings
     val skipPlayback = sys.env.contains("SPARK_GRAFT_SKIP_PLAYBACK")
 
-    // playback throughput first, before 20+ query runs fill the old gen
+    // playback throughput first, before 20+ query runs fill the old gen.
+    // Fixed-work CPU probes bracket the playback measurements so a
+    // degraded host window (co-tenant contention) is visible IN the
+    // bench JSON, not argued after the fact: probe seconds are
+    // comparable across rounds, and host_noise_factor relates the
+    // worst probe to the documented quiet-window anchor.
+    val probe0 = PlaybackBench.cpuProbe()
     val playbackRps = if (skipPlayback) -1.0
       else try PlaybackBench.run(spark, sfDir, seconds = 8)
       catch { case e: Throwable =>
         System.err.println(s"[bench] playback failed: ${e.getMessage}"); -1.0 }
+    val probe1 = PlaybackBench.cpuProbe()
 
     // aggregate ceiling: 8 concurrent playback queries, each at the
     // reference's 1M/sec maximum configurable rate (a single stream
@@ -49,6 +56,7 @@ object Bench {
       else try PlaybackBench.runConcurrent(spark, sfDir, 8, seconds = 8)
       catch { case e: Throwable =>
         System.err.println(s"[bench] concurrent playback failed: ${e.getMessage}"); -1.0 }
+    val probe2 = PlaybackBench.cpuProbe()
 
     // steady-state timing: first pass over the whole set pays Janino/JIT
     // compilation of each query's unique expression trees (one-time per
@@ -85,7 +93,8 @@ object Bench {
       }
     val measured = measure(names, once)
 
-    println(renderJson(measured, playbackRps, playbackAgg8, sfDir))
+    println(renderJson(measured, playbackRps, playbackAgg8, sfDir,
+      probes = Seq(probe0, probe1, probe2)))
     spark.stop()
   }
 
@@ -124,13 +133,21 @@ object Bench {
     * failed list also sets `"bench_failures"` so the driver sees a
     * scalar flag even if it only reads top-level fields. */
   def renderJson(results: Seq[(String, QueryResult)], playbackRps: Double,
-      playbackAgg8: Double, sfDir: String): String = {
+      playbackAgg8: Double, sfDir: String,
+      probes: Seq[Double] = Nil): String = {
     val qs = results.map { case (k, r) => "\"" + k + f"""":${r.sec}%.3f""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, r) if r.failed => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val nFailed = results.count(_._2.failed)
     val total = results.collect { case (_, r) if !r.failed => r.sec }.sum
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"sf":"$sfDir"}"""
+    // host-contention sentinel: absolute fixed-work probe seconds
+    // (round-over-round comparable) + worst probe over the quiet
+    // anchor. factor ~1 = clean window; >~2 = the playback numbers in
+    // THIS json were measured under co-tenant contention.
+    val probeJson = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
+    val noise = if (probes.isEmpty) -1.0
+      else probes.max / PlaybackBench.QuietProbeSec
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"host_probe_sec":$probeJson,"host_noise_factor":$noise%.2f,"sf":"$sfDir"}"""
   }
 }

@@ -32,7 +32,13 @@ object QueryRegistry {
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.impl).toMap
 
-  lazy val oracleMap: Map[String, String] =
+  // def, not lazy val: the trained-ANN oracles (VectorQueries
+  // v23/v24/v25) are built from models captured during the query runs,
+  // so the map must be assembled at CALL time — Verify reads it after
+  // every query has executed, which is exactly when those slots are
+  // filled. A memoized map would freeze whatever the first (possibly
+  // pre-run) access saw.
+  def oracleMap: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   lazy val benchNames: Seq[String] = all.filter(_.bench).map(_.name)

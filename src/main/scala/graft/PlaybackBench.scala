@@ -17,6 +17,47 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object PlaybackBench {
 
+  /** Host-contention sentinel: a fixed-work, fixed-thread CPU probe.
+    * Eight threads (matching the 8-stream aggregate bench's
+    * parallelism demand) each run the SAME number of xorshift64
+    * steps; the returned wall seconds measure how fast this host can
+    * actually execute CPU work RIGHT NOW. The work is constant across
+    * rounds and machines-of-record, so the absolute seconds are
+    * directly comparable round-over-round, and [[QuietProbeSec]] pins
+    * the quiet-window anchor measured on the reference host — a bench
+    * JSON whose probe reads ≫ that anchor was taken in a degraded
+    * window (co-tenant contention, whole-JVM pauses), making a
+    * throughput dip machine-attributable instead of argued from
+    * README prose (the r10 agg8 4.69M-vs-8.0M case). */
+  def cpuProbe(threads: Int = 8): Double = {
+    val iters = 1L << 27 // fixed work per thread; ~0.1-0.2 s quiet
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    val ts = (1 to threads).map { t =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var acc = 0L
+        var i = 0L
+        while (i < iters) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          acc ^= x
+          i += 1
+        }
+        sink.addAndGet(acc) // observable side effect: JIT can't elide the loop
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Quiet-window anchor for [[cpuProbe]] on the 32-core bench host
+    * (median of 9 repeated runs with the host otherwise idle:
+    * 0.260–0.329 s, median 0.265 — `PlaybackBench probe` re-measures).
+    * A probe within ~1.5× of this is a clean window; 2×+ means the
+    * measurement ran while co-tenants were stealing the cores the 8
+    * playback streams need. */
+  val QuietProbeSec = 0.265
+
   def exportCsv(spark: SparkSession, sfDir: String, workDir: java.nio.file.Path): Unit = {
     val out = workDir.resolve("export")
     Tables(spark, sfDir, "events")
@@ -160,6 +201,12 @@ object PlaybackBench {
     measure(spark, sfDir, n, seconds, rate = 1000000)
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("probe")) { // calibration mode: probe only
+      val n = args.drop(1).headOption.map(_.toInt).getOrElse(7)
+      val xs = (1 to n).map(_ => cpuProbe())
+      println(xs.map(x => f"$x%.3f").mkString("probe_sec=[", ",", "]"))
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")

@@ -184,8 +184,8 @@ object Sampling {
       s"temps=$temps must all be positive")
     val base = docs.select(col(sourceCol).as("_src"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("_tok"))
-    val masses = base.groupBy(col("_src"))
-      .agg(sum(col("_tok")).as("_total")).cache()
+    val masses = OpCaches.track(base.groupBy(col("_src"))
+      .agg(sum(col("_tok")).as("_total")))
     val perEpoch = temps.zipWithIndex.map { case (t, e) =>
       val withPw = masses.withColumn("_pw",
         pow(col("_total").cast("double"), lit(1.0 / t)))

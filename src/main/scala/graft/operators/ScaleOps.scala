@@ -25,6 +25,34 @@ object ScaleOps {
       .mode("overwrite")
       .saveAsTable(tableName)
 
+  /** The q61 fulfillment-latency kernel over caller-supplied fact
+    * frames — factored out of the registry query so the SAME
+    * aggregation runs against either the plain parquet tables (AQE
+    * broadcasts the sf-test orders side) or a pair of
+    * [[writeBucketed]] tables, where the orderkey join executes with
+    * ZERO exchange on both sides (ScaleOpsSpec pins that plan). This
+    * is the promoted 100 TB shape: bucket lineitem and orders on
+    * orderkey once at ingest, and every fact-fact join on that key —
+    * this latency roll-up included — reads pre-distributed buckets
+    * instead of shuffling ~100 TB per query. */
+  def shipLatencyByPriority(li: DataFrame, ord: DataFrame): DataFrame = {
+    val days = datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+    li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), days.as("days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(avg(col("days")), 4).as("avg_days"),
+        round(expr("percentile(days, 0.5)"), 4).as("p50_days"),
+        round(expr("percentile(days, 0.95)"), 4).as("p95_days"),
+        round(sum(when(col("days") > 90, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)) * 1e6).cast("long")
+          .as("late_ppm"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Salted join for a skewed build side: the big (skewed) side gets a
     * deterministic salt in [0, salts) derived from its whole row; the
     * small side is replicated `salts` times. Join key becomes

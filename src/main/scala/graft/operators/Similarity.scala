@@ -112,10 +112,17 @@ object Similarity {
     * 64-wide); wider embeddings need an array-of-longs signature. */
   def signBits(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val powers = array((0 until 64).map(i => lit(1L << i)): _*)
-    aggregate(
+    val packed = aggregate(
       zip_with(Vec.asDouble(vec), powers,
         (x, p) => when(x > 0, p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
+    // Enforce the dims<=64 contract loudly: zip_with pads the shorter
+    // side with null, so a 65-wide vector would otherwise fold to a
+    // silent NULL signature and poison every Hamming distance
+    // downstream instead of failing the job.
+    when(size(vec) <= 64, packed).otherwise(raise_error(concat(
+      lit("signBits supports dims <= 64; got dim="), size(vec).cast("string"),
+      lit(" — use an array-of-longs signature for wider embeddings"))))
   }
 
   /** Binary-quantization retrieval audit: for each query, the overlap

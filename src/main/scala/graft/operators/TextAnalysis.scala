@@ -18,8 +18,12 @@ object TextAnalysis {
 
   /** BPE-ish pre-tokenizer: words, numbers, or single punctuation. */
   def regexTokens(text: Column): Column =
+    // Drop ALL-whitespace fragments with a \s class check — `trim`
+    // strips only spaces, so a lone tab/newline split fragment would
+    // otherwise survive as a "token" (and diverge from any count of
+    // alnum runs + non-space punctuation, e.g. the t30 oracle).
     filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
-      t => length(trim(t)) > 0)
+      t => length(regexp_replace(t, "\\s", "")) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -74,9 +78,17 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
-  /** Whitespace-normalized lowercase form used for fingerprinting. */
+  /** Whitespace-normalized lowercase form used for fingerprinting.
+    * Collapse-THEN-trim, matching [[graft.sources.CorpusReader]]'s
+    * doc_id derivation: `trim` strips only spaces (in both Spark and
+    * DuckDB), so trimming first would leave edge `\n`/`\t` to become
+    * stray spaces after the collapse — and a text-sink round trip
+    * (which appends a final newline) would then change the
+    * fingerprint while the doc keeps its content-addressed id. One
+    * normalization order everywhere keeps doc_id == fingerprint(text)
+    * an invariant. */
   def normalized(text: Column): Column =
-    lower(regexp_replace(trim(text), "\\s+", " "))
+    lower(trim(regexp_replace(text, "\\s+", " ")))
 
   /** Content fingerprint of the normalized text (md5 — stable across
     * engines; a cheap 64-bit variant is [[fingerprint64]]). */

@@ -45,7 +45,7 @@ object DedupQueries {
         .orderBy("doc_id"),
     Some(s"""SELECT doc_id FROM (
       SELECT doc_id, row_number() OVER (
-        PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+        PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
         ORDER BY doc_id) AS rn
       FROM ($plantedSql))
     WHERE rn = 1 ORDER BY doc_id"""),
@@ -61,7 +61,7 @@ object DedupQueries {
         countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"))
     },
     Some(s"""SELECT count(*) AS n_docs,
-      count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+      count(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
         AS n_distinct
       FROM ($plantedSql)"""))
 
@@ -161,19 +161,36 @@ object DedupQueries {
       FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
       WHERE a.doc_id < 10 ORDER BY a"""))
 
-  // --- d06: multimodal payload features (decode stub over binary) -----
+  // --- d06: multimodal header decode (REAL PNG/JPEG codec) ------------
+  // The fixture builds spec-correct PNG/JFIF headers whose dimensions
+  // and channel counts are integer functions of doc_id, then the REAL
+  // pure-JVM parser (Multimodal.MediaCodec — big-endian IHDR fields,
+  // SOFn segment scan) reads them back from the bytes. The oracle
+  // replays the doc_id arithmetic, so any byte-order / offset /
+  // channel-mapping bug in the parser hashes red — this is the gate
+  // that moved d06 off the no_oracle list once the decode step became
+  // real (round 11); only pixel-level work (full decode, resampling)
+  // remains behind the disclosed FakeCodec, covered by MultimodalSpec.
   private val d06 = GraftQuery(
     "d06_media_features",
     (s, d) => {
-      val media = graft.operators.Multimodal.syntheticMedia(s, Tables(s, d, "documents"))
-      graft.operators.Multimodal.extractFeatures(media, dim = 4)
-        .select(col("media_id"), col("kind"),
-          round(element_at(col("features"), 1), 6).as("f1"),
-          round(element_at(col("features"), 2), 6).as("f2"))
-        .filter(col("media_id") < 50)
+      val media = graft.operators.Multimodal.syntheticImages(
+        s, Tables(s, d, "documents").filter(col("doc_id") < 200))
+      graft.operators.Multimodal.decodeHeaders(media)
         .orderBy("media_id")
     },
-    None) // decode stub: engine-specific, covered by MultimodalSpec
+    Some("""SELECT doc_id AS media_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      CAST(16 + doc_id % 64 AS INT) AS width,
+      CAST(16 + doc_id % 48 AS INT) AS height,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN
+          CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+        ELSE CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END END AS INT)
+        AS channels,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 33
+        ELSE 30 + 3 * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END) END
+        + octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents WHERE doc_id < 200 ORDER BY media_id"""))
 
   // --- d10: multimodal frame sampling (pure-expression offsets) -------
   // Evenly spaced frame offsets per "video" payload — the plan-level
@@ -283,7 +300,7 @@ object DedupQueries {
         FROM p)
       SELECT doc_id, score FROM (
         SELECT doc_id, score, row_number() OVER (
-          PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+          PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
           ORDER BY score DESC, doc_id) AS rn
         FROM scored)
       WHERE rn = 1 ORDER BY doc_id"""))
@@ -386,7 +403,7 @@ object DedupQueries {
         FROM base),
       norm AS (
         SELECT side, doc_id,
-          lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
         FROM sides),
       grams AS (
         SELECT side, doc_id,
@@ -701,10 +718,10 @@ object DedupQueries {
           FROM documents WHERE doc_id = 300),
       norm AS (
         SELECT doc_id,
-          lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         FROM batch),
       hist AS (
-        SELECT DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         FROM documents WHERE doc_id < 300),
       kept AS (
         SELECT doc_id, fp,
@@ -746,13 +763,13 @@ object DedupQueries {
     },
     Some("""WITH v1 AS (
         SELECT doc_id,
-          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp1
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp1
         FROM documents WHERE doc_id < 400),
       v2 AS (
         SELECT doc_id,
-          md5(lower(regexp_replace(trim(
-            CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END),
-            '\s+', ' ', 'g'))) AS fp2
+          md5(lower(trim(regexp_replace(
+            CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END,
+            '\s+', ' ', 'g')))) AS fp2
         FROM documents WHERE doc_id >= 100)
       SELECT CASE WHEN fp1 IS NULL THEN 'added'
                   WHEN fp2 IS NULL THEN 'removed'
@@ -791,7 +808,7 @@ object DedupQueries {
         UNION ALL
         SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 5),
       sizes AS (
-        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
           count(*) AS n_copies
         FROM p GROUP BY 1)
       SELECT n_copies, count(*) AS n_groups,
@@ -1028,7 +1045,7 @@ object DedupQueries {
         UNION ALL
         SELECT text, 'mirror' FROM documents WHERE doc_id % 3 = 0),
       fp AS (
-        SELECT DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
           AS f, source AS src
         FROM p),
       cnt AS (SELECT src, count(*) AS n FROM fp GROUP BY src),
@@ -1173,7 +1190,7 @@ object DedupQueries {
         SELECT doc_id,
           md5(regexp_replace(lower(trim(text)), '[a-z0-9]+', 'w', 'g'))
             AS skeleton_fp,
-          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS cfp
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS cfp
         FROM p),
       g AS (
         SELECT skeleton_fp, count(*) AS n_docs,

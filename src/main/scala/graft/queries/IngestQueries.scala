@@ -132,8 +132,18 @@ object IngestQueries {
   private val i04 = GraftQuery(
     "i04_csv_roundtrip",
     (s, d) => {
+      // readCsv is single-line by contract (multiLine would make the
+      // scan non-splittable) — so a text with an embedded newline
+      // must fail THIS export loudly, not mis-split on re-read: the
+      // writer would quote it as a multi-line record that FAILFAST
+      // then rejects with an opaque malformed-row error.
       val docs = Tables(s, d, "documents")
-        .select(col("text"), col("lang"), col("source"))
+        .select(
+          when(col("text").rlike("[\\r\\n]"), raise_error(lit(
+            "i04: embedded newline in text — CSV interchange is " +
+            "single-line only; export this corpus as JSONL instead")))
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"))
       val out = java.nio.file.Files
         .createTempDirectory("graft-i04").toString
       docs.write.mode("overwrite").option("header", "true").csv(out)

@@ -567,19 +567,49 @@ object RelationalQueries {
     ORDER BY e.event_id"""))
 
   // --- q27: approximate sketches (HLL distinct, quantile sketch) ------
-  // algorithms are engine-specific → rows-only gate; SketchSpec asserts
-  // accuracy against exact values
+  // Sketch ALGORITHMS are engine-specific (Spark's HLL++/KLL vs
+  // DuckDB's), so raw sketch outputs can never hash across engines.
+  // The gate instead verifies the two things that CAN be pinned:
+  // (1) the exact companions (distinct count, interpolated
+  // percentiles — the q35 parity pattern) hash against DuckDB, and
+  // (2) the sketches' accuracy CLAIM is emitted as 0/1 columns —
+  // Spark computes |approx − exact| ≤ 5% in the same aggregate, the
+  // oracle expects literal 1, and a sketch drifting out of tolerance
+  // flips the column to 0 and fails the hash. That turns the old
+  // rows-only entry into a driver-red-on-regression accuracy gate
+  // (SketchSpec still asserts tighter bounds with explicit numbers).
   private val q27 = GraftQuery(
     "q27_approx_stats",
-    (s, d) =>
+    (s, d) => {
+      val tol = 0.05
+      val exactUsers = count_distinct(col("user_id"))
+      val exactP50 = expr("percentile(value, 0.5)")
+      val exactP95 = expr("percentile(value, 0.95)")
+      val band = (approx: Column, exact: Column) =>
+        (abs(approx - exact) <= greatest(abs(exact) * tol, lit(1e-9)))
+          .cast("long")
       ev(s, d)
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          round(percentile_approx(col("value"), lit(0.5), lit(1000)), 2).as("p50"),
-          round(percentile_approx(col("value"), lit(0.95), lit(1000)), 2).as("p95"))
-        .orderBy("event_type"),
-    None)
+          exactUsers.as("exact_users"),
+          round(exactP50, 4).as("p50_exact"),
+          round(exactP95, 4).as("p95_exact"),
+          band(approx_count_distinct(col("user_id")).cast("double"),
+            exactUsers.cast("double")).as("approx_users_ok"),
+          band(percentile_approx(col("value"), lit(0.5), lit(1000)), exactP50)
+            .as("p50_ok"),
+          band(percentile_approx(col("value"), lit(0.95), lit(1000)), exactP95)
+            .as("p95_ok"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+      count(DISTINCT user_id) AS exact_users,
+      round(quantile_cont(value, 0.5), 4) AS p50_exact,
+      round(quantile_cont(value, 0.95), 4) AS p95_exact,
+      CAST(1 AS BIGINT) AS approx_users_ok,
+      CAST(1 AS BIGINT) AS p50_ok,
+      CAST(1 AS BIGINT) AS p95_ok
+    FROM events GROUP BY event_type ORDER BY event_type"""))
 
   // --- q28: time-range join (clicks in the 5 min before each error) ---
   // A naive theta-join (user matches AND ts in range) can't hash-
@@ -1830,31 +1860,17 @@ object RelationalQueries {
   // The order-to-ship SLA analytic (the TPC-H Q12 question restated
   // over the driver's slim columns): per priority, how long from
   // order to line shipment — exact integer day diffs feed count/avg/
-  // P50/P95 and a >90-day late share in ppm. The join is the
-  // fact-fact lineitem ⋈ orders edge (the shape ScaleOps.writeBucketed
-  // exists for at 100 TB — bucket both sides on orderkey once, never
-  // shuffle either again); here the orders side is dimension-sized
-  // and AQE broadcasts it.
+  // P50/P95 and a >90-day late share in ppm. The kernel lives in
+  // ScaleOps.shipLatencyByPriority: the join is the fact-fact
+  // lineitem ⋈ orders edge, and the PROMOTED 100 TB plan runs the
+  // identical aggregation over ScaleOps.writeBucketed tables with
+  // zero exchange on either join side (ScaleOpsSpec pins that plan
+  // and result-equality with this entry). At the gate's test SF the
+  // orders side is dimension-sized and AQE broadcasts it.
   private val q61 = GraftQuery(
     "q61_ship_latency",
-    (s, d) => {
-      val days = datediff(col("l_shipdate"), col("o_orderdate"))
-        .cast("long")
-      li(s, d).select(col("l_orderkey"), col("l_shipdate"))
-        .join(ord(s, d).select(col("o_orderkey"), col("o_orderdate"),
-          col("o_orderpriority")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_orderpriority"), days.as("days"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_lines"),
-          round(avg(col("days")), 4).as("avg_days"),
-          round(expr("percentile(days, 0.5)"), 4).as("p50_days"),
-          round(expr("percentile(days, 0.95)"), 4).as("p95_days"),
-          round(sum(when(col("days") > 90, 1L).otherwise(0L))
-            .cast("double") / count(lit(1)) * 1e6).cast("long")
-            .as("late_ppm"))
-        .orderBy("o_orderpriority")
-    },
+    (s, d) => graft.operators.ScaleOps.shipLatencyByPriority(
+      li(s, d), ord(s, d)),
     Some("""WITH j AS (
         SELECT o_orderpriority,
           CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS days

@@ -918,7 +918,7 @@ object SamplingQueries {
         SELECT doc_id + 7000000, text FROM documents WHERE doc_id < 40),
       n AS (
         SELECT doc_id,
-          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         FROM p),
       c AS (SELECT fp, min(doc_id) AS rep FROM n GROUP BY fp),
       a AS (

@@ -107,7 +107,7 @@ object TextQueries {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
-      md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
     FROM documents ORDER BY doc_id"""))
 
   // --- t06: the full curation pipeline in one plan --------------------
@@ -397,8 +397,8 @@ object TextQueries {
         FROM documents WHERE doc_id < 10),
       keyed AS (
         SELECT doc_id,
-          md5(regexp_replace(trim(lower(strip_accents(text))),
-            '\s+', ' ', 'g')) AS ufp
+          md5(trim(regexp_replace(lower(strip_accents(text)),
+            '\s+', ' ', 'g'))) AS ufp
         FROM p)
       SELECT min(doc_id) AS keeper, count(*) AS n_variants
       FROM keyed GROUP BY ufp HAVING count(*) > 1
@@ -744,7 +744,7 @@ object TextQueries {
     Some("""WITH b AS (
         SELECT source, lang,
           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
-          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         FROM documents),
       agg AS (
         SELECT source, count(*) AS n_docs,
@@ -871,7 +871,7 @@ object TextQueries {
     Some("""WITH b AS (
         SELECT source,
           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
-          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         FROM documents),
       raw AS (
         SELECT source, count(*) AS n_docs,

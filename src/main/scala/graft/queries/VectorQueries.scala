@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.operators.{IvfIndex, Similarity}
+import graft.operators.{IvfIndex, PqIndex, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,16 @@ object VectorQueries {
     * its cells. */
   private def parityIvfCteSql(uCols: String, queryPred: String,
       nprobe: Int): String =
+    ivfCteSql(uCols, queryPred, nprobe,
+      """SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, pe AS ce
+        FROM (SELECT vec_id, pe FROM pun ORDER BY vec_id LIMIT 16)""")
+
+  /** The IVF prelude with a caller-supplied centroid CTE body — shared
+    * by the parity oracles (centroids rebuilt from the corpus) and the
+    * TRAINED oracles (centroids interpolated as literal doubles from
+    * the model the query run just trained; see [[TrainedModels]]). */
+  private def ivfCteSql(uCols: String, queryPred: String,
+      nprobe: Int, centSql: String): String =
     s"""u AS (
         SELECT $uCols FROM embeddings),
       pun AS (
@@ -38,8 +48,7 @@ object VectorQueries {
           list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS pe
         FROM u),
       cent AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, pe AS ce
-        FROM (SELECT vec_id, pe FROM pun ORDER BY vec_id LIMIT 16)),
+        $centSql),
       score AS (
         SELECT v.vec_id, c.i, list_inner_product(v.pe, c.ce) AS d
         FROM pun v CROSS JOIN cent c),
@@ -961,40 +970,201 @@ object VectorQueries {
   // variant, not the production path. These twins run the identical
   // search pipelines with freshly TRAINED k-means models (the
   // deterministic xxhash64-ordered sample + Lloyd's, the path a real
-  // deployment uses; recall pinned in IvfWinnowSpec/PqSpec). k-means
-  // assignments aren't SQL-replayable tie-stably, so these are
-  // rows-only gated (no oracle) and exist to keep the production
-  // timing honest in BENCH alongside the parity-gated v05/v07/v08.
-  private val v23 = GraftQuery(
+  // deployment uses; recall pinned in IvfWinnowSpec/PqSpec).
+  //
+  // HASH-GATED since round 11: training itself is not SQL-expressible
+  // (Lloyd's float accumulation order), but it doesn't need to be —
+  // the query run captures the trained model in [[TrainedModels]],
+  // and the oracle (serialized by Verify AFTER every query has run)
+  // interpolates those exact centroids/codebooks as shortest-
+  // round-trip DOUBLE literals, then replays assignment → probe →
+  // encode/ADC → top-k with the SAME tie-breaks as the parity oracles
+  // (cell ties → higher index, matching array_max over (d, i)
+  // structs; encode ties → lower index; rank ties → neighbor_id).
+  // Bit-stability holds for the same reason the parity gates hold:
+  // both engines see bit-identical centroid doubles (Double.toString
+  // round-trips exactly through DuckDB's correctly-rounded parse) and
+  // run the identical float op sequence over them.
+  private object TrainedModels {
+    @volatile var ivf: Option[IvfIndex.Model] = None
+    @volatile var pq: Option[PqIndex.Model] = None
+    @volatile var ivfPq: Option[(IvfIndex.Model, PqIndex.Model)] = None
+  }
+
+  /** Shortest-round-trip decimal literal: Java's `Double.toString`
+    * emits just enough digits that a correctly-rounded parse (what
+    * DuckDB's DOUBLE cast does) recovers the identical bit pattern —
+    * the oracle scores the engine's centroids, not approximations. */
+  private def dlit(x: Double): String = x.toString
+
+  private def centCte(m: IvfIndex.Model): String =
+    s"""SELECT i, ce FROM (VALUES
+          ${m.centroids.zipWithIndex.map { case (c, i) =>
+            s"($i, [${c.map(dlit).mkString(",")}]::DOUBLE[])" }
+            .mkString(",\n          ")}) AS t(i, ce)"""
+
+  private def cbCte(m: PqIndex.Model): String =
+    s"""cb AS (
+        SELECT s, j, cs FROM (VALUES
+          ${(for { s <- 0 until m.m; j <- m.codebooks(s).indices } yield
+            s"($s, $j, [${m.codebooks(s)(j).map(dlit).mkString(",")}]::DOUBLE[])")
+            .mkString(",\n          ")}) AS t(s, j, cs))"""
+
+  // v05's candidate + top-k tail, verbatim — the trained oracle differs
+  // from the parity oracle ONLY in where `cent` comes from.
+  private val ivfTailSql =
+    """cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.e, n.e), 6) AS cosine
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN u q ON q.vec_id = p.query_id
+        JOIN u n ON n.vec_id = a.vec_id)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+          AS rank
+        FROM cand)
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  // v07's encode + ADC + rerank tail, verbatim, minus its parity `cb`.
+  private val pqTailSql =
+    """enc AS (
+        SELECT vec_id, s, j AS code FROM (
+          SELECT v.vec_id, c.s, c.j, row_number() OVER (
+              PARTITION BY v.vec_id, c.s
+              ORDER BY 2 * list_inner_product(v.ue[c.s * 4 + 1 : c.s * 4 + 4], c.cs)
+                - list_inner_product(c.cs, c.cs) DESC, c.j) AS rk
+          FROM un v CROSS JOIN cb c)
+        WHERE rk = 1),
+      adc AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          round(sum(list_inner_product(
+            q.ue[e.s * 4 + 1 : e.s * 4 + 4], c.cs)), 6) AS approx_cosine
+        FROM (SELECT * FROM un WHERE vec_id < 5) q
+        JOIN enc e ON e.vec_id <> q.vec_id
+        JOIN cb c ON c.s = e.s AND c.j = e.code
+        GROUP BY 1, 2),
+      cands AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS ar
+          FROM adc)
+        WHERE ar <= 100),
+      exact AS (
+        SELECT c.query_id, c.neighbor_id,
+          round(list_inner_product(q.ue, n.ue), 6) AS cosine
+        FROM cands c
+        JOIN un q ON q.vec_id = c.query_id
+        JOIN un n ON n.vec_id = c.neighbor_id)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+          AS rank
+        FROM exact)
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val unCteSql =
+    """un AS (
+        SELECT vec_id,
+          list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ue
+        FROM u)"""
+
+  private def v23 = GraftQuery(
     "v23_ann_ivf_trained",
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
-      graft.operators.IvfIndex.ivfTopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      val m = graft.operators.IvfIndex.train(emb, "embedding", nlist = 16)
+      TrainedModels.ivf = Some(m)
+      graft.operators.IvfIndex.ivfTopKWithModel(emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5,
+          m, nprobe = 4)
         .orderBy("query_id", "rank")
     },
-    None, bench = true)
+    TrainedModels.ivf.map(m =>
+      s"""WITH ${ivfCteSql("vec_id, embedding::DOUBLE[] AS e", "vec_id < 5",
+          nprobe = 4, centCte(m))},
+      $ivfTailSql"""),
+    bench = true)
 
-  private val v24 = GraftQuery(
+  private def v24 = GraftQuery(
     "v24_ann_pq_trained",
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
+      val m = graft.operators.PqIndex.train(emb, "embedding",
+        m = 16, k = 16)
+      TrainedModels.pq = Some(m)
       graft.operators.PqIndex.pqTopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 5, m = 16, nCentroids = 16)
+          "vec_id", "embedding", k = 5, m = 16, nCentroids = 16,
+          model0 = Some(m))
         .orderBy("query_id", "rank")
     },
-    None, bench = true)
+    TrainedModels.pq.map(m =>
+      s"""WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      $unCteSql,
+      ${cbCte(m)},
+      $pqTailSql"""),
+    bench = true)
 
-  private val v25 = GraftQuery(
+  private def v25 = GraftQuery(
     "v25_ann_ivfpq_trained",
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
+      // replicate ivfPqTopK's internal training exactly (one shared
+      // sample feeds both trainers), but keep the models for the oracle
+      val sample = graft.operators.IvfIndex.sampleUnits(emb, "embedding")
+      val ivfM = graft.operators.IvfIndex.train(sample, 16, iters = 10)
+      val pqM = graft.operators.PqIndex.train(sample, 16, 16, iters = 8)
+      TrainedModels.ivfPq = Some((ivfM, pqM))
       graft.operators.PqIndex.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
-          m = 16, nCentroids = 16)
+          m = 16, nCentroids = 16,
+          ivf0 = Some(ivfM), pq0 = Some(pqM))
         .orderBy("query_id", "rank")
     },
-    None, bench = true)
+    TrainedModels.ivfPq.map { case (ivfM, pqM) =>
+      s"""WITH ${ivfCteSql("vec_id, embedding::DOUBLE[] AS e", "vec_id < 5",
+          nprobe = 8, centCte(ivfM))},
+      $unCteSql,
+      ${cbCte(pqM)},
+      enc AS (
+        SELECT vec_id, s, j AS code FROM (
+          SELECT v.vec_id, c.s, c.j, row_number() OVER (
+              PARTITION BY v.vec_id, c.s
+              ORDER BY 2 * list_inner_product(v.ue[c.s * 4 + 1 : c.s * 4 + 4], c.cs)
+                - list_inner_product(c.cs, c.cs) DESC, c.j) AS rk
+          FROM un v CROSS JOIN cb c)
+        WHERE rk = 1),
+      adc AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          round(sum(list_inner_product(
+            q.ue[e.s * 4 + 1 : e.s * 4 + 4], c.cs)), 6) AS approx_cosine
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN enc e ON e.vec_id = a.vec_id
+        JOIN cb c ON c.s = e.s AND c.j = e.code
+        JOIN un q ON q.vec_id = p.query_id
+        GROUP BY 1, 2),
+      cands AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS ar
+          FROM adc)
+        WHERE ar <= 100),
+      exact AS (
+        SELECT c.query_id, c.neighbor_id,
+          round(list_inner_product(q.ue, n.ue), 6) AS cosine
+        FROM cands c
+        JOIN un q ON q.vec_id = c.query_id
+        JOIN un n ON n.vec_id = c.neighbor_id)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+          AS rank
+        FROM exact)
+      WHERE rank <= 5 ORDER BY query_id, rank"""},
+    bench = true)
 
   // --- v26: anisotropy / embedding-collapse audit ----------------------
   // Ethayarajh (2019)-style cone diagnostic: if embeddings collapse
@@ -1522,7 +1692,12 @@ object VectorQueries {
       FROM rec JOIN cost ON rec.nprobe = cost.nprobe
       ORDER BY nprobe"""))
 
-  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
+  // def, not val: v23/v24/v25 build their oracle SQL from the models
+  // captured by their own query runs ([[TrainedModels]]), so the
+  // GraftQuery objects must be re-constructed when the oracle map is
+  // assembled (after Verify's query pass) — a val would freeze the
+  // pre-run empty slots.
+  def all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
     v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33)
 }

@@ -14,26 +14,83 @@ object StatefulOps {
   final case class Keyed(key: String, tsMicros: Long, value: Double)
   final case class Gap(key: String, fromMicros: Long, toMicros: Long, gapMicros: Long)
 
+  /** Shared idle-eviction plumbing for the event-time stateful twins.
+    *
+    * Every `flatMapGroupsWithState` op here holds O(1) state PER KEY —
+    * but at production stream scale the KEY population itself grows
+    * with stream lifetime (every sensor ever seen, every source ever
+    * crawled), so "O(1) per key, NoTimeout" is still unbounded state.
+    * When `idleHorizonMicros` is set, the op attaches an event-time
+    * watermark (derived from the row's `tsMicros`, lateness bound
+    * `delay`) and registers an `EventTimeTimeout` at
+    * `last event + horizon`: once the watermark passes it, the key's
+    * timeout callback fires, the op emits whatever its close-out
+    * contract says (documented per op), and the state store DROPS the
+    * key. A later event for that key re-opens it fresh, exactly as if
+    * it had never been seen — the re-open semantics each op documents.
+    * `None` (the default) keeps the original run-forever contract for
+    * bounded key populations. */
+  private def withEventTimeWatermark[T](input: Dataset[T], delay: String)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    input.withColumn("_et", timestamp_micros(col("tsMicros")))
+      .withWatermark("_et", delay).as[T]
+
+  /** Registers the idle timeout for a key whose latest event time is
+    * `lastEventMicros`: watermark past `last + horizon` ⇒ evict. The
+    * stamp is clamped above the current watermark (Spark rejects a
+    * timeout already in the past — a key processing late data would
+    * otherwise crash the query instead of evicting on the next tick). */
+  private def armIdleTimeout(state: GroupState[_], lastEventMicros: Long,
+      horizonMicros: Long): Unit =
+    state.setTimeoutTimestamp(math.max(
+      Math.addExact(lastEventMicros / 1000L, horizonMicros / 1000L),
+      state.getCurrentWatermarkMs + 1))
+
   /** Emits a [[Gap]] whenever consecutive readings of a key are more
     * than `maxGapMicros` apart — the sensor-dropout detector a playback
-    * consumer wants. State per key = last seen timestamp. */
-  def gapDetect(input: Dataset[Keyed], maxGapMicros: Long): Dataset[Gap] = {
+    * consumer wants. State per key = last seen timestamp.
+    *
+    * Idle eviction (`idleHorizonMicros`): a key silent past the
+    * horizon is dropped with nothing to emit (the dropout that never
+    * ends is a decommissioned sensor, not a gap with a known end); its
+    * next reading re-opens it as if first-seen, so the FIRST
+    * post-horizon reading never back-reports the idle span as a gap.
+    * Size the horizon well above `maxGapMicros` — a horizon below it
+    * would evict keys mid-gap and silently swallow real dropouts. */
+  def gapDetect(input: Dataset[Keyed], maxGapMicros: Long,
+      idleHorizonMicros: Option[Long] = None,
+      delay: String = "0 seconds"): Dataset[Gap] = {
     implicit val gapEnc = Encoders.product[Gap]
     implicit val longEnc = Encoders.scalaLong
-    input
+    implicit val keyedEnc = Encoders.product[Keyed]
+    val (src, timeoutConf) = idleHorizonMicros match {
+      case Some(h) =>
+        require(h > 0, s"idleHorizonMicros=$h must be positive")
+        (withEventTimeWatermark(input, delay), GroupStateTimeout.EventTimeTimeout)
+      case None => (input, GroupStateTimeout.NoTimeout)
+    }
+    src
       .groupByKey(_.key)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (key: String, rows: Iterator[Keyed], state: GroupState[Long]) => {
-          val sorted = rows.toSeq.sortBy(r => r.tsMicros)
-          var last = if (state.exists) state.get else Long.MinValue
-          val gaps = Seq.newBuilder[Gap]
-          sorted.foreach { r =>
-            if (last != Long.MinValue && r.tsMicros - last > maxGapMicros)
-              gaps += Gap(key, last, r.tsMicros, r.tsMicros - last)
-            last = math.max(last, r.tsMicros)
+          if (state.hasTimedOut) {
+            state.remove() // idle past horizon: decommissioned, no gap to report
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => r.tsMicros)
+            var last = if (state.exists) state.get else Long.MinValue
+            val gaps = Seq.newBuilder[Gap]
+            sorted.foreach { r =>
+              if (last != Long.MinValue && r.tsMicros - last > maxGapMicros)
+                gaps += Gap(key, last, r.tsMicros, r.tsMicros - last)
+              last = math.max(last, r.tsMicros)
+            }
+            if (last != Long.MinValue) {
+              state.update(last)
+              idleHorizonMicros.foreach(h => armIdleTimeout(state, last, h))
+            }
+            gaps.result().iterator
           }
-          if (last != Long.MinValue) state.update(last)
-          gaps.result().iterator
         })
   }
 
@@ -188,47 +245,80 @@ object StatefulOps {
     * current streak's last day is ignored rather than re-opening a
     * closed streak, so late data degrades to under-counting gaps,
     * never to corrupt state. StatefulOpsSpec pins closed-streak parity
-    * against the batch q53 islands over the same rows. */
-  def streamingStreaks(input: Dataset[Keyed]): Dataset[Streak] = {
+    * against the batch q53 islands over the same rows.
+    *
+    * Idle eviction (`idleHorizonMicros`): a key idle past the horizon
+    * EMITS its open streak as closed (silence that long proves the
+    * run ended on its last active day — the same conclusion any later
+    * event would have forced) and is dropped; the next event opens a
+    * fresh streak. A horizon under ~2 days would close streaks the
+    * next day's event was about to extend, so size it in days. */
+  def streamingStreaks(input: Dataset[Keyed],
+      idleHorizonMicros: Option[Long] = None,
+      delay: String = "0 seconds"): Dataset[Streak] = {
     implicit val streakEnc = Encoders.product[Streak]
     // state = (streak start day, last active day), as a plain tuple:
     // a non-public case class breaks the state encoder's codegen
     implicit val stEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyedEnc = Encoders.product[Keyed]
     val microsPerDay = 86400L * 1000000L
-    input
+    val (src, timeoutConf) = idleHorizonMicros match {
+      case Some(h) =>
+        require(h > 0, s"idleHorizonMicros=$h must be positive")
+        (withEventTimeWatermark(input, delay), GroupStateTimeout.EventTimeTimeout)
+      case None => (input, GroupStateTimeout.NoTimeout)
+    }
+    src
       .groupByKey(_.key)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (key: String, rows: Iterator[Keyed], state: GroupState[(Long, Long)]) => {
-          val days = rows.map(r => Math.floorDiv(r.tsMicros, microsPerDay))
-            .toSeq.distinct.sorted
-          val closed = Seq.newBuilder[Streak]
-          var st = if (state.exists) state.get else null
-          days.foreach { d =>
-            if (st == null) st = (d, d)
-            else if (d > st._2 + 1) {
-              closed += Streak(key, st._1, st._2, st._2 - st._1 + 1)
-              st = (d, d)
-            } else if (d > st._2) st = (st._1, d)
-            // d <= last active day: already counted (or late) — ignore
+          if (state.hasTimedOut) {
+            // horizon of silence ⇒ the open streak is finished: emit it
+            // closed, then drop the key (emit-and-drop close-out)
+            val (start, lastDay) = state.get
+            state.remove()
+            Iterator.single(Streak(key, start, lastDay, lastDay - start + 1))
+          } else {
+            val days = rows.map(r => Math.floorDiv(r.tsMicros, microsPerDay))
+              .toSeq.distinct.sorted
+            val closed = Seq.newBuilder[Streak]
+            var st = if (state.exists) state.get else null
+            days.foreach { d =>
+              if (st == null) st = (d, d)
+              else if (d > st._2 + 1) {
+                closed += Streak(key, st._1, st._2, st._2 - st._1 + 1)
+                st = (d, d)
+              } else if (d > st._2) st = (st._1, d)
+              // d <= last active day: already counted (or late) — ignore
+            }
+            if (st != null) {
+              state.update(st)
+              idleHorizonMicros.foreach(h =>
+                armIdleTimeout(state, st._2 * microsPerDay, h))
+            }
+            closed.result().iterator
           }
-          if (st != null) state.update(st)
-          closed.result().iterator
         })
   }
 
-  final case class SourcedDoc(source: String, docId: Long, nTokens: Long)
+  final case class SourcedDoc(source: String, docId: Long, nTokens: Long,
+    tsMicros: Long = 0L)
   final case class BudgetedDoc(source: String, docId: Long, nTokens: Long,
     budgetUsed: Long)
 
   /** Adapter: a streaming documents frame → [[SourcedDoc]] dataset with
-    * the library's standard whitespace token count computed map-side. */
+    * the library's standard whitespace token count computed map-side.
+    * `tsCol` (ingest event time) is required only when the budget op
+    * runs with idle eviction; the default stamps 0. */
   def sourcedDocs(df: DataFrame, sourceCol: String, idCol: String,
-      textCol: String): Dataset[SourcedDoc] = {
+      textCol: String, tsCol: Option[String] = None): Dataset[SourcedDoc] = {
     implicit val enc = Encoders.product[SourcedDoc]
     df.select(col(sourceCol).cast("string").as("source"),
         col(idCol).cast("long").as("docId"),
         graft.operators.TextAnalysis.tokenCount(col(textCol))
-          .cast("long").as("nTokens"))
+          .cast("long").as("nTokens"),
+        tsCol.map(c => unix_micros(col(c).cast("timestamp")))
+          .getOrElse(lit(0L)).as("tsMicros"))
       .as[SourcedDoc]
   }
 
@@ -249,25 +339,54 @@ object StatefulOps {
     * is SKIPPED (not truncated) and the budget stays available for
     * later smaller docs — the knapsack-greedy semantics budget-capped
     * ingestion wants. */
+  /** Idle eviction (`idleHorizonMicros`): a source whose ingest event
+    * time (`tsMicros`, stamped by [[sourcedDocs]]' `tsCol`) goes
+    * silent past the horizon is dropped and its budget RE-OPENS if it
+    * ever returns. That is the right contract for churning crawl
+    * fleets (state stays O(active sources), and a long-dormant source
+    * returning is operationally a new source); it is the WRONG
+    * contract for a lifetime per-source cap, where the default `None`
+    * (state for the source's whole life) remains correct. Event-time,
+    * not wall-clock: replaying the same batches evicts identically —
+    * processing-time timeouts would not (and they force continuous
+    * empty-batch scheduling besides). */
   def streamingTokenBudget(input: Dataset[SourcedDoc],
-      budgetTokens: Long): Dataset[BudgetedDoc] = {
+      budgetTokens: Long,
+      idleHorizonMicros: Option[Long] = None,
+      delay: String = "0 seconds"): Dataset[BudgetedDoc] = {
     require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
     implicit val outEnc = Encoders.product[BudgetedDoc]
     implicit val stEnc = Encoders.scalaLong
-    input
+    implicit val inEnc = Encoders.product[SourcedDoc]
+    val (src, timeoutConf) = idleHorizonMicros match {
+      case Some(h) =>
+        require(h > 0, s"idleHorizonMicros=$h must be positive")
+        (withEventTimeWatermark(input, delay), GroupStateTimeout.EventTimeTimeout)
+      case None => (input, GroupStateTimeout.NoTimeout)
+    }
+    src
       .groupByKey(_.source)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (source: String, rows: Iterator[SourcedDoc], state: GroupState[Long]) => {
-          var used = if (state.exists) state.get else 0L
-          val admitted = Seq.newBuilder[BudgetedDoc]
-          rows.toSeq.sortBy(_.docId).foreach { d =>
-            if (used + d.nTokens <= budgetTokens) {
-              used += d.nTokens
-              admitted += BudgetedDoc(source, d.docId, d.nTokens, used)
-            } // over budget: skip, leave remaining budget for smaller docs
+          if (state.hasTimedOut) {
+            state.remove() // dormant source: budget re-opens on return
+            Iterator.empty
+          } else {
+            var used = if (state.exists) state.get else 0L
+            val admitted = Seq.newBuilder[BudgetedDoc]
+            var lastTs = Long.MinValue
+            rows.toSeq.sortBy(_.docId).foreach { d =>
+              lastTs = math.max(lastTs, d.tsMicros)
+              if (used + d.nTokens <= budgetTokens) {
+                used += d.nTokens
+                admitted += BudgetedDoc(source, d.docId, d.nTokens, used)
+              } // over budget: skip, leave remaining budget for smaller docs
+            }
+            state.update(used)
+            if (lastTs != Long.MinValue)
+              idleHorizonMicros.foreach(h => armIdleTimeout(state, lastTs, h))
+            admitted.result().iterator
           }
-          state.update(used)
-          admitted.result().iterator
         })
   }
 
@@ -312,32 +431,63 @@ object StatefulOps {
     * the authority for reprocessing history; this operator is for
     * tailing it forward. StatefulOpsSpec pins closed-interval parity
     * against the batch run-collapse over the same rows. */
-  def streamingScd2(input: Dataset[Scd2Event]): Dataset[Scd2Interval] = {
+  /** Idle eviction (`idleHorizonMicros`): a key idle past the horizon
+    * EMITS its open interval close-out with `validToUs = Long.MaxValue`
+    * — the open-ended marker meaning "still current when the key's
+    * history epoch ended" — and drops. A post-horizon event starts a
+    * NEW history epoch at version 1: the two epochs concatenate by
+    * (key, valid_from) order, and the MaxValue sentinel marks every
+    * epoch boundary, so a consumer can distinguish horizon-closed
+    * intervals from event-closed ones. q57 remains the authority for
+    * reprocessing full history. */
+  def streamingScd2(input: Dataset[Scd2Event],
+      idleHorizonMicros: Option[Long] = None,
+      delay: String = "0 seconds"): Dataset[Scd2Interval] = {
     implicit val outEnc = Encoders.product[Scd2Interval]
     // open interval as a plain tuple (see streamingStreaks): version,
     // state label, valid_from micros, events-in-run
     implicit val stEnc = Encoders.tuple(Encoders.scalaLong,
       Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
-    input
+    implicit val evEnc = Encoders.product[Scd2Event]
+    val (src, timeoutConf) = idleHorizonMicros match {
+      case Some(h) =>
+        require(h > 0, s"idleHorizonMicros=$h must be positive")
+        (withEventTimeWatermark(input, delay), GroupStateTimeout.EventTimeTimeout)
+      case None => (input, GroupStateTimeout.NoTimeout)
+    }
+    src
       .groupByKey(_.key)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (key: String, rows: Iterator[Scd2Event],
             gs: GroupState[(Long, String, Long, Long)]) => {
-          val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.eventId))
-          val closed = Seq.newBuilder[Scd2Interval]
-          var open = if (gs.exists) gs.get else null
-          sorted.foreach { r =>
-            if (open == null) open = (1L, r.state, r.tsMicros, 1L)
-            else if (r.state == open._2)
-              open = open.copy(_4 = open._4 + 1)
-            else {
-              closed += Scd2Interval(key, open._1, open._2, open._3,
-                r.tsMicros, open._4)
-              open = (open._1 + 1, r.state, r.tsMicros, 1L)
+          if (gs.hasTimedOut) {
+            val open = gs.get
+            gs.remove()
+            Iterator.single(Scd2Interval(key, open._1, open._2, open._3,
+              Long.MaxValue, open._4)) // open-ended close-out marker
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.eventId))
+            val closed = Seq.newBuilder[Scd2Interval]
+            var open = if (gs.exists) gs.get else null
+            var lastTs = Long.MinValue
+            sorted.foreach { r =>
+              lastTs = math.max(lastTs, r.tsMicros)
+              if (open == null) open = (1L, r.state, r.tsMicros, 1L)
+              else if (r.state == open._2)
+                open = open.copy(_4 = open._4 + 1)
+              else {
+                closed += Scd2Interval(key, open._1, open._2, open._3,
+                  r.tsMicros, open._4)
+                open = (open._1 + 1, r.state, r.tsMicros, 1L)
+              }
             }
+            if (open != null) {
+              gs.update(open)
+              if (lastTs != Long.MinValue)
+                idleHorizonMicros.foreach(h => armIdleTimeout(gs, lastTs, h))
+            }
+            closed.result().iterator
           }
-          if (open != null) gs.update(open)
-          closed.result().iterator
         })
   }
 
@@ -357,30 +507,56 @@ object StatefulOps {
     * downstream aggregation by (model, channel) is an ordinary
     * streaming groupBy. Same in-batch (ts, event_id) ordering contract
     * as [[streamingScd2]]. */
+  /** Idle eviction (`idleHorizonMicros`): touch state for a key idle
+    * past the horizon is dropped with nothing to emit — the horizon IS
+    * the attribution window (touches older than it no longer deserve
+    * credit, the standard lookback-window contract). A post-horizon
+    * purchase therefore credits "direct", exactly as if the shopper
+    * had never been seen. */
   def streamingAttribution(input: Dataset[TouchEvent],
-      purchaseType: String = "purchase"): Dataset[Attribution] = {
+      purchaseType: String = "purchase",
+      idleHorizonMicros: Option[Long] = None,
+      delay: String = "0 seconds"): Dataset[Attribution] = {
     implicit val outEnc = Encoders.product[Attribution]
     implicit val stEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
-    input
+    implicit val evEnc = Encoders.product[TouchEvent]
+    val (src, timeoutConf) = idleHorizonMicros match {
+      case Some(h) =>
+        require(h > 0, s"idleHorizonMicros=$h must be positive")
+        (withEventTimeWatermark(input, delay), GroupStateTimeout.EventTimeTimeout)
+      case None => (input, GroupStateTimeout.NoTimeout)
+    }
+    src
       .groupByKey(_.key)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (key: String, rows: Iterator[TouchEvent],
             gs: GroupState[(String, String)]) => {
-          val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.eventId))
-          val out = Seq.newBuilder[Attribution]
-          var st = if (gs.exists) gs.get else null
-          sorted.foreach { r =>
-            if (r.eventType == purchaseType) {
-              val (f, l) = if (st == null) ("direct", "direct") else st
-              out += Attribution(key, r.tsMicros, r.eventId, f, l,
-                math.round(r.value * 100))
-            } else {
-              st = if (st == null) (r.eventType, r.eventType)
-                   else (st._1, r.eventType)
+          if (gs.hasTimedOut) {
+            gs.remove() // attribution window expired: no credit carries over
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.eventId))
+            val out = Seq.newBuilder[Attribution]
+            var st = if (gs.exists) gs.get else null
+            var lastTs = Long.MinValue
+            sorted.foreach { r =>
+              lastTs = math.max(lastTs, r.tsMicros)
+              if (r.eventType == purchaseType) {
+                val (f, l) = if (st == null) ("direct", "direct") else st
+                out += Attribution(key, r.tsMicros, r.eventId, f, l,
+                  math.round(r.value * 100))
+              } else {
+                st = if (st == null) (r.eventType, r.eventType)
+                     else (st._1, r.eventType)
+              }
             }
+            if (st != null) {
+              gs.update(st)
+              if (lastTs != Long.MinValue)
+                idleHorizonMicros.foreach(h => armIdleTimeout(gs, lastTs, h))
+            }
+            out.result().iterator
           }
-          if (st != null) gs.update(st)
-          out.result().iterator
         })
   }
 

@@ -84,4 +84,79 @@ class MultimodalSpec extends SparkSpec {
     for ((nf, off) <- got)
       assert(off == Multimodal.FakeCodec.sampleFrames(nf, 4).toSeq, s"nf=$nf")
   }
+
+  // ---- MediaCodec: the REAL header parser ------------------------------
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("MediaCodec: pngBytes(1,1,rgba) reproduces the well-known 1x1 header bit-for-bit") {
+    // Independent golden: signature + IHDR of the canonical 1×1 RGBA8
+    // PNG, INCLUDING its published CRC (1f15c489) — validates our CRC32
+    // scope (type+data) against the spec, not against our own builder.
+    val golden = hex(
+      "89504e470d0a1a0a 0000000d 49484452 00000001 00000001 08 06 000000 1f15c489")
+    assert(Multimodal.MediaCodec.pngBytes(1, 1, 6, Array.empty).toSeq ==
+      golden.toSeq)
+  }
+
+  test("MediaCodec: parses a hand-written JPEG SOF0 independent of jpegBytes") {
+    // SOI + DQT-like dummy segment (skipped by length) + SOF0 720x1280,
+    // 3 components — written by hand so parser and builder can't share
+    // a bug.
+    val bytes = hex(
+      "ffd8" +                 // SOI
+      "fffe 0004 dead" +       // COM segment, len 4 (payload 2 bytes)
+      "ffc0 0011 08 02d0 0500 03 011100 021101 031101")
+    val hd = Multimodal.MediaCodec.parseHeader(bytes)
+    assert(hd.contains(Multimodal.MediaCodec.Header("jpeg", 1280, 720, 3)), hd.toString)
+  }
+
+  test("MediaCodec: build→parse round-trips dims and channels for both formats") {
+    val body = "payload tail bytes".getBytes("UTF-8")
+    for ((ct, ch) <- Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)) {
+      val p = Multimodal.MediaCodec.pngBytes(640, 480, ct, body)
+      assert(Multimodal.MediaCodec.parseHeader(p)
+        .contains(Multimodal.MediaCodec.Header("png", 640, 480, ch)), s"ct=$ct")
+    }
+    for (n <- Seq(1, 3)) {
+      val p = Multimodal.MediaCodec.jpegBytes(1920, 1080, n, body)
+      assert(Multimodal.MediaCodec.parseHeader(p)
+        .contains(Multimodal.MediaCodec.Header("jpeg", 1920, 1080, n)), s"n=$n")
+    }
+  }
+
+  test("MediaCodec: garbage, truncation, and SOS-before-SOF all yield None, never throw") {
+    val M = Multimodal.MediaCodec
+    assert(M.parseHeader(null).isEmpty)
+    assert(M.parseHeader(Array.empty).isEmpty)
+    assert(M.parseHeader("not an image at all".getBytes).isEmpty)
+    // valid PNG truncated mid-IHDR
+    assert(M.parseHeader(M.pngBytes(9, 9, 2, Array.empty).take(20)).isEmpty)
+    // JPEG that hits SOS with no SOF seen
+    assert(M.parseHeader(hex("ffd8 ffda 0002")).isEmpty)
+    // JPEG whose segment length runs past the buffer
+    assert(M.parseHeader(hex("ffd8 ffe0 ffff 00")).isEmpty)
+  }
+
+  test("decodeHeaders manifest matches the fixture arithmetic (the d06 contract)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.range(0, 40).toDF("doc_id")
+      .withColumn("text", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("doc body "), col("doc_id")))
+    val got = Multimodal.decodeHeaders(Multimodal.syntheticImages(spark, docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got.size == 40 && !got.valuesIterator.exists(_._1 == null),
+      "every fixture payload must parse")
+    for (id <- 0L until 40L) {
+      val (fmt, w, h, ch) = got(id)
+      assert(fmt == (if (id % 2 == 0) "png" else "jpeg"), s"id=$id")
+      assert(w == 16 + id % 64 && h == 16 + id % 48, s"id=$id dims")
+      val expCh = if (id % 2 == 0) (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+                  else if (id % 4 == 1) 1 else 3
+      assert(ch == expCh, s"id=$id channels")
+    }
+  }
 }

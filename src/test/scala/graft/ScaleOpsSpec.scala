@@ -32,6 +32,46 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q61 over bucketed fact tables: shuffle-free join, identical result") {
+    // The promoted 100 TB shape for the q61 registry entry: the SAME
+    // shipLatencyByPriority kernel over writeBucketed lineitem/orders
+    // must (a) plan the orderkey join with ZERO exchange on either
+    // side, and (b) produce byte-identical results to the plain-table
+    // run — proving the bucketed promotion is a pure physical-plan
+    // change, not a semantic one.
+    val wh = java.nio.file.Files.createTempDirectory("q61bucketed")
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val ord = Tables(spark, "/root/testdata/sf0.001", "orders")
+    ScaleOps.writeBucketed(li, "q61_li_b", "l_orderkey", 4, s"$wh/li")
+    ScaleOps.writeBucketed(ord, "q61_ord_b", "o_orderkey", 4, s"$wh/ord")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val bucketed = ScaleOps.shipLatencyByPriority(
+        spark.table("q61_li_b"), spark.table("q61_ord_b"))
+      val got = bucketed.collect().map(_.toString).toSeq
+      val plan = bucketed.queryExecution.executedPlan.toString
+      // the only exchanges allowed are ABOVE the aggregate (the tiny
+      // per-priority roll-up); the join region below the LAST partial
+      // aggregate must be exchange-free — both scans arrive
+      // pre-distributed on orderkey. Split on "Aggregate" (percentile
+      // plans as ObjectHashAggregate, not HashAggregate).
+      val joinRegion = plan.split("Aggregate").last
+      assert("Exchange hashpartitioning".r.findAllIn(joinRegion).isEmpty,
+        s"bucketed q61 join must not shuffle either fact side:\n$plan")
+      assert("SortMergeJoin".r.findAllIn(plan).nonEmpty,
+        s"expected the co-located sort-merge join:\n$plan")
+      val plain = ScaleOps.shipLatencyByPriority(li, ord)
+        .collect().map(_.toString).toSeq
+      assert(got == plain,
+        s"bucketed promotion changed the answer:\n$got\nvs\n$plain")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS q61_li_b")
+      spark.sql("DROP TABLE IF EXISTS q61_ord_b")
+    }
+  }
+
   test("salted join result equals plain join") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_quantity", "l_linenumber")

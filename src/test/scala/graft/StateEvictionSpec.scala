@@ -1,0 +1,231 @@
+package graft
+
+import graft.streaming.StatefulOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Idle-state eviction for the stateful streaming twins: a key silent
+  * past the configured horizon must have its state DROPPED (bounding
+  * state by the ACTIVE key population, not lifetime-distinct keys), a
+  * post-horizon event must re-open the key as if first-seen, and the
+  * timeout must also fire from checkpoint-RECOVERED state. Each op's
+  * close-out contract (emit vs silent drop) is pinned per its
+  * scaladoc. Default `None` keeps the original run-forever behavior —
+  * covered by the existing StatefulOpsSpec suites.
+  */
+class StateEvictionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val secMicros = 1000000L
+  private val dayMicros = 86400L * secMicros
+
+  test("gapDetect: idle key evicts silently; re-opened key detects fresh gaps") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Keyed]
+    val gaps = StatefulOps.gapDetect(input.toDS(), maxGapMicros = 1 * secMicros,
+      idleHorizonMicros = Some(2 * secMicros))
+    val q = gaps.writeStream.format("memory").queryName("evict_gaps")
+      .outputMode("append").start()
+    try {
+      // 1 s, not 0: an event AT the initial watermark (epoch 0) is
+      // filtered as late before the stateful operator ever sees it
+      input.addData(StatefulOps.Keyed("a", 1 * secMicros, 1.0))
+      q.processAllAvailable()
+      // 'b' advances the watermark far past a's 2 s horizon; the next
+      // batch fires a's timeout → state dropped, nothing emitted
+      input.addData(StatefulOps.Keyed("b", 10 * secMicros, 1.0))
+      q.processAllAvailable()
+      input.addData(StatefulOps.Keyed("b", 11 * secMicros, 1.0))
+      q.processAllAvailable()
+      // a returns 10.5 s after its last reading: under NoTimeout this
+      // would emit a 10.5 s gap — eviction means a is first-seen again
+      input.addData(StatefulOps.Keyed("a", 11500000L, 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM evict_gaps").count() == 0,
+        "evicted key must not back-report the idle span as a gap")
+      // ...but the re-opened key is fully live: a real gap now emits
+      input.addData(StatefulOps.Keyed("a", 14 * secMicros, 1.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT key, fromMicros, toMicros FROM evict_gaps")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == Seq(("a", 11500000L, 14 * secMicros)),
+        s"re-opened key must detect post-re-open gaps: $got")
+    } finally q.stop()
+  }
+
+  test("streamingStreaks: horizon closes and EMITS the open streak; re-open starts fresh") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Keyed]
+    val streaks = StatefulOps.streamingStreaks(input.toDS(),
+      idleHorizonMicros = Some(2 * dayMicros))
+    val q = streaks.writeStream.format("memory").queryName("evict_streaks")
+      .outputMode("append").start()
+    try {
+      input.addData(StatefulOps.Keyed("u", 1 * dayMicros, 1.0),
+        StatefulOps.Keyed("u", 2 * dayMicros, 1.0))
+      q.processAllAvailable()
+      // watermark rides to day 10 on another key; next batch fires u's
+      // timeout (day 2 + 2-day horizon < day 10) → emit-and-drop
+      input.addData(StatefulOps.Keyed("w", 10 * dayMicros, 1.0))
+      q.processAllAvailable()
+      input.addData(StatefulOps.Keyed("w", 10 * dayMicros + 1, 1.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.sql(
+        "SELECT key, startDay, endDay, len FROM evict_streaks")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(afterTimeout == Set(("u", 1L, 2L, 2L)),
+        s"the open streak must close AT the horizon, no later event needed: $afterTimeout")
+      // post-horizon event re-opens a brand-new streak...
+      input.addData(StatefulOps.Keyed("u", 12 * dayMicros, 1.0))
+      q.processAllAvailable()
+      // ...which the horizon closes again (watermark to day 20)
+      input.addData(StatefulOps.Keyed("w", 20 * dayMicros, 1.0))
+      q.processAllAvailable()
+      input.addData(StatefulOps.Keyed("w", 20 * dayMicros + 1, 1.0))
+      q.processAllAvailable()
+      val all = spark.sql(
+        "SELECT key, startDay, endDay, len FROM evict_streaks")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(all.contains(("u", 12L, 12L, 1L)),
+        s"re-opened streak must start fresh at day 12, not extend [1,2]: $all")
+    } finally q.stop()
+  }
+
+  test("streamingScd2: horizon emits the open interval with the MaxValue marker; re-open restarts versioning") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Scd2Event]
+    val ivals = StatefulOps.streamingScd2(input.toDS(),
+      idleHorizonMicros = Some(2 * secMicros))
+    val q = ivals.writeStream.format("memory").queryName("evict_scd2")
+      .outputMode("append").start()
+    try {
+      // start at 1 s, not 0: an event at the INITIAL watermark (epoch 0)
+      // is filtered as late before the stateful operator sees it
+      input.addData(StatefulOps.Scd2Event("k1", 1 * secMicros, 1L, "A"),
+        StatefulOps.Scd2Event("k1", 2 * secMicros, 2L, "B"))
+      q.processAllAvailable()
+      input.addData(StatefulOps.Scd2Event("k2", 60 * secMicros, 3L, "X"))
+      q.processAllAvailable()
+      input.addData(StatefulOps.Scd2Event("k2", 61 * secMicros, 4L, "X"))
+      q.processAllAvailable()
+      val afterTimeout = spark.sql(
+        "SELECT key, version, state, validFromUs, validToUs FROM evict_scd2 WHERE key = 'k1'")
+        .as[(String, Long, String, Long, Long)].collect().toSet
+      assert(afterTimeout == Set(
+        ("k1", 1L, "A", 1 * secMicros, 2 * secMicros),
+        ("k1", 2L, "B", 2 * secMicros, Long.MaxValue)),
+        s"horizon must close the open B interval with the open-ended marker: $afterTimeout")
+      // post-horizon event: a NEW history epoch, version numbering restarts
+      input.addData(StatefulOps.Scd2Event("k1", 90 * secMicros, 5L, "C"))
+      q.processAllAvailable()
+      input.addData(StatefulOps.Scd2Event("k1", 91 * secMicros, 6L, "D"))
+      q.processAllAvailable()
+      val epoch2 = spark.sql(
+        "SELECT version, state FROM evict_scd2 WHERE key = 'k1' AND validFromUs = 90000000")
+        .as[(Long, String)].collect().toSet
+      assert(epoch2 == Set((1L, "C")),
+        s"the re-opened epoch must restart at version 1: $epoch2")
+    } finally q.stop()
+  }
+
+  test("streamingAttribution: expired touch state drops; post-horizon purchase credits direct") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StatefulOps.TouchEvent]
+    val att = StatefulOps.streamingAttribution(input.toDS(),
+      idleHorizonMicros = Some(2 * secMicros))
+    val q = att.writeStream.format("memory").queryName("evict_att")
+      .outputMode("append").start()
+    try {
+      // 1 s, not 0: equal-to-initial-watermark rows filter as late
+      input.addData(StatefulOps.TouchEvent("s1", 1 * secMicros, 1L, "ad", 0.0))
+      q.processAllAvailable()
+      input.addData(StatefulOps.TouchEvent("s2", 60 * secMicros, 2L, "email", 0.0))
+      q.processAllAvailable()
+      input.addData(StatefulOps.TouchEvent("s2", 61 * secMicros, 3L, "email", 0.0))
+      q.processAllAvailable()
+      // s1's "ad" touch is 90 s stale — far past the 2 s attribution
+      // window. With NoTimeout this purchase would credit ("ad","ad").
+      input.addData(StatefulOps.TouchEvent("s1", 90 * secMicros, 4L, "purchase", 19.99))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT firstTouch, lastTouch, cents FROM evict_att")
+        .as[(String, String, Long)].collect().toSeq
+      assert(got == Seq(("direct", "direct", 1999L)),
+        s"expired touches must not earn credit: $got")
+    } finally q.stop()
+  }
+
+  test("streamingStreaks: timeout fires from checkpoint-RECOVERED state") {
+    // The recovery half of the eviction contract: the horizon must
+    // close a streak whose state was written by a PREVIOUS query run —
+    // i.e. the timeout timestamp survives in the state store, not just
+    // in memory.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("evict-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evict-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("evict-out").toString
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("tsMicros", LongType), StructField("value", DoubleType)))
+    def stream() = StatefulOps.streamingStreaks(
+      spark.readStream.schema(schema).json(dir)
+        .as[StatefulOps.Keyed](org.apache.spark.sql.Encoders.product),
+      idleHorizonMicros = Some(2 * dayMicros))
+    def write(name: String, rows: Seq[(String, Long)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        rows.map { case (k, d) =>
+          s"""{"key":"$k","tsMicros":${d * dayMicros},"value":1.0}"""
+        }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // run 1: u active days 1-2, streak open at shutdown
+    write("b1.json", Seq(("u", 1L), ("u", 2L)))
+    val q1 = stream().writeStream.format("json")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // run 2: only OTHER-key traffic; u's timeout must fire from the
+    // recovered state store and emit the [1,2] streak closed
+    write("b2.json", Seq(("w", 10L)))
+    write("b3.json", Seq(("w", 11L)))
+    val q2 = stream().writeStream.format("json")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val closed = spark.read
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("startDay", LongType), StructField("endDay", LongType),
+        StructField("len", LongType))))
+      .json(out).filter(col("key") === "u")
+      .select("startDay", "endDay", "len").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(closed == Set((1L, 2L, 2L)),
+      s"recovered state must still time out and emit: $closed")
+  }
+
+  test("streamingTokenBudget: dormant source evicts (event-time horizon) and its budget re-opens") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StatefulOps.SourcedDoc]
+    val admitted = StatefulOps.streamingTokenBudget(input.toDS(),
+      budgetTokens = 10, idleHorizonMicros = Some(2 * secMicros))
+    val q = admitted.writeStream.format("memory").queryName("evict_budget")
+      .outputMode("append").start()
+    try {
+      // 1 s, not 0: the initial watermark IS epoch 0 and equal-time
+      // rows filter as late
+      input.addData(StatefulOps.SourcedDoc("s1", 1L, 7L, 1 * secMicros))
+      q.processAllAvailable()
+      // s2 keeps ingesting far past s1's horizon: the watermark rides
+      // to 60 s and the next batch drops s1's used=7 state
+      input.addData(StatefulOps.SourcedDoc("s2", 2L, 1L, 60 * secMicros))
+      q.processAllAvailable()
+      input.addData(StatefulOps.SourcedDoc("s2", 3L, 1L, 61 * secMicros))
+      q.processAllAvailable()
+      // 9 tokens would NOT fit 10-7=3 remaining — admission proves the
+      // budget re-opened from zero
+      input.addData(StatefulOps.SourcedDoc("s1", 4L, 9L, 90 * secMicros))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT docId, budgetUsed FROM evict_budget WHERE source = 's1'")
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 7L, 4L -> 9L),
+        s"dormant source's budget must re-open after eviction: $got")
+    } finally q.stop()
+  }
+}

@@ -364,7 +364,8 @@ class StatefulOpsSpec extends SparkSpec {
       StructField("docId", LongType), StructField("nTokens", LongType)))
     def stream() = StatefulOps.streamingTokenBudget(
       spark.readStream.schema(schema).json(dir)
-        .select(col("source"), col("docId"), col("nTokens"))
+        .select(col("source"), col("docId"), col("nTokens"),
+          org.apache.spark.sql.functions.lit(0L).as("tsMicros"))
         .as[StatefulOps.SourcedDoc](org.apache.spark.sql.Encoders.product),
       budgetTokens = 10)
     def write(name: String, lines: String): Unit =
