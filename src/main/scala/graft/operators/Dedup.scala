@@ -214,8 +214,29 @@ object Dedup {
     *     text, where boilerplate pushes df mass toward the cap and
     *     the self-join's cap·Σdf bound is the thing that explodes.
     *
+    * WHEN TO FLIP — measured on the deterministic heavy-tailed fixture
+    * ([[graft.tools.ZipfCorpus]], phrase r in every r-th doc ⇒ df ∝ 1/r)
+    * vs the near-uniform synthetic docs. The decision statistic is the
+    * df-weighted mean df, Σdf²/Σdf over capped fingerprints (= expected
+    * candidate fan-out per shingle occurrence; both sums fall out of the
+    * `rare` aggregate this operator already computes):
+    *
+    *   - Σdf²/Σdf ≈ 10 (uniform synthetic, sf0.1): self-join wins —
+    *     prefix is ~35% slower, its window sort pure overhead.
+    *   - Σdf²/Σdf ≈ 110 (Zipf n=20k, cap 500): prefix wins ~20%
+    *     (warm 2.9 s vs 3.7 s), identical pairs.
+    *   - Σdf²/Σdf ≈ 3000 (Zipf n=40k, cap 20k, Σdf² = 3.4e9): prefix
+    *     wins 160× (3.7 s vs 600 s), identical 2479 pairs — the
+    *     self-join's pair stream IS Σdf² and nothing else matters.
+    *
+    * Rule: keep the default below ~30, flip `prefixFilter = true` above
+    * ~100; between them both paths are within a small factor. Corpora
+    * that already passed exact/near dedup sit at df ≈ 1; raw crawl text
+    * with a permissive df cap sits in the hundreds-to-thousands.
+    *
     * Both paths produce bit-identical output (property-tested against
-    * the in-memory reference, df cap and threshold boundary included). */
+    * the in-memory reference, df cap and threshold boundary included;
+    * ZipfCorpusSpec re-pins equality on the heavy-tailed shape). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.9,
       maxShingleDocFreq: Long = 10000,
