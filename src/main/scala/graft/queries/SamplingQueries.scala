@@ -285,18 +285,34 @@ object SamplingQueries {
   // no RNG and no global sort needed to DEFINE the order (the final
   // ORDER BY here is the oracle-determinism requirement; a pipeline
   // would hand (rank, source) to CorpusWriter as the shard/pos keys).
+  //
+  // train_pos itself needs NO global window (the r11 window lint's
+  // point — a corpus-wide row_number serializes the corpus through one
+  // task): (rank_in_source, source) is unique per row, so a row's
+  // global position is a closed form over the tiny per-source count
+  // table, which rides a 1-row broadcast:
+  //   pos = Σ_s' min(cnt_s', r−1)          rows whose rank < r
+  //       + |{s' < s : cnt_s' ≥ r}| + 1    rank = r, earlier source
   private val s14 = GraftQuery(
     "s14_source_interleave",
     (s, d) => {
       val docs = Tables(s, d, "documents").filter(col("doc_id") < 60)
       val h = md5(col("doc_id").cast("string"))
       val wSrc = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
-      docs
+      val ranked = docs
         .withColumn("rank_in_source", row_number().over(wSrc).cast("long"))
+      val cnts = ranked.groupBy(col("source"))
+        .agg(max(col("rank_in_source")).as("cnt"))
+        .agg(sort_array(collect_list(struct(col("source"), col("cnt"))))
+          .as("_cnts"))
+      val r = col("rank_in_source")
+      ranked.crossJoin(broadcast(cnts))
         .withColumn("train_pos",
-          row_number().over(
-            Window.orderBy(col("rank_in_source"), col("source"), col("doc_id")))
-            .cast("long"))
+          aggregate(col("_cnts"), lit(0L),
+            (acc, x) => acc + least(x.getField("cnt"), r - lit(1L))) +
+          size(filter(col("_cnts"), x =>
+            x.getField("cnt") >= r && x.getField("source") < col("source")))
+            .cast("long") + lit(1L))
         .select(col("train_pos"), col("doc_id"), col("source"),
           col("rank_in_source"))
         .orderBy("train_pos")

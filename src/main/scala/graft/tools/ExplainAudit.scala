@@ -27,14 +27,90 @@ object ExplainAudit {
 
   private def subtreeBounded(p: SparkPlan): Boolean = p match {
     // an aggregate bounds rows to |group keys|; a global/local limit
-    // bounds them literally — either makes a single-partition sort
-    // above it a tiny-table operation, not a corpus-wide funnel
+    // bounds them literally; a LocalTableScan is literal driver-side
+    // rows (model tables, VALUES) — any of these makes a
+    // single-partition sort above it a tiny-table operation, not a
+    // corpus-wide funnel
     case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
     case _: org.apache.spark.sql.execution.GlobalLimitExec => true
     case _: org.apache.spark.sql.execution.LocalLimitExec => true
     case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
     case other => kids(other).exists(subtreeBounded)
   }
+
+  /** Queries whose global window IS the documented contract rather
+    * than an accident: the reference's preprocessing CLI (PD:55-148)
+    * processes ONE pandas-sized CSV file per invocation, and
+    * `CleanCsv`'s no-`seriesKeys` mode mirrors exactly that — a global
+    * row order over a single file the reference itself holds in one
+    * DataFrame. The waiver is per-QUERY, not per-operator: the same
+    * operators run partitioned via `seriesKeys` at corpus scale
+    * (interpolateCubic's scaladoc spells out the 100 TB contract), and
+    * any NEW registry entry driving the no-key mode over corpus tables
+    * still fails the lint. Waived windows are still printed, flagged
+    * as waived, so the audit output shows them rather than hiding
+    * them. */
+  val singleFileCliContract: Set[String] =
+    Set("p10_interpolate_linear", "p11_rolling_mean_fill")
+
+  /** Nested-loop join triage: a BroadcastNestedLoopJoin whose build
+    * side is BOUNDED (a no-grouping-key aggregate = exactly one row, or
+    * a limit) is the library's 1-row scalar-attach pattern
+    * (`crossJoin(broadcast(totals))` — a denominator riding along every
+    * row; constant work per probe row, nothing quadratic). One with
+    * both sides unbounded is the scale-killer the audit exists to
+    * catch. Returns (bounded, unbounded) BNLJ/cartesian nodes. */
+  def nestedLoopTriage(root: SparkPlan): (Seq[SparkPlan], Seq[SparkPlan]) = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p match {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => Seq(j)
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => Seq(j)
+        case _ => Nil
+      }
+      here ++ kids(p).flatMap(walk)
+    }
+    // benign = the BROADCAST side (the one behind a broadcast
+    // exchange/stage) is bounded — not either side: a probe side with
+    // some upstream groupBy must not excuse an unbounded build side
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case i: org.apache.spark.sql.execution.InputAdapter => strip(i.child)
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => strip(w.child)
+      case other => other
+    }
+    def broadcastSide(j: SparkPlan): Seq[SparkPlan] = kids(j).map(strip).filter {
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => true
+      case _: org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec => true
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r.child.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]
+      case _ => false
+    }
+    walk(root).partition { j =>
+      val b = broadcastSide(j)
+      b.nonEmpty && b.forall(subtreeBounded)
+    }
+  }
+
+  /** Queries whose nested-loop join's broadcast side is bounded by
+    * CONTRACT rather than provably by plan shape: the brute-force
+    * similarity family broadcasts a QUERY SET selected by a literal
+    * predicate (`vec_id < 5`-style) or guarded by an explicit
+    * `require(count <= maxRows)` (`Similarity.topPairs`), then streams
+    * the corpus past it — cost |Q|·N, linear in the corpus, which is
+    * exactly what brute-force scoring IS (no equi key exists for
+    * all-pairs cosine; a nested-loop over a small broadcast is the
+    * RIGHT 100 TB plan, per-partition corpus scan × tiny query table).
+    * The plan can't see the filter's selectivity, so these are waived
+    * by name with the contract stated; a NEW query broadcasting an
+    * unbounded side still fails the audit. */
+  val queryBroadcastContract: Set[String] = Set(
+    "v01_cosine_topk", "v02_similar_pairs",
+    "v07_ann_pq", "v09_range_search", "v10_euclidean_topk",
+    "v11_mips_topk", "v12_knn_label", "v16_truncation_overlap",
+    "v18_ivf_recall_sweep", "v19_cosine_histogram",
+    "v21_hubness", "v24_ann_pq_trained", "v29_binary_hamming_audit",
+    "v30_rerank_retrieval", "v31_rerank_recall_sweep",
+    "v33_recall_cost_table")
 
   /** Single-partition window lint: every `Window` whose partitionSpec
     * is EMPTY funnels its whole input through ONE task. That is fine
@@ -88,15 +164,38 @@ object ExplainAudit {
           val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan)
             .filterNot(_ == "PushedFilters: []").mkString(" | ")
           val readSchemas = "ReadSchema: [^,\n]*".r.findAllIn(plan).map(_.length).toSeq
-          val winViolations =
-            unboundedGlobalWindows(df.queryExecution.executedPlan)
+          val wins = unboundedGlobalWindows(df.queryExecution.executedPlan)
+          val (waived, winViolations) =
+            if (singleFileCliContract(q.name)) (wins, Nil) else (Nil, wins)
+          val (smallNlj, restNlj) =
+            nestedLoopTriage(df.queryExecution.executedPlan)
+          val (nljWaived, badNlj) =
+            if (queryBroadcastContract(q.name)) (restNlj, Nil)
+            else (Nil, restNlj)
           println(f"${q.name}%-28s bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
+            f"nlj_bad=${badNlj.length} nlj_small=${smallNlj.length} " +
+            f"nlj_qbc=${nljWaived.length} " +
             f"exch=${n("Exchange")} codegen=${n("\\*\\(\\d+\\)")} " +
-            f"scan=${n("FileScan parquet")} winlint=${winViolations.length}")
+            f"scan=${n("FileScan parquet")} winlint=${winViolations.length}" +
+            (if (waived.nonEmpty) f" winlint_waived=${waived.length}" else ""))
+          badNlj.foreach(j => println(
+            s"   NLJ_VIOLATION: nested-loop/cartesian join without a " +
+            s"bounded broadcast side in ${q.name}: " +
+            j.verboseString(2).linesIterator.next()))
           winViolations.foreach(w => println(
             s"   WINDOW_LINT_VIOLATION: single-partition window over " +
             s"unbounded input in ${q.name}: ${w.verboseString(2).linesIterator.next()}"))
+          waived.foreach(w => println(
+            s"   window waived (single-file CLI contract) in ${q.name}: " +
+            w.verboseString(2).linesIterator.next()))
           if (pushed.nonEmpty && args.length > 1) println(s"   $pushed")
+          if (args.length > 1 && args(1) == "tree") {
+            def dump(p: SparkPlan, d: Int): Unit = {
+              println("   " + ("  " * d) + p.getClass.getSimpleName)
+              kids(p).foreach(dump(_, d + 1))
+            }
+            dump(df.queryExecution.executedPlan, 0)
+          }
         } catch {
           case e: Throwable => println(s"${q.name}: EXPLAIN FAILED ${e.getMessage}")
         }
