@@ -233,6 +233,8 @@ object Dedup {
     * ~100; between them both paths are within a small factor. Corpora
     * that already passed exact/near dedup sit at df ≈ 1; raw crawl text
     * with a permissive df cap sits in the hundreds-to-thousands.
+    * [[containmentPairsAuto]] measures the statistic and dispatches
+    * itself ([[containmentPathProbe]] — driver-gated as d31).
     *
     * Both paths produce bit-identical output (property-tested against
     * the in-memory reference, df cap and threshold boundary included;
@@ -298,6 +300,52 @@ object Dedup {
         col("_shared").cast("double") / least(col("_na"), col("_nb")), 6))
       .filter(col("containment") >= threshold)
       .select(col("a"), col("b"), col("containment"))
+  }
+
+  /** The [[containmentPairs]] path discriminator MEASURED on an actual
+    * corpus: one row of (sum_df, sum_df2, fanout) over df-capped
+    * shingle fingerprints. `sum_df2` (Σdf²) is EXACTLY the exhaustive
+    * self-join's candidate-pair row count, and `fanout` = Σdf²/Σdf —
+    * the df-weighted mean df, i.e. the expected number of candidate
+    * partners each shingle occurrence drags in — is the statistic the
+    * flip guidance above is written in (≈10 uniform → self-join wins;
+    * ≳100 heavy-tailed → prefix wins, measured up to 160×). Cost: one
+    * fingerprint-only aggregate; text never shuffles; output is one
+    * row. `fanout` is rounded to 4 decimals so the row hashes across
+    * engines. */
+  def containmentPathProbe(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, maxShingleDocFreq: Long = 10000): DataFrame = {
+    require(shingleK >= 1, s"shingleK=$shingleK must be >= 1")
+    df.select(
+        explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_s"))
+      .select(md5(col("_s")).as("_fp"))
+      .groupBy(col("_fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxShingleDocFreq)
+      .agg(coalesce(sum(col("_df")), lit(0L)).as("sum_df"),
+        coalesce(sum(col("_df") * col("_df")), lit(0L)).as("sum_df2"))
+      .select(col("sum_df"), col("sum_df2"),
+        round(when(col("sum_df") > 0,
+            col("sum_df2").cast("double") / col("sum_df").cast("double"))
+          .otherwise(lit(0.0)), 4).as("fanout"))
+  }
+
+  /** Self-tuning [[containmentPairs]]: probes the corpus's df-mass
+    * shape first ([[containmentPathProbe]]) and flips to the prefix
+    * path when the measured fan-out crosses `flipAt` (default 100 —
+    * inside the measured crossover band; both fixtures sit a decade
+    * away on either side). The probe costs one fingerprint aggregate:
+    * at the deep-tail end that replaces a Σdf² candidate explosion
+    * measured 160× slower than prefix, and at the uniform end it is a
+    * small fraction of the self-join pass it green-lights. Output is
+    * bit-identical either way (the two paths are property-tested
+    * equal, ZipfCorpusSpec included). */
+  def containmentPairsAuto(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.9,
+      maxShingleDocFreq: Long = 10000, flipAt: Double = 100.0): DataFrame = {
+    val fanout = containmentPathProbe(df, idCol, textCol, shingleK,
+      maxShingleDocFreq).head().getAs[Double]("fanout")
+    containmentPairs(df, idCol, textCol, shingleK, threshold,
+      maxShingleDocFreq, prefixFilter = fanout >= flipAt)
   }
 
   /** Cross-corpus near-dup pairs — FUZZY decontamination (the exact

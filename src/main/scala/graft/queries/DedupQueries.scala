@@ -1286,8 +1286,38 @@ object DedupQueries {
       FROM t LEFT JOIN e ON e.jac >= t.threshold_ppm / 1e6
       GROUP BY 1 ORDER BY 1"""))
 
+  // --- d31: containment path probe (the d28 auto-tuner's input) --------
+  // The df-mass discriminator measured on the corpus: sum_df2 is the
+  // exhaustive self-join's exact candidate-pair count, fanout = Σdf²/Σdf
+  // is the statistic containmentPairs' flip guidance is written in
+  // (≈10 → self-join, ≳100 → prefix; the 160× crossover is README-
+  // pinned on the ZipfCorpus fixture). containmentPairsAuto runs THIS
+  // probe then dispatches; gating the probe itself makes the auto
+  // decision driver-verified, not just spec-claimed. One fingerprint
+  // aggregate; text never shuffles; one output row.
+  private val d31 = GraftQuery(
+    "d31_containment_path_probe",
+    (s, d) =>
+      Dedup.containmentPathProbe(Tables(s, d, "documents")
+        .select("doc_id", "text"), "doc_id", "text",
+        shingleK = 3, maxShingleDocFreq = 10000),
+    Some(s"""WITH p AS (SELECT doc_id, text FROM documents),
+      shl AS ($shingleCteSql),
+      sfp AS (
+        SELECT doc_id, md5(s) AS fp
+        FROM (SELECT doc_id, unnest(sh) AS s FROM shl)),
+      dfs AS (
+        SELECT fp, count(*) AS df FROM sfp
+        GROUP BY fp HAVING count(*) <= 10000)
+      SELECT CAST(sum(df) AS BIGINT) AS sum_df,
+        CAST(sum(df * df) AS BIGINT) AS sum_df2,
+        round(CASE WHEN sum(df) > 0
+          THEN CAST(sum(df * df) AS DOUBLE) / CAST(sum(df) AS DOUBLE)
+          ELSE 0.0 END, 4) AS fanout
+      FROM dfs"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      d24, d25, d26, d27, d28, d29, d30)
+      d24, d25, d26, d27, d28, d29, d30, d31)
 }

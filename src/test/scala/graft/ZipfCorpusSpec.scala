@@ -46,4 +46,43 @@ class ZipfCorpusSpec extends SparkSpec {
     assert(self == pre,
       s"paths diverged on the Zipf shape: ${self.size} vs ${pre.size} pairs")
   }
+
+  test("path probe separates the shapes by a decade each side of the flip point") {
+    import graft.operators.Dedup
+    // heavy tail with an uncapped head: fanout must sit above 100
+    val zipf = ZipfCorpus.docs(spark, 2000)
+    val zf = Dedup.containmentPathProbe(zipf, "doc_id", "text",
+      maxShingleDocFreq = 2000).head()
+    // near-unique corpus (every doc six unique words, no boilerplate):
+    // df ≈ 1 everywhere, fanout ≈ 1
+    val unique = zipf.select(col("doc_id"),
+      concat_ws(" ", (1 to 6).map(i =>
+        format_string(s"u${i}x%d u${i}y%d", col("doc_id"), col("doc_id"))): _*)
+        .as("text"))
+    val uf = Dedup.containmentPathProbe(unique, "doc_id", "text").head()
+    assert(zf.getAs[Double]("fanout") > 100.0,
+      s"zipf fanout should exceed the flip point: $zf")
+    assert(uf.getAs[Double]("fanout") < 10.0,
+      s"unique-corpus fanout should sit well below it: $uf")
+    // sum_df2 is the self-join's candidate count: sanity the ordering
+    assert(zf.getAs[Long]("sum_df2") > uf.getAs[Long]("sum_df2"))
+  }
+
+  test("containmentPairsAuto matches the explicit paths on both shapes") {
+    import graft.operators.Dedup
+    val corpus = ZipfCorpus.docs(spark, 600)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a", "b").collect().map(_.toString).toSeq
+    // flipAt low → auto takes prefix; flipAt high → self-join; both
+    // must equal the explicit call, whatever path auto picked
+    val explicit = rows(Dedup.containmentPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.5, maxShingleDocFreq = 50))
+    val autoLo = rows(Dedup.containmentPairsAuto(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.5, maxShingleDocFreq = 50, flipAt = 1.0))
+    val autoHi = rows(Dedup.containmentPairsAuto(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.5, maxShingleDocFreq = 50, flipAt = 1e18))
+    graft.operators.OpCaches.release(spark)
+    assert(autoLo == explicit && autoHi == explicit,
+      s"auto diverged: lo=${autoLo.size} hi=${autoHi.size} explicit=${explicit.size}")
+  }
 }
