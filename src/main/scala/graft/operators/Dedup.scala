@@ -1027,6 +1027,101 @@ object Dedup {
       .limit(topK)
   }
 
+  // ----------------------------------------------- mergeable source sketch
+
+  /** Per-source MinHash bottom-sketch over distinct document
+    * fingerprints: for each of `numHashes` md5-derived permutations t,
+    * the sketch keeps min over the source's distinct content
+    * fingerprints f of H(t, f) — `numHashes` longs per source, total.
+    *
+    * This is the MERGEABLE summary [[sourceOverlapMatrix]] isn't:
+    * min is associative/commutative, so per-shard (or per-day) sketches
+    * union by elementwise min without revisiting content — the shape a
+    * 100 TB multi-crawl census needs. Estimated Jaccard between two
+    * sources is the fraction of agreeing permutation slots; comparing
+    * S sources costs O(S²·numHashes) over sketch rows, never a
+    * content-level pair join.
+    *
+    * The permutation hash is md5-derived (top 32 bits of md5("t:f")),
+    * NOT the in-engine xxhash MinHash64 kernel, deliberately: an
+    * external SQL engine replays it bit-for-bit, so the sketch VALUES
+    * (not just downstream counts) are oracle-checkable — the d04/v03
+    * md5-parity pattern.
+    *
+    * Scale shape: one distinct over (16 B fingerprint, source) pairs
+    * is the only corpus-sized shuffle; the ×numHashes explode feeds a
+    * (source, t)-keyed min whose partial aggregation collapses
+    * map-side to |sources|·numHashes rows per task. Text never
+    * shuffles. Returns (source, t, mh). */
+  def sourceMinHashSketch(df: DataFrame, textCol: String,
+      sourceCol: String, numHashes: Int = 128): DataFrame = {
+    require(numHashes >= 1, s"numHashes=$numHashes must be >= 1")
+    val fp = df
+      .select(TextAnalysis.fingerprint(col(textCol)).as("_f"),
+        col(sourceCol).as("source")).distinct()
+    fp.select(col("source"),
+        posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
+          t => conv(substr(md5(concat(t.cast("string"), lit(":"),
+            col("_f"))), lit(1), lit(8)), 16, 10).cast("long"))))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "_h")
+      .groupBy(col("source"), col("t")).agg(min(col("_h")).as("mh"))
+  }
+
+  /** Sketch-accuracy audit: for every source pair, the MinHash-sketch
+    * Jaccard ESTIMATE (agreeing slots / numHashes, an exact rational)
+    * next to the exact distinct-content Jaccard and the absolute
+    * error — the number that says whether the O(S²·sketch) census can
+    * replace [[sourceOverlapMatrix]]'s content join for a corpus. Pairs
+    * come from the sketch side, so disjoint sources appear with
+    * jaccard 0 rather than vanishing.
+    *
+    * The exact side reuses the overlap-matrix shape (source-set per
+    * fingerprint, pair fan-out bounded by |sources|²); union size is
+    * n_a + n_b − shared. Both sides shuffle fingerprints only. */
+  def sourceSketchJaccard(df: DataFrame, textCol: String,
+      sourceCol: String, numHashes: Int = 128): DataFrame = {
+    val sk = sourceMinHashSketch(df, textCol, sourceCol, numHashes)
+      .localCheckpoint(false) // consumed twice (self-join sides)
+    val est = sk.select(col("source").as("source_a"), col("t"),
+        col("mh").as("_ma"))
+      .join(sk.select(col("source").as("source_b"), col("t"),
+        col("mh").as("_mb")), Seq("t"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(round(sum(when(col("_ma") === col("_mb"), 1L).otherwise(0L))
+        / lit(numHashes.toDouble), 6).as("est_jaccard"))
+    val fps = df
+      .select(TextAnalysis.fingerprint(col(textCol)).as("_fp"),
+        col(sourceCol).as("_src")).distinct()
+      .localCheckpoint(false) // feeds both counts and the pair fan-out
+    val perSource = fps.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    val grouped = fps.groupBy(col("_fp"))
+      .agg(sort_array(collect_set(col("_src"))).as("_srcs"))
+      .filter(size(col("_srcs")) > 1)
+    val srcs = col("_srcs")
+    val pairCol = flatten(transform(
+      sequence(lit(1), size(srcs) - 1),
+      i => transform(slice(srcs, i + 1, size(srcs)),
+        b => struct(element_at(srcs, i).as("a"), b.as("b")))))
+    val shared = grouped.select(explode(pairCol).as("_pair"))
+      .groupBy(col("_pair.a").as("source_a"), col("_pair.b").as("source_b"))
+      .agg(count(lit(1)).as("_shared"))
+    est
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .join(broadcast(perSource.select(col("_src").as("source_a"),
+        col("_n").as("_na"))), "source_a")
+      .join(broadcast(perSource.select(col("_src").as("source_b"),
+        col("_n").as("_nb"))), "source_b")
+      .withColumn("_sh", coalesce(col("_shared"), lit(0L)))
+      .select(col("source_a"), col("source_b"),
+        col("est_jaccard"),
+        round(col("_sh") / (col("_na") + col("_nb") - col("_sh")), 6)
+          .as("jaccard"),
+        round(abs(col("est_jaccard") -
+          round(col("_sh") / (col("_na") + col("_nb") - col("_sh")), 6)), 6)
+          .as("abs_err"))
+  }
+
   // --------------------------------------------------- exact n-gram jaccard
 
   /** Exact n-gram Jaccard over explicit candidate pairs: a baseline /

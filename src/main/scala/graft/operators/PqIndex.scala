@@ -261,6 +261,107 @@ object PqIndex {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Residuals of unit vectors against their assigned IVF centroid —
+    * driver-side, for training/parity codebooks. Tie-break matches
+    * [[IvfIndex.assignCell]]'s array_max over (d, i) structs: equal
+    * scores pick the LARGER centroid index; the dot accumulates in
+    * ascending dimension order like the VecDot kernel, so an external
+    * SQL replay (list_inner_product) sees identical doubles. */
+  def residualsOf(units: Array[Array[Double]],
+      ivf: IvfIndex.Model): Array[Array[Double]] =
+    units.map { v =>
+      var best = 0; var bestD = Double.NegativeInfinity
+      var c = 0
+      while (c < ivf.nlist) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * ivf.centroids(c)(i); i += 1 }
+        if (d >= bestD) { bestD = d; best = c } // later index wins ties
+        c += 1
+      }
+      Array.tabulate(v.length)(i => v(i) - ivf.centroids(best)(i))
+    }
+
+  /** Oracle-parity residual codebooks: the residuals of the `k` corpus
+    * rows AFTER the `ivf.nlist` smallest ids (the parity centroids'
+    * own residuals are identically zero — they are their own cell
+    * centers with cosine 1 — so the NEXT k rows supply non-degenerate
+    * codebook entries). SQL rebuilds them with ORDER BY id LIMIT k
+    * OFFSET nlist + the shared assignment CTE; production trains on
+    * sample residuals via [[residualsOf]] + [[train]]. */
+  def parityResidualModel(corpus: DataFrame, idCol: String, embCol: String,
+      ivf: IvfIndex.Model, m: Int, k: Int): Model =
+    parityFromUnits(residualsOf(
+      Similarity.withUnit(corpus, embCol)
+        .select(col(idCol).as("_id"), col("_unit"))
+        .orderBy(col("_id")).limit(ivf.nlist + k).collect()
+        .drop(ivf.nlist).map(_.getSeq[Double](1).toArray), ivf), m)
+
+  /** Residual IVF-PQ — the FAISS IndexIVFPQ ENCODING proper: PQ codes
+    * quantize the residual u − c(cell(u)) rather than u itself. The
+    * ADC estimate decomposes as dot(q, c_cell) + Σ_s dot(q_sub,
+    * codebook_s(code_s)): the first term is one dot against the cell's
+    * centroid literal, the second the usual m-lookup kernel over the
+    * residual codebooks.
+    *
+    * Regime note (measured, PqSpec): residual codes win accuracy-per-
+    * byte iff the coarse quantizer captures real cluster structure —
+    * mean ‖r‖² = 2 − 2·cos(u, c_cell) < 1. On clustered production
+    * embeddings that's the normal case and the FAISS-documented win;
+    * on near-isotropic corpora (the driver's synthetic fixture
+    * measures mean ‖r‖² ≈ 1.3) residuals are LARGER than the units and
+    * raw-vector codes ([[ivfPqTopK]]) measure at parity or better.
+    * Both paths share every other plan property, so the choice is one
+    * constructor swap after measuring ‖r‖² on a sample.
+    *
+    * Scale shape is ivfPqTopK's exactly: models ride the plan as
+    * literals, assignment/residual/encode are map-side over the corpus
+    * scan, probed-cell candidates + per-query top-k windows are the
+    * only shuffles, and full-width vectors re-join for the tiny
+    * re-rank set alone. */
+  def residualIvfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, nCentroids: Int = 16, rerankFactor: Int = 20,
+      roundTo: Int = 6, ivf0: Option[IvfIndex.Model] = None,
+      pq0: Option[Model] = None): DataFrame = {
+    lazy val sample = IvfIndex.sampleUnits(corpus, embCol)
+    val ivf = ivf0.getOrElse(IvfIndex.train(sample, nlist, iters = 10))
+    val pq = pq0.getOrElse(
+      train(residualsOf(sample, ivf), m, nCentroids, iters = 8))
+    val centLit = array(
+      ivf.centroids.map(c => array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
+    def centOf(cell: Column): Column = element_at(centLit, cell + 1)
+    val cUnits = OpCaches.track(Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c")))
+    // the index rows: (cell, residual codes) — residual computed and
+    // encoded map-side, cached for build-once / search-many like the
+    // raw-vector path
+    val encoded = OpCaches.track(cUnits
+      .withColumn("_cell", IvfIndex.assignCell(col("u_c"), ivf))
+      .select(col("neighbor_id"), col("_cell"),
+        encode(zip_with(col("u_c"), centOf(col("_cell")),
+          (x, c) => x - c), pq).as("_codes")))
+    val q = Similarity.withUnit(queries, embCol)
+      .select(col(idCol).as("query_id"), col("_unit").as("u_q"),
+        explode(IvfIndex.probeCells(col("_unit"), ivf, nprobe)).as("_cell"))
+    val scored = encoded.join(q, Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_cosine",
+        round(Vec.dot(col("u_q"), centOf(col("_cell"))) +
+          adcScore(col("u_q"), col("_codes"), pq), roundTo))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id"))
+    val cands = scored.withColumn("_ar", row_number().over(wAdc))
+      .filter(col("_ar") <= k.toLong * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"), col("u_q"))
+    val exact = cands.join(cUnits, "neighbor_id")
+      .withColumn("cosine", round(Vec.dot(col("u_q"), col("u_c")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Approximate top-k via PQ-ADC pruning + exact re-rank (the
     * standard two-stage retrieval): the cheap ADC pass cuts each
     * query's candidates to `k·rerankFactor` over the compressed codes;

@@ -1316,8 +1316,67 @@ object DedupQueries {
           ELSE 0.0 END, 4) AS fanout
       FROM dfs"""))
 
+  // --- d32: mergeable source-sketch Jaccard census ---------------------
+  // d26 answers "how much do sources share" with a content-level join;
+  // d32 answers it from 128-slot MinHash sketches that are one GROUP BY
+  // away from any shard — mergeable by elementwise min, so a 100 TB
+  // multi-crawl census unions per-shard sketches instead of revisiting
+  // content. The estimate sits NEXT TO the exact Jaccard and the
+  // absolute error, so the gate verifies the sketch VALUES (md5-parity
+  // permutations, replayed bit-for-bit in SQL), not just plumbing. Same
+  // mirror plant as d26 → known-overlap pairs exist; the 1/128 slot
+  // quantization makes est exact rationals.
+  private val d32 = GraftQuery(
+    "d32_source_sketch_jaccard",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val mirror = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"),
+          lit("mirror").as("source"))
+      Dedup.sourceSketchJaccard(docs.unionByName(mirror), "text", "source",
+          numHashes = 128)
+        .orderBy("source_a", "source_b")
+    },
+    Some("""WITH p AS (
+        SELECT text, source FROM documents
+        UNION ALL
+        SELECT text, 'mirror' FROM documents WHERE doc_id % 3 = 0),
+      fp AS (
+        SELECT DISTINCT
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f,
+          source AS src
+        FROM p),
+      perm AS (SELECT unnest(range(0, 128)) AS t),
+      h AS (
+        SELECT src, perm.t AS t,
+          CAST(('0x' || substr(md5(perm.t || ':' || f), 1, 8))::UBIGINT
+            AS BIGINT) AS hv
+        FROM fp CROSS JOIN perm),
+      sk AS (SELECT src, t, min(hv) AS mh FROM h GROUP BY 1, 2),
+      est AS (
+        SELECT a.src AS source_a, b.src AS source_b,
+          round(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 128.0, 6)
+            AS est_jaccard
+        FROM sk a JOIN sk b ON a.t = b.t AND a.src < b.src
+        GROUP BY 1, 2),
+      cnt AS (SELECT src, count(*) AS n FROM fp GROUP BY 1),
+      ov AS (
+        SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared
+        FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
+        GROUP BY 1, 2)
+      SELECT e.source_a, e.source_b, e.est_jaccard,
+        round(coalesce(ov.shared, 0) * 1.0
+          / (ca.n + cb.n - coalesce(ov.shared, 0)), 6) AS jaccard,
+        round(abs(e.est_jaccard - round(coalesce(ov.shared, 0) * 1.0
+          / (ca.n + cb.n - coalesce(ov.shared, 0)), 6)), 6) AS abs_err
+      FROM est e
+      LEFT JOIN ov ON ov.source_a = e.source_a AND ov.source_b = e.source_b
+      JOIN cnt ca ON ca.src = e.source_a
+      JOIN cnt cb ON cb.src = e.source_b
+      ORDER BY e.source_a, e.source_b"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      d24, d25, d26, d27, d28, d29, d30, d31)
+      d24, d25, d26, d27, d28, d29, d30, d31, d32)
 }

@@ -1883,10 +1883,75 @@ object RelationalQueries {
           / count(*) * 1e6) AS BIGINT) AS late_ppm
       FROM j GROUP BY 1 ORDER BY 1"""))
 
+  // --- q62: national market share within a region (TPC-H Q8 shape) ----
+  // Per order year, the share of PROMO-part revenue sold into EUROPE
+  // customers that NATION_3's suppliers captured — the five-way
+  // dim-join + conditional-aggregate plan every BI "share of market"
+  // question compiles to. 100 TB shape: part/customer/supplier/nation/
+  // region are all dimension-sized and explicitly broadcast, so the
+  // only shuffled rows are the surviving lineitem ⋈ orders fact edge,
+  // and the share needs no second pass — numerator and denominator are
+  // one conditional aggregate over the same rows. Revenue goes through
+  // exact integer cents (price and discount are hundredths, so
+  // round(price·(1−disc)·100) is parity-stable) and the share is ppm
+  // over BIGINT sums, so the gate is float-drift-free.
+  private val q62 = GraftQuery(
+    "q62_market_share",
+    (s, d) => {
+      val promo = broadcast(part(s, d)
+        .filter(col("p_type") === "PROMO").select("p_partkey"))
+      val euroCust = broadcast(cust(s, d)
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey"))
+      val suppNation = broadcast(supp(s, d)
+        .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      li(s, d)
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(euroCust, col("o_custkey") === col("c_custkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rev_cents", expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("rev_cents"))
+            .otherwise(lit(0L))).as("nation_cents"),
+          sum(col("rev_cents")).as("total_cents"))
+        .withColumn("share_ppm", expr(
+          "CAST(round(nation_cents * 1e6 / total_cents) AS BIGINT)"))
+        .orderBy("o_year")
+    },
+    Some("""WITH j AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          n2.n_name AS supp_nation,
+          CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+            AS rev_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey),
+      agg AS (
+        SELECT o_year,
+          CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+            THEN rev_cents ELSE 0 END) AS BIGINT) AS nation_cents,
+          CAST(sum(rev_cents) AS BIGINT) AS total_cents
+        FROM j GROUP BY 1)
+      SELECT o_year, nation_cents, total_cents,
+        CAST(round(nation_cents * 1e6 / total_cents) AS BIGINT) AS share_ppm
+      FROM agg ORDER BY o_year"""),
+    bench = true)
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }

@@ -1692,6 +1692,87 @@ object VectorQueries {
       FROM rec JOIN cost ON rec.nprobe = cost.nprobe
       ORDER BY nprobe"""))
 
+  // --- v34: residual IVF-PQ (the FAISS IndexIVFPQ encoding proper) ----
+  //     v08 PQ-encodes raw unit vectors; v34 encodes the RESIDUAL
+  //     u − c(cell(u)), spending the same m×k code budget on within-
+  //     cell detail — the standard accuracy-per-byte upgrade. Gate runs
+  //     parity models for all three pieces: IVF centroids = 16
+  //     smallest-id units, residual codebooks = residuals of the NEXT
+  //     16 ids (the centroids' own residuals are identically zero), so
+  //     the oracle replays assignment, residual arithmetic, encode,
+  //     the decomposed ADC dot(q,c_cell) + Σ codebook lookups, the
+  //     candidate cut, and the exact re-rank. Trained-path quality is
+  //     pinned in PqSpec (exhaustive-probe exactness + distortion vs
+  //     the raw-vector codes).
+  private val v34 = GraftQuery(
+    "v34_ann_residual_ivfpq",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val ivfM = graft.operators.IvfIndex.parityModel(
+        emb, "vec_id", "embedding", 16)
+      graft.operators.PqIndex.residualIvfPqTopK(
+          emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+          m = 16, nCentroids = 16,
+          ivf0 = Some(ivfM),
+          pq0 = Some(graft.operators.PqIndex.parityResidualModel(
+            emb, "vec_id", "embedding", ivfM, m = 16, k = 16)))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH ${parityIvfCteSql("vec_id, embedding::DOUBLE[] AS e",
+        "vec_id < 5", nprobe = 8)},
+      res AS (
+        SELECT p.vec_id, a.cell,
+          list_transform(generate_series(1, 64), i -> p.pe[i] - c.ce[i]) AS rv
+        FROM pun p JOIN assign a ON a.vec_id = p.vec_id
+        JOIN cent c ON c.i = a.cell),
+      rcb AS (
+        SELECT s.s, r.j, r.rv[s.s * 4 + 1 : s.s * 4 + 4] AS cs
+        FROM (SELECT unnest(range(0, 16)) AS s) s
+        CROSS JOIN (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv
+          FROM (SELECT vec_id, rv FROM res
+            ORDER BY vec_id LIMIT 16 OFFSET 16)) r),
+      enc AS (
+        SELECT vec_id, s, j AS code FROM (
+          SELECT v.vec_id, b.s, b.j, row_number() OVER (
+              PARTITION BY v.vec_id, b.s
+              ORDER BY 2 * list_inner_product(v.rv[b.s * 4 + 1 : b.s * 4 + 4], b.cs)
+                - list_inner_product(b.cs, b.cs) DESC, b.j) AS rk
+          FROM res v CROSS JOIN rcb b)
+        WHERE rk = 1),
+      adc AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          round(max(list_inner_product(q.pe, ct.ce)) +
+            sum(list_inner_product(q.pe[e.s * 4 + 1 : e.s * 4 + 4], b.cs)), 6)
+            AS approx_cosine
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN cent ct ON ct.i = a.cell
+        JOIN enc e ON e.vec_id = a.vec_id
+        JOIN rcb b ON b.s = e.s AND b.j = e.code
+        JOIN pun q ON q.vec_id = p.query_id
+        GROUP BY 1, 2),
+      cands AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS ar
+          FROM adc)
+        WHERE ar <= 100),
+      exact AS (
+        SELECT c.query_id, c.neighbor_id,
+          round(list_inner_product(q.pe, n.pe), 6) AS cosine
+        FROM cands c
+        JOIN pun q ON q.vec_id = c.query_id
+        JOIN pun n ON n.vec_id = c.neighbor_id)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+          AS rank
+        FROM exact)
+      WHERE rank <= 5 ORDER BY query_id, rank"""),
+    bench = true)
+
   // def, not val: v23/v24/v25 build their oracle SQL from the models
   // captured by their own query runs ([[TrainedModels]]), so the
   // GraftQuery objects must be re-constructed when the oracle map is
@@ -1699,5 +1780,5 @@ object VectorQueries {
   // pre-run empty slots.
   def all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
-    v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33)
+    v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34)
 }

@@ -560,6 +560,91 @@ object StatefulOps {
         })
   }
 
+  final case class FunnelStage(key: String, stage: String, tsMicros: Long,
+    eventId: Long)
+  /** Funnel state row: completion time of each reached stage, in stage
+    * order (public: the codegen'd state serializer instantiates it). */
+  final case class FunnelTimes(times: Seq[Long])
+
+  /** Streaming timed funnel — the incremental twin of the batch q55:
+    * per-key state is the completion time of each stage reached so
+    * far; an event advances the funnel iff it is the NEXT stage's type
+    * and (past the first stage) lands within `stepTimeoutMicros` of
+    * the previous stage's completion, boundaries inclusive like q55's
+    * windows. Each advance emits one [[FunnelStage]] row (labels
+    * '1_view' / '2_click' / … matching q55's stage column), so the
+    * per-stage user counts and conversion ppm are an ordinary
+    * downstream streaming groupBy. State ≤ |stages| longs per key.
+    *
+    * Same in-batch (ts, event_id) ordering contract as
+    * [[streamingScd2]]; under in-order delivery the incremental fill
+    * equals the batch windows' min-in-window choice (the first view IS
+    * min view; the first in-window next-stage event IS the window
+    * min), which StatefulOpsSpec pins against the q55 kernel. An
+    * event of a later stage's type arriving before its turn, or a
+    * next-stage event past the step window, is ignored — exactly the
+    * rows q55's windows exclude. */
+  /** Idle eviction (`idleHorizonMicros`): funnel state idle past the
+    * horizon drops SILENTLY — every reached stage already emitted its
+    * row when reached, and any unreached stage's step window is long
+    * expired, so there is nothing to close out. A post-horizon event
+    * then starts a FRESH funnel (a new '1_view' can re-emit for the
+    * key) — the funnel-session contract; run with None to mirror
+    * q55's one-funnel-per-user-ever semantics on bounded key
+    * populations. */
+  def streamingFunnel(input: Dataset[TouchEvent],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      stepTimeoutMicros: Long = 3600L * 1000000L,
+      idleHorizonMicros: Option[Long] = None,
+      delay: String = "0 seconds"): Dataset[FunnelStage] = {
+    require(stages.nonEmpty && stages.distinct.length == stages.length,
+      s"stages=$stages must be non-empty and pairwise distinct")
+    require(stepTimeoutMicros > 0,
+      s"stepTimeoutMicros=$stepTimeoutMicros must be positive")
+    implicit val outEnc = Encoders.product[FunnelStage]
+    implicit val stEnc = Encoders.product[FunnelTimes]
+    implicit val evEnc = Encoders.product[TouchEvent]
+    val (src, timeoutConf) = idleHorizonMicros match {
+      case Some(h) =>
+        require(h > 0, s"idleHorizonMicros=$h must be positive")
+        (withEventTimeWatermark(input, delay), GroupStateTimeout.EventTimeTimeout)
+      case None => (input, GroupStateTimeout.NoTimeout)
+    }
+    src
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (key: String, rows: Iterator[TouchEvent],
+            gs: GroupState[FunnelTimes]) => {
+          if (gs.hasTimedOut) {
+            gs.remove() // stage rows were emitted when reached
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.eventId))
+            var times =
+              if (gs.exists) gs.get.times.toVector else Vector.empty[Long]
+            val out = Seq.newBuilder[FunnelStage]
+            var lastTs = Long.MinValue
+            sorted.foreach { r =>
+              lastTs = math.max(lastTs, r.tsMicros)
+              val i = times.length
+              if (i < stages.length && r.eventType == stages(i) &&
+                  (i == 0 || (r.tsMicros >= times(i - 1) &&
+                    r.tsMicros <= times(i - 1) + stepTimeoutMicros))) {
+                times = times :+ r.tsMicros
+                out += FunnelStage(key, s"${i + 1}_${stages(i)}",
+                  r.tsMicros, r.eventId)
+              }
+            }
+            if (times.nonEmpty) {
+              gs.update(FunnelTimes(times))
+              if (lastTs != Long.MinValue)
+                idleHorizonMicros.foreach(h => armIdleTimeout(gs, lastTs, h))
+            }
+            out.result().iterator
+          }
+        })
+  }
+
   def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, delay: String,
       lookback: String, lookahead: String): DataFrame = {

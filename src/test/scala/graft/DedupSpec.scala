@@ -441,4 +441,59 @@ class DedupSpec extends SparkSpec {
       Dedup.templateSkeletons(df, "doc_id", "text", minDocs = 1)
     }
   }
+
+  test("source sketch: identical sources estimate Jaccard 1, disjoint 0") {
+    val a = docs.limit(40).select(col("doc_id"), col("text"), lit("a").as("src"))
+    val twin = a.select(col("doc_id"), col("text"), lit("b").as("src"))
+    val other = docs.filter(col("doc_id") >= 40).limit(40)
+      .select(col("doc_id"), col("text"), lit("c").as("src"))
+    val got = Dedup.sourceSketchJaccard(
+        a.unionByName(twin).unionByName(other), "text", "src")
+      .as[(String, String, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("a", "b")) == ((1.0, 1.0)), got.toString)
+    // disjoint content: exact 0; the 32-bit md5 slots make an
+    // accidental sketch agreement vanishingly unlikely
+    assert(got(("a", "c"))._2 == 0.0 && got(("a", "c"))._1 <= 0.02, got.toString)
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")),
+      "disjoint pairs must still appear")
+  }
+
+  test("source sketch estimates track exact Jaccard within sampling error") {
+    // Planted overlap ladder: source s_i shares its first 40−8i docs
+    // with s_0. σ of a 128-slot estimate is √(J(1−J)/128) ≤ 0.045, so
+    // |est − exact| ≤ 0.15 is a >3σ bound for every pair.
+    val base = docs.limit(40).cache()
+    val srcs = (0 to 3).map { i =>
+      base.limit(40 - 8 * i)
+        .select(col("doc_id"), col("text"), lit(s"s$i").as("src"))
+    }.reduce(_ unionByName _)
+    val rows = Dedup.sourceSketchJaccard(srcs, "text", "src")
+      .as[(String, String, Double, Double, Double)].collect()
+    assert(rows.length == 6)
+    rows.foreach { case (a, b, est, exact, err) =>
+      assert(err <= 0.15, s"($a,$b): est=$est exact=$exact err=$err")
+      assert(math.abs(err - math.abs(est - exact)) < 1e-6)
+    }
+    // nested prefixes: exact Jaccard of (s0, s_i) is (40−8i)/40
+    val exactMap = rows.map(r => (r._1, r._2) -> r._4).toMap
+    assert(exactMap(("s0", "s1")) == 0.8 && exactMap(("s0", "s3")) == 0.4)
+    base.unpersist()
+  }
+
+  test("source sketches merge by elementwise min") {
+    // The 100 TB contract: sketch(A ∪ B) == slotwise min of the two
+    // sketches — so per-shard sketches union without content.
+    val a = docs.limit(30).select(col("text"), lit("a").as("src"))
+    val b = docs.filter(col("doc_id") >= 30).limit(30)
+      .select(col("text"), lit("b").as("src"))
+    val merged = Dedup.sourceMinHashSketch(
+        a.unionByName(b).withColumn("src", lit("ab")), "text", "src")
+      .select("t", "mh").as[(Int, Long)].collect().toMap
+    val parts = Dedup.sourceMinHashSketch(a.unionByName(b), "text", "src")
+      .groupBy("t").agg(min("mh").as("mh"))
+      .select("t", "mh").as[(Int, Long)].collect().toMap
+    assert(merged == parts, "union sketch must equal slotwise min of parts")
+    assert(merged.size == 128)
+  }
 }

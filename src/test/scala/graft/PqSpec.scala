@@ -144,4 +144,91 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"), plan.take(2000))
     graft.operators.OpCaches.release(spark)
   }
+
+  test("residual IVF-PQ: exhaustive probe + un-pruned re-rank is exact") {
+    // nprobe = nlist removes the cell cut and a corpus-sized
+    // rerankFactor removes the ADC cut, so whatever the residual
+    // codebooks quantize to, the exact re-rank must reproduce brute
+    // force row for row — the same invariant the raw-codes path pins.
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(_.toSeq).toSet
+    val full = PqIndex.residualIvfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 16, m = 16, rerankFactor = 1000000)
+      .collect().map(_.toSeq).toSet
+    assert(full == exact, "exhaustive residual IVF-PQ must equal brute force")
+  }
+
+  test("residual IVF-PQ recall against brute force (trained)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = PqIndex.residualIvfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 8, m = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map(q =>
+      (exact(q) & approx.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
+      .sum / exact.size
+    assert(recall >= 0.72, s"recall@5 = $recall")
+  }
+
+  test("residual ADC: decomposition is exact, error bounded, regime measured") {
+    // Three pins. (1) CORRECTNESS: the decomposed estimate
+    // dot(q, c_cell) + Σ_s dot(q_sub, codebook_s(code_s)) must equal a
+    // hand-decoded dot(q, c_cell + decode(codes)) to float precision —
+    // the plumbing the v34 oracle replays. (2) BOUND: residual ADC mae
+    // vs true cosine stays small. (3) REGIME: residual-vs-raw is
+    // data-dependent — residual wins iff the coarse quantizer captures
+    // real structure (mean ‖r‖² = 2 − 2·cos(u, c) < 1). The driver's
+    // synthetic embeddings are near-isotropic, so ‖r‖ is measured
+    // LARGE here and raw codes may measure at parity or better; the
+    // test asserts the relationship between the measured norms and
+    // which encoding a deployment should pick, not a universal win.
+    import graft.operators.IvfIndex
+    val sample = IvfIndex.sampleUnits(emb, "embedding")
+    val ivf = IvfIndex.train(sample, 16, iters = 10)
+    val resPq = PqIndex.train(PqIndex.residualsOf(sample, ivf),
+      m = 16, k = 16, iters = 8)
+    val centLit = array(
+      ivf.centroids.map(c => array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
+    val u = Similarity.withUnit(emb, "embedding").limit(200)
+      .select(col("vec_id").as("a"), col("_unit").as("u_a"))
+      .withColumn("_cell", IvfIndex.assignCell(col("u_a"), ivf))
+      .withColumn("_cent", element_at(centLit, col("_cell") + 1))
+      .withColumn("_rvec", zip_with(col("u_a"), col("_cent"), (x, c) => x - c))
+      .withColumn("_res", PqIndex.encode(col("_rvec"), resPq))
+      .cache()
+    // (3) measured residual norms on this corpus
+    val meanR2 = u.select(avg(graft.functions.Vec.dot(col("_rvec"), col("_rvec"))))
+      .as[Double].head()
+    val pairs = u.crossJoin(
+        Similarity.withUnit(emb, "embedding").limit(5)
+          .select(col("vec_id").as("b"), col("_unit").as("u_b")))
+      .filter(col("a") =!= col("b"))
+      .select(col("u_b"), col("_cent"), col("_res"),
+        graft.functions.Vec.dot(col("u_a"), col("u_b")).as("exact"),
+        (graft.functions.Vec.dot(col("u_b"), col("_cent")) +
+          PqIndex.adcScore(col("u_b"), col("_res"), resPq)).as("res_adc"))
+      .as[(Seq[Double], Seq[Double], Seq[Int], Double, Double)].collect()
+    // (1) hand-decode a sample of pairs
+    pairs.take(25).foreach { case (qv, cent, codes, _, got) =>
+      val recon = cent.indices.map { i =>
+        val s = i / resPq.dsub
+        cent(i) + resPq.codebooks(s)(codes(s))(i - s * resPq.dsub)
+      }
+      val hand = qv.zip(recon).map { case (a, b) => a * b }.sum
+      assert(math.abs(got - hand) < 1e-9, s"hand=$hand got=$got")
+    }
+    // (2) bounded error
+    val resMae = pairs.map { case (_, _, _, e, r) => math.abs(e - r) }
+      .sum / pairs.length
+    u.unpersist()
+    assert(resMae < 0.15, s"residual mae $resMae")
+    // (3) isotropic corpus: residuals are NOT small here — this is the
+    // measured regime note in residualIvfPqTopK's scaladoc
+    assert(meanR2 > 0.5, s"mean residual norm² $meanR2: corpus unexpectedly " +
+      "clustered; revisit the scaladoc regime note if this flips")
+  }
 }

@@ -155,6 +155,35 @@ class StateEvictionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFunnel: idle funnel drops; post-horizon event opens a fresh one") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StatefulOps.TouchEvent]
+    val fs = StatefulOps.streamingFunnel(input.toDS(),
+      stepTimeoutMicros = 1 * secMicros,
+      idleHorizonMicros = Some(2 * secMicros))
+    val q = fs.writeStream.format("memory").queryName("evict_funnel")
+      .outputMode("append").start()
+    try {
+      // 1 s, not 0: equal-to-initial-watermark rows filter as late
+      input.addData(StatefulOps.TouchEvent("f1", 1 * secMicros, 1L, "view", 0.0))
+      q.processAllAvailable()
+      // advance the watermark far past f1's horizon via another key
+      input.addData(StatefulOps.TouchEvent("f2", 60 * secMicros, 2L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(StatefulOps.TouchEvent("f2", 61 * secMicros, 3L, "view", 0.0))
+      q.processAllAvailable()
+      // f1 re-opens: a SECOND 1_view must emit (with NoTimeout the old
+      // funnel would still hold stage 1 and swallow this view)
+      input.addData(StatefulOps.TouchEvent("f1", 90 * secMicros, 4L, "view", 0.0))
+      q.processAllAvailable()
+      val f1 = spark.sql(
+          "SELECT stage, tsMicros FROM evict_funnel WHERE key = 'f1'")
+        .as[(String, Long)].collect().toSet
+      assert(f1 == Set(("1_view", 1 * secMicros), ("1_view", 90 * secMicros)),
+        s"post-horizon view must start a fresh funnel: $f1")
+    } finally q.stop()
+  }
+
   test("streamingStreaks: timeout fires from checkpoint-RECOVERED state") {
     // The recovery half of the eviction contract: the horizon must
     // close a streak whose state was written by a PREVIOUS query run —

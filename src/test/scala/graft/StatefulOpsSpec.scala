@@ -554,6 +554,54 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFunnel: matches the batch q55 timed-window semantics") {
+    implicit val sq = spark.sqlContext
+    def e(k: String, us: Long, id: Long, t: String) =
+      StatefulOps.TouchEvent(k, us, id, t, 0.0)
+    val input = MemoryStream[StatefulOps.TouchEvent]
+    val q = StatefulOps.streamingFunnel(input.toDS(),
+        stepTimeoutMicros = 1000L)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    // u1: clean 3-stage funnel split across batches;
+    // u2: click BEFORE any view is ignored, purchase before click is
+    //     ignored, then the in-order fills count;
+    // u3: click arrives past the step window — funnel stalls at view;
+    // u4: purchase out of turn ignored, funnel still completes later;
+    // u5: click at EXACTLY v+timeout counts (inclusive boundary),
+    //     purchase at c+timeout+1 does not
+    val batches = Seq(
+      Seq(e("u1", 100, 1, "view"), e("u2", 100, 2, "click"),
+        e("u2", 150, 3, "view"), e("u3", 100, 4, "view"),
+        e("u4", 100, 5, "view"), e("u5", 100, 6, "view")),
+      Seq(e("u1", 200, 7, "click"), e("u2", 160, 8, "purchase"),
+        e("u2", 180, 9, "click"), e("u4", 150, 10, "purchase"),
+        e("u5", 1100, 11, "click")),
+      Seq(e("u1", 300, 12, "purchase"), e("u2", 200, 13, "purchase"),
+        e("u3", 1200, 14, "click"), e("u4", 200, 15, "click"),
+        e("u4", 250, 16, "purchase"), e("u5", 2101, 17, "purchase")))
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val got = spark.sql("SELECT key, stage, tsMicros FROM funnel")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(
+        ("u1", "1_view", 100L), ("u1", "2_click", 200L),
+        ("u1", "3_purchase", 300L),
+        ("u2", "1_view", 150L), ("u2", "2_click", 180L),
+        ("u2", "3_purchase", 200L),
+        ("u3", "1_view", 100L),
+        ("u4", "1_view", 100L), ("u4", "2_click", 200L),
+        ("u4", "3_purchase", 250L),
+        ("u5", "1_view", 100L), ("u5", "2_click", 1100L)), got.toString)
+      // per-stage counts — the q55 funnel numbers — from the same rows
+      val counts = spark.sql(
+          "SELECT stage, count(*) FROM funnel GROUP BY stage")
+        .as[(String, Long)].collect().toMap
+      assert(counts == Map("1_view" -> 5L, "2_click" -> 4L,
+        "3_purchase" -> 3L), counts.toString)
+    } finally q.stop()
+  }
+
   test("streamingStreaks: closed streaks match the batch q53 islands") {
     implicit val sq = spark.sqlContext
     val day = 86400L * 1000000L
