@@ -1948,10 +1948,72 @@ object RelationalQueries {
       FROM agg ORDER BY o_year"""),
     bench = true)
 
+  // --- q63: suppliers who kept orders waiting (TPC-H Q21 shape) -------
+  // The textbook Q21 plan is lineitem EXISTS-self-join NOT-EXISTS-self-
+  // join — three fact-fact joins on l_orderkey. At 100 TB that is three
+  // full-fact exchanges and two of them carry the whole lineitem table
+  // twice. This implementation is the aggregate REWRITE of the same
+  // semantics: per (order, supplier) collapse lateness once, then per
+  // order count suppliers / late-suppliers and keep the orders where
+  // exactly ONE supplier was late among ≥2 — which IS "another supplier
+  // exists AND no other supplier was late". Two narrowing exchanges
+  // (orderkey+suppkey, then orderkey over already-collapsed rows), zero
+  // self-joins; supplier names come from a broadcast dim at the end.
+  // Lateness = shipped >75 days after order date (this testdata has no
+  // receipt/commit dates); 'F' status mirrors Q21's finished-order scope.
+  private val q63 = GraftQuery(
+    "q63_waiting_suppliers",
+    (s, d) => {
+      val late = when(
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"),
+        lit(1)).otherwise(lit(0))
+      val perPair = li(s, d)
+        .join(ord(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(late).as("supp_late"))
+      val perOrd = perPair
+        .groupBy("l_orderkey")
+        .agg(
+          count(lit(1)).as("n_supp"),
+          sum("supp_late").cast("long").as("n_late"),
+          max(when(col("supp_late") === 1, col("l_suppkey"))).as("s_suppkey"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      perOrd
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(supp(s, d).select("s_suppkey", "s_name")), "s_suppkey")
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    },
+    Some("""WITH j AS (
+        SELECT l_orderkey, l_suppkey,
+          CASE WHEN l_shipdate > o_orderdate + INTERVAL 75 DAY
+            THEN 1 ELSE 0 END AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'),
+      per_pair AS (
+        SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+        FROM j GROUP BY 1, 2),
+      per_ord AS (
+        SELECT l_orderkey, count(*) AS n_supp,
+          CAST(sum(supp_late) AS BIGINT) AS n_late,
+          max(CASE WHEN supp_late = 1 THEN l_suppkey END) AS s_suppkey
+        FROM per_pair GROUP BY 1)
+      SELECT o.s_suppkey AS s_suppkey, s_name, count(*) AS numwait
+      FROM per_ord o JOIN supplier ON o.s_suppkey = supplier.s_suppkey
+      WHERE n_supp >= 2 AND n_late = 1
+      GROUP BY 1, 2
+      ORDER BY numwait DESC, o.s_suppkey
+      LIMIT 20"""),
+    bench = true)
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 }

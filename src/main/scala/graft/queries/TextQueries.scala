@@ -1140,8 +1140,103 @@ object TextQueries {
           AS BIGINT) AS fertility_ppm
       FROM documents GROUP BY source ORDER BY source"""))
 
+  // --- t31: Heaps-law vocabulary growth curve --------------------------
+  // How fast does NEW vocabulary arrive as the corpus grows? The
+  // dataset-card curve (Heaps: V ≈ K·T^β) that says whether the next
+  // 10 TB of a source still buys lexical coverage or just repeats the
+  // head. Checkpoints are corpus DECILES in doc_id order — assigned by
+  // curriculumStages' range-partitioned exact ntile, so there is no
+  // global-sort window over the corpus. First occurrences are one
+  // (word → min stage) / (shingle-fp → min stage) aggregate each:
+  // fixed-width keys shuffle, text never does, and the cumulative
+  // curve + β estimate are windows over the 10-row decile table.
+  // Tracks unigram AND 3-gram vocabulary: on template-heavy corpora
+  // (like this testdata: 31 distinct words) the unigram curve
+  // saturates instantly while the trigram curve keeps growing — that
+  // contrast IS the finding.
+  private val t31 = GraftQuery(
+    "t31_vocab_growth",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val staged = graft.operators.Sampling
+        .curriculumStages(docs, Seq(col("doc_id")), 10)
+        .withColumn("_toks", TextAnalysis.tokens(lower(col("text"))))
+        .withColumn("_tris", TextAnalysis.wordShingles(lower(col("text")), 3))
+      val stageAgg = staged.groupBy("stage").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("_toks"))).cast("long").as("n_tokens"))
+      val uniNew = staged
+        .select(col("stage"), explode(col("_toks")).as("w"))
+        .groupBy("w").agg(min("stage").as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("_n_uni"))
+      val triNew = staged
+        .select(col("stage"), explode(col("_tris")).as("_s"))
+        .select(col("stage"), md5(col("_s")).as("fp"))
+        .groupBy("fp").agg(min("stage").as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("_n_tri"))
+      val wCum = Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLag = Window.orderBy("stage")
+      stageAgg
+        .join(uniNew, Seq("stage"), "left")
+        .join(triNew, Seq("stage"), "left")
+        .withColumn("cum_docs", sum("n_docs").over(wCum))
+        .withColumn("cum_tokens", sum("n_tokens").over(wCum))
+        .withColumn("uni_vocab", sum(coalesce(col("_n_uni"), lit(0L))).over(wCum))
+        .withColumn("tri_vocab", sum(coalesce(col("_n_tri"), lit(0L))).over(wCum))
+        .withColumn("heaps_beta", round(
+          (log(col("tri_vocab")) - log(lag("tri_vocab", 1).over(wLag))) /
+            (log(col("cum_tokens")) - log(lag("cum_tokens", 1).over(wLag))),
+          4))
+        .select(col("stage"), col("cum_docs"), col("cum_tokens"),
+          col("uni_vocab"), col("tri_vocab"), col("heaps_beta"))
+        .orderBy("stage")
+    },
+    Some("""WITH st AS (
+        SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS stage,
+          string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      stage_agg AS (
+        SELECT stage, count(*) AS n_docs,
+          CAST(sum(len(t)) AS BIGINT) AS n_tokens
+        FROM st GROUP BY 1),
+      uni_new AS (
+        SELECT stage, count(*) AS n_uni FROM (
+          SELECT w, min(stage) AS stage FROM (
+            SELECT stage, unnest(t) AS w FROM st) GROUP BY 1)
+        GROUP BY 1),
+      tris AS (
+        SELECT stage, md5(s) AS fp FROM (
+          SELECT stage, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(1, len(t) - 2)),
+            i -> CASE WHEN len(t) >= 3
+              THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              ELSE array_to_string(t, ' ') END))) AS s
+          FROM st)),
+      tri_new AS (
+        SELECT stage, count(*) AS n_tri FROM (
+          SELECT fp, min(stage) AS stage FROM tris GROUP BY 1)
+        GROUP BY 1),
+      cum AS (
+        SELECT a.stage,
+          CAST(sum(a.n_docs) OVER w AS BIGINT) AS cum_docs,
+          CAST(sum(a.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+          CAST(sum(coalesce(u.n_uni, 0)) OVER w AS BIGINT) AS uni_vocab,
+          CAST(sum(coalesce(r.n_tri, 0)) OVER w AS BIGINT) AS tri_vocab
+        FROM stage_agg a
+        LEFT JOIN uni_new u USING (stage)
+        LEFT JOIN tri_new r USING (stage)
+        WINDOW w AS (ORDER BY a.stage
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT CAST(stage AS BIGINT) AS stage, cum_docs, cum_tokens,
+        uni_vocab, tri_vocab,
+        round((ln(tri_vocab) - ln(lag(tri_vocab) OVER (ORDER BY stage))) /
+          (ln(cum_tokens) - ln(lag(cum_tokens) OVER (ORDER BY stage))), 4)
+          AS heaps_beta
+      FROM cum ORDER BY stage"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-      t27, t28, t29, t30)
+      t27, t28, t29, t30, t31)
 }

@@ -107,4 +107,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == List(("1970-01-01", 3L, 5L), ("1970-01-02", 1L, 2L)),
       got.toString)
   }
+
+  test("q63 aggregate rewrite equals the textbook EXISTS/NOT-EXISTS Q21 plan") {
+    // The registry ships the two-level-aggregate rewrite (zero fact-fact
+    // self-joins); this pins it against the literal TPC-H Q21 shape —
+    // correlated EXISTS (another supplier on the order) + NOT EXISTS
+    // (another LATE supplier) — on real testdata, where multi-supplier
+    // orders with exactly one late supplier genuinely occur.
+    val dir = "/root/testdata/sf0.001"
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("q63_li")
+    Tables(spark, dir, "orders").createOrReplaceTempView("q63_ord")
+    Tables(spark, dir, "supplier").createOrReplaceTempView("q63_supp")
+    val textbook = spark.sql("""
+      -- count DISTINCT orders: a supplier with two late lineitems on one
+      -- order kept ONE order waiting (the raw Q21 count(*) would say 2)
+      SELECT s.s_suppkey, s.s_name,
+        count(DISTINCT l1.l_orderkey) AS numwait
+      FROM q63_li l1
+      JOIN q63_ord o ON l1.l_orderkey = o.o_orderkey
+        AND o.o_orderstatus = 'F'
+      JOIN q63_supp s ON l1.l_suppkey = s.s_suppkey
+      WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 75 DAYS
+        AND EXISTS (
+          SELECT 1 FROM q63_li l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM q63_li l3
+          JOIN q63_ord o3 ON l3.l_orderkey = o3.o_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 75 DAYS)
+      GROUP BY s.s_suppkey, s.s_name
+      ORDER BY numwait DESC, s_suppkey
+      LIMIT 20""")
+      .as[(Long, String, Long)].collect().toList
+    val rewrite = QueryRegistry.queryMap("q63_waiting_suppliers")(spark, dir)
+      .as[(Long, String, Long)].collect().toList
+    assert(textbook.nonEmpty, "fixture must exercise the semantics")
+    assert(rewrite == textbook,
+      s"rewrite=$rewrite\ntextbook=$textbook")
+  }
 }
