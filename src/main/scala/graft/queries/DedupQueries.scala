@@ -1375,8 +1375,66 @@ object DedupQueries {
       JOIN cnt cb ON cb.src = e.source_b
       ORDER BY e.source_a, e.source_b"""))
 
+  // --- d33: REAL PNG pixel decode + resize, hash-gated -----------------
+  // The full codec round trip, not a header peek: the fixture encodes
+  // complete valid PNGs (zlib IDAT, per-row filter type rotating
+  // through all five PNG filters) whose pixel values are doc_id
+  // arithmetic; the query inflates + unfilters every image, computes
+  // value and position-weighted sums, then RESIZES to 6x6
+  // (decode → nearest-neighbor resample → re-encode → decode again)
+  // and sums the resized pixels. The oracle replays every pixel and
+  // every resample source index in SQL — a bug anywhere in the zlib
+  // framing, filter math, channel interleave, or resample arithmetic
+  // hashes red. Payloads never shuffle; decode is map-side per
+  // partition (Multimodal.PixelCodec).
+  private val d33 = GraftQuery(
+    "d33_pixel_decode_resize",
+    (s, d) => {
+      val imgs = graft.operators.Multimodal.syntheticPixelImages(
+        s, Tables(s, d, "documents").filter(col("doc_id") < 200))
+      val dec = graft.operators.Multimodal.decodePixelStats(imgs)
+      val rez = graft.operators.Multimodal.decodePixelStats(
+          graft.operators.Multimodal.resizePng(imgs, 6, 6))
+        .select(col("media_id"), col("sum_val").as("r_sum_val"),
+          col("wsum").as("r_wsum"))
+      dec.join(rez, "media_id").orderBy("media_id")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+          CAST(8 + doc_id % 7 AS INT) AS h,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT)
+            AS ch
+        FROM documents WHERE doc_id < 200),
+      px AS (
+        SELECT doc_id,
+          CAST(sum((doc_id + 7*c.c + 3*x.x + 5*y.y) % 251) AS BIGINT)
+            AS sum_val,
+          CAST(sum(((doc_id + 7*c.c + 3*x.x + 5*y.y) % 251)
+            * (1 + (x.x + 3*y.y + 11*c.c) % 7)) AS BIGINT) AS wsum
+        FROM p,
+        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+        LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y,
+        LATERAL (SELECT unnest(generate_series(0, ch - 1)) AS c) c
+        GROUP BY doc_id),
+      rz AS (
+        SELECT doc_id,
+          CAST(sum((doc_id + 7*c.c + 3*((x.x * w) // 6)
+            + 5*((y.y * h) // 6)) % 251) AS BIGINT) AS r_sum_val,
+          CAST(sum(((doc_id + 7*c.c + 3*((x.x * w) // 6)
+            + 5*((y.y * h) // 6)) % 251)
+            * (1 + (x.x + 3*y.y + 11*c.c) % 7)) AS BIGINT) AS r_wsum
+        FROM p,
+        LATERAL (SELECT unnest(generate_series(0, 5)) AS x) x,
+        LATERAL (SELECT unnest(generate_series(0, 5)) AS y) y,
+        LATERAL (SELECT unnest(generate_series(0, ch - 1)) AS c) c
+        GROUP BY doc_id)
+      SELECT p.doc_id AS media_id, p.w AS width, p.h AS height,
+        p.ch AS channels, px.sum_val, px.wsum, rz.r_sum_val, rz.r_wsum
+      FROM p JOIN px ON p.doc_id = px.doc_id JOIN rz ON p.doc_id = rz.doc_id
+      ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      d24, d25, d26, d27, d28, d29, d30, d31, d32)
+      d24, d25, d26, d27, d28, d29, d30, d31, d32, d33)
 }

@@ -159,4 +159,99 @@ class MultimodalSpec extends SparkSpec {
       assert(ch == expCh, s"id=$id channels")
     }
   }
+
+  private def mkImage(w: Int, h: Int, ch: Int, seed: Int) = {
+    val px = Array.tabulate(w * h * ch) { i =>
+      // deterministic pseudo-random bytes: xorshift-ish mix of index+seed
+      var v = i * 2654435761L + seed * 40503L
+      v ^= v >>> 13; ((v & 0xff).toInt)
+    }
+    Multimodal.PixelCodec.Image(w, h, ch, px)
+  }
+
+  test("PixelCodec: encode→decode round-trips pixels exactly, all channel counts") {
+    for {
+      ch <- Seq(1, 2, 3, 4)
+      (w, h) <- Seq((1, 1), (3, 2), (7, 11), (16, 5))
+    } {
+      val img = mkImage(w, h, ch, seed = ch * 100 + w)
+      val back = Multimodal.PixelCodec.decodePng(
+        Multimodal.PixelCodec.encodePng(img))
+      assert(back.nonEmpty, s"decode failed ${w}x$h ch=$ch")
+      assert(back.get.width == w && back.get.height == h &&
+        back.get.channels == ch)
+      assert(back.get.pixels.sameElements(img.pixels),
+        s"pixel mismatch ${w}x$h ch=$ch")
+    }
+  }
+
+  test("PixelCodec: a >=5-row image exercises every PNG filter type on decode") {
+    // encoder rotates filter y % 5, so height 10 hits each filter twice;
+    // round-trip equality therefore proves every unfilter branch
+    val img = mkImage(9, 10, 3, seed = 7)
+    val enc = Multimodal.PixelCodec.encodePng(img)
+    // the raw (pre-zlib) stream is not visible here; assert via a
+    // decoded-equality sentinel on an image whose every row differs
+    assert(Multimodal.PixelCodec.decodePng(enc).get.pixels
+      .sameElements(img.pixels))
+  }
+
+  test("PixelCodec: rejects palette, interlace, truncation, and corrupt zlib") {
+    val P = Multimodal.PixelCodec
+    val good = P.encodePng(mkImage(6, 6, 3, seed = 1))
+    assert(P.decodePng(null).isEmpty)
+    assert(P.decodePng(Array[Byte](1, 2, 3)).isEmpty)
+    assert(P.decodePng(good.take(40)).isEmpty, "truncated chunk layout")
+    // flip the IHDR color type to 3 (palette) — still CRC-unchecked by
+    // our reader, so the rejection is the color-type branch itself
+    val pal = good.clone(); pal(25 + 0) = 3 // offset 25 = IHDR colorType
+    assert(P.decodePng(pal).isEmpty, "palette must be rejected")
+    val inter = good.clone(); inter(28) = 1 // IHDR interlace byte
+    assert(P.decodePng(inter).isEmpty, "Adam7 must be rejected")
+    // corrupt the zlib stream body (IDAT data); inflate must fail or
+    // produce a short stream — either way decode yields None, no throw
+    val zbad = good.clone()
+    zbad(good.length - 20) = (zbad(good.length - 20) ^ 0x55).toByte
+    P.decodePng(zbad) // must not throw (may legitimately still decode
+    // if the flip hit zlib padding; the contract here is no-throw)
+  }
+
+  test("PixelCodec: nearest-neighbor resize reads floor(dst*src/dstDim) exactly") {
+    val P = Multimodal.PixelCodec
+    // 4x2 single-channel image with distinct values 0..7
+    val img = P.Image(4, 2, 1, Array(0, 1, 2, 3, 4, 5, 6, 7))
+    val up = P.resizeNearest(img, 8, 4)
+    // sx = x*4/8 = x/2; sy = y*2/4 = y/2
+    val want = Array(
+      0, 0, 1, 1, 2, 2, 3, 3,
+      0, 0, 1, 1, 2, 2, 3, 3,
+      4, 4, 5, 5, 6, 6, 7, 7,
+      4, 4, 5, 5, 6, 6, 7, 7)
+    assert(up.pixels.sameElements(want), up.pixels.mkString(","))
+    val down = P.resizeNearest(img, 2, 1)
+    assert(down.pixels.sameElements(Array(0, 2)), down.pixels.mkString(","))
+  }
+
+  test("resizePng round trip: resized payloads re-decode at target dims with source pixels") {
+    import spark.implicits._
+    val P = Multimodal.PixelCodec
+    val imgs = Seq(
+      (1L, P.encodePng(mkImage(9, 7, 3, seed = 3))),
+      (2L, P.encodePng(mkImage(12, 10, 1, seed = 4))),
+      (3L, "not a png".getBytes("UTF-8"))) // quarantine row
+      .toDF("media_id", "payload")
+    val out = Multimodal.resizePng(imgs, 6, 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]](1), r.getBoolean(2)))).toMap
+    assert(out(3L)._2 == false && new String(out(3L)._1, "UTF-8") == "not a png",
+      "undecodable payloads pass through unchanged, flagged")
+    for (id <- Seq(1L, 2L)) {
+      val dec = P.decodePng(out(id)._1).get
+      assert(out(id)._2 && dec.width == 6 && dec.height == 6)
+    }
+    // pixel-exact: resized(1) must equal resizeNearest of the source
+    val src = mkImage(9, 7, 3, seed = 3)
+    assert(P.decodePng(out(1L)._1).get.pixels
+      .sameElements(P.resizeNearest(src, 6, 6).pixels))
+  }
 }
