@@ -645,6 +645,141 @@ object StatefulOps {
         })
   }
 
+  final case class DebouncedEvent(key: String, tsMicros: Long, eventId: Long)
+
+  /** Streaming event debounce — the incremental twin of the batch q41:
+    * a row is kept iff it starts a new chain (first event for the key,
+    * or gap from the PREVIOUS event — kept or suppressed — is
+    * >= `windowMicros`; the batch kernel's `_new_chain` rule). State =
+    * last seen event time, one long per key. Same in-batch
+    * (ts, event_id) ordering contract as [[streamingScd2]].
+    *
+    * Idle eviction (`idleHorizonMicros`, enforced >= windowMicros):
+    * debounce output is EVICTION-INVARIANT — the first post-horizon
+    * event has a gap >= horizon >= window from anything the dropped
+    * state remembered, so it is a chain head under both semantics, and
+    * suppression decisions never look further back than the previous
+    * event. Eviction here is purely a state-size lever; it cannot
+    * change what the op emits (StateEvictionSpec pins this). */
+  def streamingDebounce(input: Dataset[TouchEvent], windowMicros: Long,
+      idleHorizonMicros: Option[Long] = None,
+      delay: String = "0 seconds"): Dataset[DebouncedEvent] = {
+    require(windowMicros > 0, s"windowMicros=$windowMicros must be positive")
+    implicit val outEnc = Encoders.product[DebouncedEvent]
+    implicit val stEnc = Encoders.scalaLong
+    implicit val evEnc = Encoders.product[TouchEvent]
+    val (src, timeoutConf) = idleHorizonMicros match {
+      case Some(h) =>
+        require(h >= windowMicros,
+          s"idleHorizonMicros=$h must be >= windowMicros=$windowMicros " +
+            "(the eviction-invariance precondition)")
+        (withEventTimeWatermark(input, delay), GroupStateTimeout.EventTimeTimeout)
+      case None => (input, GroupStateTimeout.NoTimeout)
+    }
+    src
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (key: String, rows: Iterator[TouchEvent], gs: GroupState[Long]) => {
+          if (gs.hasTimedOut) {
+            gs.remove() // invariant: the next event is a chain head anyway
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.eventId))
+            var last = if (gs.exists) gs.get else Long.MinValue
+            val out = Seq.newBuilder[DebouncedEvent]
+            sorted.foreach { r =>
+              if (last == Long.MinValue || r.tsMicros - last >= windowMicros)
+                out += DebouncedEvent(key, r.tsMicros, r.eventId)
+              last = math.max(last, r.tsMicros)
+            }
+            if (last != Long.MinValue) {
+              gs.update(last)
+              idleHorizonMicros.foreach(h => armIdleTimeout(gs, last, h))
+            }
+            out.result().iterator
+          }
+        })
+  }
+
+  final case class ZFlag(key: String, eventId: Long, value: Double, z: Double)
+  /** Rolling-window state for [[streamingZscore]]: the last <= `window`
+    * values in event order plus the latest event time (public: the
+    * codegen'd state serializer instantiates it). */
+  final case class ZWindow(values: Seq[Double], lastTs: Long)
+
+  private def roundHalfUp(v: Double, scale: Int): Double =
+    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Streaming rolling z-score anomaly flags — the incremental twin of
+    * the batch q48: each event is scored against the mean/std of the
+    * PREVIOUS `window` values for its key (strictly-before frame, the
+    * batch kernel's ROWS -20..-1), flagged when the warm-up (`minN`
+    * prior values) is met, the std is positive, and |z| > `threshold`.
+    * `z` is rounded HALF_UP to 6 decimals and `value` to 4, matching
+    * the batch kernel's `round()` so the two paths compare exactly.
+    * State per key is a bounded ring of `window` doubles — O(window),
+    * never O(stream). Same in-batch (ts, event_id) ordering contract
+    * as [[streamingScd2]]; the mean/std are re-summed oldest→newest
+    * from the ring each event (20 flops) rather than maintained as
+    * running sums, so float error cannot accumulate over an unbounded
+    * stream.
+    *
+    * Idle eviction (`idleHorizonMicros`): a key idle past the horizon
+    * drops its window — a stale distribution should not score
+    * tomorrow's readings. A post-horizon event re-opens the key cold:
+    * nothing is flagged until `minN` fresh values warm it back up
+    * (the explicit re-warm contract, pinned in StateEvictionSpec). */
+  def streamingZscore(input: Dataset[TouchEvent], window: Int = 20,
+      minN: Int = 10, threshold: Double = 2.5,
+      idleHorizonMicros: Option[Long] = None,
+      delay: String = "0 seconds"): Dataset[ZFlag] = {
+    require(window > 0 && minN > 0 && minN <= window,
+      s"need 0 < minN=$minN <= window=$window")
+    implicit val outEnc = Encoders.product[ZFlag]
+    implicit val stEnc = Encoders.product[ZWindow]
+    implicit val evEnc = Encoders.product[TouchEvent]
+    val (src, timeoutConf) = idleHorizonMicros match {
+      case Some(h) =>
+        require(h > 0, s"idleHorizonMicros=$h must be positive")
+        (withEventTimeWatermark(input, delay), GroupStateTimeout.EventTimeTimeout)
+      case None => (input, GroupStateTimeout.NoTimeout)
+    }
+    src
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (key: String, rows: Iterator[TouchEvent], gs: GroupState[ZWindow]) => {
+          if (gs.hasTimedOut) {
+            gs.remove() // stale distribution: re-warm before flagging
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.eventId))
+            var buf = if (gs.exists) gs.get.values.toVector else Vector.empty[Double]
+            var lastTs = if (gs.exists) gs.get.lastTs else Long.MinValue
+            val out = Seq.newBuilder[ZFlag]
+            sorted.foreach { r =>
+              lastTs = math.max(lastTs, r.tsMicros)
+              val n = buf.length
+              if (n >= minN) {
+                var s = 0.0; var s2 = 0.0
+                buf.foreach { v => s += v; s2 += v * v }
+                val m = s / n
+                val sd = math.sqrt(math.max(s2 / n - m * m, 0.0))
+                if (sd > 0) {
+                  val z = roundHalfUp((r.value - m) / sd, 6)
+                  if (math.abs(z) > threshold)
+                    out += ZFlag(key, r.eventId, roundHalfUp(r.value, 4), z)
+                }
+              }
+              buf = (buf :+ r.value).takeRight(window)
+            }
+            gs.update(ZWindow(buf, lastTs))
+            if (lastTs != Long.MinValue)
+              idleHorizonMicros.foreach(h => armIdleTimeout(gs, lastTs, h))
+            out.result().iterator
+          }
+        })
+  }
+
   def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, delay: String,
       lookback: String, lookahead: String): DataFrame = {

@@ -257,4 +257,89 @@ class StateEvictionSpec extends SparkSpec {
         s"dormant source's budget must re-open after eviction: $got")
     } finally q.stop()
   }
+
+  test("streamingDebounce: eviction is output-invariant (horizon >= window)") {
+    implicit val sq = spark.sqlContext
+    def e(k: String, us: Long, id: Long) =
+      StatefulOps.TouchEvent(k, us, id, "x", 0.0)
+    // same event sequence through both configurations: the kept set
+    // must be IDENTICAL — that is the op's documented invariance
+    def run(name: String, horizon: Option[Long]): Set[(String, Long)] = {
+      val input = MemoryStream[StatefulOps.TouchEvent]
+      val q = StatefulOps.streamingDebounce(input.toDS(),
+          windowMicros = 1 * secMicros, idleHorizonMicros = horizon)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // a: burst at 1s (head + chained suppression), then long idle
+        input.addData(e("a", 1 * secMicros, 1), e("a", 1500000L, 2))
+        q.processAllAvailable()
+        // b rides the watermark past a's horizon → a evicts (with one)
+        input.addData(e("b", 20 * secMicros, 3))
+        q.processAllAvailable()
+        input.addData(e("b", 21 * secMicros, 4))
+        q.processAllAvailable()
+        // a returns: chain head under BOTH semantics (gap >> window)
+        input.addData(e("a", 22 * secMicros, 5), e("a", 22300000L, 6))
+        q.processAllAvailable()
+        spark.sql(s"SELECT key, eventId FROM $name")
+          .as[(String, Long)].collect().toSet
+      } finally q.stop()
+    }
+    val withEvict = run("deb_ev", Some(2 * secMicros))
+    val noEvict = run("deb_no", None)
+    assert(withEvict == noEvict, s"evict=$withEvict forever=$noEvict")
+    // b's 21 s event sits EXACTLY one window after 20 s: >= keeps it
+    assert(withEvict == Set(("a", 1L), ("b", 3L), ("b", 4L), ("a", 5L)),
+      withEvict.toString)
+    // the precondition is enforced, not just documented
+    intercept[IllegalArgumentException] {
+      StatefulOps.streamingDebounce(
+        MemoryStream[StatefulOps.TouchEvent].toDS(),
+        windowMicros = 10 * secMicros, idleHorizonMicros = Some(1 * secMicros))
+    }
+  }
+
+  test("streamingZscore: idle key drops its window and re-warms from cold") {
+    implicit val sq = spark.sqlContext
+    def e(k: String, us: Long, id: Long, v: Double) =
+      StatefulOps.TouchEvent(k, us, id, "x", v)
+    val input = MemoryStream[StatefulOps.TouchEvent]
+    val q = StatefulOps.streamingZscore(input.toDS(), window = 20, minN = 4,
+        threshold = 2.5, idleHorizonMicros = Some(5 * secMicros))
+      .writeStream.format("memory").queryName("evict_zs")
+      .outputMode("append").start()
+    try {
+      // warm key a with 6 varied values inside 1 s (minN = 4)
+      input.addData((0 until 6).map(i =>
+        e("a", secMicros + i * 1000L, i.toLong, (i % 3).toDouble)): _*)
+      q.processAllAvailable()
+      // spike flags while warm
+      input.addData(e("a", secMicros + 7000L, 10L, 50.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT eventId FROM evict_zs").as[Long]
+        .collect().toSet == Set(10L), "warm spike must flag")
+      // other-key traffic rides the watermark past a's 5 s horizon
+      input.addData(e("w", 30 * secMicros, 20L, 0.0))
+      q.processAllAvailable()
+      input.addData(e("w", 31 * secMicros, 21L, 0.0))
+      q.processAllAvailable()
+      // a returns with an identical spike — COLD now, must NOT flag
+      input.addData(e("a", 32 * secMicros, 30L, 50.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT eventId FROM evict_zs").as[Long]
+        .collect().toSet == Set(10L),
+        "post-eviction spike must wait for re-warm")
+      // re-warm with 10 values (enough that the buffered cold spike no
+      // longer dominates the std), then the next spike flags again
+      input.addData((0 until 10).map(i =>
+        e("a", 33 * secMicros + i * 1000L, 40L + i, (i % 3).toDouble)): _*)
+      q.processAllAvailable()
+      input.addData(e("a", 34 * secMicros, 50L, 50.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT eventId FROM evict_zs").as[Long]
+        .collect().toSet == Set(10L, 50L),
+        "re-warmed key must score fresh anomalies")
+    } finally q.stop()
+  }
 }

@@ -639,4 +639,94 @@ class StatefulOpsSpec extends SparkSpec {
       assert(streamed == islands, s"streamed=$streamed batch=$islands")
     } finally q.stop()
   }
+
+  test("streamingDebounce: matches the batch q41 chain-head semantics") {
+    implicit val sq = spark.sqlContext
+    def e(k: String, us: Long, id: Long) =
+      StatefulOps.TouchEvent(k, us, id, "x", 0.0)
+    val input = MemoryStream[StatefulOps.TouchEvent]
+    val q = StatefulOps.streamingDebounce(input.toDS(), windowMicros = 10L)
+      .writeStream.format("memory").queryName("deb")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    // u1: 0, 6, 12, 30 — 6 within 10 of 0, 12 within 10 of 6 (chained
+    // suppression), 30 is 18 past 12 → kept. u2: gap EXACTLY the
+    // window (>= rule keeps it). Cross-batch: u1's 12 arrives in a
+    // later batch and must still be suppressed against the 6.
+    val batches = Seq(
+      Seq(e("u1", 0, 1), e("u1", 6, 2), e("u2", 100, 3)),
+      Seq(e("u1", 12, 4), e("u2", 110, 5)),
+      Seq(e("u1", 30, 6)))
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val got = spark.sql("SELECT key, eventId FROM deb")
+        .as[(String, Long)].collect().toSet
+      assert(got == Set(("u1", 1L), ("u1", 6L), ("u2", 3L), ("u2", 5L)),
+        got.toString)
+      // cross-check against the literal q41 batch kernel on the same rows
+      val all = batches.flatten
+      // .toSeq first: flatMap on a Map with pair results would rebuild
+      // a Map and silently collapse per-key rows
+      val batch = all.groupBy(_.key).toSeq.flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r.tsMicros, r.eventId))
+        sorted.zip(Long.MinValue +: sorted.map(_.tsMicros))
+          .collect { case (r, prev)
+            if prev == Long.MinValue || r.tsMicros - prev >= 10L =>
+            (k, r.eventId) }
+      }.toSet
+      assert(got == batch, s"streamed=$got batch=$batch")
+    } finally q.stop()
+  }
+
+  test("streamingZscore: matches the batch q48 trailing-window kernel") {
+    implicit val sq = spark.sqlContext
+    // key a: 30 warm-up values with variance, then a spike and a dip
+    // split across micro-batches; key b: too few values to ever warm up
+    val warm = (0 until 30).map(i =>
+      StatefulOps.TouchEvent("a", i * 100L, i.toLong, "x", (i % 5).toDouble))
+    val spikes = Seq(
+      StatefulOps.TouchEvent("a", 3000L, 30L, "x", 50.0),
+      StatefulOps.TouchEvent("a", 3100L, 31L, "x", 2.0),
+      StatefulOps.TouchEvent("a", 3200L, 32L, "x", -40.0),
+      StatefulOps.TouchEvent("b", 10L, 33L, "x", 99.0))
+    val input = MemoryStream[StatefulOps.TouchEvent]
+    val q = StatefulOps.streamingZscore(input.toDS())
+      .writeStream.format("memory").queryName("zs")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      (warm.grouped(12).toSeq ++ Seq(spikes)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val got = spark.sql("SELECT key, eventId, value, z FROM zs")
+        .as[(String, Long, Double, Double)].collect()
+        .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+      // replay the exact batch-kernel arithmetic locally
+      val all = (warm ++ spikes).groupBy(_.key)
+      val want = all.flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r.tsMicros, r.eventId)).toVector
+        sorted.indices.flatMap { i =>
+          val frame = sorted.slice(math.max(0, i - 20), i).map(_.value)
+          val n = frame.length
+          if (n < 10) None
+          else {
+            val m = frame.sum / n
+            val sd = math.sqrt(math.max(
+              frame.map(v => v * v).sum / n - m * m, 0.0))
+            if (sd <= 0) None
+            else {
+              val z = BigDecimal((sorted(i).value - m) / sd)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (math.abs(z) > 2.5)
+                Some((k, sorted(i).eventId) -> ((BigDecimal(sorted(i).value)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, z)))
+              else None
+            }
+          }
+        }
+      }.toMap
+      assert(want.nonEmpty && want.keySet.contains(("a", 30L)),
+        "fixture must flag the spike")
+      assert(!want.keySet.exists(_._1 == "b"), "b never warms up")
+      assert(got == want, s"streamed=$got batch=$want")
+    } finally q.stop()
+  }
 }
