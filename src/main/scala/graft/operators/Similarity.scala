@@ -101,6 +101,89 @@ object Similarity {
         round(col("n_overlap").cast("double") / k, 6).as("overlap_frac"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k: the standard RAG
+    * re-rank that trades raw relevance for novelty — pick the most
+    * relevant candidate, then k−1 times the candidate maximizing
+    * λ·rel(c) − (1−λ)·max{sim(c, s) : s already selected}, so
+    * near-duplicate results can't crowd the answer set (Carbonell &
+    * Goldstein 1998).
+    *
+    * Scale shape: the corpus is touched exactly twice, both times
+    * streaming — once by the broadcast-probe pool build (exact
+    * top-`poolSize` per query) and once by a broadcast id-join
+    * fetching the pool members' unit vectors. Everything after is
+    * bounded by |queries|·poolSize rows: the candidate-pair sim table
+    * (poolSize² per query) and k−1 unrolled select rounds, each one
+    * narrow join + argmax window partitioned by query. The pool and
+    * pair-sim frames are cached via [[OpCaches]] because every round
+    * re-reads them. The selection loop builds PLAN depth, never
+    * collects — k is a literal, so Catalyst sees one static k-round
+    * plan.
+    *
+    * Determinism: rel and sim are rounded to `roundTo` before any
+    * comparison and the argmax tie-breaks on neighbor_id, so the
+    * greedy trajectory is engine-replayable (the v35 oracle unrolls
+    * the same rounds in SQL). Pass λ as-is; the kernel uses the
+    * DOUBLE value of 1−λ, which the oracle must interpolate verbatim
+    * (0.7 ⇒ 0.30000000000000004, not 0.3). */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, poolSize: Int, lambda: Double,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"need 1 <= k=$k <= poolSize=$poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda in [0,1]")
+    val pool = OpCaches.track(
+      bruteForceTopK(corpus, queries, idCol, embCol, poolSize, roundTo)
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel")))
+    val poolIds = pool.select("neighbor_id").distinct()
+    val members = withUnit(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit"))
+      .join(broadcast(poolIds), "neighbor_id")
+    val ps = OpCaches.track(
+      pool.select(col("query_id"), col("neighbor_id").as("a_id"))
+        .join(pool.select(col("query_id"), col("neighbor_id").as("b_id")),
+          "query_id")
+        .filter(col("a_id") =!= col("b_id"))
+        .join(broadcast(members.select(col("neighbor_id").as("a_id"),
+          col("_unit").as("_ua"))), "a_id")
+        .join(broadcast(members.select(col("neighbor_id").as("b_id"),
+          col("_unit").as("_ub"))), "b_id")
+        .withColumn("sim", round(Vec.dot(col("_ua"), col("_ub")), roundTo))
+        .select(col("query_id"), col("a_id"), col("b_id"), col("sim")))
+    val wSel = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr_score").desc, col("neighbor_id"))
+    var all = pool
+      .withColumn("mmr_score", col("rel"))
+      .withColumn("_rn", row_number().over(wSel))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("mmr_score"), lit(1L).as("sel_round"))
+    for (r <- 2 to k) {
+      val selIds = all.select(col("query_id"), col("neighbor_id").as("b_id"))
+      val maxSim = ps.join(selIds, Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id"))
+        .agg(max(col("sim")).as("_max_sim"))
+        .withColumnRenamed("query_id", "_mq")
+      val picked = pool
+        .join(all.select(col("query_id"), col("neighbor_id"))
+          .withColumn("_sel", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .filter(col("_sel").isNull)
+        .join(maxSim, col("query_id") === col("_mq") &&
+          col("neighbor_id") === col("a_id"))
+        .drop("_mq", "a_id", "_sel")
+        .withColumn("mmr_score", round(
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("_max_sim"),
+          roundTo))
+        .withColumn("_rn", row_number().over(wSel))
+        .filter(col("_rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          col("mmr_score"), lit(r.toLong).as("sel_round"))
+      all = all.unionByName(picked)
+    }
+    all.select(col("query_id"), col("sel_round"), col("neighbor_id"),
+      col("rel"), col("mmr_score"))
+  }
+
   /** One-bit (sign) signature of an embedding, bitpacked into a single
     * long: bit i is set iff component i is strictly positive (the v03
     * convention — `> 0` on both engines). Normalization never flips a

@@ -1778,7 +1778,110 @@ object VectorQueries {
   // GraftQuery objects must be re-constructed when the oracle map is
   // assembled (after Verify's query pass) — a val would freeze the
   // pre-run empty slots.
+  // --- v35: MMR diversified top-k (RAG re-rank) -----------------------
+  //     Greedy maximal marginal relevance over an exact top-10 pool:
+  //     round 1 takes the most relevant candidate, rounds 2-4 maximize
+  //     λ·rel − (1−λ)·max-sim-to-selected — the standard de-dup re-rank
+  //     between retrieval and the context window. Both rel and
+  //     candidate-pair sims are rounded before any comparison and ties
+  //     break on neighbor_id, so the greedy TRAJECTORY (not just the
+  //     final set) is hash-gated: the oracle unrolls the same four
+  //     rounds in SQL. 1−λ is interpolated as its exact double
+  //     (0.30000000000000004) — writing 0.3 would diverge in the 16th
+  //     digit and flip knife-edge argmaxes. Corpus is touched twice
+  //     (pool probe + member-vector fetch); all selection work is
+  //     |queries|·pool²-bounded.
+  private def v35 = {
+    val oneMinusLambda = 1 - 0.7 // the kernel's exact double, NOT 0.3
+    GraftQuery(
+      "v35_mmr_diversified_topk",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 4, poolSize = 10, lambda = 0.7)
+          .orderBy("query_id", "sel_round")
+      },
+      Some(s"""WITH u AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            round(list_cosine_similarity(q.e, c.e), 6) AS rel
+          FROM u q, u c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        pool AS (
+          SELECT query_id, neighbor_id, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, neighbor_id) AS rnk FROM scored)
+          WHERE rnk <= 10),
+        ps AS (
+          SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+            round(list_cosine_similarity(ua.e, ub.e), 6) AS sim
+          FROM pool a
+          JOIN pool b ON a.query_id = b.query_id
+            AND a.neighbor_id <> b.neighbor_id
+          JOIN u ua ON ua.vec_id = a.neighbor_id
+          JOIN u ub ON ub.vec_id = b.neighbor_id),
+        sel1 AS (
+          SELECT query_id, neighbor_id, rel, rel AS mmr_score,
+            CAST(1 AS BIGINT) AS sel_round
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, neighbor_id) AS rn FROM pool)
+          WHERE rn = 1),
+        score2 AS (
+          SELECT p.query_id, p.neighbor_id, p.rel,
+            round(0.7 * p.rel - $oneMinusLambda * max(x.sim), 6) AS mmr_score
+          FROM pool p
+          LEFT JOIN sel1 d ON d.query_id = p.query_id
+            AND d.neighbor_id = p.neighbor_id
+          JOIN ps x ON x.query_id = p.query_id AND x.a_id = p.neighbor_id
+          JOIN sel1 s ON s.query_id = x.query_id AND s.neighbor_id = x.b_id
+          WHERE d.neighbor_id IS NULL
+          GROUP BY 1, 2, 3),
+        sel2 AS (
+          SELECT query_id, neighbor_id, rel, mmr_score,
+            CAST(2 AS BIGINT) AS sel_round
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY mmr_score DESC, neighbor_id) AS rn FROM score2)
+          WHERE rn = 1),
+        selu2 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2),
+        score3 AS (
+          SELECT p.query_id, p.neighbor_id, p.rel,
+            round(0.7 * p.rel - $oneMinusLambda * max(x.sim), 6) AS mmr_score
+          FROM pool p
+          LEFT JOIN selu2 d ON d.query_id = p.query_id
+            AND d.neighbor_id = p.neighbor_id
+          JOIN ps x ON x.query_id = p.query_id AND x.a_id = p.neighbor_id
+          JOIN selu2 s ON s.query_id = x.query_id AND s.neighbor_id = x.b_id
+          WHERE d.neighbor_id IS NULL
+          GROUP BY 1, 2, 3),
+        sel3 AS (
+          SELECT query_id, neighbor_id, rel, mmr_score,
+            CAST(3 AS BIGINT) AS sel_round
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY mmr_score DESC, neighbor_id) AS rn FROM score3)
+          WHERE rn = 1),
+        selu3 AS (SELECT * FROM selu2 UNION ALL SELECT * FROM sel3),
+        score4 AS (
+          SELECT p.query_id, p.neighbor_id, p.rel,
+            round(0.7 * p.rel - $oneMinusLambda * max(x.sim), 6) AS mmr_score
+          FROM pool p
+          LEFT JOIN selu3 d ON d.query_id = p.query_id
+            AND d.neighbor_id = p.neighbor_id
+          JOIN ps x ON x.query_id = p.query_id AND x.a_id = p.neighbor_id
+          JOIN selu3 s ON s.query_id = x.query_id AND s.neighbor_id = x.b_id
+          WHERE d.neighbor_id IS NULL
+          GROUP BY 1, 2, 3),
+        sel4 AS (
+          SELECT query_id, neighbor_id, rel, mmr_score,
+            CAST(4 AS BIGINT) AS sel_round
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY mmr_score DESC, neighbor_id) AS rn FROM score4)
+          WHERE rn = 1),
+        selu4 AS (SELECT * FROM selu3 UNION ALL SELECT * FROM sel4)
+        SELECT query_id, sel_round, neighbor_id, rel, mmr_score
+        FROM selu4 ORDER BY query_id, sel_round"""))
+  }
+
   def all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
-    v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34)
+    v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35)
 }

@@ -366,4 +366,29 @@ class SimilaritySpec extends SparkSpec {
       .as[Long].collect()
     assert(sigs.toSeq == again.toSeq)
   }
+
+  test("mmrTopK: diversity flips the second pick away from the near-duplicate") {
+    // q along dim 1; c1/c2 nearly parallel (10° and 12° in the same
+    // plane — c2 is a near-dup of c1), c3 at 25° in a DIFFERENT plane.
+    // Plain top-2 = (c1, c2). MMR at λ=0.5: c2 scores .5·rel − .5·~cos2°
+    // < c3's .5·rel − .5·cos10°cos25°, so the diversified pick is c3.
+    def rad(d: Double) = math.toRadians(d)
+    val rows = Seq(
+      (100L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(math.cos(rad(10)), math.sin(rad(10)), 0.0)),
+      (2L, Seq(math.cos(rad(12)), math.sin(rad(12)), 0.0)),
+      (3L, Seq(math.cos(rad(25)), 0.0, math.sin(rad(25)))))
+      .toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(rows,
+        rows.filter(col("vec_id") === 100), "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 2L), s"plain top-2: $plain")
+    val mmr = Similarity.mmrTopK(rows, rows.filter(col("vec_id") === 100),
+        "vec_id", "embedding", k = 2, poolSize = 3, lambda = 0.5)
+      .orderBy("sel_round")
+      .select("sel_round", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(mmr == Seq((1L, 1L), (2L, 3L)),
+      s"MMR must pick the diverse candidate second: $mmr")
+    graft.operators.OpCaches.release()
+  }
 }
