@@ -2010,10 +2010,52 @@ object RelationalQueries {
       LIMIT 20"""),
     bench = true)
 
+  // --- q64: dormant high-balance customers (TPC-H Q22 shape) ----------
+  // Who holds above-average account balance but hasn't ordered since
+  // the cutoff — the win-back-campaign list. The Q22 plan shape on
+  // this schema (every customer here has SOME order, so plain
+  // "no orders ever" is degenerate): a 1-row scalar aggregate
+  // broadcast (global avg positive balance) filters customers
+  // map-side, then a LEFT ANTI join against the date-filtered orders
+  // — the date predicate pushes to the parquet scan, so at 100 TB the
+  // anti join's build side is only the recent slice, never order
+  // history. Balance goes through exact integer cents per q62's rule.
+  private val q64 = GraftQuery(
+    "q64_dormant_customers",
+    (s, d) => {
+      val avgBal = cust(s, d).filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("_avg_bal"))
+      val recent = ord(s, d)
+        .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+        .select(col("o_custkey"))
+      cust(s, d)
+        .crossJoin(broadcast(avgBal)) // 1-row scalar broadcast
+        .filter(col("c_acctbal") > col("_avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+            .as("totacctbal_cents"))
+        .withColumn("totacctbal_cents", col("totacctbal_cents").cast("long"))
+        .orderBy("n_name")
+    },
+    Some("""WITH ab AS (
+        SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+      SELECT n_name, count(*) AS numcust,
+        CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+          AS totacctbal_cents
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_acctbal > (SELECT a FROM ab)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
+    q64)
 }
