@@ -301,10 +301,22 @@ object IvfIndex {
       train(corpus, embCol, nlist), nprobe, roundTo)
 
   /** [[ivfTopK]] against a caller-supplied [[Model]] — the seam the
-    * parity mode and saved-index search share with the trained path. */
+    * parity mode and saved-index search share with the trained path.
+    *
+    * `allowed` (single-id-column frame) turns this into FILTERED
+    * vector search — the vector-DB feature where a metadata predicate
+    * scopes retrieval ("top-k among English docs"). The filter is a
+    * LEFT SEMI join applied to the cell-assigned index stream before
+    * candidates form, so it behaves as a PRE-filter: top-k is exact
+    * over the allowed subset of probed cells, and recall within the
+    * allowed set never degrades as selectivity tightens (a
+    * post-filter's would — k survivors of an unfiltered top-k can all
+    * be disallowed). Ids are fixed-width, so the semi join shuffles
+    * id pairs only; the cached index itself is filter-agnostic and
+    * shared across predicates. */
   def ivfTopKWithModel(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, model: Model, nprobe: Int = 4,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, allowed: Option[DataFrame] = None): DataFrame = {
     // materialize units before the 16-way centroid scoring: otherwise
     // the normalization expression is re-evaluated inside every VecDot
     val units = OpCaches.track(Similarity.withUnit(corpus, embCol)
@@ -314,8 +326,16 @@ object IvfIndex {
     // searches over one corpus reuse a single in-memory inverted file.
     // Both frames are registered with [[OpCaches]]; a pipeline cycling
     // distinct corpora calls OpCaches.release() between them.
-    val c = OpCaches.track(units.select(col("neighbor_id"), col("u_c"),
+    val cAll = OpCaches.track(units.select(col("neighbor_id"), col("u_c"),
       assignCell(col("u_c"), model).as("_cell")))
+    val c = allowed match {
+      case Some(a) =>
+        require(a.columns.length == 1,
+          s"allowed must be a single-id-column frame, got ${a.columns.toSeq}")
+        cAll.join(a.select(col(a.columns.head).as("neighbor_id")),
+          Seq("neighbor_id"), "left_semi")
+      case None => cAll
+    }
     val q = Similarity.withUnit(queries, embCol)
       .select(col(idCol).as("query_id"), col("_unit").as("u_q"),
         explode(probeCells(col("_unit"), model, nprobe)).as("_cell"))

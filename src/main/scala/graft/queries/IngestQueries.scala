@@ -165,5 +165,42 @@ object IngestQueries {
         min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM ids GROUP BY source, lang ORDER BY source, lang"""))
 
-  val all: Seq[GraftQuery] = Seq(i01, i02, i03, i04)
+  // --- i05: hive-partitioned export → partition-PRUNED slice read ------
+  // The layout decision that matters most at 100 TB: write the corpus
+  // partitioned by (source, lang) so a slice query never opens
+  // non-matching files. The gate exports, re-reads ONLY the
+  // (src18, en) slice through the partition filter (the re-read's
+  // partition columns come back from directory names, proving the
+  // layout round-trips values), and audits the slice's ids and raw
+  // content digests against the original table. Pruning itself is
+  // plan-pinned in CorpusWriterSpec via inputFiles — exactly one
+  // directory's files are touched.
+  private val i05 = GraftQuery(
+    "i05_partitioned_slice",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select("doc_id", "text", "lang", "source")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-i05").toString
+      CorpusWriter.writeHivePartitioned(docs, out, Seq("source", "lang"))
+      s.read.parquet(out)
+        .filter(col("source") === "src18" && col("lang") === "en")
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          min(md5(col("text"))).as("min_md5"),
+          max(md5(col("text"))).as("max_md5"))
+        .orderBy("source", "lang")
+    },
+    Some("""SELECT source, lang, count(*) AS n_docs,
+        count(DISTINCT doc_id) AS n_distinct,
+        min(doc_id) AS min_id, max(doc_id) AS max_id,
+        min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+      FROM documents WHERE source = 'src18' AND lang = 'en'
+      GROUP BY source, lang ORDER BY source, lang"""))
+
+  val all: Seq[GraftQuery] = Seq(i01, i02, i03, i04, i05)
 }

@@ -1235,8 +1235,91 @@ object TextQueries {
           AS heaps_beta
       FROM cum ORDER BY stage"""))
 
+  // --- t32: quality-threshold curation sweep ---------------------------
+  // The quality-vs-quantity frontier a curation pass is tuned on: for
+  // each candidate cutoff τ, per source, how many docs and how much
+  // token mass survive "keep iff logit >= τ" — t17's classifier as a
+  // DIAL instead of a fixed decision. One corpus scan: the logit and
+  // token count compute map-side, a literal 5-threshold array explodes
+  // (×5 rows pre-shuffle, all fixed-width), and one (τ, source)
+  // aggregate + a broadcast join against per-source totals produce the
+  // whole frontier — tightening a cutoff at 100 TB costs a reread of
+  // THIS table, not a re-run per candidate τ. Comparisons run on the
+  // 6-dp-rounded logit (the t17 contract) against exactly-representable
+  // half-step thresholds, so the keep decision can't flip across
+  // engines. Cells where nothing survives vanish identically on both
+  // sides (inner filter→group semantics).
+  private val t32 = GraftQuery(
+    "t32_quality_threshold_sweep",
+    (s, d) => {
+      val stopR = TextAnalysis.stopwordRatio(col("text"), stop)
+      val dig = TextAnalysis.digitRatio(col("text"))
+      val punct = TextAnalysis.punctRatio(col("text"))
+      val atl = TextAnalysis.avgTokenLen(col("text"))
+      val z = lit(-1.5) + lit(6.0) * stopR - lit(8.0) * dig -
+        lit(4.0) * punct + lit(0.35) * atl
+      val base = Tables(s, d, "documents").select(
+        col("source"),
+        round(z, 6).as("_logit"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("_tok"))
+      val taus = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
+      val kept = base
+        .select(col("source"), col("_logit"), col("_tok"),
+          explode(array(taus.map(lit(_)): _*)).as("tau"))
+        .filter(col("_logit") >= col("tau"))
+        .groupBy(col("tau"), col("source"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("_tok")).as("kept_tokens"))
+      val totals = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("n_tokens"))
+      kept.join(broadcast(totals), "source")
+        .select(col("tau"), col("source"),
+          col("kept_docs"), col("n_docs"),
+          col("kept_tokens"), col("n_tokens"),
+          round(col("kept_docs").cast("double") / col("n_docs") * 1e6)
+            .cast("long").as("keep_docs_ppm"),
+          round(col("kept_tokens").cast("double") / col("n_tokens") * 1e6)
+            .cast("long").as("keep_tokens_ppm"))
+        .orderBy("tau", "source")
+    },
+    Some(s"""WITH f AS (
+        SELECT source,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok,
+          round(-1.5
+            + 6.0 * (CAST(len(list_filter(
+                string_split_regex(trim(text), '\\s+'),
+                t -> t IN ($stopSql))) AS DOUBLE)
+              / len(string_split_regex(trim(text), '\\s+')))
+            - 8.0 * (CAST(length(text)
+                - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS DOUBLE) / length(text))
+            - 4.0 * (CAST(length(text)
+                - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                AS DOUBLE) / length(text))
+            + 0.35 * (CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))),
+            6) AS logit
+        FROM documents),
+      totals AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(tok) AS BIGINT) AS n_tokens
+        FROM f GROUP BY 1),
+      kept AS (
+        SELECT t.tau, source, count(*) AS kept_docs,
+          CAST(sum(tok) AS BIGINT) AS kept_tokens
+        FROM f, (SELECT unnest([-1.0, -0.5, 0.0, 0.5, 1.0]) AS tau) t
+        WHERE logit >= t.tau
+        GROUP BY 1, 2)
+      SELECT tau, source, kept_docs, n_docs, kept_tokens, n_tokens,
+        CAST(round(kept_docs::DOUBLE / n_docs * 1e6) AS BIGINT)
+          AS keep_docs_ppm,
+        CAST(round(kept_tokens::DOUBLE / n_tokens * 1e6) AS BIGINT)
+          AS keep_tokens_ppm
+      FROM kept JOIN totals USING (source)
+      ORDER BY tau, source"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-      t27, t28, t29, t30, t31)
+      t27, t28, t29, t30, t31, t32)
 }

@@ -1881,7 +1881,48 @@ object VectorQueries {
         FROM selu4 ORDER BY query_id, sel_round"""))
   }
 
+  // --- v36: metadata-FILTERED ANN (the vector-DB predicate search) ----
+  //     "Top-k among English documents": the documents table's lang
+  //     predicate scopes retrieval via a LEFT SEMI join on the
+  //     cell-assigned index stream BEFORE candidates form — a
+  //     pre-filter, so top-k is exact over the allowed subset of the
+  //     probed cells and recall within the allowed set cannot collapse
+  //     at tight selectivity the way post-filtering's does (k
+  //     unfiltered survivors can all be disallowed). The cached index
+  //     is filter-agnostic: one index serves every predicate. Parity
+  //     model ⇒ the whole pipeline (assignment, probe, filter, exact
+  //     re-rank) replays in SQL next to v05's unfiltered twin.
+  private val v36 = GraftQuery(
+    "v36_ann_filtered",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val en = Tables(s, d, "documents")
+        .filter(col("lang") === "en").select(col("doc_id"))
+      graft.operators.IvfIndex.ivfTopKWithModel(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5,
+          graft.operators.IvfIndex.parityModel(emb, "vec_id", "embedding", 16),
+          nprobe = 4, allowed = Some(en))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH ${parityIvfCteSql("vec_id, embedding::DOUBLE[] AS e",
+        "vec_id < 5", nprobe = 4)},
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.e, n.e), 6) AS cosine
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN documents doc ON doc.doc_id = a.vec_id AND doc.lang = 'en'
+        JOIN u q ON q.vec_id = p.query_id
+        JOIN u n ON n.vec_id = a.vec_id)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+          AS rank
+        FROM cand)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   def all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
-    v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35)
+    v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36)
 }

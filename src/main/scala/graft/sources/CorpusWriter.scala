@@ -65,4 +65,23 @@ object CorpusWriter {
     (if (compress) w.option("compression", "gzip") else w).json(outDir)
     sharded
   }
+
+  /** Hive-partitioned columnar export: `outDir/col1=v1/col2=v2/...` —
+    * the layout that makes slice reads PARTITION-PRUNED (a filter on
+    * the partition columns prunes directories at planning time; the
+    * scan never opens non-matching files — i05 gates the round trip
+    * and CorpusWriterSpec pins the pruning on `inputFiles`). Repartition
+    * by the partition columns first so each partition directory is
+    * written by the tasks owning it (without this, every task writes a
+    * sliver of every partition — the small-files explosion at 100 TB:
+    * nTasks × nPartitions files instead of ~nPartitions). */
+  def writeHivePartitioned(df: DataFrame, outDir: String,
+      partitionCols: Seq[String], format: String = "parquet"): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.repartition(partitionCols.map(col): _*)
+      .write.format(format)
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .save(outDir)
+  }
 }

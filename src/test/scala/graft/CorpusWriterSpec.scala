@@ -77,4 +77,40 @@ class CorpusWriterSpec extends SparkSpec {
       }
     }
   }
+
+  test("hive-partitioned export: a slice read is pruned to exactly its directory") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+    val out = java.nio.file.Files.createTempDirectory("graft-hivep").toString
+    try {
+      CorpusWriter.writeHivePartitioned(docs, out, Seq("source", "lang"))
+      val (src, lg) = docs.select("source", "lang")
+        .orderBy("source", "lang").as[(String, String)].head()
+      val slice = spark.read.parquet(out)
+        .filter(col("source") === src && col("lang") === lg)
+      // the scan's own partition filters must prune the file listing to
+      // the one matching directory — this IS the pruning, asked of the
+      // FileIndex the way the physical scan asks it
+      val scan = slice.queryExecution.sparkPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in the slice plan"))
+      assert(scan.partitionFilters.nonEmpty, "partition filters must push")
+      val pruned = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files).map(_.getPath.toString)
+      assert(pruned.nonEmpty &&
+        pruned.forall(f => f.contains(s"source=$src") && f.contains(s"lang=$lg")),
+        s"pruned listing leaked other partitions: $pruned")
+      // and the slice content round-trips exactly (partition values
+      // restored from directory names)
+      val got = slice.select("doc_id").as[Long].collect().toSet
+      val want = docs.filter(col("source") === src && col("lang") === lg)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

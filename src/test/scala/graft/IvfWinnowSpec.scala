@@ -169,4 +169,26 @@ class IvfWinnowSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert(gz._2 == emb.count() * 3 && gz._3 == 1000000L, gz.toString)
   }
+
+  test("filtered ANN: results stay within the allowed set; exhaustive probe equals filtered brute force") {
+    val m = IvfIndex.parityModel(emb, "vec_id", "embedding", 8)
+    val qs = emb.filter(col("vec_id") < 3)
+    val allowed = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+    val allowedIds = allowed.as[Long].collect().toSet
+    val got = IvfIndex.ivfTopKWithModel(emb, qs, "vec_id", "embedding",
+        k = 5, m, nprobe = 8, allowed = Some(allowed)) // nprobe = nlist
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got.forall(r => allowedIds(r._3)),
+      "every filtered neighbor must satisfy the predicate")
+    // exhaustive probe ⇒ the filtered search IS brute force over the
+    // allowed subset (minus self-matches, same tie rules)
+    val brute = Similarity.bruteForceTopK(
+        emb.join(allowed, Seq("vec_id"), "left_semi"), qs,
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got == brute, s"got=$got\nbrute=$brute")
+    graft.operators.OpCaches.release()
+  }
 }
