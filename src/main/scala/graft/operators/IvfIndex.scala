@@ -194,6 +194,32 @@ object IvfIndex {
     model
   }
 
+  /** Incremental index growth — append `newDocs` to a [[save]]d
+    * inverted file WITHOUT retraining: assign each new vector to its
+    * cell under the SAVED centroids (parquet doubles round-trip
+    * bit-exactly, so assignment math is identical to the original
+    * build) and append into the same `_cell` partition layout. This is
+    * the standing-index ops path at 100 TB: a daily crawl delta is one
+    * assign-and-append job over the delta only, and every subsequent
+    * [[searchSaved]] sees old + new rows through the identical
+    * partition-pruned scan — IvfWinnowSpec pins save(half) + append
+    * (rest) == one-shot search over the full corpus. Centroids go
+    * stale as the distribution drifts (recall decays, never
+    * correctness of the top-k over scanned cells); re-train when the
+    * v27 cell-balance audit degrades. Caller owns id uniqueness across
+    * appends — content-addressed ids (CorpusReader) make replayed
+    * deltas idempotent to DEDUPE downstream, but this writer does not
+    * scan existing cells to reject duplicates (that would re-read the
+    * whole index per delta). */
+  def appendToSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newDocs: DataFrame, idCol: String, embCol: String): Unit = {
+    val model = loadModel(spark, dir)
+    Similarity.withUnit(newDocs, embCol)
+      .select(col(idCol).as("neighbor_id"), col("_unit").as("u_c"))
+      .withColumn("_cell", assignCell(col("u_c"), model))
+      .write.mode("append").partitionBy("_cell").parquet(s"$dir/cells")
+  }
+
   /** Read back the centroid table of a [[save]]d index. Doubles
     * round-trip parquet bit-exactly, so the loaded model reproduces the
     * saving session's cell ranking everywhere. */

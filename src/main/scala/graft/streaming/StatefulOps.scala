@@ -780,6 +780,91 @@ object StatefulOps {
         })
   }
 
+  final case class ShardedItem(shard: Int, item: String, tsMicros: Long)
+  final case class HeavyHitter(shard: Int, item: String, estCount: Long,
+    maxError: Long, asOfMicros: Long)
+  /** Space-Saving counter table for [[streamingHeavyHitters]] (public:
+    * the codegen'd state serializer instantiates it). */
+  final case class SsState(items: Seq[(String, Long, Long)], lastTs: Long)
+
+  /** Streaming heavy hitters — Metwally et al.'s Space-Saving sketch
+    * per shard: at most `capacity` (item, count, err) counters of
+    * state; a new item over capacity evicts the minimum-count counter
+    * and inherits its count as `maxError`. The classic guarantees hold
+    * and are spec-pinned: estCount >= true count >= estCount −
+    * maxError, and while a shard has seen <= capacity distinct items
+    * the counts are EXACT (maxError 0). Each micro-batch appends the
+    * shard's current top-`topJ` summary stamped `asOfMicros` (latest
+    * event time), so downstream reads the newest snapshot per shard —
+    * the vocab/URL/user heavy-hitter monitor over an unbounded crawl
+    * stream that an exact groupBy(count) could only do with unbounded
+    * state. Shard by hash(item) % n upstream so one item lands on ONE
+    * shard and per-shard summaries union without double counting
+    * (Space-Saving summaries also merge, but that is a batch-side
+    * concern). Eviction tie-breaks take the lexicographically
+    * smallest min-count item; rows sort (tsMicros, item) in-batch —
+    * fully deterministic.
+    *
+    * Idle eviction (`idleHorizonMicros`): a shard idle past the
+    * horizon drops its counter table silently — every batch already
+    * emitted its snapshot, so nothing is lost; a post-horizon item
+    * starts a fresh sketch (re-warm, like [[streamingZscore]]). */
+  def streamingHeavyHitters(input: Dataset[ShardedItem], capacity: Int,
+      topJ: Int, idleHorizonMicros: Option[Long] = None,
+      delay: String = "0 seconds"): Dataset[HeavyHitter] = {
+    require(capacity >= 1 && topJ >= 1 && topJ <= capacity,
+      s"need 1 <= topJ=$topJ <= capacity=$capacity")
+    implicit val outEnc = Encoders.product[HeavyHitter]
+    implicit val stEnc = Encoders.product[SsState]
+    implicit val evEnc = Encoders.product[ShardedItem]
+    val (src, timeoutConf) = idleHorizonMicros match {
+      case Some(h) =>
+        require(h > 0, s"idleHorizonMicros=$h must be positive")
+        (withEventTimeWatermark(input, delay), GroupStateTimeout.EventTimeTimeout)
+      case None => (input, GroupStateTimeout.NoTimeout)
+    }
+    src
+      .groupByKey(_.shard)(Encoders.scalaInt)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (shard: Int, rows: Iterator[ShardedItem], gs: GroupState[SsState]) => {
+          if (gs.hasTimedOut) {
+            gs.remove() // snapshots already emitted each batch
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.item))
+            val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
+            var lastTs = Long.MinValue
+            if (gs.exists) {
+              gs.get.items.foreach { case (i, c, e) => m(i) = (c, e) }
+              lastTs = gs.get.lastTs
+            }
+            sorted.foreach { r =>
+              lastTs = math.max(lastTs, r.tsMicros)
+              m.get(r.item) match {
+                case Some((c, e)) => m(r.item) = (c + 1, e)
+                case None if m.size < capacity => m(r.item) = (1L, 0L)
+                case None =>
+                  val (minItem, (mc, _)) =
+                    m.minBy { case (i, (c, _)) => (c, i) }
+                  m -= minItem
+                  m(r.item) = (mc + 1, mc)
+              }
+            }
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              gs.update(SsState(
+                m.toSeq.map { case (i, (c, e)) => (i, c, e) }, lastTs))
+              idleHorizonMicros.foreach(h => armIdleTimeout(gs, lastTs, h))
+              m.toSeq
+                .sortBy { case (i, (c, _)) => (-c, i) }
+                .take(topJ)
+                .map { case (i, (c, e)) => HeavyHitter(shard, i, c, e, lastTs) }
+                .iterator
+            }
+          }
+        })
+  }
+
   def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, delay: String,
       lookback: String, lookahead: String): DataFrame = {

@@ -170,6 +170,33 @@ class IvfWinnowSpec extends SparkSpec {
     assert(gz._2 == emb.count() * 3 && gz._3 == 1000000L, gz.toString)
   }
 
+  test("appendToSaved: incremental delta equals a one-shot index over the full corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    // build on half the corpus, append the other half as a "crawl delta"
+    val model = IvfIndex.save(half1, "vec_id", "embedding", dir, nlist = 8)
+    IvfIndex.appendToSaved(spark, dir, half2, "vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 3)
+    val got = IvfIndex.searchSaved(spark, dir, qs, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // one-shot reference: the SAME model (trained on half1) searched
+    // over the full corpus in memory — append must only change storage,
+    // never results
+    val want = IvfIndex.ivfTopKWithModel(emb, qs, "vec_id", "embedding",
+        k = 5, model, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got == want, s"got=$got\nwant=$want")
+    // both halves actually contribute neighbors
+    val ids = got.map(_._3).toSet
+    assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 == 1),
+      s"append must be searchable: $ids")
+    graft.operators.OpCaches.release()
+  }
+
   test("filtered ANN: results stay within the allowed set; exhaustive probe equals filtered brute force") {
     val m = IvfIndex.parityModel(emb, "vec_id", "embedding", 8)
     val qs = emb.filter(col("vec_id") < 3)

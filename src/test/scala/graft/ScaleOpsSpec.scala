@@ -107,4 +107,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(prof.head.getString(0) == "hot")
     assert(prof.head.getDouble(2) == 0.9)
   }
+
+  test("AQE splits a planted skewed join partition (skew=true in the finalized plan)") {
+    // The runtime half of the skew story: keySkewProfile + salting are
+    // the STATIC mitigations; this pins that the engine's own
+    // adaptive skew-join also fires under our session extensions, so a
+    // hot key at 100 TB gets split without hand-salting. Thresholds
+    // are forced low so a local fixture trips them; broadcast is
+    // disabled so the join stays sort-merge (the only shape AQE
+    // skew-splits).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // hot key 1 carries ~50k wide rows; the rest are uniform
+      val pad = "p" * 64
+      val left = spark.range(0, 50000).toDF("i")
+        .select((col("i") % 1000 === 0).cast("int").as("_u"), col("i"))
+        .select(when(col("_u") === 1, col("i")).otherwise(lit(1L)).as("k"),
+          concat(lit(pad), col("i")).as("v"))
+      val right = spark.range(0, 2000).toDF("i")
+        .select((col("i") % 50).as("k"), lit("r").as("w"))
+      val joined = left.join(right, "k")
+      joined.queryExecution.executedPlan.execute().foreach(_ => ())
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), s"fixture must stay SMJ:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

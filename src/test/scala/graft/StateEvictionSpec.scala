@@ -300,6 +300,34 @@ class StateEvictionSpec extends SparkSpec {
     }
   }
 
+  test("streamingHeavyHitters: idle shard drops its sketch; re-open counts fresh") {
+    implicit val sq = spark.sqlContext
+    def item(sh: Int, w: String, us: Long) = StatefulOps.ShardedItem(sh, w, us)
+    val input = MemoryStream[StatefulOps.ShardedItem]
+    val q = StatefulOps.streamingHeavyHitters(input.toDS(), capacity = 4,
+        topJ = 4, idleHorizonMicros = Some(2 * secMicros))
+      .writeStream.format("memory").queryName("evict_hh")
+      .outputMode("append").start()
+    try {
+      input.addData(item(0, "a", 1 * secMicros), item(0, "a", 1 * secMicros + 1))
+      q.processAllAvailable()
+      // shard 9 rides the watermark past shard 0's horizon
+      input.addData(item(9, "w", 30 * secMicros))
+      q.processAllAvailable()
+      input.addData(item(9, "w", 31 * secMicros))
+      q.processAllAvailable()
+      // shard 0 returns: the sketch must have been dropped — "a" counts
+      // from 1 again, not 3
+      input.addData(item(0, "a", 32 * secMicros))
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT estCount, asOfMicros FROM evict_hh WHERE shard = 0 AND item = 'a'")
+        .as[(Long, Long)].collect().toMap
+      assert(rows == Map(2L -> (1 * secMicros + 1), 1L -> 32 * secMicros),
+        s"evicted shard must re-count from scratch: $rows")
+    } finally q.stop()
+  }
+
   test("streamingZscore: idle key drops its window and re-warms from cold") {
     implicit val sq = spark.sqlContext
     def e(k: String, us: Long, id: Long, v: Double) =

@@ -729,4 +729,41 @@ class StatefulOpsSpec extends SparkSpec {
       assert(got == want, s"streamed=$got batch=$want")
     } finally q.stop()
   }
+
+  test("streamingHeavyHitters: exact under capacity, Space-Saving bounds over it") {
+    implicit val sq = spark.sqlContext
+    def item(sh: Int, w: String, us: Long) = StatefulOps.ShardedItem(sh, w, us)
+    val input = MemoryStream[StatefulOps.ShardedItem]
+    val q = StatefulOps.streamingHeavyHitters(input.toDS(),
+        capacity = 2, topJ = 2)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("append").trigger(Trigger.ProcessingTime(10)).start()
+    // shard 0: a,a,a then b — fits in capacity 2, counts stay EXACT
+    // across batches; then c overflows: evicts min(b=1), inherits its
+    // count as error → est(c)=2, err(c)=1. Space-Saving invariants:
+    // est >= true, est − err <= true (true c = 1).
+    // shard 1 runs independently (one item, exact).
+    val batches = Seq(
+      Seq(item(0, "a", 10), item(0, "a", 20), item(1, "x", 15)),
+      Seq(item(0, "a", 30), item(0, "b", 40)),
+      Seq(item(0, "c", 50)))
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      def latest(sh: Int): Map[String, (Long, Long)] = {
+        val rows = spark.sql(
+            s"SELECT item, estCount, maxError, asOfMicros FROM hh WHERE shard = $sh")
+          .as[(String, Long, Long, Long)].collect()
+        val asOf = rows.map(_._4).max
+        rows.filter(_._4 == asOf).map(r => r._1 -> ((r._2, r._3))).toMap
+      }
+      assert(latest(1) == Map("x" -> ((1L, 0L))), latest(1).toString)
+      val s0 = latest(0)
+      assert(s0 == Map("a" -> ((3L, 0L)), "c" -> ((2L, 1L))), s0.toString)
+      // intermediate snapshot (batch 2) was exact: a=3, b=1, no error
+      val mid = spark.sql(
+          "SELECT item, estCount, maxError FROM hh WHERE shard = 0 AND asOfMicros = 40")
+        .as[(String, Long, Long)].collect().toSet
+      assert(mid == Set(("a", 3L, 0L), ("b", 1L, 0L)), mid.toString)
+    } finally q.stop()
+  }
 }
