@@ -738,4 +738,30 @@ class PropertySpec extends SparkSpec {
         assert(sk(1L) != sk(3L), "changing scaffolding must change the skeleton")
     }
   }
+
+  test("PixelCodec: encode→decode round-trips random images exactly") {
+    import graft.operators.Multimodal.PixelCodec
+    val gen = for {
+      w <- Gen.choose(1, 23)
+      h <- Gen.choose(1, 17)
+      ch <- Gen.oneOf(1, 2, 3, 4)
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (w, h, ch, seed)
+    forAll(gen, n = 12) { case (w, h, ch, seed) =>
+      // deterministic pseudo-random pixels from the generated seed
+      val px = Array.tabulate(w * h * ch) { i =>
+        var v = i * 2654435761L + seed.toLong
+        v ^= v >>> 13; v ^= v << 7; (v & 0xff).toInt
+      }
+      val img = PixelCodec.Image(w, h, ch, px)
+      val back = PixelCodec.decodePng(PixelCodec.encodePng(img))
+      assert(back.nonEmpty, s"decode failed ${w}x$h ch=$ch seed=$seed")
+      assert(back.get.width == w && back.get.height == h &&
+        back.get.channels == ch)
+      assert(back.get.pixels.sameElements(px),
+        s"pixel mismatch ${w}x$h ch=$ch seed=$seed")
+      // resize(w, h) to the same size is the identity
+      assert(PixelCodec.resizeNearest(img, w, h).pixels.sameElements(px))
+    }
+  }
 }
