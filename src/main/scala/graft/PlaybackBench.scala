@@ -218,10 +218,23 @@ object PlaybackBench {
     spark.sparkContext.setLogLevel("WARN")
     val seconds = args.headOption.map(_.toInt).getOrElse(10)
     val streams = args.drop(1).headOption.map(_.toInt).getOrElse(1)
+    // bracket the measurement with the contention sentinel so a
+    // standalone reading carries its own window evidence, same as the
+    // integrated graft.Bench JSON. Two distinct agg8 depressors, now
+    // separable: (1) co-tenant load — the probe reads it directly;
+    // (2) CORE COUNT — 8 concurrent streaming queries on local[8]
+    // measure ~3.6-3.9M rps where local[32] measures ~8.2M at the
+    // SAME noise factor (measured same-HEAD, same window), because
+    // each query needs scheduler + parse threads. Standalone runs
+    // default SPARK_GRAFT_CPUS=8; set it to 32 for a
+    // driver-comparable aggregate.
+    val probeBefore = cpuProbe()
     val rps =
       if (streams > 1) runConcurrent(spark, sfDir, streams, seconds)
       else run(spark, sfDir, seconds)
-    println(f"""{"metric":"playback_rps","value":$rps%.0f,"unit":"rows/sec","sf":"$sfDir","streams":$streams}""")
+    val probeAfter = cpuProbe()
+    val noise = ((probeBefore + probeAfter) / 2.0) / QuietProbeSec
+    println(f"""{"metric":"playback_rps","value":$rps%.0f,"unit":"rows/sec","sf":"$sfDir","streams":$streams,"host_probe_sec":[$probeBefore%.3f,$probeAfter%.3f],"host_noise_factor":$noise%.2f}""")
     spark.stop()
   }
 }
