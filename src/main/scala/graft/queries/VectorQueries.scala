@@ -1922,7 +1922,93 @@ object VectorQueries {
         FROM cand)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // --- v37: filtered-ANN recall vs predicate selectivity ---------------
+  //     Closes v36's tuning loop the way v32/v33 closed v18's: as the
+  //     metadata predicate tightens (keep every 2nd/4th/8th id), what
+  //     recall does pre-filtered IVF retain against filtered BRUTE
+  //     FORCE ground truth at fixed nprobe? The operational answer to
+  //     "do tight filters need more probes?" — pre-filtering keeps the
+  //     allowed candidates of probed cells exact, so recall loss comes
+  //     only from allowed neighbors living in UN-probed cells. One
+  //     parity model + one query set shared across all three
+  //     selectivities; recall is exact-integer ppm over brute-force
+  //     rows. The oracle parameterizes the selectivity as an unnest
+  //     list through the same CTE pipeline v36 replays.
+  private val v37 = GraftQuery(
+    "v37_filtered_recall_sweep",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val model = graft.operators.IvfIndex.parityModel(
+        emb, "vec_id", "embedding", 16)
+      val per = Seq(2, 4, 8).map { m =>
+        val allowed = emb.filter(col("vec_id") % m === 0).select("vec_id")
+        val ivf = graft.operators.IvfIndex.ivfTopKWithModel(
+            emb, qs, "vec_id", "embedding", k = 5, model, nprobe = 4,
+            allowed = Some(allowed))
+          .select(col("query_id"), col("neighbor_id"))
+        val brute = Similarity.bruteForceTopK(
+            emb.join(allowed, Seq("vec_id"), "left_semi"), qs,
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        brute
+          .join(ivf.withColumn("_h", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(sum(coalesce(col("_h"), lit(0))).cast("long").as("n_hit"),
+            count(lit(1)).as("n_truth"))
+          .select(lit(m.toLong).as("inv_selectivity"),
+            col("n_hit"), col("n_truth"),
+            expr("CAST(round(n_hit * 1e6 / n_truth) AS BIGINT)")
+              .as("recall_ppm"))
+      }
+      per.reduce(_ unionByName _).orderBy("inv_selectivity")
+    },
+    Some(s"""WITH ${parityIvfCteSql("vec_id, embedding::DOUBLE[] AS e",
+        "vec_id < 5", nprobe = 4)},
+      ms AS (SELECT unnest([2, 4, 8]) AS m),
+      cand AS (
+        SELECT ms.m, p.query_id, a.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.e, n.e), 6) AS cosine
+        FROM ms, probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN u q ON q.vec_id = p.query_id
+        JOIN u n ON n.vec_id = a.vec_id
+        WHERE a.vec_id % ms.m = 0),
+      ivf AS (
+        SELECT m, query_id, neighbor_id FROM (
+          SELECT m, query_id, neighbor_id, row_number() OVER (
+            PARTITION BY m, query_id ORDER BY cosine DESC, neighbor_id)
+            AS rk
+          FROM cand)
+        WHERE rk <= 5),
+      bpairs AS (
+        SELECT ms.m, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+        FROM ms, u q, u c
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+          AND c.vec_id % ms.m = 0),
+      brute AS (
+        SELECT m, query_id, neighbor_id FROM (
+          SELECT m, query_id, neighbor_id, row_number() OVER (
+            PARTITION BY m, query_id ORDER BY cosine DESC, neighbor_id)
+            AS rk
+          FROM bpairs)
+        WHERE rk <= 5),
+      hits AS (
+        SELECT b.m,
+          CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+          count(*) AS n_truth
+        FROM brute b
+        LEFT JOIN ivf i ON i.m = b.m AND i.query_id = b.query_id
+          AND i.neighbor_id = b.neighbor_id
+        GROUP BY 1)
+      SELECT CAST(m AS BIGINT) AS inv_selectivity, n_hit, n_truth,
+        CAST(round(n_hit * 1e6 / n_truth) AS BIGINT) AS recall_ppm
+      FROM hits ORDER BY inv_selectivity"""))
+
   def all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08,
     v09, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22,
-    v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36)
+    v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36,
+    v37)
 }

@@ -110,7 +110,11 @@ object ExplainAudit {
     "v18_ivf_recall_sweep", "v19_cosine_histogram",
     "v21_hubness", "v24_ann_pq_trained", "v29_binary_hamming_audit",
     "v30_rerank_retrieval", "v31_rerank_recall_sweep",
-    "v33_recall_cost_table")
+    "v33_recall_cost_table",
+    // v37's filtered brute-force GROUND TRUTH reuses the v01 probe
+    // shape (literal-bounded query set broadcast past the streamed
+    // corpus) once per selectivity step
+    "v37_filtered_recall_sweep")
 
   /** Single-partition window lint: every `Window` whose partitionSpec
     * is EMPTY funnels its whole input through ONE task. That is fine
