@@ -327,6 +327,13 @@ object Multimodal {
               case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
               case _ => return None // incl. palette
             }
+            // total-size cap in LONG arithmetic: the per-axis guard
+            // alone admits 2^20 x 2^20 whose Int buffer sizes overflow
+            // ((stride+1)*h and w*h*channels wrap) — a crafted header
+            // must quarantine as None, never throw from a wrapped
+            // allocation. 2^26 px (64 MPx × ≤4ch = ≤1 GiB ints) is far
+            // above any training-corpus image and far below overflow.
+            if (ww * hh > (1L << 26)) return None
             w = ww.toInt; h = hh.toInt; seenIhdr = true
           case "IDAT" => if (!seenIhdr) return None else idat.write(p, i + 8, l)
           case "IEND" => seenIend = true
@@ -381,13 +388,18 @@ object Multimodal {
       * which source pixel each destination pixel reads. */
     def resizeNearest(img: Image, dw: Int, dh: Int): Image = {
       require(dw > 0 && dh > 0, s"resize to ${dw}x$dh")
+      require(dw.toLong * dh * img.channels <= Int.MaxValue,
+        s"resize target ${dw}x$dh x${img.channels} exceeds buffer range")
       val out = new Array[Int](dw * dh * img.channels)
       var y = 0
       while (y < dh) {
-        val sy = y * img.height / dh
+        // Long products: y*height (and x*width) overflow Int for
+        // large-but-decodable sources (e.g. dh=4096 against a 2^20-px
+        // axis), which would index negative instead of resampling
+        val sy = (y.toLong * img.height / dh).toInt
         var x = 0
         while (x < dw) {
-          val sx = x * img.width / dw
+          val sx = (x.toLong * img.width / dw).toInt
           var c = 0
           while (c < img.channels) {
             out((y * dw + x) * img.channels + c) =

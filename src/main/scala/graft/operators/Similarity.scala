@@ -178,7 +178,14 @@ object Similarity {
         .filter(col("_rn") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rel"),
           col("mmr_score"), lit(r.toLong).as("sel_round"))
-      all = all.unionByName(picked)
+      // localCheckpoint keeps the plan LINEAR in k: each round reads
+      // `all` three times (exclusion join, selected-sim join, union),
+      // so chaining raw plans grows the tree ~3^k — k=12 would hang
+      // Catalyst analysis before any executor work. Materializing the
+      // (|queries|·r)-row frame per round truncates the lineage; the
+      // content is deterministic (rounded scores, id tie-breaks), so
+      // checkpointing changes cost, never results.
+      all = all.unionByName(picked).localCheckpoint()
     }
     all.select(col("query_id"), col("sel_round"), col("neighbor_id"),
       col("rel"), col("mmr_score"))

@@ -1956,6 +1956,11 @@ object VectorQueries {
             Seq("query_id", "neighbor_id"), "left")
           .agg(sum(coalesce(col("_h"), lit(0))).cast("long").as("n_hit"),
             count(lit(1)).as("n_truth"))
+          // an ungrouped agg always yields one row; the oracle's
+          // GROUP BY m yields NONE for a selectivity with an empty
+          // ground-truth set — drop the degenerate row so both sides
+          // omit it identically (and recall never divides by zero)
+          .filter(col("n_truth") > 0)
           .select(lit(m.toLong).as("inv_selectivity"),
             col("n_hit"), col("n_truth"),
             expr("CAST(round(n_hit * 1e6 / n_truth) AS BIGINT)")

@@ -216,6 +216,39 @@ class MultimodalSpec extends SparkSpec {
     // if the flip hit zlib padding; the contract here is no-throw)
   }
 
+  test("PixelCodec: crafted huge-dimension header quarantines as None, never throws") {
+    // 65536x65536 passes the per-axis <= 2^20 guard; without the Long
+    // total-size cap the Int buffer sizes wrap ((stride+1)*h -> 64KB,
+    // w*h*ch -> 0) and the unfilter loop throws instead of quarantining
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length.toLong))
+      val t = typ.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write(be32(65536L)); ihdr.write(be32(65536L))
+    ihdr.write(8); ihdr.write(0); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(Array.fill[Byte](1 << 16)(0)); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.PixelCodec.decodePng(out.toByteArray).isEmpty,
+      "wrap-prone dimensions must quarantine, not decode or throw")
+  }
+
   test("PixelCodec: nearest-neighbor resize reads floor(dst*src/dstDim) exactly") {
     val P = Multimodal.PixelCodec
     // 4x2 single-channel image with distinct values 0..7
