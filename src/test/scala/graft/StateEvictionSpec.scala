@@ -328,6 +328,63 @@ class StateEvictionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingHeavyHitters: counters survive checkpoint restart; timeout fires from recovered state") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("hh-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hh-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("hh-out").toString
+    val schema = StructType(Seq(StructField("shard", IntegerType),
+      StructField("item", StringType), StructField("tsMicros", LongType)))
+    def stream() = StatefulOps.streamingHeavyHitters(
+      // one file per micro-batch: the eviction sequence needs batch
+      // BOUNDARIES between the watermark-advancing traffic and the
+      // returning key (one big batch would deliver the return before
+      // the timeout's no-data batch can fire)
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(dir)
+        .as[StatefulOps.ShardedItem](org.apache.spark.sql.Encoders.product),
+      capacity = 4, topJ = 4, idleHorizonMicros = Some(2 * secMicros))
+    var seq = 0
+    def write(name: String, rows: Seq[(Int, String, Long)]): Unit = {
+      val p = java.nio.file.Paths.get(s"$dir/$name")
+      java.nio.file.Files.write(p,
+        rows.map { case (s, i, us) =>
+          s"""{"shard":$s,"item":"$i","tsMicros":$us}"""
+        }.mkString("", "\n", "\n").getBytes("UTF-8"))
+      // explicit ascending modTimes pin the file source's batch order
+      seq += 1
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + seq * 10000L))
+    }
+    // run 1: shard 0 counts a twice
+    write("b1.json", Seq((0, "a", 1 * secMicros), (0, "a", 1 * secMicros + 1)))
+    val q1 = stream().writeStream.format("json")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // run 2 (fresh query from the checkpoint): the RECOVERED counter
+    // must continue at 3, then idle past the horizon and evict, then
+    // re-open from 1
+    write("b2.json", Seq((0, "a", 1 * secMicros + 2)))
+    write("b3.json", Seq((9, "w", 30 * secMicros)))
+    write("b4.json", Seq((9, "w", 31 * secMicros)))
+    write("b5.json", Seq((0, "a", 32 * secMicros)))
+    val q2 = stream().writeStream.format("json")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read
+      .schema(StructType(Seq(StructField("shard", IntegerType),
+        StructField("item", StringType), StructField("estCount", LongType),
+        StructField("maxError", LongType), StructField("asOfMicros", LongType))))
+      .json(out).filter(col("shard") === 0)
+      .select("estCount", "asOfMicros").as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      2L -> (1 * secMicros + 1), // run-1 snapshot
+      3L -> (1 * secMicros + 2), // recovered counter continued +1
+      1L -> 32 * secMicros),     // evicted after idle, fresh count on return
+      s"recovered sketch must continue, evict, and re-open: $got")
+  }
+
   test("streamingZscore: idle key drops its window and re-warms from cold") {
     implicit val sq = spark.sqlContext
     def e(k: String, us: Long, id: Long, v: Double) =
