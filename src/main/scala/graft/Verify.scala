@@ -20,6 +20,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the trained-ANN oracles interpolate models captured DURING the
+    // query pass below; clear any capture from a previous run in this
+    // JVM so a stale model (possibly from another dataset) can never
+    // leak into this run's oracle SQL
+    queries.VectorQueries.resetTrainedModelCaptures()
     SparkEntry.queries
       .filter { case (name, _) =>
         nameFilter.forall(_.split(",").exists(name.startsWith)) }

@@ -239,6 +239,22 @@ object Dedup {
     * Both paths produce bit-identical output (property-tested against
     * the in-memory reference, df cap and threshold boundary included;
     * ZipfCorpusSpec re-pins equality on the heavy-tailed shape). */
+  /** The (doc id, shingle fingerprint) projection [[containmentPairs]]
+    * and [[containmentPathProbe]] share — ONE tracked/cached frame, so
+    * [[containmentPairsAuto]]'s probe-then-dispatch pays the corpus
+    * shingle explode once, not twice (the second consumer's identical
+    * plan hits Spark's CacheManager through the same [[OpCaches]]
+    * entry). (id, fp) pairs are unique by construction — wordShingles
+    * is distinct-ified per document — so no global distinct: one here
+    * would re-shuffle the corpus's biggest intermediate to remove
+    * nothing. The oracle's sfp CTE relies on the same per-doc
+    * distinctness. */
+  private def containmentFps(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame =
+    OpCaches.track(df.select(col(idCol).as("_id"),
+        explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_s"))
+      .select(col("_id"), md5(col("_s")).as("_fp")))
+
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.9,
       maxShingleDocFreq: Long = 10000,
@@ -248,14 +264,7 @@ object Dedup {
       s"threshold=$threshold must be in (0, 1]")
     require(maxShingleDocFreq >= 2,
       s"maxShingleDocFreq=$maxShingleDocFreq: below 2 no shingle can pair")
-    // (id, fp) pairs are unique by construction — wordShingles is
-    // distinct-ified per document — so no global distinct: a .distinct()
-    // here would re-shuffle the corpus's biggest intermediate (the
-    // exploded shingle stream) to remove nothing. The oracle's sfp CTE
-    // relies on the same per-doc distinctness.
-    val fps = OpCaches.track(df.select(col(idCol).as("_id"),
-        explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_s"))
-      .select(col("_id"), md5(col("_s")).as("_fp")))
+    val fps = containmentFps(df, idCol, textCol, shingleK)
     val rare = fps.groupBy(col("_fp"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxShingleDocFreq)
@@ -316,9 +325,10 @@ object Dedup {
   def containmentPathProbe(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, maxShingleDocFreq: Long = 10000): DataFrame = {
     require(shingleK >= 1, s"shingleK=$shingleK must be >= 1")
-    df.select(
-        explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_s"))
-      .select(md5(col("_s")).as("_fp"))
+    // built from the SHARED cached (id, fp) frame (id unused here) so
+    // the auto dispatcher's subsequent containmentPairs pass re-reads
+    // the cache instead of re-exploding the corpus
+    containmentFps(df, idCol, textCol, shingleK)
       .groupBy(col("_fp")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxShingleDocFreq)
       .agg(coalesce(sum(col("_df")), lit(0L)).as("sum_df"),
@@ -1053,18 +1063,23 @@ object Dedup {
     * (source, t)-keyed min whose partial aggregation collapses
     * map-side to |sources|·numHashes rows per task. Text never
     * shuffles. Returns (source, t, mh). */
-  def sourceMinHashSketch(df: DataFrame, textCol: String,
-      sourceCol: String, numHashes: Int = 128): DataFrame = {
-    require(numHashes >= 1, s"numHashes=$numHashes must be >= 1")
-    val fp = df
-      .select(TextAnalysis.fingerprint(col(textCol)).as("_f"),
-        col(sourceCol).as("source")).distinct()
+  /** Sketch slots from an already-DISTINCT (_f, source) frame — the
+    * seam [[sourceSketchJaccard]] uses to feed its sketch and exact
+    * sides from ONE corpus scan + distinct shuffle. */
+  private def sketchFromDistinctFps(fp: DataFrame, numHashes: Int): DataFrame =
     fp.select(col("source"),
         posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
           t => conv(substr(md5(concat(t.cast("string"), lit(":"),
             col("_f"))), lit(1), lit(8)), 16, 10).cast("long"))))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "_h")
       .groupBy(col("source"), col("t")).agg(min(col("_h")).as("mh"))
+
+  def sourceMinHashSketch(df: DataFrame, textCol: String,
+      sourceCol: String, numHashes: Int = 128): DataFrame = {
+    require(numHashes >= 1, s"numHashes=$numHashes must be >= 1")
+    sketchFromDistinctFps(df
+      .select(TextAnalysis.fingerprint(col(textCol)).as("_f"),
+        col(sourceCol).as("source")).distinct(), numHashes)
   }
 
   /** Sketch-accuracy audit: for every source pair, the MinHash-sketch
@@ -1080,7 +1095,16 @@ object Dedup {
     * n_a + n_b − shared. Both sides shuffle fingerprints only. */
   def sourceSketchJaccard(df: DataFrame, textCol: String,
       sourceCol: String, numHashes: Int = 128): DataFrame = {
-    val sk = sourceMinHashSketch(df, textCol, sourceCol, numHashes)
+    require(numHashes >= 1, s"numHashes=$numHashes must be >= 1")
+    // ONE corpus scan + ONE distinct shuffle feeds BOTH the sketch
+    // build and the exact-Jaccard side (they previously each derived
+    // their own identical distinct projection — two full corpus
+    // passes on the 100 TB census this op is documented for)
+    val fps0 = df
+      .select(TextAnalysis.fingerprint(col(textCol)).as("_f"),
+        col(sourceCol).as("source")).distinct()
+      .localCheckpoint(false)
+    val sk = sketchFromDistinctFps(fps0, numHashes)
       .localCheckpoint(false) // consumed twice (self-join sides)
     val est = sk.select(col("source").as("source_a"), col("t"),
         col("mh").as("_ma"))
@@ -1090,10 +1114,7 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(round(sum(when(col("_ma") === col("_mb"), 1L).otherwise(0L))
         / lit(numHashes.toDouble), 6).as("est_jaccard"))
-    val fps = df
-      .select(TextAnalysis.fingerprint(col(textCol)).as("_fp"),
-        col(sourceCol).as("_src")).distinct()
-      .localCheckpoint(false) // feeds both counts and the pair fan-out
+    val fps = fps0.select(col("_f").as("_fp"), col("source").as("_src"))
     val perSource = fps.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
     val grouped = fps.groupBy(col("_fp"))
       .agg(sort_array(collect_set(col("_src"))).as("_srcs"))

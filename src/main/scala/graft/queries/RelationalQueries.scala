@@ -581,7 +581,12 @@ object RelationalQueries {
   private val q27 = GraftQuery(
     "q27_approx_stats",
     (s, d) => {
-      val tol = 0.05
+      // 3× HLL++'s default 5% rsd: the gate asserts the sketch is SANE,
+      // not lucky — a 1-rsd band (0.05) would be a ~32% deterministic
+      // failure chance per group on any dataset other than the pinned
+      // fixture (the estimator is deterministic per dataset, so an
+      // unlucky corpus fails every run, reading as a regression)
+      val tol = 0.15
       val exactUsers = count_distinct(col("user_id"))
       val exactP50 = expr("percentile(value, 0.5)")
       val exactP95 = expr("percentile(value, 0.95)")

@@ -985,11 +985,22 @@ object VectorQueries {
   // both engines see bit-identical centroid doubles (Double.toString
   // round-trips exactly through DuckDB's correctly-rounded parse) and
   // run the identical float op sequence over them.
-  private object TrainedModels {
+  private[queries] object TrainedModels {
     @volatile var ivf: Option[IvfIndex.Model] = None
     @volatile var pq: Option[PqIndex.Model] = None
     @volatile var ivfPq: Option[(IvfIndex.Model, PqIndex.Model)] = None
+
+    /** Clears the captured models. [[graft.Verify]] calls this before
+      * its query pass so the oracles it assembles afterwards can only
+      * come from THAT run's captures — a slot left over from an
+      * earlier run against a different dataset in the same JVM would
+      * otherwise interpolate stale centroids into the oracle (a
+      * spurious gate red that reads as an engine bug). */
+    def reset(): Unit = { ivf = None; pq = None; ivfPq = None }
   }
+
+  /** Public seam for [[graft.Verify]]: see [[TrainedModels.reset]]. */
+  def resetTrainedModelCaptures(): Unit = TrainedModels.reset()
 
   /** Shortest-round-trip decimal literal: Java's `Double.toString`
     * emits just enough digits that a correctly-rounded parse (what

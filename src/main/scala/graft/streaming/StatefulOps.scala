@@ -30,9 +30,30 @@ object StatefulOps {
     * it had never been seen — the re-open semantics each op documents.
     * `None` (the default) keeps the original run-forever contract for
     * bounded key populations. */
+  /** NOTE the two contracts enabling eviction buys into:
+    *
+    *  1. REAL event times. A row with `tsMicros <= 0` is ALWAYS late
+    *     under any advanced watermark, so Spark would drop it before
+    *     the stateful operator runs — silent total data loss for an
+    *     adapter that stamped `lit(0)` (e.g. [[sourcedDocs]] without a
+    *     `tsCol`). The guard below turns that silence into a loud
+    *     per-row error.
+    *  2. Watermark late-row filtering. With eviction on, rows older
+    *     than `max seen event time − delay` are DISCARDED before the
+    *     operator, so the NoTimeout ops' documented late-data
+    *     behaviors (ignore / degrade gracefully) become "row never
+    *     seen". The default `delay = "0 seconds"` is the most
+    *     aggressive setting; size `delay` to the stream's real
+    *     disorder bound when late data must still reach the op. */
   private def withEventTimeWatermark[T](input: Dataset[T], delay: String)(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
-    input.withColumn("_et", timestamp_micros(col("tsMicros")))
+    input.withColumn("_et",
+        when(col("tsMicros") > 0, timestamp_micros(col("tsMicros")))
+          .otherwise(raise_error(concat(
+            lit("idle eviction needs real event times: tsMicros="),
+            col("tsMicros").cast("string"),
+            lit(" would always be late under the watermark and vanish " +
+              "silently (stream built without a tsCol?)")))))
       .withWatermark("_et", delay).as[T]
 
   /** Registers the idle timeout for a key whose latest event time is
@@ -293,8 +314,14 @@ object StatefulOps {
             }
             if (st != null) {
               state.update(st)
+              // anchor at the END of the last active day, not its
+              // start: day-start anchoring would shorten the horizon
+              // by up to ~24h of real silence (an event at 23:59 of
+              // day D armed from D_start could close a streak the
+              // day-D+1 event was about to extend). End-of-day errs
+              // ≤1 day LONGER than configured, never shorter.
               idleHorizonMicros.foreach(h =>
-                armIdleTimeout(state, st._2 * microsPerDay, h))
+                armIdleTimeout(state, (st._2 + 1) * microsPerDay, h))
             }
             closed.result().iterator
           }

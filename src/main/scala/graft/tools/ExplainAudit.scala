@@ -26,12 +26,23 @@ object ExplainAudit {
   }
 
   private def subtreeBounded(p: SparkPlan): Boolean = p match {
-    // an aggregate bounds rows to |group keys|; a global/local limit
-    // bounds them literally; a LocalTableScan is literal driver-side
-    // rows (model tables, VALUES) — any of these makes a
-    // single-partition sort above it a tiny-table operation, not a
-    // corpus-wide funnel
-    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    // a FINAL/COMPLETE aggregate bounds rows to |group keys|; a
+    // global/local limit bounds them literally; a LocalTableScan is
+    // literal driver-side rows (model tables, VALUES) — any of these
+    // makes a single-partition sort above it a tiny-table operation,
+    // not a corpus-wide funnel. A PARTIAL aggregate bounds NOTHING
+    // globally (it's the pre-shuffle map-side combine — one output
+    // row per group PER TASK), so it must not waive the lint; keep
+    // searching below it. Residual limitation, accepted: a final
+    // aggregate grouped by a corpus-cardinality key (e.g. doc_id)
+    // still reads as bounded — group-key cardinality isn't statically
+    // knowable; reviewers should treat groupBy(id)+global-window
+    // shapes as suspect despite a clean lint.
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+      val partial = a.aggregateExpressions.exists(e =>
+        e.mode == Partial || e.mode == PartialMerge)
+      if (partial) kids(a).exists(subtreeBounded) else true
     case _: org.apache.spark.sql.execution.GlobalLimitExec => true
     case _: org.apache.spark.sql.execution.LocalLimitExec => true
     case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
