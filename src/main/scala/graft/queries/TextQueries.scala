@@ -1318,8 +1318,70 @@ object TextQueries {
       FROM kept JOIN totals USING (source)
       ORDER BY tau, source"""))
 
+  // --- t33: cross-corpus LM scoring (the CCNet production shape) -------
+  // t11 trains and scores the SAME corpus; production perplexity
+  // filtering trains the LM on a trusted REFERENCE (wiki-grade text)
+  // and scores the crawl against it — docs that look unlike the
+  // reference score high NLL and get filtered/bucketed. Here the
+  // reference is the src1 slice (vocab + counts from it alone, add-k
+  // smoothing over ITS vocab) and every source is scored, reported as
+  // per-source count + exact interpolated median + min/max of the
+  // 6-dp-rounded per-doc NLL (no float mean whose summation order
+  // could drift). Same scale shape as t11 — the heavy token-stream
+  // shuffle happens once over the REFERENCE (usually the small side),
+  // and scoring is a vocab-bounded broadcast-ish join against the
+  // crawl's bigram stream.
+  private val t33 = GraftQuery(
+    "t33_crosscorpus_lm_score",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val ref = docs.filter(col("source") === "src1")
+      val v = ref
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .agg(countDistinct(col("w"))).head().getLong(0)
+      TextAnalysis.bigramLmScore(docs, ref, "doc_id", "text", vocabSize = v)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(avg_nll, 0.5)"), 6).as("p50_nll"),
+          min(col("avg_nll")).as("min_nll"),
+          max(col("avg_nll")).as("max_nll"))
+        .orderBy("source")
+    },
+    Some("""WITH tr AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE source = 'src1'),
+      alltoks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      uni AS (
+        SELECT w1, count(*) AS cu FROM (
+          SELECT unnest(t) AS w1 FROM tr) GROUP BY 1),
+      vocab AS (SELECT count(*) AS v FROM uni),
+      big AS (
+        SELECT w1, w2, count(*) AS cb FROM (
+          SELECT t[g] AS w1, t[g + 1] AS w2
+          FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS g
+            FROM tr))
+        GROUP BY 1, 2),
+      docbi AS (
+        SELECT doc_id, t[g] AS w1, t[g + 1] AS w2
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS g
+          FROM alltoks)),
+      scored AS (
+        SELECT doc_id,
+          round(-avg(ln((coalesce(cb, 0) + 0.5) /
+            (coalesce(cu, 0) + 0.5 * (SELECT v FROM vocab)))), 6) AS avg_nll
+        FROM docbi LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
+        GROUP BY doc_id)
+      SELECT d.source, count(*) AS n_docs,
+        round(quantile_cont(s.avg_nll, 0.5), 6) AS p50_nll,
+        min(s.avg_nll) AS min_nll, max(s.avg_nll) AS max_nll
+      FROM scored s JOIN documents d USING (doc_id)
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-      t27, t28, t29, t30, t31, t32)
+      t27, t28, t29, t30, t31, t32, t33)
 }
