@@ -1431,7 +1431,8 @@ object DedupQueries {
       SELECT p.doc_id AS media_id, p.w AS width, p.h AS height,
         p.ch AS channels, px.sum_val, px.wsum, rz.r_sum_val, rz.r_wsum
       FROM p JOIN px ON p.doc_id = px.doc_id JOIN rz ON p.doc_id = rz.doc_id
-      ORDER BY media_id"""))
+      ORDER BY media_id"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,

@@ -1378,7 +1378,8 @@ object TextQueries {
         round(quantile_cont(s.avg_nll, 0.5), 6) AS p50_nll,
         min(s.avg_nll) AS min_nll, max(s.avg_nll) AS max_nll
       FROM scored s JOIN documents d USING (doc_id)
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,

@@ -1931,7 +1931,8 @@ object VectorQueries {
           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
           AS rank
         FROM cand)
-      WHERE rank <= 5 ORDER BY query_id, rank"""))
+      WHERE rank <= 5 ORDER BY query_id, rank"""),
+    bench = true)
 
   // --- v37: filtered-ANN recall vs predicate selectivity ---------------
   //     Closes v36's tuning loop the way v32/v33 closed v18's: as the
