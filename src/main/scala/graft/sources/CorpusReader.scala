@@ -100,6 +100,16 @@ object CorpusReader {
     // path trips a FileStreamSink metadata probe stack trace.
     val raw = spark.read.schema(schema).option("mode", "FAILFAST")
       .option("recursiveFileLookup", recursive.toString).json(path)
+    normalizeJsonl(raw, textField, langField, sourceField,
+      defaultLang, defaultSource)
+  }
+
+  /** The shared guard + normalization [[readJsonl]] and
+    * [[readJsonlStream]] apply — ONE place decides what a canonical
+    * document row is, so the batch and streaming paths cannot drift. */
+  private def normalizeJsonl(raw: DataFrame, textField: String,
+      langField: String, sourceField: String, defaultLang: String,
+      defaultSource: String): DataFrame =
     withDocId(raw.select(
       when(col(textField).isNull, raise_error(concat(
           lit(s"readJsonl: well-formed line with null/missing '$textField' in "),
@@ -107,6 +117,33 @@ object CorpusReader {
         .otherwise(col(textField)).as("text"),
       coalesce(col(langField), lit(defaultLang)).as("lang"),
       coalesce(col(sourceField), lit(defaultSource)).as("source")))
+
+  /** Streaming twin of [[readJsonl]] — file-ARRIVAL-driven corpus
+    * ingest: new shard files landing under `path` become micro-batches
+    * with the identical FAILFAST schema, null-text guard, defaults,
+    * and content-addressed doc ids as the batch reader (the
+    * normalization is shared code, so the two paths cannot diverge;
+    * CorpusReaderSpec pins streamed ids == batch ids over the same
+    * files). This is the live-crawl front door: compose with
+    * [[graft.streaming.StatefulOps.streamingDedup]] /
+    * `streamingTokenBudget` for admission, or
+    * [[graft.streaming.StatefulOps.streamingHeavyHitters]] for
+    * monitoring. Pass `maxFilesPerTrigger` in `options` to bound
+    * batch size; content-addressed ids make replayed files idempotent
+    * to dedupe downstream. */
+  def readJsonlStream(spark: SparkSession, path: String,
+      textField: String = "text", langField: String = "lang",
+      sourceField: String = "source", defaultLang: String = "und",
+      defaultSource: String = "unknown",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(textField, StringType),
+      StructField(langField, StringType),
+      StructField(sourceField, StringType)))
+    val raw = spark.readStream.schema(schema).option("mode", "FAILFAST")
+      .options(options).json(path)
+    normalizeJsonl(raw, textField, langField, sourceField,
+      defaultLang, defaultSource)
   }
 
   /** Directory of raw text files, one DOCUMENT per FILE (the

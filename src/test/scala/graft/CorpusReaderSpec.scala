@@ -173,4 +173,36 @@ class CorpusReaderSpec extends SparkSpec {
     val ids = back.select("doc_id").as[String].collect().toSet
     assert(ids.size == texts.size)
   }
+
+  test("readJsonlStream: arriving shard files yield the batch reader's exact rows") {
+    val dir = tmpDir("jsonl-stream")
+    def shard(name: String, rows: Seq[(String, String, String)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        rows.map { case (t, l, s) =>
+          s"""{"text":"$t","lang":"$l","source":"$s"}"""
+        }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    shard("s0.jsonl", Seq(("alpha beta", "en", "web")))
+    val q = CorpusReader.readJsonlStream(spark, dir)
+      .writeStream.format("memory").queryName("ingest_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a LATE-ARRIVING shard (the live-crawl shape) lands in a later
+      // micro-batch; one uses the lang/source defaults
+      shard("s1.jsonl", Seq(("gamma  delta", "fr", "cc")))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/s2.jsonl"),
+        """{"text":"epsilon"}""".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT doc_id, text, lang, source FROM ingest_stream")
+        .as[(String, String, String, String)].collect().toSet
+      val batch = CorpusReader.readJsonl(spark, dir)
+        .as[(String, String, String, String)].collect().toSet
+      assert(streamed == batch && streamed.size == 3,
+        s"streamed=$streamed\nbatch=$batch")
+      // defaults applied, and ids are the shared content address
+      assert(streamed.exists(r => r._2 == "epsilon" && r._3 == "und" &&
+        r._4 == "unknown"))
+    } finally q.stop()
+  }
 }
