@@ -78,6 +78,10 @@ def main(sf_dir, out_dir):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
             continue
+        # progress to stderr: at larger SFs a single quadratic oracle
+        # (e.g. d23's exhaustive cross-join) can run for an hour —
+        # without this the run is a silent black box until the end
+        print(f"[selfcheck] {name} ...", file=sys.stderr, flush=True)
         files = glob.glob(f"{path}/*.parquet")
         if not files:
             results[name] = "NO_OUTPUT"
