@@ -249,11 +249,15 @@ object Dedup {
     * would re-shuffle the corpus's biggest intermediate to remove
     * nothing. The oracle's sfp CTE relies on the same per-doc
     * distinctness. */
+  private def containmentFpsPlan(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+        explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_s"))
+      .select(col("_id"), md5(col("_s")).as("_fp"))
+
   private def containmentFps(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int): DataFrame =
-    OpCaches.track(df.select(col(idCol).as("_id"),
-        explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_s"))
-      .select(col("_id"), md5(col("_s")).as("_fp")))
+    OpCaches.track(containmentFpsPlan(df, idCol, textCol, shingleK))
 
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.9,
@@ -325,11 +329,20 @@ object Dedup {
   def containmentPathProbe(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, maxShingleDocFreq: Long = 10000): DataFrame = {
     require(shingleK >= 1, s"shingleK=$shingleK must be >= 1")
-    // built from the SHARED cached (id, fp) frame (id unused here) so
-    // the auto dispatcher's subsequent containmentPairs pass re-reads
-    // the cache instead of re-exploding the corpus
-    containmentFps(df, idCol, textCol, shingleK)
-      .groupBy(col("_fp")).agg(count(lit(1)).as("_df"))
+    // UNCACHED plan: standalone probe use really is one streaming
+    // fingerprint aggregate — no persist of the exploded corpus. The
+    // auto dispatcher instead probes over its own tracked frame
+    // (probeFromFps) so ITS second pass hits the cache.
+    probeFromFps(containmentFpsPlan(df, idCol, textCol, shingleK),
+      maxShingleDocFreq)
+  }
+
+  /** The probe aggregate over an (id, fp) frame — shared by the
+    * standalone (uncached) probe and [[containmentPairsAuto]]'s
+    * cached-frame dispatch so both compute the identical statistic. */
+  private def probeFromFps(fps: DataFrame,
+      maxShingleDocFreq: Long): DataFrame =
+    fps.groupBy(col("_fp")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxShingleDocFreq)
       .agg(coalesce(sum(col("_df")), lit(0L)).as("sum_df"),
         coalesce(sum(col("_df") * col("_df")), lit(0L)).as("sum_df2"))
@@ -337,7 +350,6 @@ object Dedup {
         round(when(col("sum_df") > 0,
             col("sum_df2").cast("double") / col("sum_df").cast("double"))
           .otherwise(lit(0.0)), 4).as("fanout"))
-  }
 
   /** Self-tuning [[containmentPairs]]: probes the corpus's df-mass
     * shape first ([[containmentPathProbe]]) and flips to the prefix
@@ -352,8 +364,13 @@ object Dedup {
   def containmentPairsAuto(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.9,
       maxShingleDocFreq: Long = 10000, flipAt: Double = 100.0): DataFrame = {
-    val fanout = containmentPathProbe(df, idCol, textCol, shingleK,
-      maxShingleDocFreq).head().getAs[Double]("fanout")
+    // track/cache the (id, fp) frame HERE: the probe consumes it once,
+    // and containmentPairs re-derives the identical plan so its pass
+    // reads the cache instead of re-exploding the corpus — the auto
+    // path pays the shingle explode once total
+    val fps = containmentFps(df, idCol, textCol, shingleK)
+    val fanout = probeFromFps(fps, maxShingleDocFreq)
+      .head().getAs[Double]("fanout")
     containmentPairs(df, idCol, textCol, shingleK, threshold,
       maxShingleDocFreq, prefixFilter = fanout >= flipAt)
   }

@@ -573,11 +573,16 @@ object RelationalQueries {
   // (1) the exact companions (distinct count, interpolated
   // percentiles — the q35 parity pattern) hash against DuckDB, and
   // (2) the sketches' accuracy CLAIM is emitted as 0/1 columns —
-  // Spark computes |approx − exact| ≤ 5% in the same aggregate, the
+  // Spark computes |approx − exact| ≤ 15% (3× HLL++'s default 5% rsd;
+  // the same generous band covers the percentile sketches, whose rank
+  // error at accuracy 1000 is far tighter) in the same aggregate, the
   // oracle expects literal 1, and a sketch drifting out of tolerance
   // flips the column to 0 and fails the hash. That turns the old
-  // rows-only entry into a driver-red-on-regression accuracy gate
-  // (SketchSpec still asserts tighter bounds with explicit numbers).
+  // rows-only entry into a driver-red-on-regression SANITY gate —
+  // deliberately 3σ, not 1σ: the estimator is deterministic per
+  // dataset, so a 1σ band would deterministically fail ~32% of groups
+  // on any corpus other than the pinned fixture (SketchSpec still
+  // asserts tighter bounds with explicit numbers on the fixture).
   private val q27 = GraftQuery(
     "q27_approx_stats",
     (s, d) => {

@@ -100,19 +100,19 @@ object CorpusReader {
     // path trips a FileStreamSink metadata probe stack trace.
     val raw = spark.read.schema(schema).option("mode", "FAILFAST")
       .option("recursiveFileLookup", recursive.toString).json(path)
-    normalizeJsonl(raw, textField, langField, sourceField,
+    normalizeJsonl(raw, "readJsonl", textField, langField, sourceField,
       defaultLang, defaultSource)
   }
 
   /** The shared guard + normalization [[readJsonl]] and
     * [[readJsonlStream]] apply — ONE place decides what a canonical
     * document row is, so the batch and streaming paths cannot drift. */
-  private def normalizeJsonl(raw: DataFrame, textField: String,
-      langField: String, sourceField: String, defaultLang: String,
-      defaultSource: String): DataFrame =
+  private def normalizeJsonl(raw: DataFrame, caller: String,
+      textField: String, langField: String, sourceField: String,
+      defaultLang: String, defaultSource: String): DataFrame =
     withDocId(raw.select(
       when(col(textField).isNull, raise_error(concat(
-          lit(s"readJsonl: well-formed line with null/missing '$textField' in "),
+          lit(s"$caller: well-formed line with null/missing '$textField' in "),
           input_file_name())))
         .otherwise(col(textField)).as("text"),
       coalesce(col(langField), lit(defaultLang)).as("lang"),
@@ -142,8 +142,8 @@ object CorpusReader {
       StructField(sourceField, StringType)))
     val raw = spark.readStream.schema(schema).option("mode", "FAILFAST")
       .options(options).json(path)
-    normalizeJsonl(raw, textField, langField, sourceField,
-      defaultLang, defaultSource)
+    normalizeJsonl(raw, "readJsonlStream", textField, langField,
+      sourceField, defaultLang, defaultSource)
   }
 
   /** Directory of raw text files, one DOCUMENT per FILE (the
