@@ -259,10 +259,19 @@ object Dedup {
       shingleK: Int): DataFrame =
     OpCaches.track(containmentFpsPlan(df, idCol, textCol, shingleK))
 
+  /** `detailed = true` returns the pair-FORENSICS columns a curation
+    * reviewer needs to answer "why were these merged?": both shingle
+    * set sizes, the shared count, containment NEXT TO Jaccard (high
+    * containment + low Jaccard is the snippet-inside-document
+    * signature Jaccard-only dedup structurally misses), and the
+    * inclusion direction (which side is the snippet). Same candidate
+    * work either way — the extra columns ride the rows the threshold
+    * already kept. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.9,
       maxShingleDocFreq: Long = 10000,
-      prefixFilter: Boolean = false): DataFrame = {
+      prefixFilter: Boolean = false,
+      detailed: Boolean = false): DataFrame = {
     require(shingleK >= 1, s"shingleK=$shingleK must be >= 1")
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold must be in (0, 1]")
@@ -306,13 +315,22 @@ object Dedup {
           .select(col("a"), col("b"),
             size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("_shared"))
       }
-    shared
+    val merged = shared
       .join(sizes.select(col("_id").as("a"), col("_n").as("_na")), "a")
       .join(sizes.select(col("_id").as("b"), col("_n").as("_nb")), "b")
       .withColumn("containment", round(
         col("_shared").cast("double") / least(col("_na"), col("_nb")), 6))
       .filter(col("containment") >= threshold)
-      .select(col("a"), col("b"), col("containment"))
+    if (!detailed) merged.select(col("a"), col("b"), col("containment"))
+    else merged.select(col("a"), col("b"),
+      col("_na").as("n_a"), col("_nb").as("n_b"),
+      col("_shared").as("n_shared"),
+      col("containment"),
+      round(col("_shared").cast("double") /
+        (col("_na") + col("_nb") - col("_shared")), 6).as("jaccard"),
+      when(col("_na") < col("_nb"), lit("a_in_b"))
+        .when(col("_nb") < col("_na"), lit("b_in_a"))
+        .otherwise(lit("equal_size")).as("direction"))
   }
 
   /** The [[containmentPairs]] path discriminator MEASURED on an actual

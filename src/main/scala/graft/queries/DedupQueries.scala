@@ -1434,8 +1434,60 @@ object DedupQueries {
       ORDER BY media_id"""),
     bench = true)
 
+  // --- d34: near-dup pair forensics -------------------------------------
+  // The review table behind a dedup decision: for every flagged
+  // containment pair, both shingle-set sizes, the shared count,
+  // containment NEXT TO Jaccard, and the inclusion direction. The
+  // point is the contrast column — the planted snippets score
+  // containment ≈ 1.0 with Jaccard ≈ 0.05 (6 shared shingles vs a
+  // ~120-shingle document), which is exactly the evidence a reviewer
+  // needs to see that Jaccard-only dedup would have missed the pair.
+  // Same candidate work as d28; the extra columns ride the kept rows.
+  private val d34 = GraftQuery(
+    "d34_pair_forensics",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val snippets = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ")
+            .as("text"))
+      Dedup.containmentPairs(docs.unionByName(snippets), "doc_id", "text",
+          shingleK = 3, threshold = 0.9, maxShingleDocFreq = 10000,
+          detailed = true)
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH p AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000,
+          array_to_string(string_split_regex(trim(text), '\\s+')[1:8], ' ')
+        FROM documents WHERE doc_id < 10),
+      shl AS ($shingleCteSql),
+      sfp AS (
+        SELECT doc_id, md5(s) AS fp
+        FROM (SELECT doc_id, unnest(sh) AS s FROM shl)),
+      rare AS (SELECT fp FROM sfp GROUP BY fp HAVING count(*) <= 10000),
+      cand AS (SELECT sfp.doc_id, sfp.fp FROM sfp JOIN rare USING (fp)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sfp GROUP BY doc_id),
+      shared AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ns
+        FROM cand x JOIN cand y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT a, b, na.n AS n_a, nb.n AS n_b, ns AS n_shared,
+          round(ns::DOUBLE / least(na.n, nb.n), 6) AS containment,
+          round(ns::DOUBLE / (na.n + nb.n - ns), 6) AS jaccard,
+          CASE WHEN na.n < nb.n THEN 'a_in_b'
+            WHEN nb.n < na.n THEN 'b_in_a'
+            ELSE 'equal_size' END AS direction
+        FROM shared
+        JOIN sizes na ON na.doc_id = a
+        JOIN sizes nb ON nb.doc_id = b)
+      SELECT a, b, n_a, n_b, n_shared, containment, jaccard, direction
+      FROM scored WHERE containment >= 0.9 ORDER BY a, b"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      d24, d25, d26, d27, d28, d29, d30, d31, d32, d33)
+      d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34)
 }
