@@ -84,6 +84,44 @@ object ScaleOps {
       .agg(sum(col("_s")).as("sum_value"), sum(col("_c")).as("n"))
   }
 
+  /** Global rank [0, N) under `order` without a single-partition sort:
+    * range-partition on the order columns, rank WITHIN each range (a
+    * window partitioned by the physical range id — never a global
+    * window), then compose per-range offsets from one bounded
+    * `nRanges`-row count collect. Range partitions are ordered by
+    * construction — every row in range i precedes every row in range
+    * i+1 under `order` — so offset + in-range position IS the global
+    * rank. Same shape as [[graft.operators.Sampling.curriculumStages]]'
+    * rank core (see there for why the frame is localCheckpoint-ed: the
+    * sampled range boundaries must not be re-drawn between the counts
+    * job and the final job; a 100 TB run swaps the localCheckpoint for
+    * a reliable checkpoint, shapes unchanged).
+    *
+    * This is the scale-safe spine for rank statistics over frames too
+    * big for the post-aggregate single-partition-window whitelist —
+    * Lorenz/Gini curves (q65) rank EVERY customer, a frame that grows
+    * with the corpus. */
+  def globalRankByRange(df: DataFrame, order: Seq[Column],
+      nRanges: Int = 64, rankCol: String = "grank"): DataFrame = {
+    require(nRanges >= 1 && nRanges <= 4096,
+      s"nRanges=$nRanges: offsets ride the plan as literals, keep it bounded")
+    val ranged = df.repartitionByRange(nRanges, order: _*)
+      .withColumn("_range", spark_partition_id())
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_range")).orderBy(order: _*)
+    val withPos = ranged.withColumn("_pos", row_number().over(w).cast("long"))
+    val counts = withPos.groupBy(col("_range")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val nParts = counts.keys.maxOption.map(_.toInt + 1).getOrElse(1)
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p.toLong, 0L))
+    val offCol = element_at(
+      array(offsets.take(nParts).map(lit(_)): _*), col("_range") + 1)
+    withPos.withColumn(rankCol, offCol + col("_pos") - 1)
+      .drop("_range", "_pos")
+  }
+
   /** Key-frequency probe for deciding salting / AQE skew thresholds:
     * top-n heaviest keys with their share of the table. */
   def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {

@@ -2061,11 +2061,186 @@ object RelationalQueries {
           AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       GROUP BY 1 ORDER BY 1"""))
 
+  // --- q65: revenue concentration — Lorenz deciles + Gini -------------
+  // "How concentrated is our revenue?" — the per-customer revenue
+  // distribution as a Lorenz table (decile → revenue share, cumulative
+  // share) plus the Gini coefficient via the rank formula
+  // G = 2·Σ((rank+1)·x) / (n·Σx) − (n+1)/n. The rank is the part that
+  // does not scale naively: per-customer revenue grows with the
+  // corpus, so ranking it is NOT in the tiny-post-aggregate-window
+  // class — it goes through [[graft.operators.ScaleOps
+  // .globalRankByRange]] (range partitions + in-range window + bounded
+  // offset collect), never a single-partition sort. Revenue is exact
+  // integer cents (q62's rule); rank/decile arithmetic is exact
+  // integer on both engines; the only doubles are the final share and
+  // Gini divisions, identical IEEE ops on both sides. The 10-row
+  // cumulative window sits above the decile aggregate (the lint's
+  // bounded-subtree waiver).
+  private val q65 = GraftQuery(
+    "q65_revenue_lorenz",
+    (s, d) => {
+      val rev = ord(s, d).groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("rev_cents"))
+        .withColumn("rev_cents", col("rev_cents").cast("long"))
+      val ranked = graft.operators.ScaleOps.globalRankByRange(
+        rev, Seq(col("rev_cents"), col("o_custkey")), nRanges = 32)
+      val tot = ranked.agg(
+        count(lit(1)).as("_n"),
+        sum(col("rev_cents")).as("_t"),
+        sum((col("grank") + 1) * col("rev_cents")).as("_w"))
+      val dec = ranked.crossJoin(broadcast(tot)) // 1-row scalar broadcast
+        .withColumn("decile", expr("grank * 10 div _n") + 1)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev_cents")).cast("long").as("revenue_cents"),
+          first(col("_n")).as("_n"), first(col("_t")).as("_t"),
+          first(col("_w")).as("_w"))
+      val cum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec
+        .withColumn("share",
+          round(col("revenue_cents").cast("double") / col("_t"), 6))
+        .withColumn("cum_share",
+          round(sum(col("revenue_cents")).over(cum).cast("double")
+            / col("_t"), 6))
+        .withColumn("gini",
+          round(lit(2.0) * col("_w") / (col("_n") * col("_t"))
+            - (col("_n") + lit(1.0)) / col("_n"), 6))
+        .select("decile", "n_customers", "revenue_cents", "share",
+          "cum_share", "gini")
+        .orderBy("decile")
+    },
+    Some("""WITH rev AS (
+        SELECT o_custkey,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS rev_cents
+        FROM orders GROUP BY 1),
+      rk AS (
+        SELECT o_custkey, rev_cents,
+          row_number() OVER (ORDER BY rev_cents, o_custkey) - 1 AS grank
+        FROM rev),
+      tot AS (
+        SELECT count(*) AS n, CAST(sum(rev_cents) AS BIGINT) AS t,
+          CAST(sum((grank + 1) * rev_cents) AS BIGINT) AS w
+        FROM rk),
+      dec AS (
+        SELECT (grank * 10) // n + 1 AS decile, count(*) AS n_customers,
+          CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+        FROM rk, tot GROUP BY 1)
+      SELECT decile, n_customers, revenue_cents,
+        round(revenue_cents::DOUBLE / t, 6) AS share,
+        round(CAST(sum(revenue_cents) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          ::DOUBLE / t, 6) AS cum_share,
+        round(2.0 * w / (n * t) - (n + 1.0) / n, 6) AS gini
+      FROM dec, tot ORDER BY decile"""))
+
+  // --- q66: repeat-purchase intervals by market segment ----------------
+  // Customer-lifecycle cadence: for every consecutive order pair of the
+  // same customer, the gap, rolled up per market segment. The per-key
+  // lag window partitions by o_custkey — embarrassingly parallel at
+  // any scale (each customer's history sorts inside its own hash
+  // partition; no global ordering anywhere). Gaps are exact integer
+  // seconds (timezone-free because the two epoch reads cancel);
+  // avg/median divide once at the end. The customer dimension joins
+  // AFTER the per-customer gap extraction, so only (custkey, gap)
+  // pairs — never full order rows — reach the segment join.
+  private val q66 = GraftQuery(
+    "q66_repeat_interval",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = ord(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("_prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("_prev").isNotNull)
+        .select(col("o_custkey"),
+          (unix_timestamp(col("o_orderdate"))
+            - unix_timestamp(col("_prev"))).as("gap_s"))
+      gaps
+        .join(cust(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg(col("gap_s")) / 86400d, 4).as("avg_gap_days"),
+          round(expr("percentile(gap_s, 0.5)") / 86400d, 4)
+            .as("p50_gap_days"),
+          round(max(col("gap_s")) / lit(86400d), 4).as("max_gap_days"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH gaps AS (
+        SELECT o_custkey,
+          date_diff('second',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS gap_s
+        FROM orders)
+      SELECT c_mktsegment, count(*) AS n_gaps,
+        round(avg(gap_s) / 86400, 4) AS avg_gap_days,
+        round(quantile_cont(gap_s, 0.5) / 86400, 4) AS p50_gap_days,
+        round(max(gap_s) / 86400.0, 4) AS max_gap_days
+      FROM gaps JOIN customer ON o_custkey = c_custkey
+      WHERE gap_s IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  // --- q67: market-basket part affinity (co-occurrence lift) -----------
+  // Which part pairs land in the same order far more often than chance
+  // — the classic association-rule screen, kept to the top-20 by lift.
+  // Scale shape: the pair generation is a SELF-JOIN ON THE ORDER KEY
+  // (co-partitioned fact-fact — at 100 TB both sides arrive bucketed
+  // on orderkey per [[graft.operators.ScaleOps.writeBucketed]] and the
+  // join runs exchange-free; pair fan-out is bounded by per-order
+  // basket size, never corpus²). Part supports and the order total are
+  // aggregates of the same deduped (order, part) frame; lift is exact
+  // integer products divided once. The support≥2 floor cuts the
+  // singleton-pair noise before the lift join.
+  private val q67 = GraftQuery(
+    "q67_basket_lift",
+    (s, d) => {
+      val op = li(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val co = op.as("a")
+        .join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("co_orders"))
+        .filter(col("co_orders") >= 2)
+      val sup = op.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      val totO = op.agg(countDistinct(col("ok")).as("_o"))
+      co
+        .join(sup.select(col("pk").as("part_a"), col("n").as("n_a")), "part_a")
+        .join(sup.select(col("pk").as("part_b"), col("n").as("n_b")), "part_b")
+        .crossJoin(broadcast(totO)) // 1-row scalar broadcast
+        .withColumn("lift",
+          round((col("co_orders") * col("_o")).cast("double")
+            / (col("n_a") * col("n_b")), 6))
+        .select("part_a", "part_b", "co_orders", "n_a", "n_b", "lift")
+        .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    },
+    Some("""WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      sup AS (SELECT pk, count(*) AS n FROM op GROUP BY 1),
+      o AS (SELECT count(DISTINCT ok) AS t FROM op),
+      co AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS co_orders
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT part_a, part_b, co_orders, na.n AS n_a, nb.n AS n_b,
+        round(CAST(co_orders * t AS BIGINT)::DOUBLE / (na.n * nb.n), 6)
+          AS lift
+      FROM co
+      JOIN sup na ON na.pk = part_a
+      JOIN sup nb ON nb.pk = part_b, o
+      ORDER BY lift DESC, part_a, part_b LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64)
+    q64, q65, q66, q67)
 }

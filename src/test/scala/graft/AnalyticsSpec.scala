@@ -148,4 +148,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(rewrite == textbook,
       s"rewrite=$rewrite\ntextbook=$textbook")
   }
+
+  test("basket lift: an always-together pair scores exactly 1, a planted affinity pair scores T/co-share") {
+    // q67's lift formula on crafted baskets. Parts 1,2 appear in ALL 6
+    // orders → co=6, n1=n2=6, lift = 6·6/(6·6) = 1 exactly. Parts 3,4
+    // appear in 2 orders each, always together → lift = 2·6/(2·2) = 3.
+    val op = (for {
+      ok <- 1L to 6L
+      pk <- Seq(1L, 2L) ++ (if (ok <= 2) Seq(3L, 4L) else Nil)
+    } yield (ok, pk)).toDF("ok", "pk")
+    val co = op.as("a")
+      .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("co"))
+    val sup = op.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val lifts = co
+      .join(sup.select(col("pk").as("pa"), col("n").as("na")), "pa")
+      .join(sup.select(col("pk").as("pb"), col("n").as("nb")), "pb")
+      .select(col("pa"), col("pb"),
+        ((col("co") * 6).cast("double") / (col("na") * col("nb"))).as("lift"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, l) => (a, b) -> l }.toMap
+    assert(lifts((1L, 2L)) == 1.0)
+    assert(lifts((3L, 4L)) == 3.0)
+    assert(lifts((1L, 3L)) == 1.0) // 2·6/(6·2): co-membership at chance
+  }
 }

@@ -154,4 +154,39 @@ class ScaleOpsSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("globalRankByRange equals the global-sort rank, dense and gapless") {
+    // 5000 rows with heavy value ties (v = i % 37) across 16 ranges —
+    // ties must resolve identically to one global ORDER BY (v, id),
+    // and the composed offsets must leave no gaps or duplicates.
+    val df = spark.range(0, 5000).toDF("id")
+      .select(col("id"), (col("id") % 37).as("v"))
+    val ranked = ScaleOps.globalRankByRange(
+      df, Seq(col("v"), col("id")), nRanges = 16)
+    val got = ranked.orderBy("grank").select("id", "grank")
+      .as[(Long, Long)].collect()
+    val expect = df.select("id", "v").as[(Long, Long)].collect()
+      .sortBy { case (id, v) => (v, id) }.map(_._1)
+    assert(got.map(_._2).toSeq == (0L until 5000L),
+      "ranks must be exactly [0, N) with no gaps")
+    assert(got.map(_._1).toSeq == expect.toSeq,
+      "rank order must match the global (v, id) sort")
+  }
+
+  test("globalRankByRange gini formula hits the closed-form extremes") {
+    // q65's Gini spine on crafted distributions: all-equal masses →
+    // G = 0; one holder owns everything → G = (n−1)/n exactly.
+    def gini(values: Seq[Long]): Double = {
+      val df = values.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+      val ranked = ScaleOps.globalRankByRange(
+        df, Seq(col("x"), col("id")), nRanges = 4)
+      val r = ranked.agg(count(lit(1)), sum(col("x")),
+        sum((col("grank") + 1) * col("x"))).head()
+      val (n, t, w) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      2.0 * w / (n * t) - (n + 1.0) / n
+    }
+    assert(math.abs(gini(Seq.fill(8)(100L))) < 1e-12)
+    assert(math.abs(gini(Seq.fill(9)(0L) :+ 1000L) - 0.9) < 1e-12)
+  }
 }
