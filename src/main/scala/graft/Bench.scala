@@ -34,12 +34,36 @@ object Bench {
     // dev knob: skip the playback stages to isolate query timings
     val skipPlayback = sys.env.contains("SPARK_GRAFT_SKIP_PLAYBACK")
 
+    // Task-level failure accounting: every non-Success task end
+    // (failure → scheduler retry, or kill) is counted and emitted in
+    // the JSON. Round 11's bench tail carried an unexplained
+    // "DataWritingSparkTask: Aborting commit" ERROR; with this listener
+    // (and PlaybackBench.stopInterrupts naming the teardown-interrupt
+    // cause) an abort is in-band data, not a stray stack trace.
+    val taskFailed = new java.util.concurrent.atomic.AtomicLong
+    val taskKilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          e.reason match {
+            case org.apache.spark.Success => ()
+            case _: org.apache.spark.TaskKilled => taskKilled.incrementAndGet()
+            case _ => taskFailed.incrementAndGet()
+          }
+      })
+
     // playback throughput first, before 20+ query runs fill the old gen.
     // Fixed-work CPU probes bracket the playback measurements so a
     // degraded host window (co-tenant contention) is visible IN the
     // bench JSON, not argued after the fact: probe seconds are
     // comparable across rounds, and host_noise_factor relates the
-    // worst probe to the documented quiet-window anchor.
+    // worst probe to the documented quiet-window anchor. The 8-thread
+    // probe measures per-core SPEED only; the bracketing hostSentinel
+    // scaling probes (1 thread vs all cores, same fixed work each)
+    // additionally measure effective PARALLELISM — the dimension the
+    // r9–r11 agg8 swings lived in (see PlaybackBench.HostSentinel).
+    val sent0 = PlaybackBench.hostSentinel()
     val probe0 = PlaybackBench.cpuProbe()
     val playbackRps = if (skipPlayback) -1.0
       else try PlaybackBench.run(spark, sfDir, seconds = 8)
@@ -57,6 +81,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] concurrent playback failed: ${e.getMessage}"); -1.0 }
     val probe2 = PlaybackBench.cpuProbe()
+    val sent1 = PlaybackBench.hostSentinel()
 
     // steady-state timing: first pass over the whole set pays Janino/JIT
     // compilation of each query's unique expression trees (one-time per
@@ -94,7 +119,10 @@ object Bench {
     val measured = measure(names, once)
 
     println(renderJson(measured, playbackRps, playbackAgg8, sfDir,
-      probes = Seq(probe0, probe1, probe2)))
+      probes = Seq(probe0, probe1, probe2),
+      sentinels = Seq(sent0, sent1),
+      stopInterrupts = PlaybackBench.stopInterrupts.get,
+      taskFailed = taskFailed.get, taskKilled = taskKilled.get))
     spark.stop()
   }
 
@@ -134,7 +162,10 @@ object Bench {
     * scalar flag even if it only reads top-level fields. */
   def renderJson(results: Seq[(String, QueryResult)], playbackRps: Double,
       playbackAgg8: Double, sfDir: String,
-      probes: Seq[Double] = Nil): String = {
+      probes: Seq[Double] = Nil,
+      sentinels: Seq[PlaybackBench.HostSentinel] = Nil,
+      stopInterrupts: Long = 0L,
+      taskFailed: Long = 0L, taskKilled: Long = 0L): String = {
     val qs = results.map { case (k, r) => "\"" + k + f"""":${r.sec}%.3f""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, r) if r.failed => "\"" + k + "\"" }
@@ -148,6 +179,13 @@ object Bench {
     val probeJson = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
     val noise = if (probes.isEmpty) -1.0
       else probes.max / PlaybackBench.QuietProbeSec
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"host_probe_sec":$probeJson,"host_noise_factor":$noise%.2f,"sf":"$sfDir"}"""
+    // parallelism sentinel: worst (max) scaling ratio over the
+    // bracketing snapshots — ~1 = all cores effectively free; on a
+    // 32-core host a value of R means only ~cores/R cores' worth of
+    // CPU was available, and agg8 in THIS json is expected ~R× low.
+    val sentJson = sentinels.map(_.json).mkString("[", ",", "]")
+    val worstScaling =
+      if (sentinels.isEmpty) -1.0 else sentinels.map(_.scalingRatio).max
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"host_probe_sec":$probeJson,"host_noise_factor":$noise%.2f,"host_sentinel":$sentJson,"host_scaling_ratio":$worstScaling%.2f,"playback_stop_interrupts":$stopInterrupts,"task_failed":$taskFailed,"task_killed":$taskKilled,"sf":"$sfDir"}"""
   }
 }

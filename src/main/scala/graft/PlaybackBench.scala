@@ -58,6 +58,51 @@ object PlaybackBench {
     * playback streams need. */
   val QuietProbeSec = 0.265
 
+  /** Full host sentinel: per-core speed AND effective parallelism.
+    *
+    * The 8-thread [[cpuProbe]] alone has a proven blind spot: it
+    * measures how fast 8 threads run, so on a 32-core host whose
+    * effective parallelism drops to ~8 (cgroup quota, co-tenant
+    * saturation) it still reads near-quiet — which is exactly how
+    * three rounds of driver agg8 readings (7.99M → 4.69M → 1.31M
+    * rps) could coexist with "noise factor 1.17" while same-HEAD
+    * clean-window runs held 8.3–8.4M even at probe noise 1.34.
+    *
+    * The scaling probe closes it: the SAME fixed work per thread runs
+    * once on 1 thread and once on `availableProcessors` threads. With
+    * every core free the two take equal wall time (each thread's work
+    * is constant, not divided), so `scalingRatio = tN / t1` reads the
+    * parallelism loss directly: ~1.0–1.4 = all cores effectively free
+    * (all-core turbo/SMT droop keeps it above exactly 1.0); ~4.0 on a
+    * 32-core host = only ~8 cores' worth of CPU was actually
+    * available — the agg8 number in the same JSON was then measured
+    * on a quarter-capacity machine and is expected to read ~4× low.
+    * `/proc/loadavg` (1-min) adds the co-tenant view: load ≫ nCores
+    * with a quiet probe means the contention arrived between probes. */
+  final case class HostSentinel(
+      probe1Sec: Double, probeNSec: Double, nThreads: Int,
+      scalingRatio: Double, availableProcessors: Int, loadAvg: Double) {
+    def json: String =
+      f"""{"probe1_sec":$probe1Sec%.3f,"probeN_sec":$probeNSec%.3f,"n_threads":$nThreads,"scaling_ratio":$scalingRatio%.2f,"available_processors":$availableProcessors,"loadavg_1m":$loadAvg%.2f}"""
+  }
+
+  def hostSentinel(): HostSentinel = {
+    val cores = Runtime.getRuntime.availableProcessors
+    val t1 = cpuProbe(1)
+    val tN = cpuProbe(cores)
+    val load = try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+    HostSentinel(t1, tN, cores, tN / t1, cores, load)
+  }
+
+  /** Count of playback queries whose teardown drain deadline expired
+    * (their in-flight batch was interrupted by stop() — each such stop
+    * can log one "DataWritingSparkTask: Aborting commit" ERROR).
+    * Cumulative per JVM; Bench snapshots it into the bench JSON. */
+  val stopInterrupts = new java.util.concurrent.atomic.AtomicLong
+
   def exportCsv(spark: SparkSession, sfDir: String, workDir: java.nio.file.Path): Unit = {
     val out = workDir.resolve("export")
     Tables(spark, sfDir, "events")
@@ -166,10 +211,21 @@ object PlaybackBench {
       graft.streaming.CsvPlaybackStream.quiesce.set(true)
       try {
         started.foreach { q =>
-          val deadline = System.nanoTime() + 10L * 1000000000L
+          val deadline = System.nanoTime() + 30L * 1000000000L
           while (q.isActive && q.status.isTriggerActive &&
               System.nanoTime() < deadline)
             Thread.sleep(50)
+          // Drain-deadline expiry is the NAMED cause of the write-task
+          // "Aborting commit" stack traces seen in round-11's driver
+          // bench tail: a 500k-row batch that can't finish inside the
+          // deadline on a contended host gets its noop-write tasks
+          // interrupted by stop(). Count it so a future abort is an
+          // in-band number next to the throughput it may have dented,
+          // not an unexplained ERROR line. (Deadline 10s → 30s: on a
+          // quarter-capacity window — see HostSentinel — a batch that
+          // takes 8s quiet can legitimately need >10s to drain.)
+          if (q.isActive && q.status.isTriggerActive)
+            stopInterrupts.incrementAndGet()
           try q.stop() catch { case _: Throwable => () }
         }
       } finally graft.streaming.CsvPlaybackStream.quiesce.set(false)
@@ -205,6 +261,7 @@ object PlaybackBench {
       val n = args.drop(1).headOption.map(_.toInt).getOrElse(7)
       val xs = (1 to n).map(_ => cpuProbe())
       println(xs.map(x => f"$x%.3f").mkString("probe_sec=[", ",", "]"))
+      (1 to math.min(n, 3)).foreach(_ => println(hostSentinel().json))
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -229,12 +286,14 @@ object PlaybackBench {
     // default SPARK_GRAFT_CPUS=8; set it to 32 for a
     // driver-comparable aggregate.
     val probeBefore = cpuProbe()
+    val sentBefore = hostSentinel()
     val rps =
       if (streams > 1) runConcurrent(spark, sfDir, streams, seconds)
       else run(spark, sfDir, seconds)
     val probeAfter = cpuProbe()
+    val sentAfter = hostSentinel()
     val noise = ((probeBefore + probeAfter) / 2.0) / QuietProbeSec
-    println(f"""{"metric":"playback_rps","value":$rps%.0f,"unit":"rows/sec","sf":"$sfDir","streams":$streams,"host_probe_sec":[$probeBefore%.3f,$probeAfter%.3f],"host_noise_factor":$noise%.2f}""")
+    println(f"""{"metric":"playback_rps","value":$rps%.0f,"unit":"rows/sec","sf":"$sfDir","streams":$streams,"host_probe_sec":[$probeBefore%.3f,$probeAfter%.3f],"host_noise_factor":$noise%.2f,"host_sentinel":[${sentBefore.json},${sentAfter.json}],"playback_stop_interrupts":${stopInterrupts.get}}""")
     spark.stop()
   }
 }

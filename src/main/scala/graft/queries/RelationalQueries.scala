@@ -2029,18 +2029,27 @@ object RelationalQueries {
   // map-side, then a LEFT ANTI join against the date-filtered orders
   // — the date predicate pushes to the parquet scan, so at 100 TB the
   // anti join's build side is only the recent slice, never order
-  // history. Balance goes through exact integer cents per q62's rule.
+  // history. Balance goes through exact integer cents per q62's rule —
+  // INCLUDING the above-average gate: `cents·n > Σcents` in integers,
+  // because a float `bal > avg(bal)` threshold is partition-order
+  // dependent (Spark's double summation) and engine dependent (DuckDB
+  // accumulates differently), so a balance within an ulp of the mean
+  // could flip the gate nondeterministically. cents ≤ 1e6 and the
+  // product needs n > 9e12 customers to overflow Long — safe.
   private val q64 = GraftQuery(
     "q64_dormant_customers",
     (s, d) => {
       val avgBal = cust(s, d).filter(col("c_acctbal") > 0)
-        .agg(avg(col("c_acctbal")).as("_avg_bal"))
+        .agg(count(lit(1)).as("_n_pos"),
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+            .as("_sum_pos_cents"))
       val recent = ord(s, d)
         .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
         .select(col("o_custkey"))
       cust(s, d)
         .crossJoin(broadcast(avgBal)) // 1-row scalar broadcast
-        .filter(col("c_acctbal") > col("_avg_bal"))
+        .filter(expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+          * col("_n_pos") > col("_sum_pos_cents"))
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
@@ -2051,12 +2060,15 @@ object RelationalQueries {
         .orderBy("n_name")
     },
     Some("""WITH ab AS (
-        SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+        SELECT count(*) AS n,
+          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s
+        FROM customer WHERE c_acctbal > 0)
       SELECT n_name, count(*) AS numcust,
         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
           AS totacctbal_cents
       FROM customer JOIN nation ON c_nationkey = n_nationkey
-      WHERE c_acctbal > (SELECT a FROM ab)
+      WHERE CAST(round(c_acctbal * 100) AS BIGINT) * (SELECT n FROM ab)
+          > (SELECT s FROM ab)
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
           AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       GROUP BY 1 ORDER BY 1"""))
@@ -2085,10 +2097,16 @@ object RelationalQueries {
         .withColumn("rev_cents", col("rev_cents").cast("long"))
       val ranked = graft.operators.ScaleOps.globalRankByRange(
         rev, Seq(col("rev_cents"), col("o_custkey")), nRanges = 32)
+      // _w in DECIMAL(38,0): (rank+1)·cents is Long×Long that wraps past
+      // 9.2e18 at roughly rank 1e7 × cents 1e8 — exactly the corpus
+      // sizes this query exists for. Spark (non-ANSI) would wrap
+      // SILENTLY; decimal keeps the sum exact to 38 digits and the only
+      // subsequent use is one cast to double for the Gini division.
       val tot = ranked.agg(
         count(lit(1)).as("_n"),
         sum(col("rev_cents")).as("_t"),
-        sum((col("grank") + 1) * col("rev_cents")).as("_w"))
+        sum((col("grank") + 1).cast("decimal(38,0)") * col("rev_cents"))
+          .as("_w"))
       val dec = ranked.crossJoin(broadcast(tot)) // 1-row scalar broadcast
         .withColumn("decile", expr("grank * 10 div _n") + 1)
         .groupBy(col("decile"))
@@ -2105,7 +2123,11 @@ object RelationalQueries {
           round(sum(col("revenue_cents")).over(cum).cast("double")
             / col("_t"), 6))
         .withColumn("gini",
-          round(lit(2.0) * col("_w") / (col("_n") * col("_t"))
+          // n·t likewise overflows Long (n 1e7 × t 1e15); divide in
+          // double — both engines cast the same exact integers, so the
+          // IEEE ops match bit-for-bit
+          round(lit(2.0) * col("_w").cast("double")
+            / (col("_n").cast("double") * col("_t").cast("double"))
             - (col("_n") + lit(1.0)) / col("_n"), 6))
         .select("decile", "n_customers", "revenue_cents", "share",
           "cum_share", "gini")
@@ -2122,7 +2144,7 @@ object RelationalQueries {
         FROM rev),
       tot AS (
         SELECT count(*) AS n, CAST(sum(rev_cents) AS BIGINT) AS t,
-          CAST(sum((grank + 1) * rev_cents) AS BIGINT) AS w
+          sum(CAST(grank + 1 AS HUGEINT) * rev_cents) AS w
         FROM rk),
       dec AS (
         SELECT (grank * 10) // n + 1 AS decile, count(*) AS n_customers,
@@ -2133,7 +2155,9 @@ object RelationalQueries {
         round(CAST(sum(revenue_cents) OVER (ORDER BY decile
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           ::DOUBLE / t, 6) AS cum_share,
-        round(2.0 * w / (n * t) - (n + 1.0) / n, 6) AS gini
+        round(2.0 * CAST(w AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+          - (n + 1.0) / n, 6) AS gini
       FROM dec, tot ORDER BY decile"""))
 
   // --- q66: repeat-purchase intervals by market segment ----------------

@@ -40,8 +40,17 @@ object ExplainAudit {
     // shapes as suspect despite a clean lint.
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
       import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+      // distinct-style aggregates (SELECT DISTINCT / groupBy with no
+      // agg functions) have EMPTY aggregateExpressions in BOTH the
+      // partial and final stages, so the mode check alone would read a
+      // pre-shuffle partial distinct as bounded. The stage marker that
+      // never lies is requiredChildDistributionExpressions: None =
+      // partial (any input distribution), Some(keys)/Some(Nil) = final
+      // (clustered/all-tuples) — exactly the planner's own contract.
       val partial = a.aggregateExpressions.exists(e =>
-        e.mode == Partial || e.mode == PartialMerge)
+        e.mode == Partial || e.mode == PartialMerge) ||
+        (a.aggregateExpressions.isEmpty &&
+          a.requiredChildDistributionExpressions.isEmpty)
       if (partial) kids(a).exists(subtreeBounded) else true
     case _: org.apache.spark.sql.execution.GlobalLimitExec => true
     case _: org.apache.spark.sql.execution.LocalLimitExec => true
