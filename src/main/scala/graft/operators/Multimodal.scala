@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * Codec reality ladder: [[MediaCodec]] is a REAL pure-JVM PNG/JPEG
   * header parser; [[PixelCodec]] is a REAL pure-JVM full PNG pixel
   * codec (zlib inflate/deflate via the JDK, all five scanline filters,
-  * nearest-neighbor resample) — decode, resize, and re-encode of PNG
-  * media need no external library. Only formats whose decode requires
-  * codecs this container lacks (JPEG entropy decode, audio/video)
-  * stay behind [[FakeCodec]], a deterministic stand-in with the same
-  * shape: swap `FakeCodec.decode` for a JNI/FFI decoder and nothing
-  * else changes.
+  * nearest-neighbor resample); [[WavCodec]] is a REAL pure-JVM
+  * WAV/PCM audio codec (RIFF chunk walk, 16-bit sample decode,
+  * integer resample, re-encode) — PNG images and PCM audio decode,
+  * transform, and re-encode with no external library. Only formats
+  * whose decode requires entropy codecs this container lacks (JPEG
+  * pixel decode, compressed audio, video) stay behind [[FakeCodec]],
+  * a deterministic stand-in with the same shape: swap
+  * `FakeCodec.decode` for a JNI/FFI decoder and nothing else changes.
   *
   * Scale notes: payloads stay off the shuffle path (feature extraction
   * is map-side); `repartitionForPayloads` sizes partitions by byte
@@ -322,6 +324,13 @@ object Multimodal {
             val ww = be32(p, i + 8); val hh = be32(p, i + 12)
             if (ww <= 0 || hh <= 0 || ww > (1L << 20) || hh > (1L << 20)) return None
             if ((p(i + 16) & 0xff) != 8) return None // bit depth
+            // compression METHOD (i+18) and filter METHOD (i+19): 0 is
+            // the only value the spec defines. A crafted header
+            // declaring another method whose IDAT happens to inflate
+            // would otherwise "decode" to garbage pixels — quarantine
+            // as None, never a guess (same contract as depth/interlace)
+            if ((p(i + 18) & 0xff) != 0) return None // compression method
+            if ((p(i + 19) & 0xff) != 0) return None // filter method
             if ((p(i + 20) & 0xff) != 0) return None // interlace
             channels = (p(i + 17) & 0xff) match {
               case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
@@ -411,6 +420,146 @@ object Multimodal {
         y += 1
       }
       Image(dw, dh, img.channels, out)
+    }
+  }
+
+  /** REAL pure-JVM WAV/PCM audio codec (no native deps): RIFF is a
+    * public chunked container and 16-bit PCM samples are plain
+    * little-endian integers — decode, statistics, resample, and
+    * re-encode need no entropy codec at all, so unlike JPEG pixels
+    * this modality has no excuse to sit behind [[FakeCodec]].
+    *
+    * Parsing contract (same as [[MediaCodec]]/[[PixelCodec]]): `None`
+    * for anything not positively identified — truncated buffer, bad
+    * magic, missing/malformed fmt or data chunk, non-PCM format,
+    * unsupported bit depth — never a guess; a corrupt payload in a
+    * 100 TB crawl routes to quarantine, not to fabricated samples.
+    * Scope: format 1 (integer PCM), 16-bit, 1–8 channels — the shape
+    * a speech/audio training pipeline normalizes to anyway; float,
+    * ADPCM, and 8/24-bit return None.
+    *
+    * Samples are frame-major, channel-interleaved Ints in
+    * [-32768, 32767]. The resampler is nearest-neighbor in exact
+    * integer arithmetic (source frame = floor(dst·srcRate/dstRate)),
+    * so an external engine can replay which source frame every
+    * destination frame reads — the property the d35 gate hashes. */
+  object WavCodec {
+    final case class Wav(sampleRate: Int, channels: Int,
+        samples: Array[Int]) {
+      require(channels > 0 && samples.length % channels == 0,
+        s"sample buffer ${samples.length} not a multiple of $channels channels")
+      def nFrames: Int = samples.length / channels
+    }
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def put16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+    }
+    private def put32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >>> 8) & 0xff).toInt)
+      o.write(((v >>> 16) & 0xff).toInt); o.write(((v >>> 24) & 0xff).toInt)
+    }
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      i + 4 <= b.length && (0 until 4).forall(k => (b(i + k) & 0xff) == t.charAt(k))
+
+    /** Encode to a complete, spec-valid RIFF/WAVE file (fmt + data,
+      * correct sizes and even-byte chunk alignment). */
+    def encodeWav(w: Wav): Array[Byte] = {
+      require(w.sampleRate > 0 && w.sampleRate <= 1000000,
+        s"sampleRate=${w.sampleRate}")
+      val dataBytes = w.samples.length * 2
+      val out = new java.io.ByteArrayOutputStream(44 + dataBytes)
+      out.write("RIFF".getBytes("US-ASCII"))
+      put32(out, 36L + dataBytes) // 4 ("WAVE") + (8+16 fmt) + (8+data)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); put32(out, 16L)
+      put16(out, 1) // audio format: integer PCM
+      put16(out, w.channels)
+      put32(out, w.sampleRate.toLong)
+      put32(out, w.sampleRate.toLong * w.channels * 2) // byte rate
+      put16(out, w.channels * 2) // block align
+      put16(out, 16) // bits per sample
+      out.write("data".getBytes("US-ASCII")); put32(out, dataBytes.toLong)
+      var i = 0
+      while (i < w.samples.length) {
+        val v = w.samples(i)
+        require(v >= -32768 && v <= 32767, s"sample $v out of int16 range")
+        put16(out, v & 0xffff)
+        i += 1
+      }
+      out.toByteArray
+    }
+
+    /** Full decode. None for: bad RIFF/WAVE magic, truncated or
+      * malformed chunk layout, non-PCM audioFormat, bits != 16,
+      * channels outside 1..8, inconsistent blockAlign, a data chunk
+      * not a whole number of frames, or > 2^26 total samples (the
+      * d33-style Long-guarded size cap: a crafted header must
+      * quarantine, never drive a wrapped allocation). */
+    def decodeWav(p: Array[Byte]): Option[Wav] = {
+      if (p == null || p.length < 44) return None
+      if (!tag(p, 0, "RIFF") || !tag(p, 8, "WAVE")) return None
+      var i = 12
+      var sampleRate = 0; var channels = 0; var haveFmt = false
+      var samples: Array[Int] = null
+      while (samples == null && i + 8 <= p.length) {
+        val size = le32(p, i + 4)
+        if (size < 0 || i + 8 + size > p.length) return None
+        val l = size.toInt
+        if (tag(p, i, "fmt ")) {
+          if (l < 16) return None
+          if (le16(p, i + 8) != 1) return None // integer PCM only
+          channels = le16(p, i + 10)
+          if (channels < 1 || channels > 8) return None
+          val sr = le32(p, i + 12)
+          if (sr <= 0 || sr > 1000000) return None
+          sampleRate = sr.toInt
+          if (le16(p, i + 20) != channels * 2) return None // block align
+          if (le16(p, i + 22) != 16) return None // bits per sample
+          haveFmt = true
+        } else if (tag(p, i, "data")) {
+          if (!haveFmt) return None // fmt must precede data (spec)
+          if (l % (channels * 2) != 0) return None // whole frames only
+          val n = l / 2
+          if (n > (1 << 26)) return None // ~128 MiB of samples: size cap
+          val out = new Array[Int](n)
+          var k = 0
+          while (k < n) {
+            out(k) = le16(p, i + 8 + 2 * k).toShort.toInt // sign-extend
+            k += 1
+          }
+          samples = out
+        }
+        i += 8 + l + (l & 1) // chunks are even-byte aligned
+      }
+      if (samples == null) None
+      else Some(Wav(sampleRate, channels, samples))
+    }
+
+    /** Nearest-neighbor resample to `dstRate`: destination frame count
+      * = floor(nFrames·dstRate/srcRate); destination frame i reads
+      * source frame floor(i·srcRate/dstRate) — all exact integer ops
+      * (Long products so a long clip × high rate cannot wrap), every
+      * channel of a frame moves together. */
+    def resample(w: Wav, dstRate: Int): Wav = {
+      require(dstRate > 0 && dstRate <= 1000000, s"dstRate=$dstRate")
+      val nDst = (w.nFrames.toLong * dstRate / w.sampleRate).toInt
+      val out = new Array[Int](nDst * w.channels)
+      var i = 0
+      while (i < nDst) {
+        val src = (i.toLong * w.sampleRate / dstRate).toInt
+        var c = 0
+        while (c < w.channels) {
+          out(i * w.channels + c) = w.samples(src * w.channels + c)
+          c += 1
+        }
+        i += 1
+      }
+      Wav(dstRate, w.channels, out)
     }
   }
 
@@ -556,6 +705,130 @@ object Multimodal {
             }
             Row(r.getLong(idIdx), img.width, img.height, img.channels, sum, wsum)
           case None => Row(r.getLong(idIdx), null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic FULL-SAMPLE WAV fixture: complete valid RIFF/PCM
+    * files whose 16-bit samples are pure integer functions of
+    * `doc_id` — sample(frame f, channel c) =
+    * ((doc_id·7 + f·31 + c·17) mod 65536) − 32768 — so an external SQL
+    * engine can replay every sample (the formula sweeps the full int16
+    * range, so clipped extremes ±32767/−32768 occur naturally and the
+    * clipping counter is exercised, not vacuous). Any bug in the RIFF
+    * chunk walk, little-endian sample read, sign extension, channel
+    * interleave, or frame accounting diverges from the oracle. */
+  def syntheticWavs(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id").cast("long"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = src.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val sr = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+        val ch = (1 + id % 2).toInt
+        val nf = (40 + id % 50).toInt
+        val samples = new Array[Int](nf * ch)
+        var f = 0
+        while (f < nf) {
+          var c = 0
+          while (c < ch) {
+            samples(f * ch + c) =
+              (((id * 7 + f * 31 + c * 17) % 65536) - 32768).toInt
+            c += 1
+          }
+          f += 1
+        }
+        Row(id, WavCodec.encodeWav(WavCodec.Wav(sr, ch, samples)))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Batched per-partition FULL WAV decode → per-clip audio statistics:
+    * stream shape (rate/channels/frames), exact-integer duration in
+    * microseconds, value/abs/square sums, peak, clipped-sample count
+    * and ppm, RMS, and a position-weighted sum (weight 1 + (f+11c)
+    * mod 7) that a channel-swapped or frame-reordered decode cannot
+    * fake. Payloads never shuffle; undecodable rows yield null stats
+    * (quarantine routing), never an exception. */
+  def decodeWavStats(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("duration_us", LongType, nullable = true),
+      StructField("sum_val", LongType, nullable = true),
+      StructField("sum_abs", LongType, nullable = true),
+      StructField("sum_sq", LongType, nullable = true),
+      StructField("peak_abs", IntegerType, nullable = true),
+      StructField("clipping_ppm", LongType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("wsum", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        WavCodec.decodeWav(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some(w) =>
+            var sum = 0L; var sabs = 0L; var ssq = 0L; var wsum = 0L
+            var peak = 0; var clipped = 0L
+            var f = 0
+            while (f < w.nFrames) {
+              var c = 0
+              while (c < w.channels) {
+                val v = w.samples(f * w.channels + c)
+                val a = math.abs(v)
+                sum += v; sabs += a; ssq += v.toLong * v
+                if (a > peak) peak = a
+                if (v == 32767 || v == -32768) clipped += 1
+                wsum += v.toLong * (1 + (f + 11 * c) % 7)
+                c += 1
+              }
+              f += 1
+            }
+            val total = w.samples.length.toLong
+            Row(r.getLong(idIdx), w.sampleRate, w.channels, w.nFrames,
+              w.nFrames.toLong * 1000000L / w.sampleRate,
+              sum, sabs, ssq, peak, clipped * 1000000L / total,
+              // raw (unrounded) RMS: gated queries apply Spark round()
+              // so the rounding semantics match the oracle's round()
+              // the same way every other gated double does
+              math.sqrt(ssq.toDouble / total),
+              wsum)
+          case None => Row(r.getLong(idIdx), null, null, null, null, null,
+            null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL resample over WAV payloads: decode → nearest-neighbor
+    * resample to `dstRate` → re-encode, one codec pass per partition,
+    * payloads never shuffle. Undecodable payloads pass through with
+    * `resampled = false` (quarantine routing). */
+  def resampleWav(df: DataFrame, dstRate: Int): DataFrame = {
+    require(dstRate > 0 && dstRate <= 1000000, s"dstRate=$dstRate")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("resampled", BooleanType, nullable = false)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        WavCodec.decodeWav(payload) match {
+          case Some(w) => Row(r.getLong(idIdx),
+            WavCodec.encodeWav(WavCodec.resample(w, dstRate)), true)
+          case None => Row(r.getLong(idIdx), payload, false)
         }
       }
     }

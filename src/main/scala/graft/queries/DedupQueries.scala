@@ -1486,8 +1486,86 @@ object DedupQueries {
       SELECT a, b, n_a, n_b, n_shared, containment, jaccard, direction
       FROM scored WHERE containment >= 0.9 ORDER BY a, b"""))
 
+  // --- d35: REAL WAV/PCM audio decode + resample, hash-gated -----------
+  // The audio twin of d33, closing the modality gap the FakeCodec
+  // boundary never justified for PCM: RIFF header walk + little-endian
+  // 16-bit samples need no entropy codec, so decode → stats (duration,
+  // RMS, peak, clipping ppm) → resample to 12 kHz → re-encode →
+  // re-decode is a genuine codec round trip whose every sample the
+  // oracle replays in SQL (fixture samples are doc_id closed forms
+  // sweeping the full int16 range — clipping extremes occur naturally).
+  // A bug anywhere in the chunk walk, sign extension, channel
+  // interleave, frame accounting, or the integer resample index math
+  // hashes red. Payloads never shuffle; decode is map-side per
+  // partition (Multimodal.WavCodec).
+  private val d35 = GraftQuery(
+    "d35_wav_decode_resample",
+    (s, d) => {
+      val wavs = graft.operators.Multimodal.syntheticWavs(
+        s, Tables(s, d, "documents").filter(col("doc_id") < 200))
+      val dec = graft.operators.Multimodal.decodeWavStats(wavs)
+        .withColumn("rms", round(col("rms"), 6))
+      val rez = graft.operators.Multimodal.decodeWavStats(
+          graft.operators.Multimodal.resampleWav(wavs, 12000))
+        .select(col("media_id"), col("n_frames").as("r_n_frames"),
+          col("sum_val").as("r_sum_val"), col("wsum").as("r_wsum"))
+      dec.join(rez, "media_id").orderBy("media_id")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            ELSE 44100 END AS INT) AS sr,
+          CAST(1 + doc_id % 2 AS INT) AS ch,
+          CAST(40 + doc_id % 50 AS INT) AS nf
+        FROM documents WHERE doc_id < 200),
+      sm AS (
+        SELECT doc_id,
+          CAST(sum(((doc_id*7 + f.f*31 + c.c*17) % 65536) - 32768)
+            AS BIGINT) AS sum_val,
+          CAST(sum(abs(((doc_id*7 + f.f*31 + c.c*17) % 65536) - 32768))
+            AS BIGINT) AS sum_abs,
+          CAST(sum((((doc_id*7 + f.f*31 + c.c*17) % 65536) - 32768)
+            * (((doc_id*7 + f.f*31 + c.c*17) % 65536) - 32768))
+            AS BIGINT) AS sum_sq,
+          CAST(max(abs(((doc_id*7 + f.f*31 + c.c*17) % 65536) - 32768))
+            AS INT) AS peak_abs,
+          CAST(sum(CASE WHEN ((doc_id*7 + f.f*31 + c.c*17) % 65536) = 0
+              OR ((doc_id*7 + f.f*31 + c.c*17) % 65536) = 65535
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+          count(*) AS total,
+          CAST(sum((((doc_id*7 + f.f*31 + c.c*17) % 65536) - 32768)
+            * (1 + (f.f + 11*c.c) % 7)) AS BIGINT) AS wsum
+        FROM p,
+        LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+        LATERAL (SELECT unnest(generate_series(0, ch - 1)) AS c) c
+        GROUP BY doc_id),
+      rz AS (
+        SELECT doc_id,
+          CAST(sum(((doc_id*7 + ((i.i * sr) // 12000)*31 + c.c*17)
+            % 65536) - 32768) AS BIGINT) AS r_sum_val,
+          CAST(sum((((doc_id*7 + ((i.i * sr) // 12000)*31 + c.c*17)
+            % 65536) - 32768) * (1 + (i.i + 11*c.c) % 7)) AS BIGINT)
+            AS r_wsum
+        FROM p,
+        LATERAL (SELECT unnest(generate_series(0, (nf * 12000) // sr - 1))
+          AS i) i,
+        LATERAL (SELECT unnest(generate_series(0, ch - 1)) AS c) c
+        GROUP BY doc_id)
+      SELECT p.doc_id AS media_id, p.sr AS sample_rate, p.ch AS channels,
+        p.nf AS n_frames,
+        CAST(p.nf * 1000000 // p.sr AS BIGINT) AS duration_us,
+        sm.sum_val, sm.sum_abs, sm.sum_sq, sm.peak_abs,
+        CAST(sm.n_clipped * 1000000 // sm.total AS BIGINT) AS clipping_ppm,
+        round(sqrt(sm.sum_sq::DOUBLE / sm.total), 6) AS rms,
+        sm.wsum,
+        CAST((p.nf * 12000) // p.sr AS INT) AS r_n_frames,
+        rz.r_sum_val, rz.r_wsum
+      FROM p JOIN sm ON p.doc_id = sm.doc_id JOIN rz ON p.doc_id = rz.doc_id
+      ORDER BY media_id"""),
+    bench = true)
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34)
+      d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35)
 }

@@ -208,6 +208,14 @@ class MultimodalSpec extends SparkSpec {
     assert(P.decodePng(pal).isEmpty, "palette must be rejected")
     val inter = good.clone(); inter(28) = 1 // IHDR interlace byte
     assert(P.decodePng(inter).isEmpty, "Adam7 must be rejected")
+    // nonzero compression METHOD / filter METHOD: the spec defines only
+    // 0 for both; the IDAT of this file still inflates, so without the
+    // explicit method checks decode would return garbage pixels instead
+    // of honoring the "None, never a guess" quarantine contract
+    val cm = good.clone(); cm(26) = 1 // IHDR compression method byte
+    assert(P.decodePng(cm).isEmpty, "nonzero compression method rejected")
+    val fm = good.clone(); fm(27) = 1 // IHDR filter method byte
+    assert(P.decodePng(fm).isEmpty, "nonzero filter method rejected")
     // corrupt the zlib stream body (IDAT data); inflate must fail or
     // produce a short stream — either way decode yields None, no throw
     val zbad = good.clone()
@@ -286,5 +294,109 @@ class MultimodalSpec extends SparkSpec {
     val src = mkImage(9, 7, 3, seed = 3)
     assert(P.decodePng(out(1L)._1).get.pixels
       .sameElements(P.resizeNearest(src, 6, 6).pixels))
+  }
+
+  private def mkWav(sr: Int, ch: Int, nf: Int, seed: Int) = {
+    val samples = Array.tabulate(nf * ch) { i =>
+      ((seed * 7 + i * 131) % 65536) - 32768
+    }
+    Multimodal.WavCodec.Wav(sr, ch, samples)
+  }
+
+  test("WavCodec: encode/decode round-trips rate, channels, and every sample") {
+    val W = Multimodal.WavCodec
+    for ((sr, ch, nf) <- Seq((8000, 1, 41), (16000, 2, 89), (44100, 2, 40))) {
+      val w = mkWav(sr, ch, nf, seed = sr + ch)
+      val back = W.decodeWav(W.encodeWav(w)).get
+      assert(back.sampleRate == sr && back.channels == ch && back.nFrames == nf)
+      assert(back.samples.sameElements(w.samples),
+        s"sample round trip $sr/$ch/$nf")
+    }
+    // sign extension specifically: extremes and near-zero negatives
+    val edge = W.Wav(8000, 1, Array(-32768, 32767, -1, 0, 1))
+    assert(W.decodeWav(W.encodeWav(edge)).get.samples
+      .sameElements(edge.samples))
+  }
+
+  test("WavCodec: malformed payloads quarantine as None, never throw") {
+    val W = Multimodal.WavCodec
+    val good = W.encodeWav(mkWav(16000, 2, 50, seed = 9))
+    assert(W.decodeWav(null).isEmpty)
+    assert(W.decodeWav("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(W.decodeWav(good.take(43)).isEmpty, "below minimum size")
+    assert(W.decodeWav(good.take(60)).isEmpty, "truncated data chunk")
+    // non-PCM audioFormat (offset 20 = fmt data start): float (3)
+    val flt = good.clone(); flt(20) = 3
+    assert(W.decodeWav(flt).isEmpty, "float format must be rejected")
+    // bits per sample (offset 34): 8-bit
+    val b8 = good.clone(); b8(34) = 8
+    assert(W.decodeWav(b8).isEmpty, "8-bit must be rejected")
+    // zero channels (offset 22)
+    val c0 = good.clone(); c0(22) = 0
+    assert(W.decodeWav(c0).isEmpty, "0 channels must be rejected")
+    // data size not a whole number of frames (offset 40 = data chunk
+    // size for this fixed layout): stereo 16-bit needs multiples of 4
+    val rag = good.clone(); rag(40) = (rag(40) - 2).toByte
+    assert(W.decodeWav(rag).isEmpty, "ragged frame must be rejected")
+  }
+
+  test("WavCodec: resample index math is exact-integer and channel-coherent") {
+    val W = Multimodal.WavCodec
+    val w = mkWav(44100, 2, 89, seed = 5)
+    val r = W.resample(w, 12000)
+    assert(r.sampleRate == 12000 && r.channels == 2)
+    assert(r.nFrames == (89L * 12000 / 44100).toInt) // floor = 24
+    (0 until r.nFrames).foreach { i =>
+      val src = (i.toLong * 44100 / 12000).toInt
+      (0 until 2).foreach { c =>
+        assert(r.samples(i * 2 + c) == w.samples(src * 2 + c),
+          s"dst frame $i channel $c must read src frame $src")
+      }
+    }
+    // upsample: more frames out than in, indexes stay in range
+    val up = W.resample(w, 48000)
+    assert(up.nFrames == (89L * 48000 / 44100).toInt)
+    assert(up.samples.last == w.samples(
+      ((up.nFrames - 1).toLong * 44100 / 48000).toInt * 2 + 1))
+  }
+
+  test("WAV pipeline: synthetic fixture decodes distributed, stats match local kernel") {
+    val W = Multimodal.WavCodec
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 30)
+    val wavs = Multimodal.syntheticWavs(spark, docs)
+    val stats = Multimodal.decodeWavStats(wavs).orderBy("media_id").collect()
+    assert(stats.length == 30 && stats.forall(!_.isNullAt(1)),
+      "every fixture payload must decode")
+    // replay one row locally from the closed form
+    val r = stats.find(_.getLong(0) == 7L).get
+    assert(r.getInt(1) == 16000 && r.getInt(2) == 2 && r.getInt(3) == 47)
+    val local = (for (f <- 0 until 47; c <- 0 until 2)
+      yield ((7 * 7 + f * 31 + c * 17) % 65536) - 32768)
+    assert(r.getLong(5) == local.map(_.toLong).sum, "sum_val")
+    assert(r.getInt(8) == local.map(math.abs).max, "peak_abs")
+    // resample end-to-end: re-encoded payload re-decodes to the
+    // locally-resampled frame count and samples
+    val rez = Multimodal.resampleWav(wavs, 12000)
+      .filter(col("media_id") === 7L).collect().head
+    assert(rez.getBoolean(2))
+    val back = W.decodeWav(rez.getAs[Array[Byte]](1)).get
+    val want = W.resample(
+      W.Wav(16000, 2, local.toArray), 12000)
+    assert(back.sampleRate == 12000 && back.samples.sameElements(want.samples))
+    // quarantine routing: a non-WAV payload passes through unresampled
+    val junk = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(99L,
+        "junk".getBytes("UTF-8"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = false))))
+    val q = Multimodal.resampleWav(junk, 12000).collect().head
+    assert(!q.getBoolean(2) && q.getAs[Array[Byte]](1).sameElements(
+      "junk".getBytes("UTF-8")))
+    val qs = Multimodal.decodeWavStats(junk).collect().head
+    assert(qs.isNullAt(1) && qs.isNullAt(11), "junk row yields null stats")
   }
 }
