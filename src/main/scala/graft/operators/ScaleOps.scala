@@ -132,4 +132,48 @@ object ScaleOps {
       .orderBy(col("n").desc, col(key))
       .limit(topN)
   }
+
+  /** Within-basket pair generation (the q67 co-occurrence kernel):
+    * distinct (basket, item) → self-join on the basket key with
+    * item_a < item_b. Fan-out is basket²-per-key — bounded on order
+    * data (TPC-H baskets are ≤7 items) but unbounded on a raw 100 TB
+    * crawl, where ONE degenerate mega-basket (a bot cart with 10⁶
+    * items) would emit 5·10¹¹ pairs from a single key and own the
+    * job.
+    *
+    * `maxBasketSize = Some(cap)` closes that hole: baskets larger
+    * than the cap are DETERMINISTICALLY truncated to their `cap`
+    * smallest item ids (a per-key window on the same key the pair
+    * join shuffles on — no extra exchange), capping per-key fan-out
+    * at cap·(cap−1)/2, and the number of truncated baskets is counted
+    * and logged so the cut is visible, never silent (the count is one
+    * cheap agg over the already-distinct pair frame). Default None
+    * preserves exact semantics — the cap is an explicit opt-in for
+    * untrusted basket-size distributions. */
+  def basketPairs(op: DataFrame, keyCol: String, itemCol: String,
+      maxBasketSize: Option[Int] = None): DataFrame = {
+    require(maxBasketSize.forall(_ >= 2),
+      s"maxBasketSize=$maxBasketSize: below 2 no pair can form")
+    val base = op.select(col(keyCol).as("ok"), col(itemCol).as("pk"))
+      .distinct()
+    val capped = maxBasketSize match {
+      case None => base
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ok")).orderBy(col("pk"))
+        val sized = base.withColumn("_pos", row_number().over(w))
+        val truncated = sized.filter(col("_pos") > cap)
+          .select(col("ok")).distinct().count()
+        if (truncated > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"basketPairs: truncated $truncated basket(s) larger than " +
+              s"$cap items to their $cap smallest item ids")
+        sized.filter(col("_pos") <= cap).drop("_pos")
+    }
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.ok").as("ok"),
+        col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+  }
 }

@@ -1484,7 +1484,8 @@ object DedupQueries {
         JOIN sizes na ON na.doc_id = a
         JOIN sizes nb ON nb.doc_id = b)
       SELECT a, b, n_a, n_b, n_shared, containment, jaccard, direction
-      FROM scored WHERE containment >= 0.9 ORDER BY a, b"""))
+      FROM scored WHERE containment >= 0.9 ORDER BY a, b"""),
+    bench = true)
 
   // --- d35: REAL WAV/PCM audio decode + resample, hash-gated -----------
   // The audio twin of d33, closing the modality gap the FakeCodec

@@ -2158,7 +2158,8 @@ object RelationalQueries {
         round(2.0 * CAST(w AS DOUBLE)
           / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
           - (n + 1.0) / n, 6) AS gini
-      FROM dec, tot ORDER BY decile"""))
+      FROM dec, tot ORDER BY decile"""),
+    bench = true)
 
   // --- q66: repeat-purchase intervals by market segment ----------------
   // Customer-lifecycle cadence: for every consecutive order pair of the
@@ -2206,7 +2207,8 @@ object RelationalQueries {
         round(max(gap_s) / 86400.0, 4) AS max_gap_days
       FROM gaps JOIN customer ON o_custkey = c_custkey
       WHERE gap_s IS NOT NULL
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
 
   // --- q67: market-basket part affinity (co-occurrence lift) -----------
   // Which part pairs land in the same order far more often than chance
@@ -2225,10 +2227,13 @@ object RelationalQueries {
       val op = li(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val co = op.as("a")
-        .join(op.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      // pair generation via ScaleOps.basketPairs, whose optional
+      // maxBasketSize cap bounds per-key fan-out on untrusted
+      // basket-size distributions; default None here — TPC-H baskets
+      // are ≤7 items and the gated semantics stay exact
+      val co = graft.operators.ScaleOps
+        .basketPairs(li(s, d), "l_orderkey", "l_partkey")
+        .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("co_orders"))
         .filter(col("co_orders") >= 2)
       val sup = op.groupBy(col("pk")).agg(count(lit(1)).as("n"))
@@ -2258,7 +2263,8 @@ object RelationalQueries {
       FROM co
       JOIN sup na ON na.pk = part_a
       JOIN sup nb ON nb.pk = part_b, o
-      ORDER BY lift DESC, part_a, part_b LIMIT 20"""))
+      ORDER BY lift DESC, part_a, part_b LIMIT 20"""),
+    bench = true)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,

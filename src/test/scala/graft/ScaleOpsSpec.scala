@@ -189,4 +189,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(gini(Seq.fill(8)(100L))) < 1e-12)
     assert(math.abs(gini(Seq.fill(9)(0L) :+ 1000L) - 0.9) < 1e-12)
   }
+
+  test("basketPairs: mega-basket cap bounds fan-out, leaves small baskets exact") {
+    // plant a degenerate fat order (the bot-cart shape a 100 TB crawl
+    // WILL contain) among normal baskets and check: uncapped fan-out is
+    // basket²; capped fan-out is cap·(cap−1)/2 from the cap smallest
+    // item ids; every basket at or under the cap emits identical pairs
+    val fat = (1 to 200).map(i => (999L, i.toLong))
+    val small = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 40L),
+      (3L, 7L)) // incl. a singleton basket: no pairs
+    val dup = Seq((1L, 10L)) // duplicate (basket, item): distinct-folded
+    val df = (fat ++ small ++ dup).toDF("ok", "pk")
+
+    val unc = ScaleOps.basketPairs(df, "ok", "pk")
+    assert(unc.filter(col("ok") === 999L).count() == 200L * 199 / 2)
+    val cap = ScaleOps.basketPairs(df, "ok", "pk", maxBasketSize = Some(10))
+    assert(cap.filter(col("ok") === 999L).count() == 10L * 9 / 2)
+    // deterministic truncation: the kept items are the 10 SMALLEST ids
+    assert(cap.filter(col("ok") === 999L).agg(max(col("part_b"))).head()
+      .getLong(0) == 10L)
+    // baskets within the cap are untouched, pair-for-pair
+    def smallPairs(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("ok") < 999L).select("ok", "part_a", "part_b")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(smallPairs(cap) == smallPairs(unc))
+    assert(smallPairs(unc) == Set((1L, 10L, 20L), (1L, 10L, 30L),
+      (1L, 20L, 30L), (2L, 10L, 40L)))
+    intercept[IllegalArgumentException] {
+      ScaleOps.basketPairs(df, "ok", "pk", maxBasketSize = Some(1))
+    }
+  }
 }
