@@ -160,4 +160,85 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(cells == Tables(spark, sf, "documents").count())
     graft.operators.OpCaches.release(spark)
   }
+
+  test("live-crawl admission end-to-end: jsonl shards → streaming dedup → " +
+      "token budget → sink equals the batch replay, across a checkpoint restart") {
+    // The whole front door as ONE pipeline, not per-operator specs:
+    // crawl shard files land one at a time (including a late re-crawl
+    // of already-seen content after a restart), flow through
+    // readJsonlStream → streamingDedup → streamingTokenBudget into a
+    // parquet sink, and the admitted set must equal a greedy batch
+    // replay of the same shards in the same order. The mid-run restart
+    // exercises the real recovery path for BOTH stateful operators at
+    // once: the re-crawled duplicate must drop on restored dedup state,
+    // and source A's post-restart doc must be rejected only because
+    // A's used-token state was recovered.
+    import graft.sources.CorpusReader
+    import graft.streaming.StatefulOps
+    val dir = java.nio.file.Files.createTempDirectory("crawl-shards")
+    val ckpt = java.nio.file.Files.createTempDirectory("crawl-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("crawl-out").toString
+
+    // texts pre-normalized (lowercase, single spaces) so content ids
+    // are the plain md5 of the literal; token counts are word counts
+    val a1 = "alpha one two three four" // 5 tokens
+    val a2 = "alpha five six seven eight" // 5 tokens → A exactly at budget 10
+    val a3 = "alpha nine" // 2 tokens → must REJECT iff A's used=10 survived
+    val b1 = "bravo one two three four five six" // 7 tokens
+    val b2 = "bravo seven eight nine ten" // 5 tokens → skip (7+5 > 10)
+    val b3 = "bravo ten" // 2 tokens → admit (skip-not-truncate leaves room)
+    def writeShard(name: String, rows: Seq[(String, String)]): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), rows.map {
+        case (t, s) => s"""{"text":"$t","lang":"en","source":"$s"}"""
+      }.mkString("", "\n", "\n"))
+
+    def startQuery() = {
+      val stream = CorpusReader.readJsonlStream(spark, dir.toString,
+          options = Map("maxFilesPerTrigger" -> "1"))
+        // arrival event time: the crawl front door stamps ingest time
+        .withColumn("ts", current_timestamp())
+      val deduped = StatefulOps.streamingDedup(stream, "text", "ts", "24 hours")
+      val docs = StatefulOps.sourcedDocs(
+        deduped.withColumn("num_id", xxhash64(col("doc_id"))),
+        "source", "num_id", "text")
+      StatefulOps.streamingTokenBudget(docs, budgetTokens = 10)
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+    }
+
+    // run 1: shard0 with an IN-shard duplicate of a1
+    writeShard("shard000.jsonl",
+      Seq((a1, "A"), (a2, "A"), (a1, "A"), (b1, "B")))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2 (fresh query, same checkpoint): a late re-crawl of a1 plus
+    // new docs that probe both sources' restored budget state
+    writeShard("shard001.jsonl",
+      Seq((a1, "A"), (a3, "A"), (b2, "B"), (b3, "B")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val admitted = spark.read.parquet(out)
+      .select("source", "docId", "nTokens").as[(String, Long, Long)]
+      .collect().toSet
+    // batch replay over the same shards in the same order (greedy
+    // per-source admission over first-seen content): a1+a2 fill A
+    // exactly; the duplicates of a1 never reach admission; a3 bounces
+    // off A's exhausted budget; b2 skips but b3 fits behind it
+    val numId = Seq(a1, a2, a3, b1, b2, b3).toDF("text")
+      .select(col("text"), xxhash64(md5(col("text"))).as("id"))
+      .as[(String, Long)].collect().toMap
+    val expect = Set(
+      ("A", numId(a1), 5L), ("A", numId(a2), 5L),
+      ("B", numId(b1), 7L), ("B", numId(b3), 2L))
+    assert(admitted == expect,
+      s"streamed admission must equal the batch replay: got $admitted")
+    // per-source budget accounting is exact in the sink rows
+    val used = spark.read.parquet(out).groupBy("source")
+      .agg(max("budgetUsed").as("u"), sum("nTokens").as("s"))
+      .as[(String, Long, Long)].collect()
+      .map { case (s, u, n) => s -> ((u, n)) }.toMap
+    assert(used("A") == ((10L, 10L)) && used("B") == ((9L, 9L)), s"$used")
+  }
 }
