@@ -434,9 +434,11 @@ object Multimodal {
     * magic, missing/malformed fmt or data chunk, non-PCM format,
     * unsupported bit depth — never a guess; a corrupt payload in a
     * 100 TB crawl routes to quarantine, not to fabricated samples.
-    * Scope: format 1 (integer PCM), 16-bit, 1–8 channels — the shape
-    * a speech/audio training pipeline normalizes to anyway; float,
-    * ADPCM, and 8/24-bit return None.
+    * Scope: format 1 (integer PCM) at 16 bits, plus format 7 (G.711
+    * µ-law telephony audio, 8-bit) which expands to linear PCM via the
+    * standard CCITT integer formula ([[ulawToLinear]]) at decode — the
+    * two shapes a speech/audio training pipeline normalizes to anyway;
+    * float, ADPCM, and 8/24-bit linear return None.
     *
     * Samples are frame-major, channel-interleaved Ints in
     * [-32768, 32767]. The resampler is nearest-neighbor in exact
@@ -466,6 +468,19 @@ object Multimodal {
     private def tag(b: Array[Byte], i: Int, t: String): Boolean =
       i + 4 <= b.length && (0 until 4).forall(k => (b(i + k) & 0xff) == t.charAt(k))
 
+    /** G.711 µ-law byte → linear PCM (the standard CCITT expansion —
+      * pure integer arithmetic, no table, so an external SQL engine
+      * can replay it: u = 255−b; t = ((u mod 16)·8 + 132) · 2^((u÷16)
+      * mod 8); linear = 132−t if u ≥ 128 else t−132). Range ±32124
+      * (code 0x00 → −32124, 0x80 → +32124, the two µ-law zeros 0xFF/
+      * 0x7F → ±0) — inside int16, so decoded µ-law re-encodes as
+      * 16-bit PCM without rescaling. */
+    def ulawToLinear(b: Int): Int = {
+      val u = (~b) & 0xff
+      val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
     /** Encode to a complete, spec-valid RIFF/WAVE file (fmt + data,
       * correct sizes and even-byte chunk alignment). */
     def encodeWav(w: Wav): Array[Byte] = {
@@ -494,6 +509,32 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Encode raw µ-law BYTES into a format-7 RIFF container — the
+      * fixture/interchange writer for telephony-shaped corpora. The
+      * codec DECODES µ-law (expanding to linear via [[ulawToLinear]]);
+      * decoded audio re-encodes through [[encodeWav]] as 16-bit PCM,
+      * i.e. the pipeline-realistic transcode direction. */
+    def encodeWavMulaw(sampleRate: Int, channels: Int,
+        bytes: Array[Byte]): Array[Byte] = {
+      require(sampleRate > 0 && sampleRate <= 1000000, s"sampleRate=$sampleRate")
+      require(channels >= 1 && channels <= 8 && bytes.length % channels == 0,
+        s"${bytes.length} bytes not whole frames of $channels channels")
+      val out = new java.io.ByteArrayOutputStream(44 + bytes.length)
+      out.write("RIFF".getBytes("US-ASCII"))
+      put32(out, 36L + bytes.length)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); put32(out, 16L)
+      put16(out, 7) // audio format: G.711 µ-law
+      put16(out, channels)
+      put32(out, sampleRate.toLong)
+      put32(out, sampleRate.toLong * channels) // byte rate: 1 B/sample
+      put16(out, channels) // block align
+      put16(out, 8) // bits per sample
+      out.write("data".getBytes("US-ASCII")); put32(out, bytes.length.toLong)
+      out.write(bytes)
+      out.toByteArray
+    }
+
     /** Full decode. None for: bad RIFF/WAVE magic, truncated or
       * malformed chunk layout, non-PCM audioFormat, bits != 16,
       * channels outside 1..8, inconsistent blockAlign, a data chunk
@@ -505,6 +546,7 @@ object Multimodal {
       if (!tag(p, 0, "RIFF") || !tag(p, 8, "WAVE")) return None
       var i = 12
       var sampleRate = 0; var channels = 0; var haveFmt = false
+      var mulaw = false
       var samples: Array[Int] = null
       while (samples == null && i + 8 <= p.length) {
         val size = le32(p, i + 4)
@@ -512,24 +554,32 @@ object Multimodal {
         val l = size.toInt
         if (tag(p, i, "fmt ")) {
           if (l < 16) return None
-          if (le16(p, i + 8) != 1) return None // integer PCM only
+          le16(p, i + 8) match { // audio format code
+            case 1 => mulaw = false // integer PCM
+            case 7 => mulaw = true // G.711 µ-law
+            case _ => return None // float/ADPCM/...: quarantine
+          }
           channels = le16(p, i + 10)
           if (channels < 1 || channels > 8) return None
           val sr = le32(p, i + 12)
           if (sr <= 0 || sr > 1000000) return None
           sampleRate = sr.toInt
-          if (le16(p, i + 20) != channels * 2) return None // block align
-          if (le16(p, i + 22) != 16) return None // bits per sample
+          val bytesPer = if (mulaw) 1 else 2
+          if (le16(p, i + 20) != channels * bytesPer) return None // block align
+          if (le16(p, i + 22) != bytesPer * 8) return None // bits per sample
           haveFmt = true
         } else if (tag(p, i, "data")) {
           if (!haveFmt) return None // fmt must precede data (spec)
-          if (l % (channels * 2) != 0) return None // whole frames only
-          val n = l / 2
+          val bytesPer = if (mulaw) 1 else 2
+          if (l % (channels * bytesPer) != 0) return None // whole frames only
+          val n = l / bytesPer
           if (n > (1 << 26)) return None // ~128 MiB of samples: size cap
           val out = new Array[Int](n)
           var k = 0
           while (k < n) {
-            out(k) = le16(p, i + 8 + 2 * k).toShort.toInt // sign-extend
+            out(k) =
+              if (mulaw) ulawToLinear(p(i + 8 + k) & 0xff) // expand to linear
+              else le16(p, i + 8 + 2 * k).toShort.toInt // sign-extend
             k += 1
           }
           samples = out
@@ -743,6 +793,40 @@ object Multimodal {
           f += 1
         }
         Row(id, WavCodec.encodeWav(WavCodec.Wav(sr, ch, samples)))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic G.711 µ-law WAV fixture (telephony-shaped audio):
+    * format-7 RIFF files whose µ-law BYTES are pure integer functions
+    * of `doc_id` — byte(frame f, channel c) = (doc_id·11 + f·13 +
+    * c·29) mod 256, sweeping all 256 code points — so an external SQL
+    * engine can replay both the bytes AND the CCITT expansion
+    * ([[WavCodec.ulawToLinear]]) to the linear samples the decoder
+    * must produce. */
+  def syntheticMulawWavs(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id").cast("long"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = src.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val sr = if (id % 2 == 0) 8000 else 16000
+        val ch = (1 + id % 2).toInt
+        val nf = (30 + id % 40).toInt
+        val bytes = new Array[Byte](nf * ch)
+        var f = 0
+        while (f < nf) {
+          var c = 0
+          while (c < ch) {
+            bytes(f * ch + c) = ((id * 11 + f * 13 + c * 29) % 256).toByte
+            c += 1
+          }
+          f += 1
+        }
+        Row(id, WavCodec.encodeWavMulaw(sr, ch, bytes))
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -360,6 +360,40 @@ class MultimodalSpec extends SparkSpec {
       ((up.nFrames - 1).toLong * 44100 / 48000).toInt * 2 + 1))
   }
 
+  test("WavCodec: G.711 µ-law expansion hits the published code points") {
+    val W = Multimodal.WavCodec
+    // the textbook anchor values of the CCITT expansion
+    assert(W.ulawToLinear(0x00) == -32124, "0x00 is the negative extreme")
+    assert(W.ulawToLinear(0x80) == 32124, "0x80 is the positive extreme")
+    assert(W.ulawToLinear(0xff) == 0 && W.ulawToLinear(0x7f) == 0,
+      "the two mu-law zeros")
+    // monotone within the negative half: increasing code = increasing value
+    (0x00 until 0x7f).foreach { b =>
+      assert(W.ulawToLinear(b) < W.ulawToLinear(b + 1),
+        s"negative half must be strictly increasing at $b")
+    }
+    // symmetric halves: code b and b^0x80 differ only in sign
+    (0 until 128).foreach { b =>
+      assert(W.ulawToLinear(b) == -W.ulawToLinear(b | 0x80), s"symmetry at $b")
+    }
+  }
+
+  test("WavCodec: mu-law container decodes expanded; transcode re-encodes as PCM16") {
+    val W = Multimodal.WavCodec
+    val bytes = Array.tabulate(120)(i => ((i * 37 + 5) % 256).toByte)
+    val enc = W.encodeWavMulaw(8000, 2, bytes)
+    val dec = W.decodeWav(enc).get
+    assert(dec.sampleRate == 8000 && dec.channels == 2 && dec.nFrames == 60)
+    assert(dec.samples.sameElements(bytes.map(b => W.ulawToLinear(b & 0xff))),
+      "every byte expands through the CCITT formula")
+    // transcode: the expanded samples re-encode losslessly as PCM16
+    val pcm = W.decodeWav(W.encodeWav(dec)).get
+    assert(pcm.samples.sameElements(dec.samples))
+    // malformed mu-law: 16-bit bits-per-sample under format 7 quarantines
+    val bad = enc.clone(); bad(34) = 16
+    assert(W.decodeWav(bad).isEmpty, "format-7 with 16 bits must be rejected")
+  }
+
   test("WAV pipeline: synthetic fixture decodes distributed, stats match local kernel") {
     val W = Multimodal.WavCodec
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
