@@ -61,8 +61,24 @@ object ReshapeFixture {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String) =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // Write a SINGLE parquet file per table (the selfcheck oracle reads
+    // `<dir>/<table>.parquet` as one file, like the driver's testdata):
+    // Spark writes a directory; flatten it to the lone part file.
+    def write(df: DataFrame, t: String): Unit = {
+      val tmp = s"$out/_stage_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val stage = java.nio.file.Paths.get(tmp)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dest = java.nio.file.Paths.get(s"$out/$t.parquet")
+      java.nio.file.Files.deleteIfExists(dest)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.list(stage).iterator().asScala.toSeq
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(stage)
+    }
 
     // dimensions: copy verbatim (their keys are the FK ranges)
     Seq("region", "nation", "part", "supplier").foreach(t => write(read(t), t))
