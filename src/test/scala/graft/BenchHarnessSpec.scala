@@ -50,4 +50,28 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(json.contains(""""failed":[]"""), json)
     assert(json.contains(""""bench_failures":0"""), json)
   }
+
+  test("renderJson carries the parallelism sentinel and task accounting verbatim") {
+    // the fields the r12 sentinel redesign added are the driver's only
+    // window into a degraded measurement — pin their presence and that
+    // host_scaling_ratio is the WORST (max) bracketing snapshot, so a
+    // contended after-probe can't be averaged away by a quiet before
+    val sents = Seq(
+      PlaybackBench.HostSentinel(0.28, 0.33, 32, 0.33 / 0.28, 32, 1.5),
+      PlaybackBench.HostSentinel(0.29, 1.16, 32, 4.0, 32, 65.2))
+    val json = Bench.renderJson(
+      Seq("a" -> Bench.QueryResult(1.0, 5L)), 1000.0, 8000.0, "/tmp/sf",
+      probes = Seq(0.27, 0.29), sentinels = sents,
+      stopInterrupts = 2L, taskFailed = 3L, taskKilled = 1L)
+    assert(json.contains(""""host_scaling_ratio":4.00"""), json)
+    assert(json.contains(""""playback_stop_interrupts":2"""), json)
+    assert(json.contains(""""task_failed":3"""), json)
+    assert(json.contains(""""task_killed":1"""), json)
+    assert(json.contains(""""loadavg_1m":65.20"""), json)
+    assert(json.contains(""""available_processors":32"""), json)
+    // and the whole line must stay machine-parseable JSON: quick
+    // structural check via the most fragile nesting (array of objects)
+    assert(json.contains(""""host_sentinel":[{"""), json)
+    assert(json.count(_ == '{') == json.count(_ == '}'), json)
+  }
 }
