@@ -434,11 +434,12 @@ object Multimodal {
     * magic, missing/malformed fmt or data chunk, non-PCM format,
     * unsupported bit depth — never a guess; a corrupt payload in a
     * 100 TB crawl routes to quarantine, not to fabricated samples.
-    * Scope: format 1 (integer PCM) at 16 bits, plus format 7 (G.711
-    * µ-law telephony audio, 8-bit) which expands to linear PCM via the
-    * standard CCITT integer formula ([[ulawToLinear]]) at decode — the
-    * two shapes a speech/audio training pipeline normalizes to anyway;
-    * float, ADPCM, and 8/24-bit linear return None.
+    * Scope: format 1 (integer PCM) at 16 bits, plus the G.711
+    * telephony pair — format 7 (µ-law) and format 6 (A-law), both
+    * 8-bit — which expand to linear PCM via the standard CCITT
+    * integer formulas ([[ulawToLinear]]/[[alawToLinear]]) at decode,
+    * the shapes a speech/audio training pipeline normalizes to
+    * anyway; float, ADPCM, and 8/24-bit linear return None.
     *
     * Samples are frame-major, channel-interleaved Ints in
     * [-32768, 32767]. The resampler is nearest-neighbor in exact
@@ -481,6 +482,21 @@ object Multimodal {
       if ((u & 0x80) != 0) 0x84 - t else t - 0x84
     }
 
+    /** G.711 A-law byte → linear PCM (the standard CCITT expansion,
+      * SQL-replayable integer arithmetic: u = b XOR 85; seg =
+      * (u÷16) mod 8; t = (u mod 16)·16 + 8 if seg = 0, else
+      * ((u mod 16)·16 + 264) · 2^(seg−1); linear = t if u ≥ 128 else
+      * −t). Range ±32256; the two codes 0xD5/0x55 are the A-law
+      * zeros (+8/−8 — A-law has no exact zero). */
+    def alawToLinear(b: Int): Int = {
+      val u = (b ^ 0x55) & 0xff
+      val seg = (u & 0x70) >> 4
+      val t =
+        if (seg == 0) ((u & 0x0f) << 4) + 8
+        else (((u & 0x0f) << 4) + 0x108) << (seg - 1)
+      if ((u & 0x80) != 0) t else -t
+    }
+
     /** Encode to a complete, spec-valid RIFF/WAVE file (fmt + data,
       * correct sizes and even-byte chunk alignment). */
     def encodeWav(w: Wav): Array[Byte] = {
@@ -515,6 +531,15 @@ object Multimodal {
       * decoded audio re-encodes through [[encodeWav]] as 16-bit PCM,
       * i.e. the pipeline-realistic transcode direction. */
     def encodeWavMulaw(sampleRate: Int, channels: Int,
+        bytes: Array[Byte]): Array[Byte] =
+      encodeG711(7, sampleRate, channels, bytes)
+
+    /** A-law twin of [[encodeWavMulaw]] (format-6 RIFF container). */
+    def encodeWavAlaw(sampleRate: Int, channels: Int,
+        bytes: Array[Byte]): Array[Byte] =
+      encodeG711(6, sampleRate, channels, bytes)
+
+    private def encodeG711(fmtCode: Int, sampleRate: Int, channels: Int,
         bytes: Array[Byte]): Array[Byte] = {
       require(sampleRate > 0 && sampleRate <= 1000000, s"sampleRate=$sampleRate")
       require(channels >= 1 && channels <= 8 && bytes.length % channels == 0,
@@ -524,7 +549,7 @@ object Multimodal {
       put32(out, 36L + bytes.length)
       out.write("WAVE".getBytes("US-ASCII"))
       out.write("fmt ".getBytes("US-ASCII")); put32(out, 16L)
-      put16(out, 7) // audio format: G.711 µ-law
+      put16(out, fmtCode) // 6 = G.711 A-law, 7 = G.711 µ-law
       put16(out, channels)
       put32(out, sampleRate.toLong)
       put32(out, sampleRate.toLong * channels) // byte rate: 1 B/sample
@@ -546,7 +571,7 @@ object Multimodal {
       if (!tag(p, 0, "RIFF") || !tag(p, 8, "WAVE")) return None
       var i = 12
       var sampleRate = 0; var channels = 0; var haveFmt = false
-      var mulaw = false
+      var fmtCode = 0 // 1 = PCM16, 6 = A-law, 7 = µ-law
       var samples: Array[Int] = null
       while (samples == null && i + 8 <= p.length) {
         val size = le32(p, i + 4)
@@ -554,9 +579,10 @@ object Multimodal {
         val l = size.toInt
         if (tag(p, i, "fmt ")) {
           if (l < 16) return None
-          le16(p, i + 8) match { // audio format code
-            case 1 => mulaw = false // integer PCM
-            case 7 => mulaw = true // G.711 µ-law
+          fmtCode = le16(p, i + 8) match { // audio format code
+            case 1 => 1 // integer PCM
+            case 6 => 6 // G.711 A-law
+            case 7 => 7 // G.711 µ-law
             case _ => return None // float/ADPCM/...: quarantine
           }
           channels = le16(p, i + 10)
@@ -564,22 +590,24 @@ object Multimodal {
           val sr = le32(p, i + 12)
           if (sr <= 0 || sr > 1000000) return None
           sampleRate = sr.toInt
-          val bytesPer = if (mulaw) 1 else 2
+          val bytesPer = if (fmtCode == 1) 2 else 1
           if (le16(p, i + 20) != channels * bytesPer) return None // block align
           if (le16(p, i + 22) != bytesPer * 8) return None // bits per sample
           haveFmt = true
         } else if (tag(p, i, "data")) {
           if (!haveFmt) return None // fmt must precede data (spec)
-          val bytesPer = if (mulaw) 1 else 2
+          val bytesPer = if (fmtCode == 1) 2 else 1
           if (l % (channels * bytesPer) != 0) return None // whole frames only
           val n = l / bytesPer
           if (n > (1 << 26)) return None // ~128 MiB of samples: size cap
           val out = new Array[Int](n)
           var k = 0
           while (k < n) {
-            out(k) =
-              if (mulaw) ulawToLinear(p(i + 8 + k) & 0xff) // expand to linear
-              else le16(p, i + 8 + 2 * k).toShort.toInt // sign-extend
+            out(k) = fmtCode match {
+              case 1 => le16(p, i + 8 + 2 * k).toShort.toInt // sign-extend
+              case 6 => alawToLinear(p(i + 8 + k) & 0xff) // expand to linear
+              case _ => ulawToLinear(p(i + 8 + k) & 0xff) // expand to linear
+            }
             k += 1
           }
           samples = out
@@ -827,6 +855,37 @@ object Multimodal {
           f += 1
         }
         Row(id, WavCodec.encodeWavMulaw(sr, ch, bytes))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** A-law twin of [[syntheticMulawWavs]]: format-6 RIFF files whose
+    * bytes are byte(f,c) = (doc_id·19 + f·23 + c·31) mod 256 — all 256
+    * code points swept, expansion replayable via the A-law CCITT
+    * formula ([[WavCodec.alawToLinear]]). */
+  def syntheticAlawWavs(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id").cast("long"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = src.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val sr = if (id % 2 == 0) 16000 else 8000
+        val ch = (1 + (id + 1) % 2).toInt
+        val nf = (25 + id % 45).toInt
+        val bytes = new Array[Byte](nf * ch)
+        var f = 0
+        while (f < nf) {
+          var c = 0
+          while (c < ch) {
+            bytes(f * ch + c) = ((id * 19 + f * 23 + c * 31) % 256).toByte
+            c += 1
+          }
+          f += 1
+        }
+        Row(id, WavCodec.encodeWavAlaw(sr, ch, bytes))
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -1646,8 +1646,91 @@ object DedupQueries {
       FROM p JOIN sm ON p.doc_id = sm.doc_id JOIN rz ON p.doc_id = rz.doc_id
       ORDER BY media_id"""))
 
+  // --- d37: G.711 A-law decode + transcode, hash-gated ------------------
+  // Completes the G.711 telephony pair next to d36: format-6 payloads
+  // whose A-law bytes sweep all 256 code points; the expansion (XOR 85,
+  // segment shift, +8 / +264 bias split, sign on bit 7 — a DIFFERENT
+  // integer path than µ-law's complement+132 bias) is replayed in SQL,
+  // and the r_* columns pin the transcode direction (A-law in → 8 kHz
+  // resample → PCM16 re-encode → re-decode).
+  private val d37 = GraftQuery(
+    "d37_alaw_transcode",
+    (s, d) => {
+      val wavs = graft.operators.Multimodal.syntheticAlawWavs(
+        s, Tables(s, d, "documents").filter(col("doc_id") < 200))
+      val dec = graft.operators.Multimodal.decodeWavStats(wavs)
+        .withColumn("rms", round(col("rms"), 6))
+      val rez = graft.operators.Multimodal.decodeWavStats(
+          graft.operators.Multimodal.resampleWav(wavs, 8000))
+        .select(col("media_id"), col("n_frames").as("r_n_frames"),
+          col("sum_val").as("r_sum_val"), col("wsum").as("r_wsum"))
+      dec.join(rez, "media_id").orderBy("media_id")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS INT)
+            AS sr,
+          CAST(1 + (doc_id + 1) % 2 AS INT) AS ch,
+          CAST(25 + doc_id % 45 AS INT) AS nf
+        FROM documents WHERE doc_id < 200),
+      raw AS (
+        SELECT doc_id, f.f AS f, c.c AS c,
+          xor(CAST((doc_id*19 + f.f*23 + c.c*31) % 256 AS INT), 85) AS u
+        FROM p,
+        LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+        LATERAL (SELECT unnest(generate_series(0, ch - 1)) AS c) c),
+      vals AS (
+        SELECT doc_id, f, c,
+          CASE WHEN u >= 128 THEN t ELSE -t END AS v
+        FROM (SELECT doc_id, f, c, u,
+          CASE WHEN (u // 16) % 8 = 0 THEN (u % 16) * 16 + 8
+            ELSE ((u % 16) * 16 + 264) * (1 << ((u // 16) % 8 - 1))
+          END AS t FROM raw)),
+      sm AS (
+        SELECT doc_id,
+          CAST(sum(v) AS BIGINT) AS sum_val,
+          CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+          CAST(sum(v*v) AS BIGINT) AS sum_sq,
+          CAST(max(abs(v)) AS INT) AS peak_abs,
+          CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped,
+          count(*) AS total,
+          CAST(sum(v * (1 + (f + 11*c) % 7)) AS BIGINT) AS wsum
+        FROM vals GROUP BY doc_id),
+      rraw AS (
+        SELECT doc_id, i.i AS i, c.c AS c,
+          xor(CAST((doc_id*19 + ((i.i * sr) // 8000)*23 + c.c*31) % 256
+            AS INT), 85) AS u
+        FROM p,
+        LATERAL (SELECT unnest(generate_series(0, (nf * 8000) // sr - 1))
+          AS i) i,
+        LATERAL (SELECT unnest(generate_series(0, ch - 1)) AS c) c),
+      rvals AS (
+        SELECT doc_id, i, c,
+          CASE WHEN u >= 128 THEN t ELSE -t END AS v
+        FROM (SELECT doc_id, i, c, u,
+          CASE WHEN (u // 16) % 8 = 0 THEN (u % 16) * 16 + 8
+            ELSE ((u % 16) * 16 + 264) * (1 << ((u // 16) % 8 - 1))
+          END AS t FROM rraw)),
+      rz AS (
+        SELECT doc_id, CAST(sum(v) AS BIGINT) AS r_sum_val,
+          CAST(sum(v * (1 + (i + 11*c) % 7)) AS BIGINT) AS r_wsum
+        FROM rvals GROUP BY doc_id)
+      SELECT p.doc_id AS media_id, p.sr AS sample_rate, p.ch AS channels,
+        p.nf AS n_frames,
+        CAST(p.nf * 1000000 // p.sr AS BIGINT) AS duration_us,
+        sm.sum_val, sm.sum_abs, sm.sum_sq, sm.peak_abs,
+        CAST(sm.n_clipped * 1000000 // sm.total AS BIGINT) AS clipping_ppm,
+        round(sqrt(sm.sum_sq::DOUBLE / sm.total), 6) AS rms,
+        sm.wsum,
+        CAST((p.nf * 8000) // p.sr AS INT) AS r_n_frames,
+        rz.r_sum_val, rz.r_wsum
+      FROM p JOIN sm ON p.doc_id = sm.doc_id JOIN rz ON p.doc_id = rz.doc_id
+      ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36)
+      d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36,
+      d37)
 }

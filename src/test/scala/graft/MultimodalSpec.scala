@@ -378,6 +378,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavCodec: G.711 A-law expansion hits the published code points") {
+    val W = Multimodal.WavCodec
+    assert(W.alawToLinear(0x2a) == -32256, "0x2a (u=0x7f) is the negative extreme")
+    assert(W.alawToLinear(0xaa) == 32256, "0xaa (u=0xff) is the positive extreme")
+    assert(W.alawToLinear(0x55) == -8 && W.alawToLinear(0xd5) == 8,
+      "the two A-law near-zeros (A-law has no exact zero)")
+    // symmetric halves: flipping the (post-XOR) sign bit negates
+    (0 until 256).foreach { b =>
+      assert(W.alawToLinear(b) == -W.alawToLinear(b ^ 0x80), s"symmetry at $b")
+    }
+    // every magnitude is odd×8-ish positive: no code decodes to 0
+    (0 until 256).foreach(b => assert(W.alawToLinear(b) != 0, s"no zero at $b"))
+    // the a-law container decodes expanded, end to end
+    val bytes = Array.tabulate(64)(i => ((i * 41 + 3) % 256).toByte)
+    val dec = W.decodeWav(W.encodeWavAlaw(8000, 2, bytes)).get
+    assert(dec.samples.sameElements(bytes.map(b => W.alawToLinear(b & 0xff))))
+  }
+
   test("WavCodec: mu-law container decodes expanded; transcode re-encodes as PCM16") {
     val W = Multimodal.WavCodec
     val bytes = Array.tabulate(120)(i => ((i * 37 + 5) % 256).toByte)
