@@ -199,11 +199,23 @@ object RelationalQueries {
     ORDER BY c_nationkey, rn"""))
 
   // --- q08: running-total window over an explicit ROWS frame ----------
+  // Window-order totality, the hard way: the driver generator's
+  // (l_orderkey, l_linenumber) is NOT unique (sf0.01 carries 11,785
+  // duplicate pairs), so ordering by (shipdate, orderkey, linenumber)
+  // alone leaves ROWS-frame prefixes engine-defined on ties. The
+  // driver-shape gate passed by luck (uniform suppkeys rarely put two
+  // tied rows in the same ≤10 partition); the round-12 Zipf-reshaped
+  // second-shape run piled ties into one partition and caught Spark
+  // and DuckDB disagreeing. l_quantity as the final tie-break makes
+  // the OUTPUT MULTISET order-invariant even under full ties: rows
+  // agreeing on every ordering column contribute identical (x+q,
+  // x+2q) running values whichever engine-order they take.
   private val q08 = GraftQuery(
     "q08_running_supplier_qty",
     (s, d) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       li(s, d)
         .filter(col("l_suppkey") <= 10)
@@ -214,7 +226,7 @@ object RelationalQueries {
     },
     Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
       sum(l_quantity) OVER (PARTITION BY l_suppkey
-        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
     FROM lineitem
     WHERE l_suppkey <= 10
