@@ -336,12 +336,23 @@ object StatefulOps {
   /** Adapter: a streaming documents frame → [[SourcedDoc]] dataset with
     * the library's standard whitespace token count computed map-side.
     * `tsCol` (ingest event time) is required only when the budget op
-    * runs with idle eviction; the default stamps 0. */
+    * runs with idle eviction; the default stamps 0.
+    *
+    * Id handling: a numeric `idCol` casts directly; a STRING id — the
+    * canonical corpus readers' content-addressed md5 `doc_id` — maps
+    * through xxhash64 to a stable numeric id instead of casting (a
+    * hex digest cast to long is null, which would throw from the
+    * non-nullable field at runtime — a trap the r12 pipeline test hit;
+    * the hash keeps ids deterministic and content-derived). */
   def sourcedDocs(df: DataFrame, sourceCol: String, idCol: String,
       textCol: String, tsCol: Option[String] = None): Dataset[SourcedDoc] = {
     implicit val enc = Encoders.product[SourcedDoc]
+    val idExpr = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType => xxhash64(col(idCol))
+      case _ => col(idCol).cast("long")
+    }
     df.select(col(sourceCol).cast("string").as("source"),
-        col(idCol).cast("long").as("docId"),
+        idExpr.as("docId"),
         graft.operators.TextAnalysis.tokenCount(col(textCol))
           .cast("long").as("nTokens"),
         tsCol.map(c => unix_micros(col(c).cast("timestamp")))

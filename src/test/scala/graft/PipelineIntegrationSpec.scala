@@ -198,9 +198,9 @@ class PipelineIntegrationSpec extends SparkSpec {
         // arrival event time: the crawl front door stamps ingest time
         .withColumn("ts", current_timestamp())
       val deduped = StatefulOps.streamingDedup(stream, "text", "ts", "24 hours")
-      val docs = StatefulOps.sourcedDocs(
-        deduped.withColumn("num_id", xxhash64(col("doc_id"))),
-        "source", "num_id", "text")
+      // the canonical string doc_id feeds sourcedDocs directly: the
+      // adapter hashes string ids (xxhash64) instead of null-casting
+      val docs = StatefulOps.sourcedDocs(deduped, "source", "doc_id", "text")
       StatefulOps.streamingTokenBudget(docs, budgetTokens = 10)
         .toDF().writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
