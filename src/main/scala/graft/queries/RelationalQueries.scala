@@ -1620,11 +1620,19 @@ object RelationalQueries {
       staged
         .agg(count(col("v_us")).as("n_view"), count(col("c_us")).as("n_click"),
           count(col("p_us")).as("n_purchase"))
+        // empty-stage guard: an empty previous stage means 0 ppm
+        // conversion, not a division — Spark 4's ANSI mode makes the
+        // unguarded divide a runtime error the moment a shape (the
+        // r12 third-shape run: skewed event mix at sf0.001) empties a
+        // funnel stage, and DuckDB would silently emit NaN/inf instead
         .select(expr("""stack(3,
             '1_view', n_view, CAST(1000000 AS BIGINT),
-            '2_click', n_click, CAST(round(n_click / n_view * 1e6) AS BIGINT),
+            '2_click', n_click,
+              CAST(CASE WHEN n_view = 0 THEN 0
+                ELSE round(n_click / n_view * 1e6) END AS BIGINT),
             '3_purchase', n_purchase,
-              CAST(round(n_purchase / n_click * 1e6) AS BIGINT)
+              CAST(CASE WHEN n_click = 0 THEN 0
+                ELSE round(n_purchase / n_click * 1e6) END AS BIGINT)
           ) AS (stage, n_users, conv_ppm)"""))
         .orderBy("stage")
     },
@@ -1644,9 +1652,11 @@ object RelationalQueries {
       SELECT '1_view' AS stage, nv AS n_users,
         CAST(1000000 AS BIGINT) AS conv_ppm FROM n
       UNION ALL SELECT '2_click', nc,
-        CAST(round(nc / nv * 1e6) AS BIGINT) FROM n
+        CAST(CASE WHEN nv = 0 THEN 0
+          ELSE round(nc / nv * 1e6) END AS BIGINT) FROM n
       UNION ALL SELECT '3_purchase', np,
-        CAST(round(np / nc * 1e6) AS BIGINT) FROM n)
+        CAST(CASE WHEN nc = 0 THEN 0
+          ELSE round(np / nc * 1e6) END AS BIGINT) FROM n)
     ORDER BY stage"""))
 
   // --- q56: peak concurrency (interval sweep) --------------------------
