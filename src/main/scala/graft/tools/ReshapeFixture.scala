@@ -24,9 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object ReshapeFixture {
 
+  /** Per-run shape salt (CLI arg 3, default 0): every hash draw mixes
+    * it in, so each salt value is a genuinely different — but still
+    * bit-reproducible — shape. Shape-fuzzing found two real latent
+    * defects (q08 tie order, q55 empty-stage divide) in the first
+    * three shapes; more salts = more chances. */
+  private var shapeSalt: Long = 0L
+
   /** Deterministic u in [0,1) from a seed column. */
   private def unif(seed: Column): Column =
-    pmod(xxhash64(seed, lit(0x9e37L)), lit(1000000L)) / lit(1000000.0)
+    pmod(xxhash64(seed, lit(0x9e37L + shapeSalt)), lit(1000000L)) / lit(1000000.0)
 
   /** Zipf-ish index in [0, k): floor(k·u^exp) — exp > 1 piles mass on
     * low indexes; the tail stays non-empty (u→1 still maps to k−1). */
@@ -54,6 +61,7 @@ object ReshapeFixture {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = args.lift(1).getOrElse("/tmp/graft_reshaped")
+    shapeSalt = args.lift(2).map(_.toLong).getOrElse(0L)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
