@@ -436,17 +436,38 @@ object RelationalQueries {
     ORDER BY o_custkey"""))
 
   // --- q21: cube grouping sets ----------------------------------------
+  // The average goes out in EXACT 1e-4-dollar units, not as a rounded
+  // double: `round(avg(double), 4)` flipped its last digit between
+  // engines on the round-12 salt-13 fuzz shape (3993.8912 vs .8913) —
+  // Spark rounds the shortest decimal repr half-up while DuckDB rounds
+  // in float arithmetic, so a group average near a .00005 boundary is
+  // engine-defined even from identical inputs. Integer cents sum →
+  // (200·|S| + n) div (2n) with the sign reapplied is round-half-away
+  // computed entirely in integers — bit-identical everywhere (q62's
+  // exact-cents rule extended to averages). |S|·200 ≤ 2e18 up to ~1e10
+  // rows/group of max-balance customers; ANSI overflow is loud.
   private val q21 = GraftQuery(
     "q21_cube_segment_nation",
     (s, d) =>
       cust(s, d)
         .cube(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("_s"))
+        .withColumn("avg_bal_e4", expr(
+          """CASE WHEN _s >= 0 THEN (_s * 200 + n) DIV (2 * n)
+             ELSE -(((-_s) * 200 + n) DIV (2 * n)) END"""))
+        .select(col("c_mktsegment"), col("c_nationkey"), col("n"),
+          col("avg_bal_e4"))
         .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first),
-    Some("""SELECT c_mktsegment, c_nationkey, count(*) AS n,
-      round(avg(c_acctbal), 4) AS avg_bal
-    FROM customer
-    GROUP BY CUBE (c_mktsegment, c_nationkey)
+    Some("""WITH g AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM customer
+      GROUP BY CUBE (c_mktsegment, c_nationkey))
+    SELECT c_mktsegment, c_nationkey, n,
+      CAST(CASE WHEN s >= 0 THEN (s * 200 + n) // (2 * n)
+        ELSE -(((-s) * 200 + n) // (2 * n)) END AS BIGINT) AS avg_bal_e4
+    FROM g
     ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST"""))
 
   // --- q22: TPC-H Q17-style below-average-quantity revenue ------------
