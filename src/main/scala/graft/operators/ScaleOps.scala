@@ -43,13 +43,25 @@ object ScaleOps {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority"), days.as("days"))
       .groupBy(col("o_orderpriority"))
+      // integer day diffs → mean in exact e-4 units and the late share
+      // in exact integer ppm (round-half-away on BIGINT sums):
+      // round(avg(int), 4) is engine-defined on a .00005 decimal
+      // boundary (non-dyadic, so Spark's shortest-repr HALF_UP and
+      // DuckDB's float rounding split). The interpolated percentiles
+      // stay doubles — j/20 interpolation over whole days terminates
+      // ≥2 digits above the rounding boundary.
       .agg(count(lit(1)).as("n_lines"),
-        round(avg(col("days")), 4).as("avg_days"),
+        sum(col("days")).as("_sd"),
         round(expr("percentile(days, 0.5)"), 4).as("p50_days"),
         round(expr("percentile(days, 0.95)"), 4).as("p95_days"),
-        round(sum(when(col("days") > 90, 1L).otherwise(0L))
-          .cast("double") / count(lit(1)) * 1e6).cast("long")
-          .as("late_ppm"))
+        sum(when(col("days") > 90, 1L).otherwise(0L)).as("_late"))
+      .withColumn("avg_days_e4", expr(
+        """CASE WHEN _sd >= 0 THEN (_sd * 20000 + n_lines) DIV (2 * n_lines)
+           ELSE -(((-_sd) * 20000 + n_lines) DIV (2 * n_lines)) END"""))
+      .withColumn("late_ppm",
+        expr("(_late * 2000000 + n_lines) DIV (2 * n_lines)"))
+      .select(col("o_orderpriority"), col("n_lines"), col("avg_days_e4"),
+        col("p50_days"), col("p95_days"), col("late_ppm"))
       .orderBy("o_orderpriority")
   }
 

@@ -31,34 +31,70 @@ object RelationalQueries {
   private def ts(lit0: String): Column = to_timestamp(lit(lit0))
 
   // --- q01: TPC-H Q1 pricing summary: scan → partial agg → final agg ---
+  // All money/quantity outputs go out in EXACT integer units (qty,
+  // cents, e-4 and e-6 dollars) rather than rounded doubles. The
+  // salt-13 fuzz shape proved `round(x, k)` is engine-defined whenever
+  // x is a ratio/average of decimal-backed values: the true value can
+  // be a short decimal ending in 5 at digit k+1 — non-dyadic, so
+  // Spark's shortest-repr HALF_UP snaps to the boundary while DuckDB's
+  // float multiply lands just under it. Quantities are whole, prices
+  // and rates are hundredths in this corpus, so every sum/avg below is
+  // computable in pure integers: averages use round-half-away
+  // (2·m·S + n) DIV (2n) (q21's formula), and the charge sum runs
+  // through DECIMAL(38,0) before the output cast so a 100 TB corpus
+  // overflows loudly, never silently (per-term ≤ ~8e10 · rows).
   private val q01 = GraftQuery(
     "q01_pricing_summary",
     (s, d) =>
       li(s, d)
         .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("_q"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("_pc"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("_d2"),
+          expr("CAST(round(l_tax * 100) AS BIGINT)").as("_t2"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
-            .as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          sum(col("_q")).as("sum_qty"),
+          sum(col("_pc")).as("sum_base_price_c"),
+          sum(col("_pc") * (lit(100L) - col("_d2"))).as("sum_disc_price_e4"),
+          sum((col("_pc") * (lit(100L) - col("_d2")) * (lit(100L) + col("_t2")))
+            .cast("decimal(38,0)")).cast("long").as("sum_charge_e6"),
+          sum(col("_d2")).as("_sd"),
           count(lit(1)).as("count_order"))
+        .withColumn("avg_qty_e4",
+          expr("(sum_qty * 20000 + count_order) DIV (2 * count_order)"))
+        .withColumn("avg_price_e4",
+          expr("(sum_base_price_c * 200 + count_order) DIV (2 * count_order)"))
+        .withColumn("avg_disc_e6",
+          expr("(_sd * 20000 + count_order) DIV (2 * count_order)"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price_c"), col("sum_disc_price_e4"),
+          col("sum_charge_e6"), col("avg_qty_e4"), col("avg_price_e4"),
+          col("avg_disc_e6"), col("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
-    Some("""SELECT l_returnflag, l_linestatus,
-      round(sum(l_quantity), 2) AS sum_qty,
-      round(sum(l_extendedprice), 2) AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      round(avg(l_quantity), 4) AS avg_qty,
-      round(avg(l_extendedprice), 4) AS avg_price,
-      round(avg(l_discount), 6) AS avg_disc,
+    Some("""WITH u AS (
+      SELECT l_returnflag, l_linestatus,
+        CAST(round(l_quantity) AS BIGINT) AS q,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        CAST(round(l_discount * 100) AS BIGINT) AS d2,
+        CAST(round(l_tax * 100) AS BIGINT) AS t2
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(q) AS BIGINT) AS sum_qty,
+      CAST(sum(pc) AS BIGINT) AS sum_base_price_c,
+      CAST(sum(pc * (100 - d2)) AS BIGINT) AS sum_disc_price_e4,
+      CAST(sum(CAST(pc * (100 - d2) * (100 + t2) AS HUGEINT)) AS BIGINT)
+        AS sum_charge_e6,
+      (CAST(sum(q) AS BIGINT) * 20000 + count(*)) // (2 * count(*))
+        AS avg_qty_e4,
+      (CAST(sum(pc) AS BIGINT) * 200 + count(*)) // (2 * count(*))
+        AS avg_price_e4,
+      (CAST(sum(d2) AS BIGINT) * 20000 + count(*)) // (2 * count(*))
+        AS avg_disc_e6,
       count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM u
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""),
     bench = true)
@@ -321,14 +357,23 @@ object RelationalQueries {
             .otherwise("large"))
         .withColumn("name_head", upper(substring(col("p_name"), 1, 5)))
         .groupBy(col("size_class"), col("name_head"))
-        .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 4).as("avg_price"))
+        // average in exact e-4-dollar units (q21's integer
+        // round-half-away over the cents sum) — round(avg(cents), 4)
+        // is engine-defined on a .00005 boundary
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(p_retailprice * 100) AS BIGINT)")).as("_sc"))
+        .withColumn("avg_price_e4", expr("(_sc * 200 + n) DIV (2 * n)"))
+        .select(col("size_class"), col("name_head"), col("n"),
+          col("avg_price_e4"))
         .orderBy("size_class", "name_head"),
     Some("""SELECT
       CASE WHEN p_size < 10 THEN 'small'
            WHEN p_size < 30 THEN 'medium'
            ELSE 'large' END AS size_class,
       upper(substr(p_name, 1, 5)) AS name_head,
-      count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+      count(*) AS n,
+      (CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) * 200
+        + count(*)) // (2 * count(*)) AS avg_price_e4
     FROM part
     GROUP BY 1, 2
     ORDER BY size_class, name_head"""))
@@ -481,9 +526,17 @@ object RelationalQueries {
           col("l_partkey") === col("p_partkey"))
         .join(avgQty, col("l_partkey") === col("pk"))
         .filter(col("l_quantity") < col("qty_lim"))
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+        // Σcents/7 emitted in exact e-2-dollar units via integer
+        // round-half-away. /7 never lands exactly on a .005 boundary
+        // (7 ∤ 2Sc with odd quotient), but the double cents-sum loses
+        // exactness past 2^53 (~9e15 cents ≈ sf100) and then the two
+        // engines' partition-ordered sums differ in the low bits —
+        // BIGINT sums keep the output scale-invariant
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("_sc"))
+        .select(expr("(_sc * 2 + 7) DIV 14").as("avg_yearly_e2"))
     },
-    Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    Some("""SELECT (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        AS BIGINT) * 2 + 7) // 14 AS avg_yearly_e2
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#12'
       AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -1233,17 +1286,30 @@ object RelationalQueries {
           .as("qty_nulls"),
         min(col("l_quantity")).as("qty_min"),
         max(col("l_quantity")).as("qty_max"),
-        round(avg(col("l_quantity")), 4).as("qty_avg"),
+        // whole-unit quantities → average in exact e-4 units (q21's
+        // integer round-half-away); count(qty) not count(*) so a null
+        // row can't shift the mean
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("_sq"),
+        count(col("l_quantity")).as("_nq"),
         countDistinct(col("l_returnflag")).as("flag_distinct"),
         countDistinct(col("l_partkey")).as("part_distinct"),
         min(col("l_shipdate")).as("ship_min"),
-        max(col("l_shipdate")).as("ship_max")),
+        max(col("l_shipdate")).as("ship_max"))
+        .withColumn("qty_avg_e4", expr(
+          """CASE WHEN _sq >= 0 THEN (_sq * 20000 + _nq) DIV (2 * _nq)
+             ELSE -(((-_sq) * 20000 + _nq) DIV (2 * _nq)) END"""))
+        .drop("_sq", "_nq"),
     Some("""SELECT count(*) AS n_rows,
         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
           AS qty_nulls,
         min(l_quantity) AS qty_min,
         max(l_quantity) AS qty_max,
-        round(avg(l_quantity), 4) AS qty_avg,
+        CASE WHEN sum(CAST(round(l_quantity) AS BIGINT)) >= 0
+          THEN (CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) * 20000
+                + count(l_quantity)) // (2 * count(l_quantity))
+          ELSE -((-CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) * 20000
+                + count(l_quantity)) // (2 * count(l_quantity))) END
+          AS qty_avg_e4,
         count(DISTINCT l_returnflag) AS flag_distinct,
         count(DISTINCT l_partkey) AS part_distinct,
         min(l_shipdate) AS ship_min,
@@ -1802,7 +1868,15 @@ object RelationalQueries {
           min(col("_k")).as("min_k"),
           max(col("_k")).as("max_k"),
           sum(col("_k").cast("long")).as("sum_k"),
-          round(avg(col("_k")), 6).as("avg_k"))
+          count(col("_k")).as("_nk"))
+        // integer k → average in exact e-6 units (q21's signed integer
+        // round-half-away); round(avg(int), 6) is engine-defined when
+        // sum_k/n lands on a .0000005 boundary
+        .withColumn("avg_k_e6", expr(
+          """CASE WHEN _nk = 0 THEN NULL
+             WHEN sum_k >= 0 THEN (sum_k * 2000000 + _nk) DIV (2 * _nk)
+             ELSE -(((-sum_k) * 2000000 + _nk) DIV (2 * _nk)) END"""))
+        .drop("_nk")
         .orderBy("event_type")
     },
     Some("""SELECT event_type,
@@ -1812,7 +1886,15 @@ object RelationalQueries {
         min(TRY_CAST(props->>'$.k' AS INTEGER)) AS min_k,
         max(TRY_CAST(props->>'$.k' AS INTEGER)) AS max_k,
         CAST(sum(TRY_CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
-        round(avg(TRY_CAST(props->>'$.k' AS INTEGER)), 6) AS avg_k
+        CASE WHEN count(TRY_CAST(props->>'$.k' AS INTEGER)) = 0 THEN NULL
+          WHEN sum(TRY_CAST(props->>'$.k' AS INTEGER)) >= 0
+          THEN (CAST(sum(TRY_CAST(props->>'$.k' AS INTEGER)) AS BIGINT) * 2000000
+                + count(TRY_CAST(props->>'$.k' AS INTEGER)))
+               // (2 * count(TRY_CAST(props->>'$.k' AS INTEGER)))
+          ELSE -((-CAST(sum(TRY_CAST(props->>'$.k' AS INTEGER)) AS BIGINT) * 2000000
+                + count(TRY_CAST(props->>'$.k' AS INTEGER)))
+               // (2 * count(TRY_CAST(props->>'$.k' AS INTEGER)))) END
+          AS avg_k_e6
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   // --- q59: first-/last-touch purchase attribution ---------------------
@@ -1929,11 +2011,14 @@ object RelationalQueries {
           CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS days
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
       SELECT o_orderpriority, count(*) AS n_lines,
-        round(avg(days), 4) AS avg_days,
+        CASE WHEN sum(days) >= 0
+          THEN (CAST(sum(days) AS BIGINT) * 20000 + count(*)) // (2 * count(*))
+          ELSE -((-CAST(sum(days) AS BIGINT) * 20000 + count(*)) // (2 * count(*)))
+        END AS avg_days_e4,
         round(quantile_cont(days, 0.5), 4) AS p50_days,
         round(quantile_cont(days, 0.95), 4) AS p95_days,
-        CAST(round(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END)::DOUBLE
-          / count(*) * 1e6) AS BIGINT) AS late_ppm
+        (CAST(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS BIGINT) * 2000000
+          + count(*)) // (2 * count(*)) AS late_ppm
       FROM j GROUP BY 1 ORDER BY 1"""))
 
   // --- q62: national market share within a region (TPC-H Q8 shape) ----
@@ -2230,11 +2315,21 @@ object RelationalQueries {
         .join(cust(s, d).select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
+        // date-diff gaps are whole days (86400 s multiples), so the
+        // mean goes out in exact e-4-day units via integer
+        // round-half-away — round(avg(int)/86400, 4) is engine-defined
+        // on a .00005 boundary. The quantile/max stay rounded doubles:
+        // quantile_cont interpolates at j/20 over whole-day values, so
+        // its true value terminates ≥2 digits before the boundary.
         .agg(count(lit(1)).as("n_gaps"),
-          round(avg(col("gap_s")) / 86400d, 4).as("avg_gap_days"),
+          sum(col("gap_s")).as("_ss"),
           round(expr("percentile(gap_s, 0.5)") / 86400d, 4)
             .as("p50_gap_days"),
           round(max(col("gap_s")) / lit(86400d), 4).as("max_gap_days"))
+        .withColumn("avg_gap_days_e4",
+          expr("(_ss * 20000 + 86400 * n_gaps) DIV (2 * 86400 * n_gaps)"))
+        .select(col("c_mktsegment"), col("n_gaps"), col("avg_gap_days_e4"),
+          col("p50_gap_days"), col("max_gap_days"))
         .orderBy("c_mktsegment")
     },
     Some("""WITH gaps AS (
@@ -2245,7 +2340,8 @@ object RelationalQueries {
             o_orderdate) AS gap_s
         FROM orders)
       SELECT c_mktsegment, count(*) AS n_gaps,
-        round(avg(gap_s) / 86400, 4) AS avg_gap_days,
+        (CAST(sum(gap_s) AS BIGINT) * 20000 + 86400 * count(*))
+          // (2 * 86400 * count(*)) AS avg_gap_days_e4,
         round(quantile_cont(gap_s, 0.5) / 86400, 4) AS p50_gap_days,
         round(max(gap_s) / 86400.0, 4) AS max_gap_days
       FROM gaps JOIN customer ON o_custkey = c_custkey
