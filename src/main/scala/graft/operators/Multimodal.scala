@@ -12,11 +12,15 @@ import org.apache.spark.sql.types._
   * header parser; [[PixelCodec]] is a REAL pure-JVM full PNG pixel
   * codec (zlib inflate/deflate via the JDK, all five scanline filters,
   * nearest-neighbor resample); [[WavCodec]] is a REAL pure-JVM
-  * WAV/PCM audio codec (RIFF chunk walk, 16-bit sample decode,
-  * integer resample, re-encode) — PNG images and PCM audio decode,
-  * transform, and re-encode with no external library. Only formats
-  * whose decode requires entropy codecs this container lacks (JPEG
-  * pixel decode, compressed audio, video) stay behind [[FakeCodec]],
+  * WAV/PCM audio codec (RIFF chunk walk, 16-bit + G.711 µ-law/A-law
+  * decode, integer resample, re-encode); [[graft.operators.GifCodec]]
+  * is a REAL GIF codec whose LZW dictionary coder is implemented in
+  * this repo (d38, cross-validated against ImageIO);
+  * [[graft.operators.JpegCodec]] decodes JPEG pixels for REAL through
+  * the JDK's own baseline-DCT plugin (d39, banded gate). All three
+  * major image formats and PCM/G.711 audio decode, transform, and
+  * re-encode genuinely. Only video containers and lossy-compressed
+  * audio (MP3/AAC — codecs the JVM lacks) stay behind [[FakeCodec]],
   * a deterministic stand-in with the same shape: swap
   * `FakeCodec.decode` for a JNI/FFI decoder and nothing else changes.
   *

@@ -1728,9 +1728,78 @@ object DedupQueries {
       FROM p JOIN sm ON p.doc_id = sm.doc_id JOIN rz ON p.doc_id = rz.doc_id
       ORDER BY media_id"""))
 
+  // --- d38: REAL GIF decode (own LZW) → re-encode → re-decode ---------
+  // The d33 round-trip shape over the second compressed image format:
+  // complete GIF89a files whose LZW streams this engine both writes
+  // and reads (operators/Gif.scala — the dictionary coder itself is
+  // implemented there, not delegated). The oracle replays every index
+  // from the closed form, so a bug in code widths, LSB bit packing,
+  // dictionary growth/reset, sub-block framing, or palette handling
+  // diverges. sum_red == sum_idx only because the fixture palette is
+  // the identity gray ramp — a decoder that ignored the color table
+  // could not know that. GifCodecSpec additionally cross-validates
+  // the codec against the JDK's independent ImageIO implementation.
+  private val d38 = GraftQuery(
+    "d38_gif_decode_roundtrip",
+    (s, d) => {
+      val gifs = graft.operators.GifCodec.syntheticGifs(
+        s, Tables(s, d, "documents").filter(col("doc_id") < 200))
+      val dec = graft.operators.GifCodec.decodeGifStats(gifs)
+      val rez = graft.operators.GifCodec.decodeGifStats(
+          graft.operators.GifCodec.reencodeGif(gifs))
+        .select(col("media_id"), col("sum_idx").as("r_sum_idx"),
+          col("wsum_idx").as("r_wsum_idx"))
+      dec.join(rez, "media_id").orderBy("media_id")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+          CAST(8 + doc_id % 7 AS INT) AS h
+        FROM documents WHERE doc_id < 200),
+      px AS (
+        SELECT doc_id,
+          CAST(sum((doc_id + 3*x.x + 5*y.y) % 256) AS BIGINT) AS sum_idx,
+          CAST(sum(((doc_id + 3*x.x + 5*y.y) % 256)
+            * (1 + (x.x + 3*y.y) % 7)) AS BIGINT) AS wsum_idx
+        FROM p,
+        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+        LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+        GROUP BY doc_id)
+      SELECT p.doc_id AS media_id, p.w AS width, p.h AS height,
+        256 AS pal_size, px.sum_idx, px.wsum_idx,
+        px.sum_idx AS sum_red,
+        px.sum_idx AS r_sum_idx, px.wsum_idx AS r_wsum_idx
+      FROM p JOIN px ON p.doc_id = px.doc_id
+      ORDER BY media_id"""),
+    bench = true)
+
+  // --- d39: REAL JPEG pixel decode (JDK DCT) with banded gate ---------
+  // The last still-image FakeCodec stand-in replaced: actual baseline
+  // JFIF encode/decode through the JDK's libjpeg-lineage plugin
+  // (operators/Jpeg.scala). JPEG is lossy, so unlike d33/d38 the pixel
+  // plane cannot be SQL-replayed bit-exact; the gate pins what IS
+  // exact (dimensions, pixel count — closed forms) and carries the
+  // lossy-plane claims as 0/1 columns the oracle pins to literal 1
+  // (q27's pattern): decoded mean within ±3/px of the closed-form
+  // ramp, no pixel astray by > 32. JpegCodecSpec measures the actual
+  // worst case (≲ 6 on the ramp) and asserts half the gate headroom.
+  private val d39 = GraftQuery(
+    "d39_jpeg_decode",
+    (s, d) => {
+      val jpgs = graft.operators.JpegCodec.syntheticJpegs(
+        s, Tables(s, d, "documents").filter(col("doc_id") < 200))
+      graft.operators.JpegCodec.decodeJpegGate(jpgs).orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+        CAST(8 + doc_id % 9 AS INT) AS width,
+        CAST(8 + doc_id % 7 AS INT) AS height,
+        CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS BIGINT) AS n_px,
+        1 AS mean_ok, 1 AS maxerr_ok
+      FROM documents WHERE doc_id < 200
+      ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36,
-      d37)
+      d37, d38, d39)
 }
