@@ -237,17 +237,25 @@ object GifCodec {
     out.toByteArray
   }
 
-  /** Full decode of a single-frame GIF. None for: bad magic, missing
-    * color table, interlaced image, truncated/corrupt sub-blocks or
-    * LZW stream, dimension overflow — quarantine, never a guess.
-    * Extension blocks (graphic control, comment, application) are
-    * walked and skipped, so ImageIO-authored files decode too. */
-  def decodeGif(p: Array[Byte]): Option[Gif] = {
+  /** Decode the first frame of a GIF (the still-image view). */
+  def decodeGif(p: Array[Byte]): Option[Gif] =
+    decodeGifFrames(p).flatMap(_.headOption)
+
+  /** Full decode of ALL frames of a (possibly animated) GIF. Each
+    * frame is returned as its raw index plane + palette — the planes a
+    * frame-sampling pipeline feeds a vision encoder (no disposal-mode
+    * compositing; the fixtures and ImageIO's writer emit full frames).
+    * None for: bad magic, missing color table, truncated/corrupt
+    * sub-blocks or LZW stream, dimension overflow, zero frames —
+    * quarantine, never a guess. Extension blocks (graphic control,
+    * comment, application, netscape loop) are walked and skipped, so
+    * ImageIO-authored files decode too; interlaced frames are
+    * de-interlaced (the 4-pass row permutation). */
+  def decodeGifFrames(p: Array[Byte]): Option[Vector[Gif]] = {
     if (p.length < 13) return None
     val magic = new String(p, 0, 6, "US-ASCII")
     if (magic != "GIF87a" && magic != "GIF89a") return None
     def u16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
-    val sw = u16(6); val sh = u16(8)
     val packed = p(10) & 0xff
     var pos = 13
     var globalPal: Array[Int] = null
@@ -257,10 +265,13 @@ object GifCodec {
       globalPal = readPalette(p, pos, n)
       pos += 3 * n
     }
+    val frames = Vector.newBuilder[Gif]
+    var nFrames = 0
     // block walk
     while (pos < p.length) {
       (p(pos) & 0xff) match {
-        case 0x3b => return None // trailer before any image
+        case 0x3b => // trailer
+          return if (nFrames > 0) Some(frames.result()) else None
         case 0x21 => // extension: label + sub-blocks
           pos += 2
           while (pos < p.length && (p(pos) & 0xff) != 0)
@@ -297,6 +308,7 @@ object GifCodec {
             pos += 1 + bl
           }
           if (pos >= p.length) return None // missing terminator
+          pos += 1 // consume terminator
           val raw = lzwDecode(data.toByteArray, minCodeSize, nPx.toInt)
             .getOrElse(return None)
           // GIF's 4-pass interlace (rows 0,8,.. / 4,12,.. / 2,6,.. /
@@ -324,15 +336,68 @@ object GifCodec {
             if ((idx(i) & 0xff) >= pal.length) return None
             i += 1
           }
-          // use the FRAME dimensions (single-frame scope; sw/sh are
-          // the logical screen, which spec-conforming writers may set
-          // larger — the frame is the decoded image)
-          val _ = (sw, sh)
-          return Some(Gif(iw, ih, pal, idx))
+          frames += Gif(iw, ih, pal, idx)
+          nFrames += 1
         case _ => return None
       }
     }
-    None
+    None // ran off the end without a trailer
+  }
+
+  /** Encode a complete ANIMATED GIF89a: one image per frame (all
+    * sharing frame 0's palette as the global color table), each
+    * preceded by a graphic-control extension with a 100 ms delay, plus
+    * the netscape loop extension — the layout ImageIO and browsers
+    * both accept. */
+  def encodeAnimatedGif(frames: Seq[Gif]): Array[Byte] = {
+    require(frames.nonEmpty, "no frames")
+    val pal = frames.head.palette
+    require(frames.forall(_.palette.sameElements(pal)),
+      "animated fixture frames must share one palette")
+    val n = pal.length
+    require(n >= 2 && n <= 256 && (n & (n - 1)) == 0,
+      s"palette size $n not a power of two in [2,256]")
+    val tableBits = 31 - Integer.numberOfLeadingZeros(n)
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def put16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    val sw = frames.map(_.width).max; val sh = frames.map(_.height).max
+    put16(sw); put16(sh)
+    out.write(0x80 | (7 << 4) | (tableBits - 1))
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < n) {
+      val rgb = pal(i)
+      out.write((rgb >> 16) & 0xff); out.write((rgb >> 8) & 0xff)
+      out.write(rgb & 0xff)
+      i += 1
+    }
+    // netscape 2.0 loop-forever application extension
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); put16(0); out.write(0)
+    frames.foreach { g =>
+      out.write(0x21); out.write(0xf9); out.write(4) // graphic control
+      out.write(0) // no disposal, no transparency
+      put16(10) // 100 ms
+      out.write(0); out.write(0)
+      out.write(0x2c)
+      put16(0); put16(0); put16(g.width); put16(g.height)
+      out.write(0) // global table, not interlaced
+      val minCodeSize = math.max(2, tableBits)
+      out.write(minCodeSize)
+      val lzw = lzwEncode(g.indices, minCodeSize)
+      var off = 0
+      while (off < lzw.length) {
+        val len = math.min(255, lzw.length - off)
+        out.write(len)
+        out.write(lzw, off, len)
+        off += len
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
   }
 
   private def readPalette(p: Array[Byte], off: Int, n: Int): Array[Int] = {
@@ -419,6 +484,92 @@ object GifCodec {
             Row(r.getLong(idIdx), g.width, g.height, g.palette.length,
               sum, wsum, red)
           case None => Row(r.getLong(idIdx), null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic ANIMATED GIF fixture: multi-frame GIF89a files
+    * (graphic-control extensions, netscape loop block, shared global
+    * palette) whose frame planes are pure integer functions of
+    * `doc_id` — idx(f,x,y) = (doc_id + 7f + 3x + 5y) mod 256 with
+    * 3 + id mod 5 frames — so an external SQL engine can replay every
+    * pixel of every frame. */
+  def syntheticAnimatedGifs(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id").cast("long"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val grayPal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+    val rdd = src.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (6 + id % 7).toInt
+        val h = (6 + id % 5).toInt
+        val nf = (3 + id % 5).toInt
+        val frames = (0 until nf).map { f =>
+          val idx = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              idx(y * w + x) = ((id + 7 * f + 3 * x + 5 * y) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Gif(w, h, grayPal, idx)
+        }
+        Row(id, encodeAnimatedGif(frames))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL frame sampling over animated GIF payloads — the operation
+    * [[Multimodal.FakeCodec.sampleFrames]] stands in for on true video
+    * containers, done genuinely here: decode ALL frames, take the
+    * d10 offsets (i·nF / min(n, nF) for i < min(n, nF) — evenly
+    * spaced, first frame included), and emit per-sampled-frame pixel
+    * statistics. One output row per (clip, sampled frame); payloads
+    * never shuffle; undecodable clips emit a single null-stats row
+    * (quarantine routing). */
+  def sampleGifFrameStats(df: DataFrame, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("sum_idx", LongType, nullable = true),
+      StructField("wsum_idx", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        decodeGifFrames(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some(frames) =>
+            val nf = frames.length
+            val k = math.min(n, nf)
+            (0 until k).iterator.map { i =>
+              val fi = i * nf / k
+              val g = frames(fi)
+              var sum = 0L; var wsum = 0L
+              var y = 0
+              while (y < g.height) {
+                var x = 0
+                while (x < g.width) {
+                  val v = g.indices(y * g.width + x) & 0xff
+                  sum += v
+                  wsum += v.toLong * (1 + (x + 3 * y) % 7)
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, nf, fi, sum, wsum)
+            }
+          case None => Iterator.single(Row(id, null, null, null, null))
         }
       }
     }

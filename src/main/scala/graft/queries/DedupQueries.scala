@@ -1797,9 +1797,50 @@ object DedupQueries {
       FROM documents WHERE doc_id < 200
       ORDER BY media_id"""))
 
+  // --- d40: REAL frame sampling over ANIMATED GIFs --------------------
+  // d10's frame-offset arithmetic made genuine: multi-frame GIF89a
+  // clips (graphic-control + netscape blocks, per-frame LZW streams)
+  // are decoded in full and sampled at the same evenly-spaced offsets
+  // (i·nF / min(4, nF)), emitting per-sampled-frame pixel statistics
+  // the oracle replays from the closed form — the video-shaped half of
+  // the FakeCodec boundary now has a real multi-frame container
+  // behind it. One row per (clip, sampled frame).
+  private val d40 = GraftQuery(
+    "d40_gif_frame_sample",
+    (s, d) => {
+      val clips = graft.operators.GifCodec.syntheticAnimatedGifs(
+        s, Tables(s, d, "documents").filter(col("doc_id") < 150))
+      graft.operators.GifCodec.sampleGifFrameStats(clips, 4)
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, CAST(6 + doc_id % 7 AS INT) AS w,
+          CAST(6 + doc_id % 5 AS INT) AS h,
+          CAST(3 + doc_id % 5 AS INT) AS nf
+        FROM documents WHERE doc_id < 150),
+      s AS (
+        SELECT doc_id, w, h, nf,
+          CAST((i.i * nf) // least(4, nf) AS INT) AS f
+        FROM p,
+        LATERAL (SELECT unnest(generate_series(0, least(4, nf) - 1)) AS i) i),
+      px AS (
+        SELECT doc_id, nf, f,
+          CAST(sum((doc_id + 7*f + 3*x.x + 5*y.y) % 256) AS BIGINT)
+            AS sum_idx,
+          CAST(sum(((doc_id + 7*f + 3*x.x + 5*y.y) % 256)
+            * (1 + (x.x + 3*y.y) % 7)) AS BIGINT) AS wsum_idx
+        FROM s,
+        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+        LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+        GROUP BY doc_id, nf, f)
+      SELECT doc_id AS media_id, nf AS n_frames, f AS frame_idx,
+        sum_idx, wsum_idx
+      FROM px
+      ORDER BY media_id, frame_idx"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36,
-      d37, d38, d39)
+      d37, d38, d39, d40)
 }

@@ -94,6 +94,75 @@ class GifCodecSpec extends SparkSpec {
     }
   }
 
+  test("animated round-trip: all frames, dims, and planes restored") {
+    for (id <- 0L until 20L) {
+      val w = (6 + id % 7).toInt; val h = (6 + id % 5).toInt
+      val nf = (3 + id % 5).toInt
+      val frames = (0 until nf).map { f =>
+        val idx = Array.tabulate(w * h)(i =>
+          ((id + 7 * f + 3 * (i % w) + 5 * (i / w)) % 256).toByte)
+        Gif(w, h, grayPal, idx)
+      }
+      val back = GifCodec.decodeGifFrames(GifCodec.encodeAnimatedGif(frames))
+      assert(back.nonEmpty && back.get.length == nf)
+      back.get.zip(frames).foreach { case (g, want) =>
+        assert(g.width == w && g.height == h)
+        assert(g.indices.sameElements(want.indices))
+      }
+    }
+  }
+
+  test("cross-validation: ImageIO sees the same frame count and planes in our animated GIFs") {
+    val iis = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    assert(iis.hasNext, "no GIF reader in this JVM")
+    for (id <- 0L until 10L) {
+      val w = (6 + id % 7).toInt; val h = (6 + id % 5).toInt
+      val nf = (3 + id % 5).toInt
+      val frames = (0 until nf).map { f =>
+        val idx = Array.tabulate(w * h)(i =>
+          ((id + 7 * f + 3 * (i % w) + 5 * (i / w)) % 256).toByte)
+        Gif(w, h, grayPal, idx)
+      }
+      val payload = GifCodec.encodeAnimatedGif(frames)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(payload)))
+      assert(reader.getNumImages(true) == nf,
+        s"ImageIO frame count for id=$id: ${reader.getNumImages(true)} != $nf")
+      for (f <- 0 until nf) {
+        val img = reader.read(f)
+        for (y <- 0 until h; x <- 0 until w) {
+          val want = grayPal(frames(f).indices(y * w + x) & 0xff)
+          assert((img.getRGB(x, y) & 0xffffff) == want,
+            s"frame $f pixel ($x,$y) of id=$id")
+        }
+      }
+      reader.dispose()
+    }
+  }
+
+  test("frame sampling emits the d10 offsets over real decoded frames") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 20)
+    val rows = GifCodec.sampleGifFrameStats(
+        GifCodec.syntheticAnimatedGifs(spark, docs), 4)
+      .orderBy("media_id", "frame_idx").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val nf = (3 + id % 5).toInt
+      val k = math.min(4, nf)
+      assert(rs.length == k, s"id=$id sampled ${rs.length} != $k")
+      assert(rs.map(_.getInt(2)).toSeq == (0 until k).map(i => i * nf / k),
+        s"id=$id offsets ${rs.map(_.getInt(2)).toSeq}")
+      rs.foreach { r =>
+        val f = r.getInt(2)
+        val w = (6 + id % 7).toInt; val h = (6 + id % 5).toInt
+        var sum = 0L
+        for (y <- 0 until h; x <- 0 until w) sum += (id + 7 * f + 3 * x + 5 * y) % 256
+        assert(r.getLong(3) == sum, s"id=$id frame=$f sum")
+      }
+    }
+  }
+
   test("quarantine: corrupt payloads yield None, never a guess") {
     val good = GifCodec.encodeGif(fixture(3, 10, 9))
     assert(GifCodec.decodeGif("notagif".getBytes).isEmpty)
