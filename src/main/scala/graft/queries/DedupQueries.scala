@@ -1838,9 +1838,42 @@ object DedupQueries {
       FROM px
       ORDER BY media_id, frame_idx"""))
 
+  // --- d41: REAL BMP decode, bit-exact like d33/d38 -------------------
+  // The uncompressed DIB format (operators/Bmp.scala): BGR byte order,
+  // bottom-up rows, 4-byte padding — all integer plumbing, so the
+  // oracle replays every channel exactly. The fixture's widths cover
+  // every padding remainder, so a stride bug cannot hide. BmpCodecSpec
+  // cross-validates both directions against ImageIO's BMP plugin.
+  private val d41 = GraftQuery(
+    "d41_bmp_decode",
+    (s, d) => {
+      val bmps = graft.operators.BmpCodec.syntheticBmps(
+        s, Tables(s, d, "documents").filter(col("doc_id") < 200))
+      graft.operators.BmpCodec.decodeBmpStats(bmps).orderBy("media_id")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, CAST(5 + doc_id % 9 AS INT) AS w,
+          CAST(5 + doc_id % 7 AS INT) AS h
+        FROM documents WHERE doc_id < 200),
+      px AS (
+        SELECT doc_id,
+          CAST(sum((doc_id + 7*c.c + 3*x.x + 5*y.y) % 253) AS BIGINT)
+            AS sum_val,
+          CAST(sum(((doc_id + 7*c.c + 3*x.x + 5*y.y) % 253)
+            * (1 + (x.x + 3*y.y + 11*c.c) % 7)) AS BIGINT) AS wsum
+        FROM p,
+        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+        LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y,
+        LATERAL (SELECT unnest(generate_series(0, 2)) AS c) c
+        GROUP BY doc_id)
+      SELECT p.doc_id AS media_id, p.w AS width, p.h AS height,
+        px.sum_val, px.wsum
+      FROM p JOIN px ON p.doc_id = px.doc_id
+      ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36,
-      d37, d38, d39, d40)
+      d37, d38, d39, d40, d41)
 }
