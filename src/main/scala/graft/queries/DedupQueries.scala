@@ -1871,9 +1871,68 @@ object DedupQueries {
       FROM p JOIN px ON p.doc_id = px.doc_id
       ORDER BY media_id"""))
 
+  // --- d42: URL canonicalization + URL-level dedup --------------------
+  // The crawl-side dedup that runs BEFORE content dedup: scheme/host
+  // case, explicit :80, trailing slashes, utm_* tracking params, and
+  // fragments all collapse ([[graft.operators.UrlOps]], pure native
+  // column expressions — fully codegen'd, no UDF). The fixture builds
+  // every messy variant from doc_id closed forms; the oracle computes
+  // each URL's canonical form DIRECTLY from the same closed forms —
+  // ground truth, not a regex replay — so a wrong rewrite in any
+  // canonicalization step diverges. Scale shape: raw URLs never
+  // shuffle; only the canonical key + counters enter the aggregate.
+  private val d42 = GraftQuery(
+    "d42_url_canonical_dedup",
+    (s, d) => {
+      val id = col("doc_id")
+      val raw = concat(
+        when(id % 2 === 0, "http").otherwise("HTTP"), lit("://ex"),
+        (id % 50).cast("string"),
+        when(id % 3 === 0, ".COM").otherwise(".com"),
+        when(id % 3 === 0, ":80").otherwise(""),
+        lit("/p/"), (id % 20).cast("string"),
+        when(id % 4 === 0, "/").otherwise(""),
+        when(id % 5 === 0, concat(lit("?utm_source=x&a="), (id % 7).cast("string")))
+          .when(id % 5 === 1, concat(lit("?a="), (id % 7).cast("string")))
+          .when(id % 5 === 2, concat(lit("?a="), (id % 7).cast("string"),
+            lit("&utm_campaign=y")))
+          .when(id % 5 === 4, "?utm_medium=z")
+          .otherwise(""),
+        when(id % 6 === 0, "#sec").otherwise(""))
+      graft.operators.UrlOps.urlDedup(
+          Tables(s, d, "documents").select(id, raw.as("url")), "url", "doc_id")
+        .orderBy("canonical_url")
+    },
+    Some("""WITH u AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTP' END)
+            || '://ex' || CAST(doc_id % 50 AS VARCHAR)
+            || (CASE WHEN doc_id % 3 = 0 THEN '.COM' ELSE '.com' END)
+            || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+            || '/p/' || CAST(doc_id % 20 AS VARCHAR)
+            || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+            || (CASE doc_id % 5
+                 WHEN 0 THEN '?utm_source=x&a=' || CAST(doc_id % 7 AS VARCHAR)
+                 WHEN 1 THEN '?a=' || CAST(doc_id % 7 AS VARCHAR)
+                 WHEN 2 THEN '?a=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=y'
+                 WHEN 4 THEN '?utm_medium=z'
+                 ELSE '' END)
+            || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url,
+          'http://ex' || CAST(doc_id % 50 AS VARCHAR) || '.com/p/'
+            || CAST(doc_id % 20 AS VARCHAR)
+            || (CASE WHEN doc_id % 5 IN (0, 1, 2)
+                THEN '?a=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+            AS canonical_url
+        FROM documents)
+      SELECT canonical_url, count(*) AS n_urls,
+        count(DISTINCT url) AS n_raw_variants,
+        min(doc_id) AS keeper_id
+      FROM u GROUP BY canonical_url
+      ORDER BY canonical_url"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36,
-      d37, d38, d39, d40, d41)
+      d37, d38, d39, d40, d41, d42)
 }
