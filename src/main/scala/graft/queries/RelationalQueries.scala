@@ -2405,11 +2405,62 @@ object RelationalQueries {
       ORDER BY lift DESC, part_a, part_b LIMIT 20"""),
     bench = true)
 
+  // --- q68: domain-authority PageRank over the crawl link graph -------
+  // The curation signal web corpora weight quality by. The graph is
+  // derived from closed forms over doc_id (both engines build the
+  // SAME distinct edge set from the documents table), and the kernel
+  // is [[graft.operators.GraphOps.pageRank]] — one shuffle per
+  // iteration, rank frame localCheckpoint-ed so the loop's plan stays
+  // linear. The oracle UNROLLS the 10 damped iterations as chained
+  // CTEs (the v35 trajectory precedent): no spectral shortcut, every
+  // intermediate sum replayed. Ranks are continuous (divisions by a
+  // prime node count, damping products), so round(…, 6) is in the
+  // measure-zero class — gated as an exact hash like every q-query.
+  private val q68 = GraftQuery(
+    "q68_domain_pagerank",
+    (s, d) => {
+      val id = col("doc_id")
+      val src = (id % 331).as("src")
+      val dst = when(id % 2 === 0, (id % 331) * 7 + 3)
+        .otherwise((id % 331) * 11 + 5) % 331
+      val edges = Tables(s, d, "documents")
+        .select(src, dst.as("dst")).distinct()
+      graft.operators.GraphOps.pageRank(s, edges, "src", "dst", 10, 0.85)
+        .select(col("node"), round(col("r"), 6).as("pr6"))
+        .orderBy("node")
+    },
+    Some {
+      val step = (k: Int) => s"""
+      p$k AS (
+        SELECT nd.node,
+          (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+            + CAST(0.85 AS DOUBLE) * coalesce(c.cin, CAST(0 AS DOUBLE)) AS r
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (
+          SELECT e.dst AS node, sum(p.r / od.deg) AS cin
+          FROM p${k - 1} p
+          JOIN od ON p.node = od.src
+          JOIN e ON e.src = p.node
+          GROUP BY e.dst) c ON c.node = nd.node)"""
+      """WITH e AS (
+        SELECT DISTINCT doc_id % 331 AS src,
+          (CASE WHEN doc_id % 2 = 0 THEN (doc_id % 331) * 7 + 3
+                ELSE (doc_id % 331) * 11 + 5 END) % 331 AS dst
+        FROM documents),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      p0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),""" +
+        (1 to 10).map(step).mkString(",") + """
+      SELECT node, round(r, 6) AS pr6 FROM p10 ORDER BY node"""
+    },
+    bench = true)
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67)
+    q64, q65, q66, q67, q68)
 }
