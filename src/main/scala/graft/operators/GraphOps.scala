@@ -60,4 +60,192 @@ object GraphOps {
     }
     ranks
   }
+
+  /** HITS hubs-and-authorities over a directed edge set — the other
+    * classic link-quality signal (Kleinberg 1999): a page is a good
+    * AUTHORITY if good hubs link to it, a good HUB if it links to good
+    * authorities. Update order is the textbook one — authority from
+    * the PREVIOUS round's hubs, then hub from the CURRENT round's
+    * authorities — with L1 (sum-to-one) normalization after each half
+    * step, chosen over the L2 variant because it keeps every
+    * intermediate a ratio of plain sums (exactly SQL-replayable, no
+    * sqrt in the chain; the fixed point has the same eigenvector
+    * direction either way, only the scale differs).
+    *
+    * Spark shape mirrors [[pageRank]]: each half-step is one
+    * fixed-width equi-join + one groupBy(sum) shuffle; the
+    * normalizing total is a 1-row scalar aggregate broadcast
+    * (crossJoin of a 1-row frame — never a real cartesian); the score
+    * frame localCheckpoints per iteration so the plan stays linear.
+    * Precondition: `edges` nonempty (the L1 totals are then strictly
+    * positive — hubs start at 1 and every edge contributes).
+    *
+    * Returns (node, auth, hub), raw doubles; callers round in the
+    * gated query (d35 pattern). */
+  def hits(spark: SparkSession, edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var cur = nodes
+      .withColumn("auth", lit(1.0)).withColumn("hub", lit(1.0))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val aRaw = e
+        .join(cur.select(col("node"), col("hub")), col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("ar"))
+        .select(col("dst").as("node"), col("ar"))
+      val aTot = aRaw.agg(sum(col("ar")).as("at")) // 1 row
+      val aN = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(aTot) // 1-row scalar-aggregate broadcast
+        .select(col("node"),
+          (coalesce(col("ar"), lit(0.0)) / col("at")).as("auth"))
+      val hRaw = e
+        .join(aN.select(col("node"), col("auth")), col("dst") === col("node"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("hr"))
+        .select(col("src").as("node"), col("hr"))
+      val hTot = hRaw.agg(sum(col("hr")).as("ht")) // 1 row
+      val hN = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(hTot) // 1-row scalar-aggregate broadcast
+        .select(col("node"),
+          (coalesce(col("hr"), lit(0.0)) / col("ht")).as("hub"))
+      cur = aN.join(hN, Seq("node")).localCheckpoint()
+      i += 1
+    }
+    cur
+  }
+
+  /** Exact structural profile of a directed edge set — the sanity
+    * audit a crawl team reads before trusting any ranking over the
+    * link graph: degree histograms both directions, self-loops,
+    * unordered reciprocal pairs, dangling nodes (no out-edges — the
+    * mass-leak population PageRank formulations must decide about)
+    * and source-only nodes (no in-edges — undiscoverable by link
+    * traversal). One tall (metric, k, n) table, all exact integers.
+    *
+    * Every term is a fixed-width-key aggregate or anti/equi join:
+    * degree histograms are two groupBy chains over the edge list;
+    * reciprocity joins the edge set against its own reversal on the
+    * composite key (equi-join, src<dst so each unordered pair counts
+    * once); dangling/source-only are LEFT ANTI joins from the node
+    * inventory. Nothing wider than (long, long) ever shuffles. */
+  def linkGraphProfile(spark: SparkSession, edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outHist = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n"))
+      .select(lit("out_deg").as("metric"), col("deg").as("k"), col("n"))
+    val inHist = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n"))
+      .select(lit("in_deg").as("metric"), col("deg").as("k"), col("n"))
+    val selfLoops = e.filter(col("src") === col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("self_loop").as("metric"), lit(0L).as("k"), col("n"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("reciprocal").as("metric"), lit(0L).as("k"), col("n"))
+    val dangling = nodes
+      .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("dangling").as("metric"), lit(0L).as("k"), col("n"))
+    val sourceOnly = nodes
+      .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("source_only").as("metric"), lit(0L).as("k"), col("n"))
+    outHist.unionAll(inHist).unionAll(selfLoops).unionAll(recip)
+      .unionAll(dangling).unionAll(sourceOnly)
+  }
+
+  /** Multi-source BFS to a fixed horizon: (node, depth) where depth is
+    * the shortest directed hop count from ANY seed (0 = the seeds
+    * themselves); nodes not reached within `maxDepth` are absent —
+    * the crawl-frontier primitive ("everything within k clicks of the
+    * seed list") and the reachability layer a contamination audit
+    * walks.
+    *
+    * Each round is frontier-sized, never graph-sized: one equi-join
+    * frontier ⋈ edges on the node key + one LEFT ANTI join against
+    * the visited set, both fixed-width; the visited/frontier frames
+    * localCheckpoint per round (linear plans, as [[pageRank]]). The
+    * horizon is a FIXED unroll — an empty frontier makes the
+    * remaining rounds no-ops — so the trajectory is exactly
+    * SQL-replayable with no data-dependent stopping rule. */
+  def bfsLayers(spark: SparkSession, edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      maxDepth: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("depth", lit(0L)).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var d = 1
+    while (d <= maxDepth) {
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionAll(next.withColumn("depth", lit(d.toLong)))
+        .localCheckpoint()
+      frontier = next
+      d += 1
+    }
+    visited
+  }
+
+  /** Exact triangle census of the UNDIRECTED simple graph induced by
+    * the edge set (self-loops dropped, direction collapsed): global
+    * triangle count, wedge (open two-path) count, and the global
+    * clustering coefficient 3·tri/wedges in exact-integer ppm — the
+    * local-density number that separates a link mesh from a
+    * broadcast-star topology.
+    *
+    * Degree-ordered orientation, the standard O(m^1.5) bound: each
+    * undirected edge points from its (degree, node)-smaller endpoint
+    * to the larger, making the oriented graph a DAG where every
+    * out-neighborhood is O(√m); triangles are then oriented paths
+    * a→b→c closed by a→c, counted with two equi-joins and a LEFT SEMI
+    * — never an unordered all-pairs expansion. Wedges come from the
+    * degree table alone (Σ deg·(deg−1)/2, integer arithmetic). The
+    * ppm ratio guards its zero-wedge denominator identically on both
+    * engines (the q55 shape-fuzz rule). */
+  def triangleCount(spark: SparkSession, edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct().localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val ori = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"))
+      .localCheckpoint()
+    val paths = ori.as("e1")
+      .join(ori.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e2.b").as("c"))
+    val tri = paths
+      .join(ori.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+    val wedges = deg
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("wedges"))
+    tri.crossJoin(wedges) // two 1-row scalar aggregates
+      .select(col("triangles"), col("wedges"),
+        when(col("wedges") === 0, lit(0L))
+          .otherwise(expr("(3000000 * triangles) div wedges")).as("gcc_ppm"))
+  }
 }

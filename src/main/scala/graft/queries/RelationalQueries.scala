@@ -2442,12 +2442,12 @@ object RelationalQueries {
           JOIN od ON p.node = od.src
           JOIN e ON e.src = p.node
           GROUP BY e.dst) c ON c.node = nd.node)"""
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         SELECT DISTINCT doc_id % 331 AS src,
           (CASE WHEN doc_id % 2 = 0 THEN (doc_id % 331) * 7 + 3
                 ELSE (doc_id % 331) * 11 + 5 END) % 331 AS dst
         FROM documents),
-      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
       nn AS (SELECT count(*) AS n FROM nodes),
       od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
       p0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),""" +
@@ -2456,11 +2456,213 @@ object RelationalQueries {
     },
     bench = true)
 
+  // --- q69: HITS hubs & authorities over a richer link graph ---------
+  // The complementary link-quality signal to q68's PageRank: hub and
+  // authority scores from [[graft.operators.GraphOps.hits]] (L1
+  // normalization — every intermediate is a ratio of plain sums, no
+  // sqrt, so the 6 iterations SQL-replay exactly like q68's). The
+  // graph here is a different closed form (mod-293 residues, three
+  // out-link rules keyed on doc_id % 3) so the two graph queries
+  // don't share a fixture shape. Scores are continuous (L1 totals are
+  // messy sums), so round(…, 6) is in the measure-zero class.
+  private val q69 = GraftQuery(
+    "q69_hits_authority",
+    (s, d) => {
+      val res = col("doc_id") % 293
+      val dst = when(col("doc_id") % 3 === 0, (res * 2 + 1) % 293)
+        .when(col("doc_id") % 3 === 1, (res * 3 + 7) % 293)
+        .otherwise((res * 5 + 11) % 293)
+      val edges = Tables(s, d, "documents")
+        .select(res.as("src"), dst.as("dst")).distinct()
+      graft.operators.GraphOps.hits(s, edges, "src", "dst", 6)
+        .select(col("node"), round(col("auth"), 6).as("auth6"),
+          round(col("hub"), 6).as("hub6"))
+        .orderBy("node")
+    },
+    Some {
+      val step = (k: Int) => s"""
+      ar$k AS MATERIALIZED (
+        SELECT e.dst AS node, sum(s.hub) AS ar
+        FROM s${k - 1} s JOIN e ON e.src = s.node GROUP BY e.dst),
+      at$k AS (SELECT sum(ar) AS t FROM ar$k),
+      a$k AS MATERIALIZED (
+        SELECT nd.node, coalesce(ar.ar, CAST(0 AS DOUBLE)) / att.t AS auth
+        FROM nodes nd CROSS JOIN at$k att
+        LEFT JOIN ar$k ar ON ar.node = nd.node),
+      hr$k AS MATERIALIZED (
+        SELECT e.src AS node, sum(a.auth) AS hr
+        FROM a$k a JOIN e ON e.dst = a.node GROUP BY e.src),
+      ht$k AS (SELECT sum(hr) AS t FROM hr$k),
+      s$k AS MATERIALIZED (
+        SELECT nd.node, a.auth, coalesce(hr.hr, CAST(0 AS DOUBLE)) / htt.t AS hub
+        FROM nodes nd
+        JOIN a$k a ON a.node = nd.node
+        CROSS JOIN ht$k htt
+        LEFT JOIN hr$k hr ON hr.node = nd.node)"""
+      """WITH e AS MATERIALIZED (
+        SELECT DISTINCT doc_id % 293 AS src,
+          (CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 293) * 2 + 1) % 293
+                WHEN doc_id % 3 = 1 THEN ((doc_id % 293) * 3 + 7) % 293
+                ELSE ((doc_id % 293) * 5 + 11) % 293 END) AS dst
+        FROM documents),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      s0 AS (SELECT node, CAST(1 AS DOUBLE) AS auth, CAST(1 AS DOUBLE) AS hub
+             FROM nodes),""" +
+        (1 to 6).map(step).mkString(",") + """
+      SELECT node, round(auth, 6) AS auth6, round(hub, 6) AS hub6
+      FROM s6 ORDER BY node"""
+    },
+    bench = true)
+
+  // --- q70: link-graph structural audit -------------------------------
+  // The exact-integer profile a crawl team reads before trusting q68/
+  // q69's rankings: degree histograms both directions, self-loops,
+  // unordered reciprocal pairs, dangling and source-only node counts
+  // ([[graft.operators.GraphOps.linkGraphProfile]]). Same mod-293
+  // graph as q69 so the audit describes the ranked graph. All counts,
+  // no floats — the strongest gate class.
+  private val q70 = GraftQuery(
+    "q70_linkgraph_profile",
+    (s, d) => {
+      val res = col("doc_id") % 293
+      val dst = when(col("doc_id") % 3 === 0, (res * 2 + 1) % 293)
+        .when(col("doc_id") % 3 === 1, (res * 3 + 7) % 293)
+        .otherwise((res * 5 + 11) % 293)
+      val edges = Tables(s, d, "documents")
+        .select(res.as("src"), dst.as("dst")).distinct()
+      graft.operators.GraphOps.linkGraphProfile(s, edges, "src", "dst")
+        .orderBy("metric", "k")
+    },
+    Some("""WITH e AS MATERIALIZED (
+        SELECT DISTINCT doc_id % 293 AS src,
+          (CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 293) * 2 + 1) % 293
+                WHEN doc_id % 3 = 1 THEN ((doc_id % 293) * 3 + 7) % 293
+                ELSE ((doc_id % 293) * 5 + 11) % 293 END) AS dst
+        FROM documents),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      idg AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst)
+      SELECT * FROM (
+        SELECT 'out_deg' AS metric, deg AS k, count(*) AS n FROM od GROUP BY deg
+        UNION ALL
+        SELECT 'in_deg', deg, count(*) FROM idg GROUP BY deg
+        UNION ALL
+        SELECT 'self_loop', CAST(0 AS BIGINT), count(*) FROM e WHERE src = dst
+        UNION ALL
+        SELECT 'reciprocal', CAST(0 AS BIGINT), count(*) FROM e
+        WHERE src < dst AND EXISTS (
+          SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)
+        UNION ALL
+        SELECT 'dangling', CAST(0 AS BIGINT), count(*) FROM nodes
+        WHERE node NOT IN (SELECT src FROM e)
+        UNION ALL
+        SELECT 'source_only', CAST(0 AS BIGINT), count(*) FROM nodes
+        WHERE node NOT IN (SELECT dst FROM e)
+      ) ORDER BY metric, k"""),
+    bench = false)
+
+  // --- q71: BFS reachability layers from a seed list ------------------
+  // The crawl-frontier primitive: every node within 6 directed hops of
+  // the seed set (residues ≡ 0 mod 97), labeled with its shortest-hop
+  // depth ([[graft.operators.GraphOps.bfsLayers]] — frontier-sized
+  // joins per round, fixed unroll so the trajectory SQL-replays with
+  // no data-dependent stopping rule). Same mod-293 graph as q69/q70.
+  // All-integer output — the strongest gate class.
+  private val q71 = GraftQuery(
+    "q71_bfs_reach_layers",
+    (s, d) => {
+      val res = col("doc_id") % 293
+      val dst = when(col("doc_id") % 3 === 0, (res * 2 + 1) % 293)
+        .when(col("doc_id") % 3 === 1, (res * 3 + 7) % 293)
+        .otherwise((res * 5 + 11) % 293)
+      val edges = Tables(s, d, "documents")
+        .select(res.as("src"), dst.as("dst")).distinct()
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") % 97 === 0)
+      graft.operators.GraphOps.bfsLayers(s, edges, "src", "dst", seeds, "node", 6)
+        .orderBy("node")
+    },
+    Some {
+      val step = (k: Int) => s"""
+      f$k AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS node
+        FROM f${k - 1} f JOIN e ON e.src = f.node
+        WHERE e.dst NOT IN (SELECT node FROM v${k - 1})),
+      v$k AS MATERIALIZED (
+        SELECT node, depth FROM v${k - 1}
+        UNION ALL SELECT node, CAST($k AS BIGINT) FROM f$k)"""
+      """WITH e AS MATERIALIZED (
+        SELECT DISTINCT doc_id % 293 AS src,
+          (CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 293) * 2 + 1) % 293
+                WHEN doc_id % 3 = 1 THEN ((doc_id % 293) * 3 + 7) % 293
+                ELSE ((doc_id % 293) * 5 + 11) % 293 END) AS dst
+        FROM documents),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      v0 AS MATERIALIZED (
+        SELECT node, CAST(0 AS BIGINT) AS depth FROM nodes WHERE node % 97 = 0),
+      f0 AS MATERIALIZED (SELECT node FROM v0),""" +
+        (1 to 6).map(step).mkString(",") + """
+      SELECT node, depth FROM v6 ORDER BY node"""
+    },
+    bench = false)
+
+  // --- q72: exact triangle census + global clustering -----------------
+  // Local link density over a third closed-form graph (mod-257,
+  // successor rules s+1/s+2 keyed on doc_id parity — a ring mesh that
+  // genuinely contains triangles). Kernel is
+  // [[graft.operators.GraphOps.triangleCount]]: degree-ordered
+  // orientation (the O(m^1.5) bound), two equi-joins + LEFT SEMI for
+  // the closing edge, wedges from the degree table alone. All-integer
+  // output incl. the ppm clustering coefficient (denominator guarded
+  // on both engines).
+  private val q72 = GraftQuery(
+    "q72_triangle_census",
+    (s, d) => {
+      val res = col("doc_id") % 257
+      val dst = when(col("doc_id") % 2 === 0, (res + 1) % 257)
+        .otherwise((res + 2) % 257)
+      val edges = Tables(s, d, "documents")
+        .select(res.as("src"), dst.as("dst")).distinct()
+      graft.operators.GraphOps.triangleCount(s, edges, "src", "dst")
+    },
+    Some("""WITH e AS MATERIALIZED (
+        SELECT DISTINCT doc_id % 257 AS src,
+          (CASE WHEN doc_id % 2 = 0 THEN ((doc_id % 257) + 1) % 257
+                ELSE ((doc_id % 257) + 2) % 257 END) AS dst
+        FROM documents),
+      und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e WHERE src <> dst),
+      deg AS MATERIALIZED (
+        SELECT node, count(*) AS deg
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        GROUP BY node),
+      ori AS MATERIALIZED (
+        SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+                    THEN und.u ELSE und.v END AS a,
+               CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+                    THEN und.v ELSE und.u END AS b
+        FROM und
+        JOIN deg du ON du.node = und.u
+        JOIN deg dv ON dv.node = und.v),
+      tri AS (
+        SELECT count(*) AS triangles
+        FROM ori e1 JOIN ori e2 ON e2.a = e1.b
+        WHERE EXISTS (SELECT 1 FROM ori e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+      wed AS (
+        SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges FROM deg)
+      SELECT t.triangles, w.wedges,
+        CASE WHEN w.wedges = 0 THEN CAST(0 AS BIGINT)
+             ELSE (3000000 * t.triangles) // w.wedges END AS gcc_ppm
+      FROM tri t CROSS JOIN wed w"""),
+    bench = true)
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68)
+    q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }

@@ -31,4 +31,78 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(2L) > got(0L) && got(2L) > got(4L))
     assert(math.abs(got(3L) - 0.15 / n) < 1e-12)
   }
+
+  test("hits matches an independent dense-loop reference (L1 norm, textbook update order)") {
+    import spark.implicits._
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L), (2L, 4L))
+    val got = GraphOps.hits(spark, es.toDF("src", "dst"), "src", "dst", 6)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    val nodes = (0L to 4L).toSeq
+    var auth = nodes.map(_ -> 1.0).toMap
+    var hub = nodes.map(_ -> 1.0).toMap
+    for (_ <- 0 until 6) {
+      val ar = es.groupBy(_._2).map { case (v, in) =>
+        v -> in.map { case (u, _) => hub(u) }.sum }
+      val at = ar.values.sum
+      auth = nodes.map(v => v -> ar.getOrElse(v, 0.0) / at).toMap
+      val hr = es.groupBy(_._1).map { case (u, out) =>
+        u -> out.map { case (_, v) => auth(v) }.sum }
+      val ht = hr.values.sum
+      hub = nodes.map(v => v -> hr.getOrElse(v, 0.0) / ht).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v)._1 - auth(v)) < 1e-12, s"auth $v")
+      assert(math.abs(got(v)._2 - hub(v)) < 1e-12, s"hub $v")
+    }
+    // node 2 (everyone links to it) is the top authority; the dangling
+    // sink has zero hub score; the source-only node zero authority
+    assert(auth(2L) == nodes.map(auth).max)
+    assert(got(4L)._2 == 0.0 && got(3L)._1 == 0.0)
+  }
+
+  test("linkGraphProfile reports exact structure on a known graph") {
+    import spark.implicits._
+    // 0↔1 reciprocal, 2→2 self-loop, 3 is source-only, no dangling
+    val es = Seq((0L, 1L), (1L, 0L), (2L, 2L), (0L, 2L), (3L, 0L))
+    val got = GraphOps.linkGraphProfile(spark, es.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(("out_deg", 1L)) == 3 && got(("out_deg", 2L)) == 1)
+    assert(got(("in_deg", 1L)) == 1 && got(("in_deg", 2L)) == 2)
+    assert(got(("self_loop", 0L)) == 1)
+    assert(got(("reciprocal", 0L)) == 1)
+    assert(got(("dangling", 0L)) == 0)
+    assert(got(("source_only", 0L)) == 1)
+  }
+
+  test("bfsLayers labels shortest-hop depth from any seed, horizon-capped") {
+    import spark.implicits._
+    // chain 0→1→2→3→4, shortcut 7→3, island 8→9; seeds {0, 7}
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (7L, 3L), (8L, 9L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 7L).toDF("node")
+    val got = GraphOps.bfsLayers(spark, es, "src", "dst", seeds, "node", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 3 is depth 1 via the 7→3 shortcut, NOT depth 3 via the chain;
+    // node 4 is depth 2; the island (8,9) is absent; the horizon cuts nothing here
+    assert(got == Map(0L -> 0L, 7L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L, 4L -> 2L))
+    // horizon 1 drops the depth-2 layer
+    val h1 = GraphOps.bfsLayers(spark, es, "src", "dst", seeds, "node", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == Map(0L -> 0L, 7L -> 0L, 1L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCount: exact census on known graphs, robust to direction/self-loops/dups") {
+    import spark.implicits._
+    // K4 with noise: both directions of (0,1), a self-loop, a dup edge —
+    // the undirected simple graph is still K4
+    val k4 = Seq((0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (2L, 2L), (3L, 2L)).toDF("src", "dst")
+    val r1 = GraphOps.triangleCount(spark, k4, "src", "dst").collect()(0)
+    assert(r1.getLong(0) == 4 && r1.getLong(1) == 12 && r1.getLong(2) == 1000000L)
+    // a 4-cycle has wedges but no triangles
+    val c4 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val r2 = GraphOps.triangleCount(spark, c4, "src", "dst").collect()(0)
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == 4 && r2.getLong(2) == 0L)
+  }
 }
