@@ -61,6 +61,91 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized (topic-sensitive) PageRank: the restart mass goes to
+    * a SEED set instead of uniformly everywhere — the crawl-
+    * prioritization signal "authority as seen from these trusted
+    * domains" (Haveliwala 2002). r ← (1−d)·p + d·(in-contributions),
+    * where p is uniform over the seeds and zero elsewhere, from the
+    * start r₀ = p; scores concentrate in the seeds' out-neighborhood
+    * instead of spreading to every sink.
+    *
+    * Same per-iteration shape and checkpoint discipline as
+    * [[pageRank]] (one fixed-width join + one groupBy(sum) shuffle per
+    * round); the seed-restart column rides the checkpointed node frame
+    * so no extra join enters the loop. The node universe is the edge
+    * set's nodes UNION the seeds, so a seed absent from the graph
+    * still holds its restart mass (and the restart normalizer is the
+    * caller's literal seed count, not a data-dependent one — callers
+    * gate on that stability). Precondition: `seeds` nonempty. */
+  def personalizedPageRank(spark: SparkSession, edges: DataFrame,
+      srcCol: String, dstCol: String, seeds: DataFrame, seedCol: String,
+      iters: Int, damping: Double): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).union(sd).distinct()
+    val nSeeds = sd.count()
+    val base = nodes
+      .join(sd.withColumn("isSeed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("isSeed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("p0"))
+      .localCheckpoint()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = base.select(col("node"), col("p0").as("r")).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contribs = ranks
+        .join(outDeg, ranks("node") === outDeg("src"))
+        .join(e, "src")
+        .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("cin"))
+      ranks = base
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("p0") +
+            lit(damping) * coalesce(col("cin"), lit(0.0))).as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
+  /** Co-citation related-pair mining: two pages are related when many
+    * distinct sources link to BOTH (Small 1973) — the related-domain
+    * discovery signal that needs no content at all. Returns the topN
+    * (a, b, shared) pairs, a < b, shared = distinct co-linking
+    * sources, with a total (shared DESC, a, b) order.
+    *
+    * The candidate join is the edge list against itself on the SOURCE
+    * key, so fan-out is Σ out-deg² — bounded per source, never
+    * corpus²; `maxOutDeg` (the d28 df-cap discipline) drops
+    * hub/boilerplate sources whose quadratic contribution would
+    * dominate a 100 TB run while adding near-zero signal (a directory
+    * page linking 10k sites asserts little relatedness per pair).
+    * Self-loops contribute nothing (a < b is strict after dedup). */
+  def coCitationPairs(spark: SparkSession, edges: DataFrame,
+      srcCol: String, dstCol: String, minShared: Long, topN: Int,
+      maxOutDeg: Option[Long] = None): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val e = maxOutDeg match {
+      case Some(cap) =>
+        val keep = e0.groupBy("src").agg(count(lit(1)).as("odeg"))
+          .filter(col("odeg") <= cap).select(col("src"))
+        e0.join(keep, Seq("src"), "left_semi")
+      case None => e0
+    }
+    e.as("x")
+      .join(e.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(desc("shared"), col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** HITS hubs-and-authorities over a directed edge set — the other
     * classic link-quality signal (Kleinberg 1999): a page is a good
     * AUTHORITY if good hubs link to it, a good HUB if it links to good

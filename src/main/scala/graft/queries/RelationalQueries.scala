@@ -2658,11 +2658,112 @@ object RelationalQueries {
       FROM tri t CROSS JOIN wed w"""),
     bench = true)
 
+  // --- q73: personalized PageRank from trusted seeds ------------------
+  // Crawl prioritization: restart mass goes to a LITERAL 7-domain seed
+  // list (residues 0,47,…,282 of the q68 graph), so scores measure
+  // authority as seen from the trusted set
+  // ([[graft.operators.GraphOps.personalizedPageRank]]). The seed
+  // count is a literal prime (7 ∉ {2,5}) on purpose: every nonzero
+  // rank then carries a factor 1/7, whose decimal never terminates —
+  // keeping round(…, 6) in the measure-zero class the way q68's prime
+  // node count does. (A data-dependent seed count could land on 4 or
+  // 8 under a reshaped fixture and make short TERMINATING decimals —
+  // the salt-13 q21 boundary class — possible.) Unreached nodes are
+  // exactly 0.0 on both engines.
+  private val q73 = GraftQuery(
+    "q73_seeded_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val src = (id % 331).as("src")
+      val dst = when(id % 2 === 0, (id % 331) * 7 + 3)
+        .otherwise((id % 331) * 11 + 5) % 331
+      val edges = Tables(s, d, "documents")
+        .select(src, dst.as("dst")).distinct()
+      val seeds = Seq(0L, 47L, 94L, 141L, 188L, 235L, 282L).toDF("node")
+      graft.operators.GraphOps
+        .personalizedPageRank(s, edges, "src", "dst", seeds, "node", 8, 0.85)
+        .select(col("node"), round(col("r"), 6).as("ppr6"))
+        .orderBy("node")
+    },
+    Some {
+      val step = (k: Int) => s"""
+      p$k AS MATERIALIZED (
+        SELECT b.node,
+          (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * b.p0
+            + CAST(0.85 AS DOUBLE) * coalesce(c.cin, CAST(0 AS DOUBLE)) AS r
+        FROM base b
+        LEFT JOIN (
+          SELECT e.dst AS node, sum(p.r / od.deg) AS cin
+          FROM p${k - 1} p
+          JOIN od ON p.node = od.src
+          JOIN e ON e.src = p.node
+          GROUP BY e.dst) c ON c.node = b.node)"""
+      """WITH e AS MATERIALIZED (
+        SELECT DISTINCT doc_id % 331 AS src,
+          (CASE WHEN doc_id % 2 = 0 THEN (doc_id % 331) * 7 + 3
+                ELSE (doc_id % 331) * 11 + 5 END) % 331 AS dst
+        FROM documents),
+      seeds AS (SELECT CAST(s.node AS BIGINT) AS node
+                FROM (VALUES (0),(47),(94),(141),(188),(235),(282)) s(node)),
+      nodes AS MATERIALIZED (
+        SELECT src AS node FROM e UNION SELECT dst FROM e
+        UNION SELECT node FROM seeds),
+      base AS MATERIALIZED (
+        SELECT nd.node,
+          CASE WHEN nd.node IN (SELECT node FROM seeds)
+               THEN CAST(1 AS DOUBLE) / 7 ELSE CAST(0 AS DOUBLE) END AS p0
+        FROM nodes nd),
+      od AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      p0 AS (SELECT node, p0 AS r FROM base),""" +
+        (1 to 8).map(step).mkString(",") + """
+      SELECT node, round(r, 6) AS ppr6 FROM p8 ORDER BY node"""
+    },
+    bench = false)
+
+  // --- q74: co-citation related-domain pairs ---------------------------
+  // Related-domain discovery without content: pairs co-linked by ≥2
+  // distinct sources, top-20 under a total (shared DESC, a, b) order
+  // ([[graft.operators.GraphOps.coCitationPairs]] — candidate fan-out
+  // is Σ out-deg² per SOURCE, never corpus²; the maxOutDeg hub cap is
+  // spec-exercised, default off here where out-degree ≤ 5 by
+  // construction). Five-branch mod-97 closed form so shared counts
+  // genuinely exceed 1 (measured: one pair at 3, fifty at 2 on the
+  // driver shape). All-integer output.
+  private val q74 = GraftQuery(
+    "q74_cocitation_pairs",
+    (s, d) => {
+      val res = col("doc_id") % 97
+      val dst = when(col("doc_id") % 5 === 0, (res * 2 + 1) % 97)
+        .when(col("doc_id") % 5 === 1, (res * 3 + 2) % 97)
+        .when(col("doc_id") % 5 === 2, (res * 5 + 3) % 97)
+        .when(col("doc_id") % 5 === 3, (res * 7 + 5) % 97)
+        .otherwise((res * 11 + 7) % 97)
+      val edges = Tables(s, d, "documents")
+        .select(res.as("src"), dst.as("dst")).distinct()
+      graft.operators.GraphOps.coCitationPairs(s, edges, "src", "dst", 2L, 20)
+    },
+    Some("""WITH e AS MATERIALIZED (
+        SELECT DISTINCT doc_id % 97 AS src,
+          (CASE doc_id % 5
+             WHEN 0 THEN ((doc_id % 97) * 2 + 1) % 97
+             WHEN 1 THEN ((doc_id % 97) * 3 + 2) % 97
+             WHEN 2 THEN ((doc_id % 97) * 5 + 3) % 97
+             WHEN 3 THEN ((doc_id % 97) * 7 + 5) % 97
+             ELSE ((doc_id % 97) * 11 + 7) % 97 END) AS dst
+        FROM documents)
+      SELECT x.dst AS a, y.dst AS b, count(*) AS shared
+      FROM e x JOIN e y ON y.src = x.src AND x.dst < y.dst
+      GROUP BY x.dst, y.dst
+      HAVING count(*) >= 2
+      ORDER BY shared DESC, a, b LIMIT 20"""),
+    bench = false)
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
 }

@@ -105,4 +105,56 @@ class GraphOpsSpec extends SparkSpec {
     val r2 = GraphOps.triangleCount(spark, c4, "src", "dst").collect()(0)
     assert(r2.getLong(0) == 0 && r2.getLong(1) == 4 && r2.getLong(2) == 0L)
   }
+
+  test("personalizedPageRank concentrates mass near the seeds and matches a dense loop") {
+    import spark.implicits._
+    // two components: seeds {0} in the left triangle; right chain 5→6
+    // never receives restart mass and is unreachable from the seed
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (5L, 6L))
+    val got = GraphOps.personalizedPageRank(spark, es.toDF("src", "dst"),
+        "src", "dst", Seq(0L, 9L).toDF("node"), "node", 12, 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // independent dense loop; node 9 is a seed OUTSIDE the edge set —
+    // it must appear, hold restart mass, and contribute nothing
+    val nodes = Seq(0L, 1L, 2L, 5L, 6L, 9L)
+    val out = Map(0L -> Seq(1L), 1L -> Seq(2L), 2L -> Seq(0L), 5L -> Seq(6L))
+    val p0 = Map(0L -> 0.5, 9L -> 0.5).withDefaultValue(0.0)
+    var r = nodes.map(v => v -> p0(v)).toMap
+    for (_ <- 0 until 12) {
+      val cin = nodes.map { v =>
+        v -> out.toSeq.collect {
+          case (u, ds) if ds.contains(v) => r(u) / ds.size }.sum
+      }.toMap
+      r = nodes.map(v => v -> (0.15 * p0(v) + 0.85 * cin(v))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-12, s"node $v: ${got(v)} vs ${r(v)}")
+    }
+    assert(got(5L) == 0.0 && got(6L) == 0.0)          // no restart, unreachable
+    assert(math.abs(got(9L) - 0.15 * 0.5) < 1e-12)    // isolated seed keeps (1-d)*p0
+  }
+
+  test("coCitationPairs counts distinct co-linking sources; hub cap drops directory noise") {
+    import spark.implicits._
+    // sources 10,11 both link {1,2}; 12 links {1,2,3}; 13 is a "directory"
+    // linking 1..4 (out-deg 4)
+    val es = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (12L, 3L),
+      (13L, 1L), (13L, 2L), (13L, 3L), (13L, 4L)).toDF("src", "dst")
+    val all = GraphOps.coCitationPairs(spark, es, "src", "dst", 1L, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(all((1L, 2L)) == 4) // sources 10,11,12,13
+    assert(all((1L, 3L)) == 2 && all((2L, 3L)) == 2)
+    assert(all((3L, 4L)) == 1)
+    // cap at out-degree ≤ 3: the directory source 13 no longer votes
+    val capped = GraphOps.coCitationPairs(spark, es, "src", "dst", 1L, 100,
+        maxOutDeg = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped((1L, 2L)) == 3 && !capped.contains((3L, 4L)))
+    // ordering contract: shared DESC, then (a, b)
+    val top = GraphOps.coCitationPairs(spark, es, "src", "dst", 1L, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top == Seq((1L, 2L, 4L), (1L, 3L, 2L), (2L, 3L, 2L)))
+  }
 }
