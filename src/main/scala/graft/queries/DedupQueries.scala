@@ -1930,9 +1930,126 @@ object DedupQueries {
       FROM u GROUP BY canonical_url
       ORDER BY canonical_url"""))
 
+  // --- d43: REAL AVI video container — decode, frame-sample, round trip
+  // The video-container half of the FakeCodec boundary made real:
+  // RIFF('AVI ') with an uncompressed 24-bit DIB stream is pure
+  // integer plumbing (operators/Avi.scala — the WAV/BMP argument:
+  // chunk walk + pixel array, NO entropy codec), so the gate replays
+  // the FULL chain — decode → sample frames at the d10 offsets →
+  // per-frame stats from the re-encode→re-decode planes — plus the
+  // bit-exact round-trip flag and the container's closed-form encoded
+  // LENGTH (232 + nF·(24 + stride·h)), which pins every header size
+  // in the layout. Frame payloads are byte-identical to d41's BMP
+  // pixel arrays (AviCodecSpec chains them through BmpCodec/ImageIO).
+  // After d43 only entropy-coded essence (H.264-class video, MP3/AAC
+  // audio) remains behind the disclosed FakeCodec.
+  private val d43 = GraftQuery(
+    "d43_avi_frame_sample",
+    (s, d) => {
+      val clips = graft.operators.AviCodec.syntheticAvis(
+        s, Tables(s, d, "documents").filter(col("doc_id") < 150))
+      graft.operators.AviCodec.sampleAviFrameStats(clips, 4)
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, CAST(4 + doc_id % 6 AS INT) AS w,
+          CAST(3 + doc_id % 4 AS INT) AS h,
+          CAST(2 + doc_id % 4 AS INT) AS nf,
+          CAST(10 + doc_id % 5 AS INT) AS fps
+        FROM documents WHERE doc_id < 150),
+      s AS (
+        SELECT doc_id, w, h, nf, fps,
+          CAST((i.i * nf) // least(4, nf) AS INT) AS f
+        FROM p,
+        LATERAL (SELECT unnest(generate_series(0, least(4, nf) - 1)) AS i) i),
+      px AS (
+        SELECT doc_id, f,
+          CAST(sum((doc_id + 11*f + 7*c.c + 3*x.x + 5*y.y) % 249) AS BIGINT)
+            AS sum_val,
+          CAST(sum(((doc_id + 11*f + 7*c.c + 3*x.x + 5*y.y) % 249)
+            * (1 + (x.x + 3*y.y + 11*c.c) % 7)) AS BIGINT) AS wsum
+        FROM s,
+        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+        LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y,
+        LATERAL (SELECT unnest(generate_series(0, 2)) AS c) c
+        GROUP BY doc_id, f)
+      SELECT s.doc_id AS media_id, s.w AS width, s.h AS height, s.fps,
+        s.nf AS n_frames,
+        CAST(232 + s.nf * (24 + ((s.w*3 + 3)//4)*4 * s.h) AS BIGINT)
+          AS enc_len,
+        1 AS bytes_eq, s.f AS frame_idx, px.sum_val, px.wsum
+      FROM s JOIN px ON px.doc_id = s.doc_id AND px.f = s.f
+      ORDER BY media_id, frame_idx"""))
+
+  // --- d44: REAL IMA ADPCM — compressed audio decoded for real --------
+  // WAV format 0x11: 4-bit differential coding through two fixed
+  // integer tables — COMPRESSED audio that is NOT entropy-coded, so
+  // unlike MP3/AAC the decode recurrence is exactly SQL-replayable:
+  // the oracle walks all 48 nibbles per clip with a RECURSIVE CTE
+  // (state = (predictor, step-index), the 89-entry step table as a
+  // literal list) and aggregates the identical sample statistics,
+  // half-rate resample picks, and the PCM16 transcode flag. Fixture
+  // header/nibbles are doc_id closed forms (Multimodal.ImaAdpcmCodec.
+  // syntheticImaWavs). After d44 the FakeCodec boundary is pure
+  // entropy codecs: H.264-class video, MP3/AAC audio.
+  private val d44 = GraftQuery(
+    "d44_ima_adpcm_decode",
+    (s, d) => {
+      val clips = graft.operators.Multimodal.ImaAdpcmCodec.syntheticImaWavs(
+        s, Tables(s, d, "documents").filter(col("doc_id") < 150))
+      graft.operators.Multimodal.ImaAdpcmCodec.decodeImaStats(clips)
+        .orderBy("media_id")
+    },
+    Some("""WITH RECURSIVE st AS (
+        SELECT doc_id, 0 AS k,
+          CAST(((doc_id*7919 + 123) % 65536) - 32768 AS INT) AS pred,
+          CAST(doc_id % 89 AS INT) AS idx
+        FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id, k + 1,
+          CAST(greatest(-32768, least(32767,
+            pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)) AS INT),
+          CAST(greatest(0, least(88, idx +
+            CASE WHEN nib % 8 < 4 THEN -1 ELSE (nib % 8 - 3) * 2 END)) AS INT)
+        FROM (
+          SELECT doc_id, k, pred, idx, nib,
+            (step // 8)
+              + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+              + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+              + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END AS diff
+          FROM (
+            SELECT doc_id, k, pred, idx,
+              CASE WHEN k % 2 = 0
+                THEN ((doc_id*13 + 29*(k//2)) % 256) % 16
+                ELSE ((doc_id*13 + 29*(k//2)) % 256) // 16 END AS nib,
+              [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,
+               37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,
+               157,173,190,209,230,253,279,307,337,371,408,449,494,
+               544,598,658,724,796,876,963,1060,1166,1282,1411,1552,
+               1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,
+               4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,
+               12635,13899,15289,16818,18500,20350,22385,24623,27086,
+               29794,32767][idx + 1] AS step
+            FROM st WHERE k < 48) a) b),
+      agg AS (
+        SELECT doc_id,
+          CAST(count(*) AS INT) AS n_samples,
+          CAST(sum(pred) AS BIGINT) AS sum_val,
+          CAST(min(pred) AS INT) AS min_val,
+          CAST(max(pred) AS INT) AS max_val,
+          CAST(sum(pred * (1 + k % 7)) AS BIGINT) AS wsum,
+          CAST(sum(CASE WHEN k % 2 = 0 AND k < 48 THEN pred ELSE 0 END)
+            AS BIGINT) AS half_sum
+        FROM st GROUP BY doc_id)
+      SELECT doc_id AS media_id,
+        CAST(8000 + (doc_id % 4) * 2000 AS INT) AS sr,
+        n_samples, sum_val, min_val, max_val, wsum, half_sum,
+        1 AS pcm_ok
+      FROM agg ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36,
-      d37, d38, d39, d40, d41, d42)
+      d37, d38, d39, d40, d41, d42, d43, d44)
 }
