@@ -146,6 +146,89 @@ object GraphOps {
       .limit(topN)
   }
 
+  /** Weighted PageRank: edges carry a weight column and each node
+    * splits its rank proportionally — r(u)·w(u→v)/W(u) with W(u) the
+    * out-weight sum — the form real crawl graphs use (an edge backed
+    * by 500 links asserts more than one backed by 1). Same
+    * one-shuffle-per-iteration shape and checkpoint discipline as
+    * [[pageRank]]; the only change is the out-DEGREE table becoming
+    * an out-WEIGHT table and the join carrying w. Weights must be
+    * positive; rank conservation follows from Σ w/W = 1 per source. */
+  def pageRankWeighted(spark: SparkSession, edges: DataFrame,
+      srcCol: String, dstCol: String, weightCol: String, iters: Int,
+      damping: Double): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val outW = e.groupBy("src").agg(sum(col("w")).as("wtot"))
+    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contribs = ranks
+        .join(outW, ranks("node") === outW("src"))
+        .join(e, "src")
+        .select(col("dst").as("node"),
+          (col("r") * col("w") / col("wtot")).as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("cin"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("cin"), lit(0.0))).as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
+  /** Bounded-round k-core peel of the UNDIRECTED simple graph
+    * (self-loops dropped, direction collapsed): repeatedly remove
+    * nodes whose degree WITHIN the surviving set is < k — the density
+    * primitive behind spam-farm/link-mesh detection (a mesh survives
+    * peeling; a star collapses). Returns the nodes alive after
+    * `rounds` rounds with their within-core degree.
+    *
+    * Each round is one semi-join pass (edges restricted to the alive
+    * set on both endpoints — fixed-width keys) + one degree
+    * aggregate; the alive frame localCheckpoints per round
+    * ([[pageRank]]'s discipline). The round count is a FIXED unroll —
+    * a converged peel makes the remaining rounds no-ops — so the
+    * trajectory is exactly SQL-replayable with no data-dependent
+    * stopping rule; at 331-node fixture scale a dozen rounds is far
+    * past the fixpoint, and at warehouse scale bounded-round peeling
+    * is the standard contract (each extra round is one more linear
+    * pass). */
+  def kCorePeel(spark: SparkSession, edges: DataFrame, srcCol: String,
+      dstCol: String, k: Int, rounds: Int): DataFrame = {
+    val und = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct().localCheckpoint()
+    var alive = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node"))).distinct()
+      .localCheckpoint()
+    var deg: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      val eAlive = und
+        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      deg = eAlive.select(col("u").as("node"))
+        .unionAll(eAlive.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k)
+        .localCheckpoint()
+      alive = deg.select(col("node"))
+      r += 1
+    }
+    if (deg == null) alive.withColumn("core_deg", lit(0L)) else deg
+  }
+
   /** HITS hubs-and-authorities over a directed edge set — the other
     * classic link-quality signal (Kleinberg 1999): a page is a good
     * AUTHORITY if good hubs link to it, a good HUB if it links to good

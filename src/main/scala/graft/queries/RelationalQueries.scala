@@ -2759,11 +2759,112 @@ object RelationalQueries {
       ORDER BY shared DESC, a, b LIMIT 20"""),
     bench = false)
 
+  // --- q75: WEIGHTED PageRank over the crawl link graph ---------------
+  // Real crawl graphs weight edges (an edge backed by 500 links
+  // asserts more than one backed by 1): rank splits proportionally,
+  // r·w/W ([[graft.operators.GraphOps.pageRankWeighted]]). Weights
+  // are the CLOSED FORM 1 + src mod 3 — structural on purpose: the
+  // rank numerators stay products of {1,2,3}·3·17^j, never divisible
+  // by the prime node count 331, so every value keeps its
+  // non-terminating 1/331 factor and round(…,6) stays strictly in the
+  // measure-zero class (a data-derived weight could cancel the 331
+  // and re-admit the terminating-decimal boundary).
+  private val q75 = GraftQuery(
+    "q75_weighted_pagerank",
+    (s, d) => {
+      val id = col("doc_id")
+      val src = (id % 331).as("src")
+      val dst = when(id % 2 === 0, (id % 331) * 7 + 3)
+        .otherwise((id % 331) * 11 + 5) % 331
+      val edges = Tables(s, d, "documents")
+        .select(src, dst.as("dst")).distinct()
+        .withColumn("w", lit(1) + col("src") % 3)
+      graft.operators.GraphOps
+        .pageRankWeighted(s, edges, "src", "dst", "w", 10, 0.85)
+        .select(col("node"), round(col("r"), 6).as("wpr6"))
+        .orderBy("node")
+    },
+    Some {
+      val step = (k: Int) => s"""
+      p$k AS MATERIALIZED (
+        SELECT nd.node,
+          (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+            + CAST(0.85 AS DOUBLE) * coalesce(c.cin, CAST(0 AS DOUBLE)) AS r
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (
+          SELECT ew.dst AS node, sum(p.r * ew.w / ow.wtot) AS cin
+          FROM p${k - 1} p
+          JOIN ow ON p.node = ow.src
+          JOIN ew ON ew.src = p.node
+          GROUP BY ew.dst) c ON c.node = nd.node)"""
+      """WITH e AS MATERIALIZED (
+        SELECT DISTINCT doc_id % 331 AS src,
+          (CASE WHEN doc_id % 2 = 0 THEN (doc_id % 331) * 7 + 3
+                ELSE (doc_id % 331) * 11 + 5 END) % 331 AS dst
+        FROM documents),
+      ew AS MATERIALIZED (
+        SELECT src, dst, CAST(1 + src % 3 AS DOUBLE) AS w FROM e),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      ow AS MATERIALIZED (SELECT src, sum(w) AS wtot FROM ew GROUP BY src),
+      p0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),""" +
+        (1 to 10).map(step).mkString(",") + """
+      SELECT node, round(r, 6) AS wpr6 FROM p10 ORDER BY node"""
+    },
+    bench = false)
+
+  // --- q76: k-core peel — link-mesh survivors --------------------------
+  // The density primitive behind spam-farm detection: repeatedly
+  // remove nodes with fewer than k surviving neighbors; a mesh
+  // survives, a star collapses
+  // ([[graft.operators.GraphOps.kCorePeel]], k = 2, 12 fixed rounds —
+  // far past the fixpoint at this scale, and a fixed unroll so the
+  // trajectory SQL-replays with no data-dependent stopping rule).
+  // Undirected simple graph from the mod-293 closed form (varied
+  // degrees, so the peel genuinely cascades). All-integer output.
+  private val q76 = GraftQuery(
+    "q76_kcore_peel",
+    (s, d) => {
+      val res = col("doc_id") % 293
+      val dst = when(col("doc_id") % 3 === 0, (res * 2 + 1) % 293)
+        .when(col("doc_id") % 3 === 1, (res * 3 + 7) % 293)
+        .otherwise((res * 5 + 11) % 293)
+      val edges = Tables(s, d, "documents")
+        .select(res.as("src"), dst.as("dst")).distinct()
+      graft.operators.GraphOps.kCorePeel(s, edges, "src", "dst", 2, 12)
+        .orderBy("node")
+    },
+    Some {
+      val step = (k: Int) => s"""
+      e$k AS MATERIALIZED (
+        SELECT und.u, und.v FROM und
+        JOIN a${k - 1} x ON x.node = und.u
+        JOIN a${k - 1} y ON y.node = und.v),
+      d$k AS MATERIALIZED (
+        SELECT node, count(*) AS core_deg
+        FROM (SELECT u AS node FROM e$k UNION ALL SELECT v AS node FROM e$k)
+        GROUP BY node HAVING count(*) >= 2),
+      a$k AS MATERIALIZED (SELECT node FROM d$k)"""
+      """WITH e AS MATERIALIZED (
+        SELECT DISTINCT doc_id % 293 AS src,
+          (CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 293) * 2 + 1) % 293
+                WHEN doc_id % 3 = 1 THEN ((doc_id % 293) * 3 + 7) % 293
+                ELSE ((doc_id % 293) * 5 + 11) % 293 END) AS dst
+        FROM documents),
+      und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e WHERE src <> dst),
+      a0 AS MATERIALIZED (SELECT u AS node FROM und UNION SELECT v FROM und),""" +
+        (1 to 12).map(step).mkString(",") + """
+      SELECT node, core_deg FROM d12 ORDER BY node"""
+    },
+    bench = false)
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+    q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }

@@ -157,4 +157,51 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(top == Seq((1L, 2L, 4L), (1L, 3L, 2L), (2L, 3L, 2L)))
   }
+
+  test("pageRankWeighted splits rank by weight and reduces to pageRank at equal weights") {
+    import spark.implicits._
+    // 0 links to 1 (weight 3) and 2 (weight 1): 1 should collect 3×
+    // the contribution 2 gets from 0
+    val we = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.pageRankWeighted(spark, we, "src", "dst", "w", 20, 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent dense loop
+    val nodes = Seq(0L, 1L, 2L)
+    val out = Map(0L -> Seq((1L, 3.0), (2L, 1.0)), 1L -> Seq((0L, 1.0)),
+      2L -> Seq((0L, 1.0)))
+    var r = nodes.map(_ -> 1.0 / 3).toMap
+    for (_ <- 0 until 20) {
+      val cin = nodes.map { v =>
+        v -> out.toSeq.flatMap { case (u, es2) =>
+          val wt = es2.map(_._2).sum
+          es2.collect { case (d2, w2) if d2 == v => r(u) * w2 / wt }
+        }.sum
+      }.toMap
+      r = nodes.map(v => v -> (0.15 / 3 + 0.85 * cin(v))).toMap
+    }
+    nodes.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-12, s"node $v"))
+    assert(got(1L) > got(2L))
+    // equal weights == unweighted pageRank
+    val eq = Seq((0L, 1L, 7L), (1L, 2L, 7L), (2L, 0L, 7L)).toDF("src", "dst", "w")
+    val a = GraphOps.pageRankWeighted(spark, eq, "src", "dst", "w", 10, 0.85)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val b = GraphOps.pageRank(spark, eq.drop("w"), "src", "dst", 10, 0.85)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  }
+
+  test("kCorePeel: the mesh survives, the star and tail collapse") {
+    import spark.implicits._
+    // triangle {0,1,2} + tail 2-3-4 + star center 5 with leaves 6,7,8
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L)).toDF("src", "dst")
+    val got = GraphOps.kCorePeel(spark, es, "src", "dst", 2, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 drops leaves 4,6,7,8; round 2 drops 3 (lost its neighbor)
+    // and 5 (lost all leaves); the triangle is the 2-core
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // k=3 kills even the triangle
+    assert(GraphOps.kCorePeel(spark, es, "src", "dst", 3, 8).count() == 0)
+  }
 }
