@@ -1979,7 +1979,8 @@ object DedupQueries {
           AS enc_len,
         1 AS bytes_eq, s.f AS frame_idx, px.sum_val, px.wsum
       FROM s JOIN px ON px.doc_id = s.doc_id AND px.f = s.f
-      ORDER BY media_id, frame_idx"""))
+      ORDER BY media_id, frame_idx"""),
+    bench = true)
 
   // --- d44: REAL IMA ADPCM — compressed audio decoded for real --------
   // WAV format 0x11: 4-bit differential coding through two fixed
@@ -2045,7 +2046,8 @@ object DedupQueries {
         CAST(8000 + (doc_id % 4) * 2000 AS INT) AS sr,
         n_samples, sum_val, min_val, max_val, wsum, half_sum,
         1 AS pcm_ok
-      FROM agg ORDER BY media_id"""))
+      FROM agg ORDER BY media_id"""),
+    bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,

@@ -2858,7 +2858,7 @@ object RelationalQueries {
         (1 to 12).map(step).mkString(",") + """
       SELECT node, core_deg FROM d12 ORDER BY node"""
     },
-    bench = false)
+    bench = true)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
