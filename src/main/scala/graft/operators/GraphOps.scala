@@ -229,6 +229,62 @@ object GraphOps {
     if (deg == null) alive.withColumn("core_deg", lit(0L)) else deg
   }
 
+  /** Deterministic random-walk corpus over the link graph — the
+    * DeepWalk/node2vec training-data generator: one fixed-length walk
+    * per node, each step choosing among the current node's ranked
+    * out-neighbors by an md5-derived index (the engine's portable
+    * hash-deviate idiom, [[Sampling]]'s md5 family), so the ENTIRE
+    * trajectory is reproducible across engines and runs — no RNG
+    * state, no seed plumbing, and the d-gate can hash every visited
+    * node. Walks halt early at dangling nodes (standard truncation).
+    *
+    * Step t at node cur picks neighbor rank
+    * md5("start:t:cur")[first byte] mod outdeg(cur); neighbor ranks
+    * are row_number over (src ORDER BY dst) − 1 — a per-source window
+    * (never global). Each step is two fixed-width equi-joins
+    * (degree, then ranked edge) on the frontier only; frontier frames
+    * localCheckpoint per step ([[pageRank]]'s discipline). Returns
+    * (start, step, node) rows, step 0 = the start itself. */
+  def deterministicWalks(spark: SparkSession, edges: DataFrame,
+      srcCol: String, dstCol: String, steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val ranked = e
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var frontier = nodes
+      .select(col("node").as("start"), col("node").as("cur"))
+      .localCheckpoint()
+    var out = frontier.select(col("start"), lit(0).as("step"),
+      col("cur").as("node"))
+    var t = 1
+    while (t <= steps) {
+      val pick = (conv(substring(md5(concat_ws(":",
+        col("start"), lit(t), col("cur"))), 1, 2), 16, 10)
+        .cast("long") % col("deg")).as("pick")
+      val next = frontier
+        .join(deg.select(col("src").as("cur"), col("deg")), Seq("cur"))
+        .select(col("start"), col("cur"), pick)
+        .join(ranked.select(col("src").as("cur"), col("dst"),
+          col("rn").cast("long").as("rn")),
+          Seq("cur"))
+        .filter(col("pick") === col("rn"))
+        .select(col("start"), col("dst").as("cur"))
+        .localCheckpoint()
+      out = out.unionAll(next.select(col("start"), lit(t).as("step"),
+        col("cur").as("node")))
+      frontier = next
+      t += 1
+    }
+    out
+  }
+
   /** HITS hubs-and-authorities over a directed edge set — the other
     * classic link-quality signal (Kleinberg 1999): a page is a good
     * AUTHORITY if good hubs link to it, a good HUB if it links to good

@@ -2860,11 +2860,70 @@ object RelationalQueries {
     },
     bench = true)
 
+  // --- q77: deterministic random-walk corpus ---------------------------
+  // The DeepWalk/node2vec training-data generator as a gated operator
+  // ([[graft.operators.GraphOps.deterministicWalks]]): one 6-step walk
+  // per node over the mod-293 graph, each step picking among the
+  // ranked out-neighbors by md5("start:t:cur") mod outdeg — the
+  // engine's portable hash-deviate idiom (s10/s23 family), so the
+  // FULL trajectory of every walk hash-gates across engines. Walks
+  // halt at dangling nodes (standard truncation; both engines drop
+  // the same rows). All-integer output.
+  private val q77 = GraftQuery(
+    "q77_graph_walks",
+    (s, d) => {
+      val res = col("doc_id") % 293
+      val dst = when(col("doc_id") % 3 === 0, (res * 2 + 1) % 293)
+        .when(col("doc_id") % 3 === 1, (res * 3 + 7) % 293)
+        .otherwise((res * 5 + 11) % 293)
+      val edges = Tables(s, d, "documents")
+        .select(res.as("src"), dst.as("dst")).distinct()
+      graft.operators.GraphOps.deterministicWalks(s, edges, "src", "dst", 6)
+        .orderBy("start", "step")
+    },
+    Some {
+      val step = (t: Int) => s"""
+      w$t AS MATERIALIZED (
+        SELECT w.start, r.dst AS cur
+        FROM w${t - 1} w
+        JOIN dg ON dg.src = w.cur
+        JOIN ranked r ON r.src = w.cur
+         AND r.rn = CAST(('0x' || substr(md5(
+               CAST(w.start AS VARCHAR) || ':$t:' || CAST(w.cur AS VARCHAR)
+             ), 1, 2)) AS BIGINT) % dg.deg)"""
+      """WITH e AS MATERIALIZED (
+        SELECT DISTINCT doc_id % 293 AS src,
+          (CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 293) * 2 + 1) % 293
+                WHEN doc_id % 3 = 1 THEN ((doc_id % 293) * 3 + 7) % 293
+                ELSE ((doc_id % 293) * 5 + 11) % 293 END) AS dst
+        FROM documents),
+      ranked AS MATERIALIZED (
+        SELECT src, dst,
+          CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+            AS BIGINT) AS rn
+        FROM e),
+      dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      w0 AS MATERIALIZED (SELECT node AS start, node AS cur FROM nodes),""" +
+        (1 to 6).map(step).mkString(",") + """
+      SELECT start, step, node FROM (
+        SELECT start, 0 AS step, cur AS node FROM w0
+        UNION ALL SELECT start, 1, cur FROM w1
+        UNION ALL SELECT start, 2, cur FROM w2
+        UNION ALL SELECT start, 3, cur FROM w3
+        UNION ALL SELECT start, 4, cur FROM w4
+        UNION ALL SELECT start, 5, cur FROM w5
+        UNION ALL SELECT start, 6, cur FROM w6)
+      ORDER BY start, step"""
+    },
+    bench = false)
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+    q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
+    q77)
 }

@@ -204,4 +204,44 @@ class GraphOpsSpec extends SparkSpec {
     // k=3 kills even the triangle
     assert(GraphOps.kCorePeel(spark, es, "src", "dst", 3, 8).count() == 0)
   }
+
+  test("deterministicWalks follows the md5 pick rule and halts at dangling nodes") {
+    import spark.implicits._
+    // 0 → {1, 2, 3}; 1 → {0, 2}; 2 → {0}; 3 is dangling
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (1L, 2L), (2L, 0L))
+      .toDF("src", "dst")
+    val got = GraphOps.deterministicWalks(spark, es, "src", "dst", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    // independent replay of the pick rule: md5("start:t:cur") first
+    // byte mod outdeg, neighbors ranked by dst ascending
+    val nbrs = Map(0L -> Seq(1L, 2L, 3L), 1L -> Seq(0L, 2L), 2L -> Seq(0L))
+    def pick(start: Long, t: Int, cur: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$start:$t:$cur".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(2), 16)
+      nbrs(cur)((h % nbrs(cur).size).toInt)
+    }
+    for (start <- Seq(0L, 1L, 2L, 3L)) {
+      var cur = start
+      assert(got((start, 0)) == start)
+      var t = 1
+      var halted = false
+      while (t <= 4 && !halted) {
+        if (nbrs.contains(cur)) {
+          cur = pick(start, t, cur)
+          assert(got((start, t)) == cur, s"walk $start step $t")
+        } else {
+          assert(!got.contains((start, t)), s"walk $start should halt at $t")
+          halted = true
+        }
+        t += 1
+      }
+    }
+    // determinism: a second run is identical
+    val again = GraphOps.deterministicWalks(spark, es, "src", "dst", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
 }
