@@ -280,6 +280,12 @@ object GifCodec {
           pos += 1 // terminator
         case 0x2c =>
           if (pos + 10 > p.length) return None
+          // sub-frame placement (non-zero left/top offsets) is out of
+          // scope exactly like disposal compositing: decoding such a
+          // frame as if it sat at the origin would silently drop
+          // position information, so quarantine — never a guess. The
+          // fixtures and ImageIO's writer emit full origin frames.
+          if (u16(pos + 1) != 0 || u16(pos + 3) != 0) return None
           val iw = u16(pos + 5); val ih = u16(pos + 7)
           val ipacked = p(pos + 9) & 0xff
           pos += 10

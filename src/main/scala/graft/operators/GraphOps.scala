@@ -239,9 +239,12 @@ object GraphOps {
     * node. Walks halt early at dangling nodes (standard truncation).
     *
     * Step t at node cur picks neighbor rank
-    * md5("start:t:cur")[first byte] mod outdeg(cur); neighbor ranks
+    * md5("start:t:cur")[first 4 BYTES] mod outdeg(cur); neighbor ranks
     * are row_number over (src ORDER BY dst) − 1 — a per-source window
-    * (never global). Each step is two fixed-width equi-joins
+    * (never global). Four hash bytes, not one: `x mod outdeg` over a
+    * 0..2³²−1 deviate leaves a modulo bias ≤ outdeg/2³² per rank —
+    * negligible for any real out-degree — where a single byte would
+    * over-weight low ranks by up to 1/256 whenever outdeg ∤ 256. Each step is two fixed-width equi-joins
     * (degree, then ranked edge) on the frontier only; frontier frames
     * localCheckpoint per step ([[pageRank]]'s discipline). Returns
     * (start, step, node) rows, step 0 = the start itself. */
@@ -266,7 +269,7 @@ object GraphOps {
     var t = 1
     while (t <= steps) {
       val pick = (conv(substring(md5(concat_ws(":",
-        col("start"), lit(t), col("cur"))), 1, 2), 16, 10)
+        col("start"), lit(t), col("cur"))), 1, 8), 16, 10)
         .cast("long") % col("deg")).as("pick")
       val next = frontier
         .join(deg.select(col("src").as("cur"), col("deg")), Seq("cur"))
@@ -290,55 +293,66 @@ object GraphOps {
     * AUTHORITY if good hubs link to it, a good HUB if it links to good
     * authorities. Update order is the textbook one — authority from
     * the PREVIOUS round's hubs, then hub from the CURRENT round's
-    * authorities — with L1 (sum-to-one) normalization after each half
-    * step, chosen over the L2 variant because it keeps every
-    * intermediate a ratio of plain sums (exactly SQL-replayable, no
-    * sqrt in the chain; the fixed point has the same eigenvector
-    * direction either way, only the scale differs).
+    * authorities — under L1 (sum-to-one) normalization, chosen over
+    * the L2 variant because it keeps every output a ratio of plain
+    * sums (exactly SQL-replayable, no sqrt in the chain; the fixed
+    * point has the same eigenvector direction either way, only the
+    * scale differs).
+    *
+    * The normalization is FOLDED OUT of the iteration: because the
+    * HITS update is linear, a per-round L1 rescale only multiplies
+    * every score by a scalar, so iterating UNNORMALIZED and dividing
+    * by the L1 totals once at read time yields the identical
+    * normalized result (exactly — not approximately — in real
+    * arithmetic) while eliminating the two full-pass scalar-aggregate
+    * barriers per iteration the per-round rescale cost. Magnitudes
+    * grow by ~(mean degree)² per round, so doubles (max ~1e308)
+    * accommodate any realistic depth — 50 iterations on a mean-degree-
+    * 1000 graph stays under 1e300.
     *
     * Spark shape mirrors [[pageRank]]: each half-step is one
-    * fixed-width equi-join + one groupBy(sum) shuffle; the
-    * normalizing total is a 1-row scalar aggregate broadcast
-    * (crossJoin of a 1-row frame — never a real cartesian); the score
-    * frame localCheckpoints per iteration so the plan stays linear.
-    * Precondition: `edges` nonempty (the L1 totals are then strictly
-    * positive — hubs start at 1 and every edge contributes).
+    * fixed-width equi-join + one groupBy(sum) shuffle; score frames
+    * stay SPARSE over the nodes that can score (authority over link
+    * targets, hub over link sources — absent = exact 0, densified
+    * only in the final read-time projection); one localCheckpoint per
+    * iteration (on the hub frame — the only loop-carried state) keeps
+    * the plan linear. Precondition: `edges` nonempty and
+    * `iters` ≥ 1 (the L1 totals are then strictly positive — hubs
+    * start at 1 and every edge contributes).
     *
     * Returns (node, auth, hub), raw doubles; callers round in the
     * gated query (d35 pattern). */
   def hits(spark: SparkSession, edges: DataFrame, srcCol: String,
       dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    var cur = nodes
-      .withColumn("auth", lit(1.0)).withColumn("hub", lit(1.0))
-      .localCheckpoint()
+    var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
+    var authRaw: DataFrame = null
     var i = 0
     while (i < iters) {
-      val aRaw = e
-        .join(cur.select(col("node"), col("hub")), col("src") === col("node"))
+      authRaw = e
+        .join(hub.select(col("node"), col("hub")), col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("ar"))
         .select(col("dst").as("node"), col("ar"))
-      val aTot = aRaw.agg(sum(col("ar")).as("at")) // 1 row
-      val aN = nodes.join(aRaw, Seq("node"), "left")
-        .crossJoin(aTot) // 1-row scalar-aggregate broadcast
-        .select(col("node"),
-          (coalesce(col("ar"), lit(0.0)) / col("at")).as("auth"))
-      val hRaw = e
-        .join(aN.select(col("node"), col("auth")), col("dst") === col("node"))
-        .groupBy(col("src")).agg(sum(col("auth")).as("hr"))
-        .select(col("src").as("node"), col("hr"))
-      val hTot = hRaw.agg(sum(col("hr")).as("ht")) // 1 row
-      val hN = nodes.join(hRaw, Seq("node"), "left")
-        .crossJoin(hTot) // 1-row scalar-aggregate broadcast
-        .select(col("node"),
-          (coalesce(col("hr"), lit(0.0)) / col("ht")).as("hub"))
-      cur = aN.join(hN, Seq("node")).localCheckpoint()
+      hub = e
+        .join(authRaw.select(col("node"), col("ar")), col("dst") === col("node"))
+        .groupBy(col("src")).agg(sum(col("ar")).as("hr"))
+        .select(col("src").as("node"), col("hr").as("hub"))
+        .localCheckpoint() // checkpoints compute authRaw in the same job
       i += 1
     }
-    cur
+    val aTot = authRaw.agg(sum(col("ar")).as("at")) // 1 row
+    val hTot = hub.agg(sum(col("hub")).as("ht"))    // 1 row
+    nodes
+      .join(authRaw, Seq("node"), "left")
+      .join(hub.select(col("node"), col("hub").as("hr")), Seq("node"), "left")
+      .crossJoin(aTot).crossJoin(hTot) // 1-row scalar-aggregate broadcasts
+      .select(col("node"),
+        (coalesce(col("ar"), lit(0.0)) / col("at")).as("auth"),
+        (coalesce(col("hr"), lit(0.0)) / col("ht")).as("hub"))
   }
 
   /** Exact structural profile of a directed edge set — the sanity

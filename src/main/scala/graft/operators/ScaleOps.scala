@@ -157,11 +157,12 @@ object ScaleOps {
     * than the cap are DETERMINISTICALLY truncated to their `cap`
     * smallest item ids (a per-key window on the same key the pair
     * join shuffles on — no extra exchange), capping per-key fan-out
-    * at cap·(cap−1)/2, and the number of truncated baskets is counted
-    * and logged so the cut is visible, never silent (the count is one
-    * cheap agg over the already-distinct pair frame). Default None
-    * preserves exact semantics — the cap is an explicit opt-in for
-    * untrusted basket-size distributions. */
+    * at cap·(cap−1)/2. Default None preserves exact semantics — the
+    * cap is an explicit opt-in for untrusted basket-size
+    * distributions. The capped frame is fully LAZY (no action at
+    * construction time, so it composes into bigger plans and computes
+    * the window exactly once); callers that must see what the cap cut
+    * run [[truncatedBaskets]] as an explicit audit pass. */
   def basketPairs(op: DataFrame, keyCol: String, itemCol: String,
       maxBasketSize: Option[Int] = None): DataFrame = {
     require(maxBasketSize.forall(_ >= 2),
@@ -173,14 +174,8 @@ object ScaleOps {
       case Some(cap) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("ok")).orderBy(col("pk"))
-        val sized = base.withColumn("_pos", row_number().over(w))
-        val truncated = sized.filter(col("_pos") > cap)
-          .select(col("ok")).distinct().count()
-        if (truncated > 0)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"basketPairs: truncated $truncated basket(s) larger than " +
-              s"$cap items to their $cap smallest item ids")
-        sized.filter(col("_pos") <= cap).drop("_pos")
+        base.withColumn("_pos", row_number().over(w))
+          .filter(col("_pos") <= cap).drop("_pos")
     }
     capped.as("a")
       .join(capped.as("b"),
@@ -188,4 +183,14 @@ object ScaleOps {
       .select(col("a.ok").as("ok"),
         col("a.pk").as("part_a"), col("b.pk").as("part_b"))
   }
+
+  /** Audit companion to [[basketPairs]]'s `maxBasketSize` cap: the
+    * baskets the cap WOULD truncate, with their true sizes — run it
+    * explicitly (and pay its one aggregate) when the cut must be
+    * visible; the capped pair frame itself stays lazy and silent. */
+  def truncatedBaskets(op: DataFrame, keyCol: String, itemCol: String,
+      maxBasketSize: Int): DataFrame =
+    op.select(col(keyCol).as("ok"), col(itemCol).as("pk")).distinct()
+      .groupBy(col("ok")).agg(count(lit(1)).as("basket_size"))
+      .filter(col("basket_size") > maxBasketSize)
 }

@@ -37,12 +37,18 @@ object UrlOps {
     val utm1 = regexp_replace(noFrag, "&utm_[A-Za-z0-9_]+=[^&#]*", "")
     val utm2 = regexp_replace(utm1, "\\?utm_[A-Za-z0-9_]+=[^&#]*&", "?")
     val utm3 = regexp_replace(utm2, "\\?utm_[A-Za-z0-9_]+=[^&#]*$", "")
-    // default port on the authority only
-    val noPort = regexp_replace(utm3, "^([^/]*//[^/:]*):80(?=/|$)", "$1")
-    // lowercase scheme://authority, keep the rest as-is
-    val schemeHost = lower(regexp_extract(noPort, "^[^/]*//[^/]*", 0))
+    // default port on the authority only. The authority ends at the
+    // first `/` OR `?` — a path-less URL (`http://ex.com?a=b`) carries
+    // its query right after the host, so both the port lookahead and
+    // the authority character classes must stop at `?` too (the
+    // fragment is already stripped above, so `#` can't appear here)
+    val noPort = regexp_replace(utm3, "^([^/?]*//[^/:?]*):80(?=[/?]|$)", "$1")
+    // lowercase scheme://authority, keep the rest as-is (paths AND
+    // queries are case-sensitive by RFC 3986 — a path-less URL's query
+    // must not ride into the lowered prefix)
+    val schemeHost = lower(regexp_extract(noPort, "^[^/?]*//[^/?]*", 0))
     val rest = substring(noPort,
-      length(regexp_extract(noPort, "^[^/]*//[^/]*", 0)) + 1, lit(1 << 24))
+      length(regexp_extract(noPort, "^[^/?]*//[^/?]*", 0)) + 1, lit(1 << 24))
     val lowered = concat(schemeHost, rest)
     // trailing path slash: before a query, and at end. The pattern
     // requires a path SEGMENT before the slash, so the lone root

@@ -1885,16 +1885,25 @@ object DedupQueries {
     "d42_url_canonical_dedup",
     (s, d) => {
       val id = col("doc_id")
+      // id % 11 == 7 rows are PATH-LESS (`http://host?q`, `http://
+      // host:80`, `http://host/`): the authority then ends at `?` or
+      // end-of-string, exercising the `:80?` collapse and the
+      // query-case preservation that a always-has-a-path fixture can
+      // never catch (11 is coprime to every other modulus here, so the
+      // path-less rows still sweep all case/port/query/frag variants).
+      // Query values carry an uppercase `V` so a lowercasing leak into
+      // the query string diverges from the closed form.
       val raw = concat(
         when(id % 2 === 0, "http").otherwise("HTTP"), lit("://ex"),
         (id % 50).cast("string"),
         when(id % 3 === 0, ".COM").otherwise(".com"),
         when(id % 3 === 0, ":80").otherwise(""),
-        lit("/p/"), (id % 20).cast("string"),
+        when(id % 11 === 7, "")
+          .otherwise(concat(lit("/p/"), (id % 20).cast("string"))),
         when(id % 4 === 0, "/").otherwise(""),
-        when(id % 5 === 0, concat(lit("?utm_source=x&a="), (id % 7).cast("string")))
-          .when(id % 5 === 1, concat(lit("?a="), (id % 7).cast("string")))
-          .when(id % 5 === 2, concat(lit("?a="), (id % 7).cast("string"),
+        when(id % 5 === 0, concat(lit("?utm_source=x&a=V"), (id % 7).cast("string")))
+          .when(id % 5 === 1, concat(lit("?a=V"), (id % 7).cast("string")))
+          .when(id % 5 === 2, concat(lit("?a=V"), (id % 7).cast("string"),
             lit("&utm_campaign=y")))
           .when(id % 5 === 4, "?utm_medium=z")
           .otherwise(""),
@@ -1909,19 +1918,26 @@ object DedupQueries {
             || '://ex' || CAST(doc_id % 50 AS VARCHAR)
             || (CASE WHEN doc_id % 3 = 0 THEN '.COM' ELSE '.com' END)
             || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
-            || '/p/' || CAST(doc_id % 20 AS VARCHAR)
+            || (CASE WHEN doc_id % 11 = 7 THEN ''
+                ELSE '/p/' || CAST(doc_id % 20 AS VARCHAR) END)
             || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
             || (CASE doc_id % 5
-                 WHEN 0 THEN '?utm_source=x&a=' || CAST(doc_id % 7 AS VARCHAR)
-                 WHEN 1 THEN '?a=' || CAST(doc_id % 7 AS VARCHAR)
-                 WHEN 2 THEN '?a=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=y'
+                 WHEN 0 THEN '?utm_source=x&a=V' || CAST(doc_id % 7 AS VARCHAR)
+                 WHEN 1 THEN '?a=V' || CAST(doc_id % 7 AS VARCHAR)
+                 WHEN 2 THEN '?a=V' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=y'
                  WHEN 4 THEN '?utm_medium=z'
                  ELSE '' END)
             || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url,
-          'http://ex' || CAST(doc_id % 50 AS VARCHAR) || '.com/p/'
-            || CAST(doc_id % 20 AS VARCHAR)
+          -- closed-form ground truth, NOT a regex replay: path-less
+          -- rows keep only the lone root slash (when %4 planted one);
+          -- pathed rows lose their trailing slash; queries keep their
+          -- uppercase V
+          'http://ex' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+            || (CASE WHEN doc_id % 11 = 7 THEN
+                  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                ELSE '/p/' || CAST(doc_id % 20 AS VARCHAR) END)
             || (CASE WHEN doc_id % 5 IN (0, 1, 2)
-                THEN '?a=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+                THEN '?a=V' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
             AS canonical_url
         FROM documents)
       SELECT canonical_url, count(*) AS n_urls,

@@ -57,7 +57,11 @@ object RelationalQueries {
         .agg(
           sum(col("_q")).as("sum_qty"),
           sum(col("_pc")).as("sum_base_price_c"),
-          sum(col("_pc") * (lit(100L) - col("_d2"))).as("sum_disc_price_e4"),
+          // through DECIMAL(38,0) like sum_charge: per-term ≤ ~1e9, so
+          // past ~9e9 qualifying rows a plain Long sum would WRAP
+          // silently under non-ANSI Spark — decimal overflows loudly
+          sum((col("_pc") * (lit(100L) - col("_d2")))
+            .cast("decimal(38,0)")).cast("long").as("sum_disc_price_e4"),
           sum((col("_pc") * (lit(100L) - col("_d2")) * (lit(100L) + col("_t2")))
             .cast("decimal(38,0)")).cast("long").as("sum_charge_e6"),
           sum(col("_d2")).as("_sd"),
@@ -2480,25 +2484,17 @@ object RelationalQueries {
         .orderBy("node")
     },
     Some {
+      // normalization folded out of the iteration exactly like the
+      // operator: unnormalized sparse half-steps, one L1 divide at
+      // read time (linearity makes the per-round rescale a scalar —
+      // the normalized fixed direction is identical)
       val step = (k: Int) => s"""
       ar$k AS MATERIALIZED (
-        SELECT e.dst AS node, sum(s.hub) AS ar
-        FROM s${k - 1} s JOIN e ON e.src = s.node GROUP BY e.dst),
-      at$k AS (SELECT sum(ar) AS t FROM ar$k),
-      a$k AS MATERIALIZED (
-        SELECT nd.node, coalesce(ar.ar, CAST(0 AS DOUBLE)) / att.t AS auth
-        FROM nodes nd CROSS JOIN at$k att
-        LEFT JOIN ar$k ar ON ar.node = nd.node),
-      hr$k AS MATERIALIZED (
-        SELECT e.src AS node, sum(a.auth) AS hr
-        FROM a$k a JOIN e ON e.dst = a.node GROUP BY e.src),
-      ht$k AS (SELECT sum(hr) AS t FROM hr$k),
-      s$k AS MATERIALIZED (
-        SELECT nd.node, a.auth, coalesce(hr.hr, CAST(0 AS DOUBLE)) / htt.t AS hub
-        FROM nodes nd
-        JOIN a$k a ON a.node = nd.node
-        CROSS JOIN ht$k htt
-        LEFT JOIN hr$k hr ON hr.node = nd.node)"""
+        SELECT e.dst AS node, sum(h.hub) AS ar
+        FROM h${k - 1} h JOIN e ON e.src = h.node GROUP BY e.dst),
+      h$k AS MATERIALIZED (
+        SELECT e.src AS node, sum(a.ar) AS hub
+        FROM ar$k a JOIN e ON e.dst = a.node GROUP BY e.src)"""
       """WITH e AS MATERIALIZED (
         SELECT DISTINCT doc_id % 293 AS src,
           (CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 293) * 2 + 1) % 293
@@ -2506,11 +2502,18 @@ object RelationalQueries {
                 ELSE ((doc_id % 293) * 5 + 11) % 293 END) AS dst
         FROM documents),
       nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
-      s0 AS (SELECT node, CAST(1 AS DOUBLE) AS auth, CAST(1 AS DOUBLE) AS hub
-             FROM nodes),""" +
-        (1 to 6).map(step).mkString(",") + """
-      SELECT node, round(auth, 6) AS auth6, round(hub, 6) AS hub6
-      FROM s6 ORDER BY node"""
+      h0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes),""" +
+        (1 to 6).map(step).mkString(",") + """,
+      at AS (SELECT sum(ar) AS t FROM ar6),
+      ht AS (SELECT sum(hub) AS t FROM h6)
+      SELECT nd.node,
+        round(coalesce(ar.ar, CAST(0 AS DOUBLE)) / att.t, 6) AS auth6,
+        round(coalesce(h.hub, CAST(0 AS DOUBLE)) / htt.t, 6) AS hub6
+      FROM nodes nd
+      CROSS JOIN at att CROSS JOIN ht htt
+      LEFT JOIN ar6 ar ON ar.node = nd.node
+      LEFT JOIN h6 h ON h.node = nd.node
+      ORDER BY nd.node"""
     },
     bench = true)
 
@@ -2864,7 +2867,8 @@ object RelationalQueries {
   // The DeepWalk/node2vec training-data generator as a gated operator
   // ([[graft.operators.GraphOps.deterministicWalks]]): one 6-step walk
   // per node over the mod-293 graph, each step picking among the
-  // ranked out-neighbors by md5("start:t:cur") mod outdeg — the
+  // ranked out-neighbors by md5("start:t:cur")'s first 4 bytes mod
+  // outdeg (modulo bias ≤ outdeg/2³² per rank) — the
   // engine's portable hash-deviate idiom (s10/s23 family), so the
   // FULL trajectory of every walk hash-gates across engines. Walks
   // halt at dangling nodes (standard truncation; both engines drop
@@ -2890,7 +2894,7 @@ object RelationalQueries {
         JOIN ranked r ON r.src = w.cur
          AND r.rn = CAST(('0x' || substr(md5(
                CAST(w.start AS VARCHAR) || ':$t:' || CAST(w.cur AS VARCHAR)
-             ), 1, 2)) AS BIGINT) % dg.deg)"""
+             ), 1, 8)) AS BIGINT) % dg.deg)"""
       """WITH e AS MATERIALIZED (
         SELECT DISTINCT doc_id % 293 AS src,
           (CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 293) * 2 + 1) % 293

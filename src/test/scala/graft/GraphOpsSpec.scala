@@ -214,13 +214,14 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
 
     // independent replay of the pick rule: md5("start:t:cur") first
-    // byte mod outdeg, neighbors ranked by dst ascending
+    // FOUR bytes mod outdeg (bias ≤ outdeg/2³² per rank), neighbors
+    // ranked by dst ascending
     val nbrs = Map(0L -> Seq(1L, 2L, 3L), 1L -> Seq(0L, 2L), 2L -> Seq(0L))
     def pick(start: Long, t: Int, cur: Long): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$start:$t:$cur".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      val h = java.lang.Long.parseLong(hex.take(2), 16)
+      val h = java.lang.Long.parseLong(hex.take(8), 16)
       nbrs(cur)((h % nbrs(cur).size).toInt)
     }
     for (start <- Seq(0L, 1L, 2L, 3L)) {
