@@ -65,10 +65,18 @@ object Bench {
     // r9–r11 agg8 swings lived in (see PlaybackBench.HostSentinel).
     val sent0 = PlaybackBench.hostSentinel()
     val probe0 = PlaybackBench.cpuProbe()
-    val playbackRps = if (skipPlayback) -1.0
+    // every phase below ALSO carries its own concurrent contention
+    // sample (loadavg + low-duty probe): the bracketing sentinels
+    // attribute the RUN's window, the phase stats attribute each
+    // NUMBER's window — contention that arrives and leaves inside one
+    // phase (the r12 agg8 case: scaling 1.62 brackets around a
+    // loadavg-19 phase) is now in-band next to the figure it dented
+    val (playbackRps, playbackPhase) = PlaybackBench.sampledPhase {
+      if (skipPlayback) -1.0
       else try PlaybackBench.run(spark, sfDir, seconds = 8)
       catch { case e: Throwable =>
         System.err.println(s"[bench] playback failed: ${e.getMessage}"); -1.0 }
+    }
     val probe1 = PlaybackBench.cpuProbe()
 
     // aggregate ceiling: 8 concurrent playback queries, each at the
@@ -76,10 +84,12 @@ object Bench {
     // cannot be configured faster — the cap is the reference's own
     // sampleRate validation rule, mirrored here). The reference runs
     // one plugin per thread; this engine schedules them onto one pool.
-    val playbackAgg8 = if (skipPlayback) -1.0
+    val (playbackAgg8, agg8Phase) = PlaybackBench.sampledPhase {
+      if (skipPlayback) -1.0
       else try PlaybackBench.runConcurrent(spark, sfDir, 8, seconds = 8)
       catch { case e: Throwable =>
         System.err.println(s"[bench] concurrent playback failed: ${e.getMessage}"); -1.0 }
+    }
     val probe2 = PlaybackBench.cpuProbe()
     val sent1 = PlaybackBench.hostSentinel()
 
@@ -116,13 +126,16 @@ object Bench {
         assert(graft.operators.OpCaches.trackedCount == 0,
           s"$name left tracked operator caches behind")
       }
-    val measured = measure(names, once)
+    val (measured, queriesPhase) =
+      PlaybackBench.sampledPhase(measure(names, once))
 
     println(renderJson(measured, playbackRps, playbackAgg8, sfDir,
       probes = Seq(probe0, probe1, probe2),
       sentinels = Seq(sent0, sent1),
       stopInterrupts = PlaybackBench.stopInterrupts.get,
-      taskFailed = taskFailed.get, taskKilled = taskKilled.get))
+      taskFailed = taskFailed.get, taskKilled = taskKilled.get,
+      phases = Seq("playback" -> playbackPhase, "agg8" -> agg8Phase,
+        "queries" -> queriesPhase)))
     spark.stop()
   }
 
@@ -165,7 +178,8 @@ object Bench {
       probes: Seq[Double] = Nil,
       sentinels: Seq[PlaybackBench.HostSentinel] = Nil,
       stopInterrupts: Long = 0L,
-      taskFailed: Long = 0L, taskKilled: Long = 0L): String = {
+      taskFailed: Long = 0L, taskKilled: Long = 0L,
+      phases: Seq[(String, PlaybackBench.PhaseStats)] = Nil): String = {
     val qs = results.map { case (k, r) => "\"" + k + f"""":${r.sec}%.3f""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, r) if r.failed => "\"" + k + "\"" }
@@ -186,6 +200,14 @@ object Bench {
     val sentJson = sentinels.map(_.json).mkString("[", ",", "]")
     val worstScaling =
       if (sentinels.isEmpty) -1.0 else sentinels.map(_.scalingRatio).max
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"host_probe_sec":$probeJson,"host_noise_factor":$noise%.2f,"host_sentinel":$sentJson,"host_scaling_ratio":$worstScaling%.2f,"playback_stop_interrupts":$stopInterrupts,"task_failed":$taskFailed,"task_killed":$taskKilled,"sf":"$sfDir"}"""
+    // phase-LOCAL contention: each headline number's own window,
+    // sampled concurrently while that phase ran (loadavg + low-duty
+    // probe) — the bracketing sentinels attribute the run, these
+    // attribute the number (r12 verdict: agg8 must carry its phase's
+    // reading)
+    val phaseJson = phases
+      .map { case (k, p) => "\"" + k + "\":" + p.json }
+      .mkString("{", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"host_probe_sec":$probeJson,"host_noise_factor":$noise%.2f,"host_sentinel":$sentJson,"host_scaling_ratio":$worstScaling%.2f,"phase_contention":$phaseJson,"playback_stop_interrupts":$stopInterrupts,"task_failed":$taskFailed,"task_killed":$taskKilled,"sf":"$sfDir"}"""
   }
 }

@@ -29,8 +29,9 @@ object PlaybackBench {
     * window (co-tenant contention, whole-JVM pauses), making a
     * throughput dip machine-attributable instead of argued from
     * README prose (the r10 agg8 4.69M-vs-8.0M case). */
-  def cpuProbe(threads: Int = 8): Double = {
-    val iters = 1L << 27 // fixed work per thread; ~0.1-0.2 s quiet
+  def cpuProbe(threads: Int = 8): Double = cpuProbeWork(threads, 1L << 27)
+
+  private def cpuProbeWork(threads: Int, iters: Long): Double = {
     val sink = new java.util.concurrent.atomic.AtomicLong
     val ts = (1 to threads).map { t =>
       new Thread(() => {
@@ -48,6 +49,98 @@ object PlaybackBench {
     val t0 = System.nanoTime()
     ts.foreach(_.start()); ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One low-duty contention sample: single thread, 1/32 of
+    * [[cpuProbe]]'s per-thread work — ~8 ms in a quiet window
+    * ([[MiniQuietSec]]), so sampling one per ~2 s costs <0.5% of one
+    * core and cannot perturb the measurement it instruments. */
+  def miniProbe(): Double = cpuProbeWork(1, 1L << 22)
+
+  /** Quiet-window anchor for [[miniProbe]]: same xorshift work rate as
+    * [[QuietProbeSec]]'s probe at 1/32 the per-thread iterations.
+    * (lazy: QuietProbeSec is declared later in this object — a strict
+    * val here would read its pre-init 0.0.) */
+  lazy val MiniQuietSec: Double = QuietProbeSec / 32.0
+
+  def readLoadAvg(): Double =
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Contention readings taken DURING one bench phase (not bracketing
+    * it): 1-min loadavg min/mean/max over the phase plus the low-duty
+    * [[miniProbe]] median/max. `probe_factor` = median over the quiet
+    * anchor — ~1 means the phase itself ran on a quiet machine, R
+    * means per-core speed during THIS phase was ~R× degraded. This is
+    * what closes the r9–r12 agg8 attribution gap: the bracketing
+    * [[hostSentinel]] can read quiet while the contention arrives and
+    * leaves entirely INSIDE a phase. */
+  final case class PhaseStats(samples: Int, loadMin: Double,
+      loadMean: Double, loadMax: Double, probeMedSec: Double,
+      probeMaxSec: Double) {
+    def probeFactor: Double =
+      if (probeMedSec > 0) probeMedSec / MiniQuietSec else -1.0
+    def json: String =
+      f"""{"samples":$samples,"loadavg_min":$loadMin%.2f,"loadavg_mean":$loadMean%.2f,"loadavg_max":$loadMax%.2f,"probe_med_sec":$probeMedSec%.4f,"probe_max_sec":$probeMaxSec%.4f,"probe_factor":$probeFactor%.2f}"""
+  }
+
+  /** Daemon sampler: every `periodMs` reads `/proc/loadavg`, every
+    * second tick runs one [[miniProbe]] (first tick does both, so even
+    * a sub-second phase carries a reading). `stop()` joins the thread
+    * and folds the samples into [[PhaseStats]]. */
+  final class PhaseSampler(periodMs: Long = 1000L) {
+    private val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    private val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // tick 0 runs SYNCHRONOUSLY before the thread starts, so even a
+    // phase that returns in microseconds carries one reading
+    loads += readLoadAvg()
+    probes += miniProbe()
+    @volatile private var running = true
+    private val t = new Thread(() => {
+      var tick = 1
+      while (running) {
+        try Thread.sleep(periodMs)
+        catch { case _: InterruptedException => () }
+        if (running) {
+          val l = readLoadAvg()
+          PhaseSampler.this.synchronized { loads += l }
+          if (tick % 2 == 0) {
+            val p = miniProbe()
+            PhaseSampler.this.synchronized { probes += p }
+          }
+          tick += 1
+        }
+      }
+    })
+    t.setDaemon(true)
+    t.setName("graft-phase-sampler")
+    t.start()
+
+    def stop(): PhaseStats = {
+      running = false
+      t.interrupt()
+      t.join(3000)
+      this.synchronized {
+        val ls = loads.toSeq.sorted
+        val ps = probes.toSeq.sorted
+        PhaseStats(ls.size,
+          if (ls.isEmpty) -1.0 else ls.head,
+          if (ls.isEmpty) -1.0 else ls.sum / ls.size,
+          if (ls.isEmpty) -1.0 else ls.last,
+          if (ps.isEmpty) -1.0 else ps(ps.size / 2),
+          if (ps.isEmpty) -1.0 else ps.last)
+      }
+    }
+  }
+
+  /** Run `body` with a concurrent [[PhaseSampler]]; returns (result,
+    * the phase's own contention stats). */
+  def sampledPhase[T](body: => T): (T, PhaseStats) = {
+    val s = new PhaseSampler()
+    try { val r = body; (r, s.stop()) }
+    catch { case e: Throwable => s.stop(); throw e }
   }
 
   /** Quiet-window anchor for [[cpuProbe]] on the 32-core bench host
@@ -287,13 +380,14 @@ object PlaybackBench {
     // driver-comparable aggregate.
     val probeBefore = cpuProbe()
     val sentBefore = hostSentinel()
-    val rps =
+    val (rps, phase) = sampledPhase {
       if (streams > 1) runConcurrent(spark, sfDir, streams, seconds)
       else run(spark, sfDir, seconds)
+    }
     val probeAfter = cpuProbe()
     val sentAfter = hostSentinel()
     val noise = ((probeBefore + probeAfter) / 2.0) / QuietProbeSec
-    println(f"""{"metric":"playback_rps","value":$rps%.0f,"unit":"rows/sec","sf":"$sfDir","streams":$streams,"host_probe_sec":[$probeBefore%.3f,$probeAfter%.3f],"host_noise_factor":$noise%.2f,"host_sentinel":[${sentBefore.json},${sentAfter.json}],"playback_stop_interrupts":${stopInterrupts.get}}""")
+    println(f"""{"metric":"playback_rps","value":$rps%.0f,"unit":"rows/sec","sf":"$sfDir","streams":$streams,"host_probe_sec":[$probeBefore%.3f,$probeAfter%.3f],"host_noise_factor":$noise%.2f,"host_sentinel":[${sentBefore.json},${sentAfter.json}],"phase_contention":{"playback":${phase.json}},"playback_stop_interrupts":${stopInterrupts.get}}""")
     spark.stop()
   }
 }

@@ -698,10 +698,11 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("component")).as("_nbr"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(labels("node"),
-          least(col("component"), coalesce(col("_nbr"), col("component")))
-            .as("component"))
+      val next = IterTrace.record("cc_minlabel",
+        labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+          .select(labels("node"),
+            least(col("component"), coalesce(col("_nbr"), col("component")))
+              .as("component")))
         .localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("component", "_old"), "node")
@@ -765,20 +766,20 @@ object Dedup {
       val largeMin = sym.groupBy(col("u"))
         .agg(min(col("v")).as("_mn"))
         .select(col("u"), least(col("u"), col("_mn")).as("m"))
-      val afterLarge = sym.join(largeMin, "u")
+      val afterLarge = IterTrace.record("cc_star_large", sym.join(largeMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ high→low
         .filter(col("u") =!= col("v"))
-        .distinct()
+        .distinct())
         .localCheckpoint()
       // small-star: edges already high→low; for each node u,
       // m = min of its smaller neighbors; relink them all (and u) to m
       val smallMin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = afterLarge.join(smallMin, "u")
+      val next = IterTrace.record("cc_star_small", afterLarge.join(smallMin, "u")
         .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
+        .distinct())
         .localCheckpoint()
       // both sides are distinct sets, so set equality ⟺ equal size
       // AND next ⊆ e: one count over the fresh checkpoint plus (only

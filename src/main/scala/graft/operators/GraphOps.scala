@@ -40,7 +40,11 @@ object GraphOps {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
+    // materialized ONCE: the loop re-executes its plan every round, so
+    // an uncheckpointed degree table would re-aggregate the full edge
+    // set per iteration — one extra 100 TB pass per round for nothing
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
     var i = 0
     while (i < iters) {
@@ -50,11 +54,11 @@ object GraphOps {
         .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("cin"))
-      ranks = nodes
+      ranks = IterTrace.record("pagerank", nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("cin"), lit(0.0))).as("r"))
+            lit(damping) * coalesce(col("cin"), lit(0.0))).as("r")))
         .localCheckpoint()
       i += 1
     }
@@ -91,6 +95,7 @@ object GraphOps {
         when(col("isSeed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("p0"))
       .localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // once, not per round (see pageRank)
     var ranks = base.select(col("node"), col("p0").as("r")).localCheckpoint()
     var i = 0
     while (i < iters) {
@@ -100,11 +105,11 @@ object GraphOps {
         .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("cin"))
-      ranks = base
+      ranks = IterTrace.record("seeded_pagerank", base
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) * col("p0") +
-            lit(damping) * coalesce(col("cin"), lit(0.0))).as("r"))
+            lit(damping) * coalesce(col("cin"), lit(0.0))).as("r")))
         .localCheckpoint()
       i += 1
     }
@@ -164,6 +169,7 @@ object GraphOps {
       .localCheckpoint()
     val n = nodes.count()
     val outW = e.groupBy("src").agg(sum(col("w")).as("wtot"))
+      .localCheckpoint() // once, not per round (see pageRank)
     var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
     var i = 0
     while (i < iters) {
@@ -174,11 +180,11 @@ object GraphOps {
           (col("r") * col("w") / col("wtot")).as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("cin"))
-      ranks = nodes
+      ranks = IterTrace.record("weighted_pagerank", nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("cin"), lit(0.0))).as("r"))
+            lit(damping) * coalesce(col("cin"), lit(0.0))).as("r")))
         .localCheckpoint()
       i += 1
     }
@@ -218,10 +224,11 @@ object GraphOps {
       val eAlive = und
         .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
-      deg = eAlive.select(col("u").as("node"))
+      deg = IterTrace.record("kcore_peel", eAlive
+        .select(col("u").as("node"))
         .unionAll(eAlive.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
-        .filter(col("core_deg") >= k)
+        .filter(col("core_deg") >= k))
         .localCheckpoint()
       alive = deg.select(col("node"))
       r += 1
@@ -271,14 +278,14 @@ object GraphOps {
       val pick = (conv(substring(md5(concat_ws(":",
         col("start"), lit(t), col("cur"))), 1, 8), 16, 10)
         .cast("long") % col("deg")).as("pick")
-      val next = frontier
+      val next = IterTrace.record("graph_walks", frontier
         .join(deg.select(col("src").as("cur"), col("deg")), Seq("cur"))
         .select(col("start"), col("cur"), pick)
         .join(ranked.select(col("src").as("cur"), col("dst"),
           col("rn").cast("long").as("rn")),
           Seq("cur"))
         .filter(col("pick") === col("rn"))
-        .select(col("start"), col("dst").as("cur"))
+        .select(col("start"), col("dst").as("cur")))
         .localCheckpoint()
       out = out.unionAll(next.select(col("start"), lit(t).as("step"),
         col("cur").as("node")))
@@ -337,10 +344,10 @@ object GraphOps {
         .join(hub.select(col("node"), col("hub")), col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("ar"))
         .select(col("dst").as("node"), col("ar"))
-      hub = e
+      hub = IterTrace.record("hits", e
         .join(authRaw.select(col("node"), col("ar")), col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("ar")).as("hr"))
-        .select(col("src").as("node"), col("hr").as("hub"))
+        .select(col("src").as("node"), col("hr").as("hub")))
         .localCheckpoint() // checkpoints compute authRaw in the same job
       i += 1
     }
@@ -424,9 +431,10 @@ object GraphOps {
     var frontier = visited.select(col("node"))
     var d = 1
     while (d <= maxDepth) {
-      val next = frontier.join(e, col("node") === col("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
+      val next = IterTrace.record("bfs_layers",
+        frontier.join(e, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti"))
         .localCheckpoint()
       visited = visited.unionAll(next.withColumn("depth", lit(d.toLong)))
         .localCheckpoint()

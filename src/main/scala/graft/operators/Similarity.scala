@@ -185,7 +185,8 @@ object Similarity {
       // (|queries|·r)-row frame per round truncates the lineage; the
       // content is deterministic (rounded scores, id tie-breaks), so
       // checkpointing changes cost, never results.
-      all = all.unionByName(picked).localCheckpoint()
+      all = IterTrace.record("mmr_round", all.unionByName(picked))
+        .localCheckpoint()
     }
     all.select(col("query_id"), col("sel_round"), col("neighbor_id"),
       col("rel"), col("mmr_score"))

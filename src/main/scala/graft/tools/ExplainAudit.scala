@@ -166,6 +166,12 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val only = args.headOption
+    // capture one representative PRE-checkpoint round body per
+    // iterative operator while the registry queries run (see
+    // operators.IterTrace) — localCheckpoint severs lineage, so
+    // without this the audit lints only the post-checkpoint tail of a
+    // 10-iteration job
+    graft.operators.IterTrace.enable()
     QueryRegistry.all
       .filter(q => only.forall(q.name.contains))
       .foreach { q =>
@@ -224,6 +230,60 @@ object ExplainAudit {
           case e: Throwable => println(s"${q.name}: EXPLAIN FAILED ${e.getMessage}")
         }
       }
+    // --- iteration-body audit -----------------------------------------
+    // cc_minlabel (the one iterative op no registry query drives — the
+    // gated queries use the large/small-star variant) runs on a small
+    // synthetic chain-with-islands graph just to capture its round body
+    if (only.forall("cc_minlabel".contains)) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val edges = ((0L to 40L).sliding(2).map(p => (p.head, p.last)).toSeq ++
+        Seq((100L, 101L), (102L, 103L))).toDF("a", "b")
+      val nodes = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node"))).distinct()
+      graft.operators.Dedup.connectedComponents(edges, nodes, maxIters = 50)
+        .foreach(_ => ())
+    }
+    val captured = graft.operators.IterTrace.captured
+    graft.operators.IterTrace.expected.toSeq.sortBy(_._1).foreach {
+      case (tag, drivenBy) =>
+        // with a name filter, only tags whose driving query ran apply
+        val applies = only.forall(f => drivenBy.contains(f) ||
+          tag.contains(f) || captured.contains(tag))
+        if (applies) captured.get(tag) match {
+          case None =>
+            println(s"iter:$tag EXPLAIN FAILED round body never captured " +
+              s"(driving query: ${if (drivenBy.isEmpty) "<synthetic>" else drivenBy})")
+          case Some(df) =>
+            try {
+              // same finalize-then-lint protocol as the query rows; the
+              // round body's parents are checkpointed, so this executes
+              // exactly one representative iteration
+              df.queryExecution.executedPlan.execute().foreach(_ => ())
+              val plan = df.queryExecution.executedPlan.toString
+                .split("== Initial Plan ==").head
+              def n(pat: String) = pat.r.findAllIn(plan).length
+              val wins = unboundedGlobalWindows(df.queryExecution.executedPlan)
+              val (smallNlj, badNlj) =
+                nestedLoopTriage(df.queryExecution.executedPlan)
+              println(f"iter:$tag%-23s bhj=${n("BroadcastHashJoin")} " +
+                f"smj=${n("SortMergeJoin")} " +
+                f"nlj_bad=${badNlj.length} nlj_small=${smallNlj.length} " +
+                f"exch=${n("Exchange")} codegen=${n("\\*\\(\\d+\\)")} " +
+                f"winlint=${wins.length}")
+              badNlj.foreach(j => println(
+                s"   NLJ_VIOLATION in iteration body iter:$tag: " +
+                j.verboseString(2).linesIterator.next()))
+              wins.foreach(w => println(
+                s"   WINDOW_LINT_VIOLATION in iteration body iter:$tag: " +
+                w.verboseString(2).linesIterator.next()))
+            } catch {
+              case e: Throwable =>
+                println(s"iter:$tag EXPLAIN FAILED ${e.getMessage}")
+            }
+        }
+    }
+    graft.operators.IterTrace.disable()
     spark.stop()
   }
 }

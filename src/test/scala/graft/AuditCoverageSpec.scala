@@ -25,13 +25,21 @@ class AuditCoverageSpec extends AnyFunSuite {
   }
 
   // audit rows start with the query name in column 0; diagnostic lines
-  // (NLJ_VIOLATION, waived-window notes) are indented
-  private lazy val audited: Map[String, String] = lines
+  // (NLJ_VIOLATION, waived-window notes) are indented; `iter:`-prefixed
+  // rows are the ITERATION-BODY audits (one per iterative operator's
+  // round body — see operators.IterTrace), checked separately below
+  private lazy val allRows: Map[String, String] = lines
     .filter(l => l.nonEmpty && !l.startsWith(" "))
     .map(l => l.split("\\s+", 2) match {
       case Array(name, rest) => name.stripSuffix(":") -> rest
       case Array(name) => name.stripSuffix(":") -> ""
     }).toMap
+
+  private lazy val audited: Map[String, String] =
+    allRows.filter(!_._1.startsWith("iter:"))
+
+  private lazy val iterAudited: Map[String, String] = allRows.collect {
+    case (k, v) if k.startsWith("iter:") => k.stripPrefix("iter:") -> v }
 
   test("plan audit covers exactly the registry at HEAD") {
     val registry = QueryRegistry.all.map(_.name).toSet
@@ -56,5 +64,28 @@ class AuditCoverageSpec extends AnyFunSuite {
         !rest.matches(".*\\bwinlint=0\\b.*") => n }
     assert(dirty.isEmpty,
       s"audit rows with nonzero nlj_bad/winlint: ${dirty.mkString(", ")}")
+  }
+
+  test("iteration-body audit covers every iterative operator, lint-clean") {
+    // localCheckpoint severs lineage, so the per-query rows above see
+    // only the post-checkpoint TAIL of an iterative job; the `iter:`
+    // rows are the captured pre-checkpoint round bodies — the plans
+    // that actually decide 100×-scale behavior. Coverage contract
+    // lives in operators.IterTrace.expected.
+    val want = graft.operators.IterTrace.expected.keySet
+    val got = iterAudited.keySet
+    assert((want -- got).isEmpty,
+      s"iterative operators with NO round-body audit row (regenerate " +
+        s"the audit): ${(want -- got).toSeq.sorted.mkString(", ")}")
+    assert((got -- want).isEmpty,
+      s"iter audit rows for unknown tags: ${(got -- want).toSeq.sorted.mkString(", ")}")
+    val failed = iterAudited.collect {
+      case (n, rest) if rest.contains("EXPLAIN FAILED") => n }
+    assert(failed.isEmpty, s"iteration-body explain failures: ${failed.mkString(", ")}")
+    val dirty = iterAudited.collect {
+      case (n, rest) if !rest.matches(".*\\bnlj_bad=0\\b.*") ||
+        !rest.matches(".*\\bwinlint=0\\b.*") => n }
+    assert(dirty.isEmpty,
+      s"iteration bodies with nonzero nlj_bad/winlint: ${dirty.mkString(", ")}")
   }
 }

@@ -74,4 +74,27 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(json.contains(""""host_sentinel":[{"""), json)
     assert(json.count(_ == '{') == json.count(_ == '}'), json)
   }
+
+  test("phase sampler attributes a phase's own window and rides the JSON") {
+    // the r12 agg8 lesson: bracketing sentinels can read quiet around a
+    // phase whose contention arrived and left inside it. The sampler
+    // must (a) capture at least one loadavg+probe sample even for a
+    // short phase (first tick does both), (b) fold them into stats with
+    // a positive probe median, (c) land under "phase_contention" keyed
+    // by phase name in the bench JSON.
+    val (result, stats) = PlaybackBench.sampledPhase {
+      Thread.sleep(1200); 42
+    }
+    assert(result == 42)
+    assert(stats.samples >= 1, stats)
+    assert(stats.probeMedSec > 0, stats)
+    assert(stats.loadMax >= stats.loadMin)
+    assert(stats.probeFactor > 0, stats)
+    val json = Bench.renderJson(
+      Seq("a" -> Bench.QueryResult(1.0, 5L)), -1.0, -1.0, "/tmp/sf",
+      phases = Seq("agg8" -> stats))
+    assert(json.contains(""""phase_contention":{"agg8":{"""), json)
+    assert(json.contains(""""probe_med_sec":"""), json)
+    assert(json.count(_ == '{') == json.count(_ == '}'), json)
+  }
 }
