@@ -57,5 +57,6 @@ object IterTrace {
     "cc_star_large" -> "d07_dup_components",
     "cc_star_small" -> "d07_dup_components",
     "cc_minlabel" -> "",
-    "mmr_round" -> "v35_mmr_diversified_topk")
+    "mmr_round" -> "v35_mmr_diversified_topk",
+    "bpe_merge" -> "t34_bpe_train")
 }

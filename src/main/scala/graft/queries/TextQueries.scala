@@ -1381,8 +1381,123 @@ object TextQueries {
       GROUP BY 1 ORDER BY 1"""),
     bench = true)
 
+  // --- t34/t35: REAL BPE subword tokenizer (train + encode) ------------
+  // The first-class tokenizer step ([[graft.operators.Bpe]]): t34
+  // hash-gates the TRAINED MODEL (every merge's rank, pair, and
+  // frequency — a wrong count, tie order, or application rule at any
+  // round diverges), t35 hash-gates FULL TOKEN-ID SEQUENCES of the
+  // encoded documents. The oracle replays training from first
+  // principles as 24 unrolled per-merge CTE blocks (the q68/q76
+  // iterative-oracle pattern; AS MATERIALIZED per the CTE-inlining
+  // rule): count adjacent symbol pairs freq-weighted over the
+  // word-TYPE table, pick argmax under the total (cnt DESC, lhs, rhs)
+  // order, apply as one literal replace over the space-wrapped state.
+  private val bpeMergeRounds = 24
+
+  /** Unrolled training CTEs `w, s0, p1, b1, s1, …, p_R, b_R, s_R` —
+    * shared by the t34 and t35 oracles. */
+  private def bpeTrainCtes(r: Int): String = {
+    val step = (k: Int) => s"""
+      p$k AS MATERIALIZED (
+        SELECT lhs, rhs, sum(freq) AS cnt FROM (
+          SELECT t.freq, t.syms[ix.i] AS lhs, t.syms[ix.i + 1] AS rhs
+          FROM (SELECT freq,
+                  string_split(substring(state, 2, length(state) - 2), '  ')
+                    AS syms
+                FROM s${k - 1}) t,
+               LATERAL (SELECT unnest(generate_series(1, len(t.syms) - 1))
+                        AS i) ix)
+        GROUP BY lhs, rhs),
+      b$k AS MATERIALIZED (
+        SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      s$k AS MATERIALIZED (
+        SELECT s.word, s.freq,
+          replace(s.state, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                  ' ' || b.lhs || b.rhs || ' ') AS state
+        FROM s${k - 1} s CROSS JOIN b$k b)"""
+    """w AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents)
+        WHERE regexp_matches(word, '^[a-z0-9]+$') GROUP BY word),
+      s0 AS MATERIALIZED (
+        SELECT word, freq, regexp_replace(word, '(.)', ' \1 ', 'g') AS state
+        FROM w),""" + (1 to r).map(step).mkString(",")
+  }
+
+  private def bpeMergeUnion(r: Int): String =
+    (1 to r).map(k =>
+      s"SELECT $k AS rank, lhs, rhs, cnt FROM b$k").mkString(" UNION ALL ")
+
+  private val t34 = GraftQuery(
+    "t34_bpe_train",
+    (s, d) => {
+      val model = graft.operators.Bpe
+        .train(s, Tables(s, d, "documents"), "text", bpeMergeRounds)
+      import s.implicits._
+      model.merges.zipWithIndex.map { case ((l, r, c), i) =>
+        (i + 1, l, r, l + r, c) }
+        .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+        .orderBy("rank")
+    },
+    Some(s"""WITH ${bpeTrainCtes(bpeMergeRounds)}
+      SELECT rank, lhs, rhs, lhs || rhs AS merged,
+        CAST(cnt AS BIGINT) AS pair_count
+      FROM (${bpeMergeUnion(bpeMergeRounds)})
+      ORDER BY rank"""),
+    bench = true)
+
+  private val t35 = GraftQuery(
+    "t35_bpe_encode",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = graft.operators.Bpe.train(s, docs, "text", bpeMergeRounds)
+      graft.operators.Bpe
+        .encode(s, docs.filter(col("doc_id") < 120), "doc_id", "text", model)
+        .orderBy("doc_id", "pos")
+    },
+    // the oracle re-derives the model (same unrolled blocks), then
+    // encodes via the trained states: every encode word is a training
+    // word (same corpus), so s_R's segmentation IS the encode chain's
+    // fixpoint; ids are lexicographic alphabet then merge ranks
+    Some(s"""WITH ${bpeTrainCtes(bpeMergeRounds)},
+      alpha AS MATERIALIZED (
+        SELECT DISTINCT substring(word, gi.i, 1) AS sym
+        FROM w, LATERAL (SELECT unnest(generate_series(1, length(word)))
+                         AS i) gi),
+      vocab AS MATERIALIZED (
+        SELECT sym AS token,
+          CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS token_id
+        FROM alpha
+        UNION ALL
+        SELECT m.lhs || m.rhs,
+          (SELECT count(*) FROM alpha) + m.rank - 1
+        FROM (${bpeMergeUnion(bpeMergeRounds)}) m),
+      docw AS MATERIALIZED (
+        SELECT d.doc_id, wi.i AS widx, d.ws[wi.i] AS word
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE doc_id < 120) d,
+             LATERAL (SELECT unnest(generate_series(1, len(d.ws))) AS i) wi
+        WHERE regexp_matches(d.ws[wi.i], '^[a-z0-9]+$$')),
+      enc AS MATERIALIZED (
+        SELECT dw.doc_id, dw.widx, s.state
+        FROM docw dw JOIN s$bpeMergeRounds s ON s.word = dw.word),
+      toks AS (
+        SELECT t.doc_id, t.widx, tj.j, t.syms[tj.j] AS token
+        FROM (SELECT doc_id, widx,
+                string_split(substring(state, 2, length(state) - 2), '  ')
+                  AS syms
+              FROM enc) t,
+             LATERAL (SELECT unnest(generate_series(1, len(t.syms))) AS j) tj)
+      SELECT t.doc_id,
+        CAST(row_number() OVER (PARTITION BY t.doc_id ORDER BY t.widx, t.j)
+          - 1 AS BIGINT) AS pos,
+        t.token, v.token_id
+      FROM toks t JOIN vocab v ON v.token = t.token
+      ORDER BY doc_id, pos"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-      t27, t28, t29, t30, t31, t32, t33)
+      t27, t28, t29, t30, t31, t32, t33, t34, t35)
 }

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  test("train reproduces a hand-computed merge sequence with total tie order") {
+    import spark.implicits._
+    // corpus: "low low low lower lowest" — classic BPE toy.
+    // word types: low(3), lower(1), lowest(1)
+    // round 1 pair counts: (l,o)=5, (o,w)=5, (w,e)=2, (e,r)=1,
+    //   (e,s)=1, (s,t)=1 → tie (l,o) vs (o,w) broken by lhs: (l,o)
+    // round 2: (lo,w)=5 wins
+    // round 3: (low,e)=2 wins
+    val docs = Seq("low low low lower lowest").toDF("text")
+    val m = Bpe.train(spark, docs, "text", 3)
+    assert(m.merges.map(t => (t._1, t._2)) ==
+      Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    assert(m.merges.map(_._3) == Seq(5L, 5L, 2L))
+    assert(m.alphabet == Seq("e", "l", "o", "r", "s", "t", "w"))
+    // ids: alphabet lexicographic 0..6, merges 7, 8, 9
+    assert(m.vocab.toMap == Map("e" -> 0L, "l" -> 1L, "o" -> 2L, "r" -> 3L,
+      "s" -> 4L, "t" -> 5L, "w" -> 6L, "lo" -> 7L, "low" -> 8L, "lowe" -> 9L))
+  }
+
+  test("merge application is leftmost-first non-overlapping (the aaa rule)") {
+    import spark.implicits._
+    // one word "aaa", merge (a,a) must yield [aa, a] — not [a, aa] and
+    // not aaa — in BOTH the training state and the encode chain
+    val docs = Seq("aaa").toDF("text")
+    val m = Bpe.train(spark, docs, "text", 1)
+    assert(m.merges.head._1 == "a" && m.merges.head._2 == "a")
+    val toks = Bpe.encode(spark, Seq((1L, "aaa")).toDF("id", "text"),
+        "id", "text", m)
+      .orderBy("pos").select("token").as[String].collect().toSeq
+    assert(toks == Seq("aa", "a"))
+  }
+
+  test("encode chain equals the trained segmentation for every training word") {
+    import spark.implicits._
+    // the single-application fixpoint argument, checked empirically:
+    // encoding a training word through the rank-ordered replace chain
+    // must reproduce training's final state exactly
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = Bpe.train(spark, docs, "text", 24)
+    val words = Bpe.wordFreqs(docs, "text")
+    val mismatch = words
+      .withColumn("trained",
+        m.merges.foldLeft(Bpe.initialState(col("word"))) {
+          case (acc, (l, r, _)) => Bpe.applyMerge(acc, l, r) })
+      .withColumn("chain", Bpe.encodeState(col("word"), m))
+      .filter(col("trained") =!= col("chain"))
+      .count()
+    assert(mismatch == 0)
+  }
+
+  test("encode positions are dense per doc and ids match the vocab") {
+    import spark.implicits._
+    val docs = Seq((7L, "low lower"), (8L, "low")).toDF("id", "text")
+    val m = Bpe.train(spark,
+      Seq("low low low lower lowest").toDF("text"), "text", 3)
+    val rows = Bpe.encode(spark, docs, "id", "text", m)
+      .orderBy("id", "pos")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // "low" → [low]; "lower" → [lowe, r]
+    assert(rows == Seq(
+      (7L, 0L, "low", 8L), (7L, 1L, "lowe", 9L), (7L, 2L, "r", 3L),
+      (8L, 0L, "low", 8L)))
+  }
+
+  test("non-contract pre-tokens are dropped identically in train and encode") {
+    import spark.implicits._
+    // "Ab-1" fails ^[a-z0-9]+$ and must not contribute pairs or tokens
+    val docs = Seq("ab ab Ab-1 C@t").toDF("text")
+    val m = Bpe.train(spark, docs, "text", 1)
+    assert(m.merges.head._1 == "a" && m.merges.head._2 == "b" &&
+      m.merges.head._3 == 2L)
+    assert(m.alphabet == Seq("a", "b"))
+    val n = Bpe.encode(spark, Seq((1L, "Ab-1 ab C@t")).toDF("id", "text"),
+      "id", "text", m).count()
+    assert(n == 1L) // just the one "ab" token
+  }
+
+  test("running dry throws instead of silently under-training") {
+    import spark.implicits._
+    val docs = Seq("ab").toDF("text") // capacity: exactly 1 merge
+    intercept[IllegalArgumentException] {
+      Bpe.train(spark, docs, "text", 2)
+    }
+  }
+}
