@@ -27,6 +27,7 @@ object QueryRegistry {
       queries.VectorQueries.all ++
       queries.SamplingQueries.all ++
       queries.IngestQueries.all ++
+      queries.PipelineQueries.all ++
       queries.PlaybackQueries.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -66,29 +66,43 @@ object Sampling {
     * Nothing corpus-sized shuffles or collects. */
   def tokenBudgetMix(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, weights: Map[String, Double], budgetTokens: Long,
-      roundTo: Int = 6): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ >= 0),
-      "mixture weights must be non-negative")
-    val base = docs.select(col(idCol).as("_id"), col(sourceCol).as("_src"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("_tok"))
-    val wMap = map(weights.toSeq.flatMap {
-      case (k, v) => Seq(lit(k), lit(v))
-    }: _*)
-    val ratios = base.groupBy(col("_src"))
-      .agg(sum(col("_tok")).as("_total"))
-      .select(col("_src"),
-        // (w · budget) / total in exactly this association — the
-        // oracle mirrors the float ops verbatim
-        least(lit(1.0),
-          coalesce(element_at(wMap, col("_src")), lit(0.0)) *
-            lit(budgetTokens.toDouble) / col("_total")).as("_ratio"))
-    base.join(broadcast(ratios), Seq("_src"))
-      .filter(md5Unit(col("_id")) < col("_ratio"))
+      roundTo: Int = 6): DataFrame =
+    tokenBudgetMixFilter(
+        docs.select(col(idCol).as("_id"), col(sourceCol).as("_src"),
+          col(textCol)),
+        "_id", textCol, "_src", weights, budgetTokens)
       .groupBy(col("_src"))
       .agg(count(lit(1)).as("n_docs_kept"),
         sum(col("_tok")).as("n_tokens_kept"),
         round(first(col("_ratio")), roundTo).as("keep_ratio"))
       .withColumnRenamed("_src", sourceCol)
+
+  /** Doc-level form of [[tokenBudgetMix]] — the composable stage a
+    * pipeline feeds into packing: returns the KEPT rows with all of
+    * `docs`' columns plus `_tok` (token count) and `_ratio` (the
+    * source's keep ratio). Identical float-op sequence and deviate as
+    * the aggregate form (which is now defined on top of this one). */
+  def tokenBudgetMixFilter(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      "mixture weights must be non-negative")
+    val base = docs
+      .withColumn("_tok", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    val wMap = map(weights.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v))
+    }: _*)
+    val ratios = base.groupBy(col(sourceCol).as("_rsrc"))
+      .agg(sum(col("_tok")).as("_total"))
+      .select(col("_rsrc"),
+        // (w · budget) / total in exactly this association — the
+        // oracle mirrors the float ops verbatim
+        least(lit(1.0),
+          coalesce(element_at(wMap, col("_rsrc")), lit(0.0)) *
+            lit(budgetTokens.toDouble) / col("_total")).as("_ratio"))
+    base.join(broadcast(ratios), col(sourceCol) === col("_rsrc"))
+      .filter(md5Unit(col(idCol)) < col("_ratio"))
+      .drop("_rsrc")
   }
 
   /** Temperature-scaled source mixture — the multilingual-pretraining

@@ -69,7 +69,7 @@ object DedupQueries {
     * over a table `p(doc_id, text)` — shared by the d03/d05/d07
     * oracles. (Defined before first use: object vals initialize in
     * declaration order.) */
-  private val shingleCteSql =
+  private[queries] val shingleCteSql =
     """SELECT doc_id, list_distinct(list_transform(
         generate_series(1, greatest(1, len(string_split_regex(trim(text), '\s+')) - 2)),
         i -> CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
@@ -1881,10 +1881,11 @@ object DedupQueries {
   // ground truth, not a regex replay — so a wrong rewrite in any
   // canonicalization step diverges. Scale shape: raw URLs never
   // shuffle; only the canonical key + counters enter the aggregate.
-  private val d42 = GraftQuery(
-    "d42_url_canonical_dedup",
-    (s, d) => {
-      val id = col("doc_id")
+  /** The d42/c01 shared URL fixture: a messy raw URL from a doc id's
+    * closed form (pure modular arithmetic, so it applies to ANY id —
+    * the c01 pipeline feeds planted +1M/+2M ids through it too). */
+  private[queries] def syntheticUrl(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
       // id % 11 == 7 rows are PATH-LESS (`http://host?q`, `http://
       // host:80`, `http://host/`): the authority then ends at `?` or
       // end-of-string, exercising the `:80?` collapse and the
@@ -1908,11 +1909,32 @@ object DedupQueries {
           .when(id % 5 === 4, "?utm_medium=z")
           .otherwise(""),
         when(id % 6 === 0, "#sec").otherwise(""))
+      raw
+  }
+
+  /** SQL closed form of the canonical URL for [[syntheticUrl]] over a
+    * column named `doc_id` — ground truth, NOT a regex replay:
+    * path-less rows keep only the lone root slash (when %4 planted
+    * one); pathed rows lose their trailing slash; queries keep their
+    * uppercase V. Shared by the d42 and c01 oracles. */
+  private[queries] val canonicalUrlClosedFormSql: String =
+    """'http://ex' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+            || (CASE WHEN doc_id % 11 = 7 THEN
+                  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                ELSE '/p/' || CAST(doc_id % 20 AS VARCHAR) END)
+            || (CASE WHEN doc_id % 5 IN (0, 1, 2)
+                THEN '?a=V' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)"""
+
+  private val d42 = GraftQuery(
+    "d42_url_canonical_dedup",
+    (s, d) => {
       graft.operators.UrlOps.urlDedup(
-          Tables(s, d, "documents").select(id, raw.as("url")), "url", "doc_id")
+          Tables(s, d, "documents")
+            .select(col("doc_id"), syntheticUrl(col("doc_id")).as("url")),
+          "url", "doc_id")
         .orderBy("canonical_url")
     },
-    Some("""WITH u AS (
+    Some(s"""WITH u AS (
         SELECT doc_id,
           (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTP' END)
             || '://ex' || CAST(doc_id % 50 AS VARCHAR)
@@ -1928,16 +1950,7 @@ object DedupQueries {
                  WHEN 4 THEN '?utm_medium=z'
                  ELSE '' END)
             || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url,
-          -- closed-form ground truth, NOT a regex replay: path-less
-          -- rows keep only the lone root slash (when %4 planted one);
-          -- pathed rows lose their trailing slash; queries keep their
-          -- uppercase V
-          'http://ex' || CAST(doc_id % 50 AS VARCHAR) || '.com'
-            || (CASE WHEN doc_id % 11 = 7 THEN
-                  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-                ELSE '/p/' || CAST(doc_id % 20 AS VARCHAR) END)
-            || (CASE WHEN doc_id % 5 IN (0, 1, 2)
-                THEN '?a=V' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+          $canonicalUrlClosedFormSql
             AS canonical_url
         FROM documents)
       SELECT canonical_url, count(*) AS n_urls,

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.operators.{Dedup, Packing, Sampling, TextAnalysis, UrlOps}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-BUILD composition gate: the production DAG every
+  * pretraining data pipeline runs, as ONE lazy Spark plan with the
+  * final packed sequences hash-gated —
+  *
+  *   URL dedup (d42) → exact dedup (d01) → MinHash near-dup removal
+  *   (d03) → quality filter (t17) → weighted token-budget mixture
+  *   (s21) → sequence packing (s17)
+  *
+  * Each stage's semantics are individually gated by its own query;
+  * what ONLY this gate proves is that the operators COMPOSE — no
+  * stage depends on a materialization boundary, a column it forgot to
+  * carry, or a partitioning side effect of running alone (the md5 of
+  * every packed training sequence pins every upstream keep/drop
+  * decision at once). The fixture plants exact copies (+2M ids) and
+  * near-dup mutations (+1M ids) so every dedup stage has real work
+  * even on the driver's near-uniform shape, and the synthetic URLs
+  * collide across base ids (ids ≡ mod 100 with an empty query share a
+  * canonical), so URL dedup cuts real rows too.
+  *
+  * Scale shape = the sum of its parts, unchanged by composition: two
+  * fingerprint-keyed shuffles (URL canonical, exact), the banded
+  * minhash equi-join, three map-side filters, one broadcast ratio
+  * table, one per-source window. Document text shuffles exactly
+  * twice (the exact-dedup window and the final pack — both on
+  * fixed-width keys), never in the candidate joins. */
+object PipelineQueries {
+
+  private val stop = TextAnalysis.defaultStopwords
+  private val stopSql = stop.map(s => s"'$s'").mkString(", ")
+
+  private val mixWeights = Map("src0" -> 0.4, "src1" -> 0.25,
+    "src2" -> 0.15, "src3" -> 0.2)
+
+  private val c01 = GraftQuery(
+    "c01_corpus_pipeline",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text", "source")
+      val near = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"), col("source"))
+      val exact = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"),
+          col("source"))
+      val p0 = docs.unionByName(near).unionByName(exact)
+      // 1. URL-level dedup: canonicalize the synthetic raw URL, keep
+      //    each canonical's min doc_id (the d42 operator end to end)
+      val keepers = UrlOps.urlDedup(
+          p0.select(col("doc_id"),
+            DedupQueries.syntheticUrl(col("doc_id")).as("url")),
+          "url", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      val p1 = p0.join(keepers, Seq("doc_id"), "left_semi")
+      // 2. exact-text dedup, keep-first
+      val p2 = Dedup.exactKeepFirst(p1, "text", "doc_id")
+      // 3. near-dup removal: drop the larger id of every verified pair
+      val pairs = Dedup.minhashNearDupPairs(p2, "doc_id", "text",
+        numHashes = 128, bands = 64, threshold = 0.5)
+      val p3 = p2.join(pairs.select(col("b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      // 4. quality filter: the t17 linear classifier, keep = logit ≥ 0
+      val z = lit(-1.5) +
+        lit(6.0) * TextAnalysis.stopwordRatio(col("text"), stop) -
+        lit(8.0) * TextAnalysis.digitRatio(col("text")) -
+        lit(4.0) * TextAnalysis.punctRatio(col("text")) +
+        lit(0.35) * TextAnalysis.avgTokenLen(col("text"))
+      val p4 = p3.filter(round(z, 6) >= 0)
+      // 5. weighted token-budget mixture (the s21 stage, doc-level)
+      val p5 = Sampling.tokenBudgetMixFilter(p4, "doc_id", "text",
+        "source", mixWeights, budgetTokens = 3000)
+      // 6. pack into training sequences (the s17 stage) and emit the
+      //    gate surface: per pack, the sequence's md5 + exact sizes
+      val packed = Packing.packByBudget(p5, col("source"), col("doc_id"),
+        col("_tok"), budget = 512)
+      packed.groupBy(col("source"), col("_pack").as("pack"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("doc_id"), col("text")))),
+              e => e.getField("text")),
+            "<|eos|>").as("_seq"))
+        .select(col("source"), col("pack"), col("n_docs"),
+          length(col("_seq")).cast("long").as("seq_chars"),
+          md5(col("_seq")).as("seq_md5"))
+        .orderBy("source", "pack")
+    },
+    Some(s"""WITH p0 AS MATERIALIZED (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL SELECT doc_id + 1000000, text || ' graftdup', source
+          FROM documents WHERE doc_id < 10
+        UNION ALL SELECT doc_id + 2000000, text, source
+          FROM documents WHERE doc_id < 10),
+      keep1 AS MATERIALIZED (
+        SELECT min(doc_id) AS doc_id FROM (
+          SELECT doc_id, ${DedupQueries.canonicalUrlClosedFormSql} AS cu
+          FROM p0)
+        GROUP BY cu),
+      p1 AS MATERIALIZED (SELECT p0.* FROM p0 JOIN keep1 USING (doc_id)),
+      p2 AS MATERIALIZED (
+        SELECT doc_id, text, source FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+          FROM p1) WHERE rn = 1),
+      p AS MATERIALIZED (SELECT doc_id, text FROM p2),
+      sh AS MATERIALIZED (${DedupQueries.shingleCteSql}),
+      nd AS MATERIALIZED (
+        SELECT DISTINCT b.doc_id AS b FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      p3 AS MATERIALIZED (
+        SELECT p2.* FROM p2 LEFT JOIN nd ON p2.doc_id = nd.b
+        WHERE nd.b IS NULL),
+      p4 AS MATERIALIZED (
+        SELECT doc_id, text, source FROM (
+          SELECT *,
+            -1.5 + 6.0 * (CAST(len(list_filter(
+                string_split_regex(trim(text), '\\s+'),
+                t -> t IN ($stopSql))) AS DOUBLE)
+              / len(string_split_regex(trim(text), '\\s+')))
+            - 8.0 * (CAST(length(text) -
+                length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+              / length(text))
+            - 4.0 * (CAST(length(text) -
+                length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+              / length(text))
+            + 0.35 * (CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                AS DOUBLE)
+              / len(string_split_regex(trim(text), '\\s+'))) AS z
+          FROM p3) WHERE round(z, 6) >= 0),
+      base AS MATERIALIZED (
+        SELECT doc_id, text, source,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
+        FROM p4),
+      r AS MATERIALIZED (
+        SELECT source,
+          least(1.0,
+            CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.25
+              WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.2 ELSE 0.0 END
+            * 3000.0 / sum(tok)) AS ratio
+        FROM base GROUP BY source),
+      kept AS MATERIALIZED (
+        SELECT b.doc_id, b.text, b.source, b.tok
+        FROM base b JOIN r USING (source)
+        WHERE ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          / 4294967296.0 < r.ratio),
+      c AS MATERIALIZED (
+        SELECT *, coalesce(sum(tok) OVER (PARTITION BY source
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) AS before
+        FROM kept),
+      pk AS (
+        SELECT source, CAST(floor(before / 512.0) AS BIGINT) AS pack,
+          doc_id, text
+        FROM c)
+      SELECT source, pack, count(*) AS n_docs,
+        CAST(length(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS BIGINT)
+          AS seq_chars,
+        md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS seq_md5
+      FROM pk GROUP BY source, pack ORDER BY source, pack"""),
+    bench = true)
+
+  val all: Seq[GraftQuery] = Seq(c01)
+}
