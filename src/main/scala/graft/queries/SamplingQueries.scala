@@ -1043,8 +1043,95 @@ object SamplingQueries {
           AS BIGINT) AS truncation_loss_ppm
       FROM g GROUP BY cap ORDER BY cap"""))
 
+  // --- s31: sequence packing over REAL BPE token ids -------------------
+  // s17's twin with the tokenizer made real (verdict r13 §3): pack
+  // budgets and boundaries computed from [[graft.operators.Bpe]]
+  // token COUNTS instead of whitespace words, and the packed payload
+  // gated as the md5 of the ordered token-ID stream itself — so the
+  // gate pins tokenizer + packing TOGETHER (a drifting merge table or
+  // a re-ordered pack both diverge). Oracle replays the full 24-round
+  // training + encode (TextQueries.bpeTrainCtes, the t35 chain) and
+  // then the s17 running-sum pack over the id counts. The per-pack
+  // collect is bounded by the pack budget itself (s17's argument).
+  private val s31 = GraftQuery(
+    "s31_pack_bpe_ids",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = graft.operators.Bpe
+        .train(s, docs, "text", TextQueries.bpeMergeRounds)
+      val enc = graft.operators.Bpe
+        .encode(s, docs.filter(col("doc_id") < 120), "doc_id", "text", model)
+      val perDoc = enc.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("tok"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("token_id")))),
+            e => e.getField("token_id").cast("string")), ",").as("_ids"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val packed = graft.operators.Packing
+        .packByBudget(perDoc, col("source"), col("doc_id"), col("tok"),
+          budget = 512)
+      packed.groupBy(col("source"), col("_pack").as("pack"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("bpe_tokens"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("doc_id"), col("_ids")))),
+            e => e.getField("_ids")), ",")).as("ids_md5"))
+        .orderBy("source", "pack")
+    },
+    Some(s"""WITH ${TextQueries.bpeTrainCtes(TextQueries.bpeMergeRounds)},
+      docw AS MATERIALIZED (
+        SELECT d.doc_id, wi.i AS widx, d.ws[wi.i] AS word
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE doc_id < 120) d,
+             LATERAL (SELECT unnest(generate_series(1, len(d.ws))) AS i) wi
+        WHERE regexp_matches(d.ws[wi.i], '^[a-z0-9]+$$')),
+      alpha AS MATERIALIZED (
+        SELECT DISTINCT substring(word, gi.i, 1) AS sym
+        FROM w, LATERAL (SELECT unnest(generate_series(1, length(word)))
+                         AS i) gi),
+      vocab AS MATERIALIZED (
+        SELECT sym AS token,
+          CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS token_id
+        FROM alpha
+        UNION ALL
+        SELECT m.lhs || m.rhs,
+          (SELECT count(*) FROM alpha) + m.rank - 1
+        FROM (${TextQueries.bpeMergeUnion(TextQueries.bpeMergeRounds)}) m),
+      enc AS MATERIALIZED (
+        SELECT dw.doc_id, dw.widx, st.state
+        FROM docw dw JOIN s${TextQueries.bpeMergeRounds} st
+          ON st.word = dw.word),
+      toks AS MATERIALIZED (
+        SELECT t.doc_id, t.widx, tj.j, v.token_id
+        FROM (SELECT doc_id, widx,
+                string_split(substring(state, 2, length(state) - 2), '  ')
+                  AS syms
+              FROM enc) t,
+             LATERAL (SELECT unnest(generate_series(1, len(t.syms))) AS j) tj
+        JOIN vocab v ON v.token = t.syms[tj.j]),
+      perdoc AS MATERIALIZED (
+        SELECT t.doc_id, d.source,
+          CAST(count(*) AS BIGINT) AS tok,
+          string_agg(CAST(t.token_id AS VARCHAR), ','
+            ORDER BY t.widx, t.j) AS ids
+        FROM toks t JOIN documents d USING (doc_id)
+        GROUP BY t.doc_id, d.source),
+      c AS (
+        SELECT *, coalesce(sum(tok) OVER (PARTITION BY source
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) AS before
+        FROM perdoc),
+      pk AS (
+        SELECT source, CAST(floor(before / 512.0) AS BIGINT) AS pack,
+          doc_id, tok, ids
+        FROM c)
+      SELECT source, pack, count(*) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS bpe_tokens,
+        md5(string_agg(ids, ',' ORDER BY doc_id)) AS ids_md5
+      FROM pk GROUP BY source, pack ORDER BY source, pack"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
       s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-      s27, s28, s29, s30)
+      s27, s28, s29, s30, s31)
 }

@@ -1392,11 +1392,11 @@ object TextQueries {
   // rule): count adjacent symbol pairs freq-weighted over the
   // word-TYPE table, pick argmax under the total (cnt DESC, lhs, rhs)
   // order, apply as one literal replace over the space-wrapped state.
-  private val bpeMergeRounds = 24
+  private[queries] val bpeMergeRounds = 24
 
   /** Unrolled training CTEs `w, s0, p1, b1, s1, …, p_R, b_R, s_R` —
     * shared by the t34 and t35 oracles. */
-  private def bpeTrainCtes(r: Int): String = {
+  private[queries] def bpeTrainCtes(r: Int): String = {
     val step = (k: Int) => s"""
       p$k AS MATERIALIZED (
         SELECT lhs, rhs, sum(freq) AS cnt FROM (
@@ -1425,7 +1425,7 @@ object TextQueries {
         FROM w),""" + (1 to r).map(step).mkString(",")
   }
 
-  private def bpeMergeUnion(r: Int): String =
+  private[queries] def bpeMergeUnion(r: Int): String =
     (1 to r).map(k =>
       s"SELECT $k AS rank, lhs, rhs, cnt FROM b$k").mkString(" UNION ALL ")
 
