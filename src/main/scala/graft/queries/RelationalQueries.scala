@@ -2463,7 +2463,8 @@ object RelationalQueries {
   // --- q69: HITS hubs & authorities over a richer link graph ---------
   // The complementary link-quality signal to q68's PageRank: hub and
   // authority scores from [[graft.operators.GraphOps.hits]] (L1
-  // normalization — every intermediate is a ratio of plain sums, no
+  // normalization FOLDED out of the loop since r13 — iterations run
+  // unnormalized, the read-time divide is a ratio of plain sums, no
   // sqrt, so the 6 iterations SQL-replay exactly like q68's). The
   // graph here is a different closed form (mod-293 residues, three
   // out-link rules keyed on doc_id % 3) so the two graph queries
