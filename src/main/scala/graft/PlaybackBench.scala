@@ -76,7 +76,15 @@ object PlaybackBench {
     * means per-core speed during THIS phase was ~R× degraded. This is
     * what closes the r9–r12 agg8 attribution gap: the bracketing
     * [[hostSentinel]] can read quiet while the contention arrives and
-    * leaves entirely INSIDE a phase. */
+    * leaves entirely INSIDE a phase.
+    *
+    * Interpretation note: during a phase that saturates all cores BY
+    * DESIGN (the 8-stream agg8 measurement), the probe also slows on
+    * the engine's OWN load — so agg8's probe_factor is a round-over-
+    * round comparability signal (same engine, same phase: a jump =
+    * co-tenants), not an absolute quietness claim. Single-stream and
+    * query phases leave most cores idle, so for them probe_factor ≈
+    * co-tenant contention directly. */
   final case class PhaseStats(samples: Int, loadMin: Double,
       loadMean: Double, loadMax: Double, probeMedSec: Double,
       probeMaxSec: Double) {
