@@ -1496,8 +1496,58 @@ object TextQueries {
       FROM toks t JOIN vocab v ON v.token = t.token
       ORDER BY doc_id, pos"""))
 
+  // --- t36: REAL BPE fertility per source ------------------------------
+  // t30's number with the stand-in removed: tokens-per-word from the
+  // ACTUAL trained tokenizer (t34's model) instead of the regex
+  // pre-tokenizer — the sequence-length planning figure as a training
+  // run would really see it. Encode is the t35 map-side chain over
+  // the WHOLE corpus; the aggregate is one narrow source-keyed pass.
+  // Exact integer ppm (floor division, both engines).
+  private val t36 = GraftQuery(
+    "t36_bpe_fertility",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = graft.operators.Bpe.train(s, docs, "text", bpeMergeRounds)
+      val enc = graft.operators.Bpe.encode(s, docs, "doc_id", "text", model)
+      enc.groupBy(col("doc_id")).agg(count(lit(1)).as("_bpe"))
+        .join(docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("_w")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_w")).as("word_tokens"),
+          sum(col("_bpe")).as("bpe_tokens"))
+        .withColumn("fertility_ppm",
+          expr("(bpe_tokens * 1000000) DIV word_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH ${bpeTrainCtes(bpeMergeRounds)},
+      docw AS MATERIALIZED (
+        SELECT d.doc_id, d.ws[wi.i] AS word
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, len(d.ws))) AS i) wi
+        WHERE regexp_matches(d.ws[wi.i], '^[a-z0-9]+$$')),
+      enc AS MATERIALIZED (
+        SELECT dw.doc_id,
+          len(string_split(substring(st.state, 2, length(st.state) - 2),
+            '  ')) AS ntok
+        FROM docw dw JOIN s$bpeMergeRounds st ON st.word = dw.word),
+      perdoc AS (
+        SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS bpe FROM enc
+        GROUP BY doc_id)
+      SELECT d.source, count(*) AS n_docs,
+        CAST(sum(len(string_split_regex(trim(d.text), '\\s+'))) AS BIGINT)
+          AS word_tokens,
+        CAST(sum(p.bpe) AS BIGINT) AS bpe_tokens,
+        (CAST(sum(p.bpe) AS BIGINT) * 1000000)
+          // CAST(sum(len(string_split_regex(trim(d.text), '\\s+'))) AS BIGINT)
+          AS fertility_ppm
+      FROM perdoc p JOIN documents d USING (doc_id)
+      GROUP BY d.source ORDER BY d.source"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-      t27, t28, t29, t30, t31, t32, t33, t34, t35)
+      t27, t28, t29, t30, t31, t32, t33, t34, t35, t36)
 }
