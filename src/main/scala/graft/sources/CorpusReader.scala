@@ -15,12 +15,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *   - schemas are EXPLICIT — no inference pass (Spark's JSON schema
   *     inference is a full extra scan of the corpus);
   *   - compression is handled by the text datasource per file, so
-  *     mixed directories read transparently: .gz and .bz2 work
-  *     everywhere (both have pure-Java codecs — round-trip-pinned in
-  *     CorpusReaderSpec); .zst additionally requires a native
-  *     libhadoop+zstd at runtime (absent in this build environment,
-  *     so it is NOT pinned here — deployments with the native lib get
-  *     it through the same per-extension codec dispatch);
+  *     mixed directories read transparently: .gz, .bz2 AND .zst work
+  *     everywhere with NO native libhadoop — gz/bz2 through Hadoop's
+  *     own pure-Java codecs, .zst through airlift's pure-Java zstd
+  *     decoder (`io.airlift.compress.zstd.ZstdCodec`, shipped in
+  *     Spark's own classpath), registered per session by
+  *     [[ensureZstdCodec]] and cross-validated in CorpusReaderSpec
+  *     against the INDEPENDENT zstd-jni encoder;
   *   - `doc_id` is the md5 of the normalized content — content-
   *     addressed and engine-portable (the same id on re-ingest, on any
   *     cluster size, and reproducible by the SQL oracles' md5), which
@@ -29,6 +30,27 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 object CorpusReader {
 
   private val canonical = Seq("doc_id", "text", "lang", "source")
+
+  /** Registers the pure-Java zstd Hadoop codec for `.zst` files —
+    * airlift's `ZstdCodec` (already on Spark's classpath; no native
+    * libhadoop) — in the session's Hadoop configuration. Setting
+    * `io.compression.codecs` REPLACES Hadoop's default codec list, so
+    * the defaults the other readers rely on (gzip, bzip2, deflate) are
+    * restated explicitly; the airlift codec comes LAST so its `.zst`
+    * extension mapping wins over any native-backed default. Idempotent
+    * and cheap — every reader calls it. */
+  def ensureZstdCodec(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val zc = classOf[io.airlift.compress.zstd.ZstdCodec].getName
+    val codecs = Seq(
+      "org.apache.hadoop.io.compress.DefaultCodec",
+      "org.apache.hadoop.io.compress.GzipCodec",
+      "org.apache.hadoop.io.compress.BZip2Codec",
+      "org.apache.hadoop.io.compress.DeflateCodec",
+      zc).mkString(",")
+    if (conf.get("io.compression.codecs") != codecs)
+      conf.set("io.compression.codecs", codecs)
+  }
 
   // Collapse-THEN-trim: trim only strips spaces (both Spark and
   // DuckDB), so trim-first would leave a trailing '\n' — e.g. the one
@@ -56,6 +78,7 @@ object CorpusReader {
     * JSONL). */
   def readCsv(spark: SparkSession, path: String,
       recursive: Boolean = false): DataFrame = {
+    ensureZstdCodec(spark)
     val schema = StructType(Seq(
       StructField("text", StringType),
       StructField("lang", StringType),
@@ -95,6 +118,7 @@ object CorpusReader {
       StructField(textField, StringType),
       StructField(langField, StringType),
       StructField(sourceField, StringType)))
+    ensureZstdCodec(spark)
     // Recursive concrete-root listing for sharded layouts (shard=K/
     // dirs): same rationale as [[readTextFiles]] — a wildcard in the
     // path trips a FileStreamSink metadata probe stack trace.
@@ -140,6 +164,7 @@ object CorpusReader {
       StructField(textField, StringType),
       StructField(langField, StringType),
       StructField(sourceField, StringType)))
+    ensureZstdCodec(spark)
     val raw = spark.readStream.schema(schema).option("mode", "FAILFAST")
       .options(options).json(path)
     normalizeJsonl(raw, "readJsonlStream", textField, langField,
@@ -170,6 +195,7 @@ object CorpusReader {
     * Blank lines drop (they carry no document). */
   def readTextLines(spark: SparkSession, dir: String,
       lang: String = "und"): DataFrame = {
+    ensureZstdCodec(spark)
     val raw = spark.read.text(dir)
       .filter(length(trim(col("value"))) > 0)
       .select(col("value").as("text"),

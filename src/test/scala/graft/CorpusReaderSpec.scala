@@ -20,6 +20,15 @@ class CorpusReaderSpec extends SparkSpec {
     out.write(content.getBytes("UTF-8")); out.close()
   }
 
+  private def writeZst(path: String, content: String): Unit = {
+    // zstd-jni's encoder — an implementation INDEPENDENT of the
+    // airlift pure-Java decoder the reader dispatches to, so this
+    // round trip cross-validates the two against each other
+    val out = new com.github.luben.zstd.ZstdOutputStream(
+      Files.newOutputStream(Paths.get(path)))
+    out.write(content.getBytes("UTF-8")); out.close()
+  }
+
   private def writeBz2(path: String, content: String): Unit = {
     // Hadoop's BZip2Codec (pure-Java path, no native lib needed) —
     // the same codec the text datasource dispatches to on read
@@ -41,6 +50,9 @@ class CorpusReaderSpec extends SparkSpec {
     writeBz2(s"$dir/c.jsonl.bz2",
       """{"text":"iota kappa lambda","lang":"el","source":"wiki"}
         |""".stripMargin)
+    writeZst(s"$dir/d.jsonl.zst",
+      """{"text":"mu nu xi","lang":"de","source":"news"}
+        |""".stripMargin)
     val docs = CorpusReader.readJsonl(spark, dir)
     assert(docs.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
     val rows = docs.select("text", "lang", "source")
@@ -49,7 +61,8 @@ class CorpusReaderSpec extends SparkSpec {
       ("alpha beta gamma", "en", "web"),
       ("delta epsilon", "und", "unknown"), // defaults, not nulls
       ("zeta eta theta", "fr", "books"),
-      ("iota kappa lambda", "el", "wiki"))) // bz2: pure-Java codec path
+      ("iota kappa lambda", "el", "wiki"), // bz2: pure-Java codec path
+      ("mu nu xi", "de", "news"))) // zst: airlift pure-Java decoder
     // content-addressed id: md5 of the normalized text, the same key
     // TextAnalysis.fingerprint computes — dedup composes directly
     val ids = docs.select("doc_id", "text").as[(String, String)].collect()
