@@ -95,7 +95,8 @@ object Bpe {
     * capacity Σ(|word|−1) over types) — a silent early stop would
     * diverge from the oracle's fixed unroll, so running dry throws. */
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
-      numMerges: Int): Model = {
+      numMerges: Int, checkpointEvery: Int = 8): Model = {
+    require(checkpointEvery >= 1, "checkpointEvery >= 1")
     val words = wordFreqs(docs, textCol).localCheckpoint()
     val alphabet = words
       .select(explode(split(col("word"), "")).as("sym"))
@@ -116,9 +117,18 @@ object Bpe {
       val (l, r, c) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((l, r, c))
+      // Unlike the graph loops, the loop-carried state here is a PURE
+      // PROJECTION (a chain of literal replaces over the checkpointed
+      // type table) — no joins, no shuffles — so re-computing a few
+      // chained replaces per round is cheaper than a materialization
+      // round-trip per merge. Checkpoint every `checkpointEvery`
+      // merges instead: plan depth stays bounded, per-round map work
+      // stays O(checkpointEvery), and the per-merge barrier is the
+      // (unavoidable) best-pair collect alone. Values are unaffected —
+      // checkpoint placement never changes the arithmetic.
       states = IterTrace.record("bpe_merge",
         states.withColumn("state", applyMerge(col("state"), l, r)))
-        .localCheckpoint()
+      if (rank % checkpointEvery == 0) states = states.localCheckpoint()
       rank += 1
     }
     Model(alphabet, merges.result())
