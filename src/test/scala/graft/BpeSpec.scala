@@ -90,4 +90,71 @@ class BpeSpec extends SparkSpec {
       Bpe.train(spark, docs, "text", 2)
     }
   }
+
+  test("property: distributed train+encode == an independent in-memory reference") {
+    import spark.implicits._
+    // the reference works on SYMBOL VECTORS (never the string-replace
+    // representation the operator uses), so a representation bug —
+    // separator ambiguity, overlap handling, tie order — diverges
+    def applyRef(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2 // leftmost-first, non-overlapping
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def trainRef(freqs: Map[String, Long], maxMerges: Int)
+        : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+      var states = freqs.map { case (w, f) =>
+        w -> w.map(_.toString).toVector }
+      val merges = Seq.newBuilder[(String, String, Long)]
+      var done = false
+      var k = 0
+      while (k < maxMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, syms) <- states; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + freqs(w)
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.head
+          merges += ((l, r, c))
+          states = states.map { case (w, s) => w -> applyRef(s, l, r) }
+          k += 1
+        }
+      }
+      (merges.result(), states.toMap)
+    }
+
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 10) {
+      // tiny alphabet forces repeated pairs, count ties, and
+      // within-word overlaps ("aaa") — the adversarial shapes
+      val nWords = 4 + rnd.nextInt(10)
+      val words = Seq.fill(nWords)(
+        (1 to (1 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString)
+      val corpus = Seq.fill(3)(rnd.shuffle(words).mkString(" "))
+      val freqs = corpus.flatMap(_.split("\\s+")).groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+      val (refMerges, refStates) = trainRef(freqs, 6)
+      val m = Bpe.train(spark, corpus.toDF("text"), "text", refMerges.size)
+      assert(m.merges == refMerges, s"trial $trial merges")
+      // encode of every word type equals the reference segmentation
+      val enc = Bpe.encode(spark,
+          freqs.keys.toSeq.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+            .toDF("id", "text"), "id", "text", m)
+        .orderBy("id", "pos").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toVector)
+      val byId = freqs.keys.toSeq.zipWithIndex
+        .map { case (w, i) => i.toLong -> w }.toMap
+      for ((id, toks) <- enc)
+        assert(toks == refStates(byId(id)), s"trial $trial word ${byId(id)}")
+    }
+  }
 }
