@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
   * minhash equi-join, three map-side filters, one broadcast ratio
   * table, one per-source window. Document text shuffles exactly
   * twice (the exact-dedup window and the final pack — both on
-  * fixed-width keys), never in the candidate joins. */
+  * fixed-width keys), never in the candidate joins. The flip side of
+  * zero materialization barriers is repeated SOURCE SCANS (each stage
+  * referencing the doc frame re-reads the pruned parquet — 12 scans
+  * in the audited plan): cheap here and pushdown-pruned, and the
+  * right default when scans are cheaper than staging; a pipeline over
+  * an expensive source would localCheckpoint the post-exact-dedup
+  * survivor frame and keep everything downstream identical. */
 object PipelineQueries {
 
   private val stop = TextAnalysis.defaultStopwords

@@ -986,44 +986,62 @@ object RelationalQueries {
       // floor division, not DIV (truncation): pre-1970 timestamps have
       // negative micros, and the oracle's `//` floors — subtracting
       // pmod first makes the integer division exact floor on both signs
+      // bucket means in EXACT e-6 integer units (the q21 migration
+      // class, caught by the r13 sf1 parity sweep: `round(avg(value),
+      // 4)` over a float sum flips at round boundaries once buckets
+      // hold enough summands for the ulp dice to land on one; values
+      // are exact cents, so the mean is an exact integer ratio and
+      // round-half-away in pure integers matches on any engine)
       val means = ev(s, d)
         .select(col("event_type"),
           expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $bucketUs))" +
-            s" DIV $bucketUs").as("b"), col("value"))
+            s" DIV $bucketUs").as("b"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("_v2"))
         .groupBy("event_type", "b")
-        .agg(round(avg("value"), 4).as("v_obs"))
+        .agg(sum(col("_v2")).as("_s"), count(lit(1)).as("_n"))
+        .withColumn("v_obs_e6", expr(
+          "CASE WHEN _s >= 0 THEN (_s * 20000 + _n) DIV (2 * _n)" +
+            " ELSE -((-_s * 20000 + _n) DIV (2 * _n)) END"))
+        .select(col("event_type"), col("b"), col("v_obs_e6"))
       val grid = means.groupBy("event_type")
         .agg(min("b").as("b0"), max("b").as("b1"))
         .select(col("event_type"), explode(sequence(col("b0"), col("b1"))).as("b"))
       val w = Window.partitionBy("event_type").orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(means, Seq("event_type", "b"), "left")
-        .withColumn("value_locf", last(col("v_obs"), ignoreNulls = true).over(w))
+        .withColumn("value_locf_e6",
+          last(col("v_obs_e6"), ignoreNulls = true).over(w))
         .select(col("event_type"),
           date_format(timestamp_micros(col("b") * lit(bucketUs)),
             "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
-          col("value_locf"),
-          col("v_obs").isNotNull.cast("int").as("observed"))
+          col("value_locf_e6"),
+          col("v_obs_e6").isNotNull.cast("int").as("observed"))
         .orderBy("event_type", "bucket_start")
     },
     Some("""WITH means AS (
         SELECT event_type, epoch_us(ts) // 900000000 AS b,
-          round(avg(value), 4) AS v_obs
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+          count(*) AS n
         FROM events GROUP BY 1, 2),
+      m2 AS (
+        SELECT event_type, b,
+          CAST(CASE WHEN s >= 0 THEN (s * 20000 + n) // (2 * n)
+            ELSE -((-s * 20000 + n) // (2 * n)) END AS BIGINT) AS v_obs_e6
+        FROM means),
       bounds AS (
-        SELECT event_type, min(b) AS b0, max(b) AS b1 FROM means GROUP BY 1),
+        SELECT event_type, min(b) AS b0, max(b) AS b1 FROM m2 GROUP BY 1),
       grid AS (
         SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM bounds),
       j AS (
-        SELECT g.event_type, g.b, m.v_obs FROM grid g
-        LEFT JOIN means m ON m.event_type = g.event_type AND m.b = g.b)
+        SELECT g.event_type, g.b, m.v_obs_e6 FROM grid g
+        LEFT JOIN m2 m ON m.event_type = g.event_type AND m.b = g.b)
       SELECT event_type,
         strftime(make_timestamp(b * 900000000), '%Y-%m-%d %H:%M:%S')
           AS bucket_start,
-        last_value(v_obs IGNORE NULLS) OVER (
+        last_value(v_obs_e6 IGNORE NULLS) OVER (
           PARTITION BY event_type ORDER BY b
-          ROWS UNBOUNDED PRECEDING) AS value_locf,
-        CAST(v_obs IS NOT NULL AS INT) AS observed
+          ROWS UNBOUNDED PRECEDING) AS value_locf_e6,
+        CAST(v_obs_e6 IS NOT NULL AS INT) AS observed
       FROM j ORDER BY event_type, bucket_start"""))
 
   // --- q38: event-type transition matrix (first-order Markov counts)
@@ -1401,46 +1419,71 @@ object RelationalQueries {
 
   // --- q48: rolling z-score anomaly flags -----------------------------
   // Streaming-style outlier detection done relationally: each event is
-  // scored against the mean/std of its type's previous 20 events
-  // (population variance via avg/avg-of-squares — identical formula on
-  // both engines), flagged when the 6-dp-rounded |z| clears the
-  // threshold. Thresholding on the ROUNDED score keeps the cut
-  // deterministic across engines. One shuffle (the per-type window);
-  // at scale the partition key is (type, coarse time bucket) to bound
-  // partition width — here types are few and bounded.
+  // scored against the mean/std of its type's previous 20 events,
+  // flagged when the 6-dp-rounded |z| clears the threshold. One
+  // shuffle (the per-type window); at scale the partition key is
+  // (type, coarse time bucket) to bound partition width — here types
+  // are few and bounded.
+  //
+  // The whole score runs in EXACT integer arithmetic (two catches by
+  // the r13 sf1 parity sweep): (1) the float form `avg(x²) − avg(x)²`
+  // cancels catastrophically on near-constant windows, where
+  // engine-side sum ordering turned ±1 ulp of noise into fabricated
+  // |z| ≈ 16,000 rows that diverged across engines — with x in exact
+  // cents an exactly-constant window now yields variance 0 and drops;
+  // (2) even bit-identical z = N/√V hits the engine-defined round
+  // boundary whenever V is a PERFECT SQUARE (z is then a terminating
+  // decimal that can end in 5 at the round digit — one sf1 row did).
+  // So the gate carries sign(z) and z² = N²/V — an exact integer
+  // ratio — in round-half-away e-6 units, and the |z| > 2.5 cut
+  // becomes the exact integer comparison z² > 6.25e6. Per-term bound:
+  // 2·N²·10⁶ ≤ 2.6e18 at this corpus's ≤$560 values (int64 holds to
+  // ~$21k cents; a wider value domain routes the product through
+  // DECIMAL(38,0), the q01 treatment).
   private val q48 = GraftQuery(
     "q48_rolling_zscore",
     (s, d) => {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
       ev(s, d)
+        .withColumn("_x2", expr("CAST(round(value * 100) AS BIGINT)"))
         .withColumn("_n", count(lit(1)).over(w))
-        .withColumn("_m", avg(col("value")).over(w))
-        .withColumn("_m2", avg(col("value") * col("value")).over(w))
+        .withColumn("_s1", sum(col("_x2")).over(w))
+        .withColumn("_s2", sum(col("_x2") * col("_x2")).over(w))
         .filter(col("_n") >= 10)
-        .withColumn("_sd", sqrt(greatest(col("_m2") - col("_m") * col("_m"), lit(0.0))))
-        .filter(col("_sd") > 0)
-        .withColumn("z", round((col("value") - col("_m")) / col("_sd"), 6))
-        .filter(abs(col("z")) > 2.5)
+        .withColumn("_varnum", col("_n") * col("_s2") - col("_s1") * col("_s1"))
+        .filter(col("_varnum") > 0)
+        .withColumn("_nn", col("_x2") * col("_n") - col("_s1"))
+        .withColumn("z_sign", signum(col("_nn")).cast("int"))
+        .withColumn("z2_e6", expr(
+          "(2 * _nn * _nn * 1000000 + _varnum) DIV (2 * _varnum)"))
+        .filter(col("z2_e6") > 6250000L)
         .select(col("event_type"), col("event_id"), round(col("value"), 4).as("value"),
-          col("z"))
+          col("z_sign"), col("z2_e6"))
         .orderBy("event_type", "event_id")
     },
-    Some("""WITH scored AS (
-        SELECT event_type, event_id, value,
+    Some("""WITH e2 AS (
+        SELECT event_type, event_id, ts, value,
+          CAST(round(value * 100) AS BIGINT) AS x2
+        FROM events),
+      scored AS (
+        SELECT event_type, event_id, value, x2,
           count(*) OVER w AS n,
-          avg(value) OVER w AS m,
-          avg(value * value) OVER w AS m2
-        FROM events
+          CAST(sum(x2) OVER w AS BIGINT) AS s1,
+          CAST(sum(x2 * x2) OVER w AS BIGINT) AS s2
+        FROM e2
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
       z AS (
         SELECT event_type, event_id, value,
-          round((value - m) / sqrt(greatest(m2 - m * m, 0)), 6) AS z
+          CAST(sign(x2 * n - s1) AS INT) AS z_sign,
+          CAST((2 * (x2 * n - s1) * (x2 * n - s1) * 1000000
+              + (n * s2 - s1 * s1)) // (2 * (n * s2 - s1 * s1))
+            AS BIGINT) AS z2_e6
         FROM scored
-        WHERE n >= 10 AND sqrt(greatest(m2 - m * m, 0)) > 0)
-      SELECT event_type, event_id, round(value, 4) AS value, z
-      FROM z WHERE abs(z) > 2.5
+        WHERE n >= 10 AND n * s2 - s1 * s1 > 0)
+      SELECT event_type, event_id, round(value, 4) AS value, z_sign, z2_e6
+      FROM z WHERE z2_e6 > 6250000
       ORDER BY event_type, event_id"""),
     bench = true)
 

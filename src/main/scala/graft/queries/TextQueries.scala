@@ -586,7 +586,13 @@ object TextQueries {
   // standard corpus-scale approximations — sentences ≈ runs of
   // terminal punctuation (min 1), syllables ≈ vowel-group count per
   // doc. Pure row-local regexp counting, no shuffle beyond the final
-  // sort; the formula's two ratios divide as doubles on both engines.
+  // sort. The score goes out in EXACT e-4 integer units (the q21
+  // migration class, caught by the r13 sf1 parity sweep): Flesch over
+  // small integer counts lands on terminating decimals — (W,S,Y) =
+  // (96,1,147) gives exactly −20.14875, a half at digit 5 where
+  // `round(x, 4)` is engine-defined. 10⁴·flesch = (2068350·S·W −
+  // 10150·W² − 846000·Y·S) / (S·W) is an exact integer ratio;
+  // round-half-away in pure integers matches on any engine.
   private val t19 = GraftQuery(
     "t19_readability",
     (s, d) => {
@@ -599,21 +605,33 @@ object TextQueries {
         .select(col("doc_id"),
           words.cast("long").as("n_words"),
           sentences.cast("long").as("n_sentences"),
-          syllables.cast("long").as("n_syllables"),
-          round(lit(206.835) - lit(1.015) * words / sentences
-            - lit(84.6) * syllables / words, 4).as("flesch"))
+          syllables.cast("long").as("n_syllables"))
+        .withColumn("_num", expr(
+          "2068350 * n_sentences * n_words - 10150 * n_words * n_words" +
+            " - 846000 * n_syllables * n_sentences"))
+        .withColumn("_den", expr("n_sentences * n_words"))
+        .withColumn("flesch_e4", expr(
+          "CASE WHEN _num >= 0 THEN (2 * _num + _den) DIV (2 * _den)" +
+            " ELSE -((2 * -_num + _den) DIV (2 * _den)) END"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("flesch_e4"))
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id,
-        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
-        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
-        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
-        round(206.835
-          - 1.015 * len(string_split_regex(trim(text), '\s+'))
-              / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
-          - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
-              / len(string_split_regex(trim(text), '\s+')), 4) AS flesch
-      FROM documents ORDER BY doc_id"""))
+    Some("""WITH f AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+          CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+        FROM documents),
+      n AS (
+        SELECT doc_id, w, s, y,
+          2068350 * s * w - 10150 * w * w - 846000 * y * s AS num,
+          s * w AS den
+        FROM f)
+      SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+        CAST(CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+          ELSE -((2 * -num + den) // (2 * den)) END AS BIGINT) AS flesch_e4
+      FROM n ORDER BY doc_id"""))
 
   // --- t20: out-of-vocabulary rate vs the corpus top-1k vocab ---------
   // Tokenizer-coverage audit: build the corpus' top-1000 word

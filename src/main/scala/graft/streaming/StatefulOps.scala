@@ -739,11 +739,12 @@ object StatefulOps {
         })
   }
 
-  final case class ZFlag(key: String, eventId: Long, value: Double, z: Double)
+  final case class ZFlag(key: String, eventId: Long, value: Double,
+    zSign: Int, z2e6: Long)
   /** Rolling-window state for [[streamingZscore]]: the last <= `window`
-    * values in event order plus the latest event time (public: the
-    * codegen'd state serializer instantiates it). */
-  final case class ZWindow(values: Seq[Double], lastTs: Long)
+    * values in event order AS EXACT CENTS plus the latest event time
+    * (public: the codegen'd state serializer instantiates it). */
+  final case class ZWindow(values: Seq[Long], lastTs: Long)
 
   private def roundHalfUp(v: Double, scale: Int): Double =
     BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -752,9 +753,13 @@ object StatefulOps {
     * the batch q48: each event is scored against the mean/std of the
     * PREVIOUS `window` values for its key (strictly-before frame, the
     * batch kernel's ROWS -20..-1), flagged when the warm-up (`minN`
-    * prior values) is met, the std is positive, and |z| > `threshold`.
-    * `z` is rounded HALF_UP to 6 decimals and `value` to 4, matching
-    * the batch kernel's `round()` so the two paths compare exactly.
+    * prior values) is met and the EXACT window variance is positive.
+    * The score ships as the batch kernel's r13 exact-integer form —
+    * zSign plus z² in round-half-away e-6 units over exact cents
+    * (z² = (x·n − Σx)² / (n·Σx² − (Σx)²), an exact integer ratio) —
+    * and the cut |z| > threshold becomes z2e6 > threshold²·10⁶, so the
+    * two paths compare exactly with no float variance cancellation
+    * and no engine-defined rounding anywhere.
     * State per key is a bounded ring of `window` doubles — O(window),
     * never O(stream). Same in-batch (ts, event_id) ordering contract
     * as [[streamingScd2]]; the mean/std are re-summed oldest→newest
@@ -791,24 +796,27 @@ object StatefulOps {
             Iterator.empty
           } else {
             val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.eventId))
-            var buf = if (gs.exists) gs.get.values.toVector else Vector.empty[Double]
+            var buf = if (gs.exists) gs.get.values.toVector else Vector.empty[Long]
             var lastTs = if (gs.exists) gs.get.lastTs else Long.MinValue
             val out = Seq.newBuilder[ZFlag]
+            val cut = math.round(threshold * threshold * 1e6)
             sorted.foreach { r =>
               lastTs = math.max(lastTs, r.tsMicros)
-              val n = buf.length
+              val x2 = math.round(r.value * 100)
+              val n = buf.length.toLong
               if (n >= minN) {
-                var s = 0.0; var s2 = 0.0
-                buf.foreach { v => s += v; s2 += v * v }
-                val m = s / n
-                val sd = math.sqrt(math.max(s2 / n - m * m, 0.0))
-                if (sd > 0) {
-                  val z = roundHalfUp((r.value - m) / sd, 6)
-                  if (math.abs(z) > threshold)
-                    out += ZFlag(key, r.eventId, roundHalfUp(r.value, 4), z)
+                var s1 = 0L; var s2 = 0L
+                buf.foreach { v => s1 += v; s2 += v * v }
+                val varnum = n * s2 - s1 * s1
+                if (varnum > 0) {
+                  val nn = x2 * n - s1
+                  val z2e6 = (2 * nn * nn * 1000000L + varnum) / (2 * varnum)
+                  if (z2e6 > cut)
+                    out += ZFlag(key, r.eventId, roundHalfUp(r.value, 4),
+                      java.lang.Long.signum(nn), z2e6)
                 }
               }
-              buf = (buf :+ r.value).takeRight(window)
+              buf = (buf :+ x2).takeRight(window)
             }
             gs.update(ZWindow(buf, lastTs))
             if (lastTs != Long.MinValue)

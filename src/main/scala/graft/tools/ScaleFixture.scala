@@ -63,8 +63,27 @@ object ScaleFixture {
           d.withColumn(c, col(c) + lit(k * s)) }
       }.reduce(_ unionByName _)
 
-    def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // single FILE per table (ReshapeFixture's flatten): the DuckDB
+    // selfcheck oracle reads `<dir>/<table>.parquet` as one file, like
+    // the driver's testdata; Spark reads either layout
+    def write(df: DataFrame, t: String): Unit = {
+      val tmp = s"$out/_stage_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val stage = java.nio.file.Paths.get(tmp)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dest = java.nio.file.Paths.get(s"$out/$t.parquet")
+      if (java.nio.file.Files.isDirectory(dest)) {
+        java.nio.file.Files.walk(dest).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } else java.nio.file.Files.deleteIfExists(dest)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.list(stage).iterator().asScala.toSeq
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(stage)
+    }
 
     // dimensions the queries pin by literal: pass through
     write(read("region"), "region")

@@ -696,28 +696,31 @@ class StatefulOpsSpec extends SparkSpec {
       (warm.grouped(12).toSeq ++ Seq(spikes)).foreach { b =>
         input.addData(b); q.processAllAvailable()
       }
-      val got = spark.sql("SELECT key, eventId, value, z FROM zs")
-        .as[(String, Long, Double, Double)].collect()
-        .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
-      // replay the exact batch-kernel arithmetic locally
+      val got = spark.sql("SELECT key, eventId, value, zSign, z2e6 FROM zs")
+        .as[(String, Long, Double, Int, Long)].collect()
+        .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+      // replay the exact batch-kernel integer arithmetic locally
       val all = (warm ++ spikes).groupBy(_.key)
       val want = all.flatMap { case (k, rows) =>
         val sorted = rows.sortBy(r => (r.tsMicros, r.eventId)).toVector
         sorted.indices.flatMap { i =>
-          val frame = sorted.slice(math.max(0, i - 20), i).map(_.value)
-          val n = frame.length
+          val frame = sorted.slice(math.max(0, i - 20), i)
+            .map(r => math.round(r.value * 100))
+          val n = frame.length.toLong
           if (n < 10) None
           else {
-            val m = frame.sum / n
-            val sd = math.sqrt(math.max(
-              frame.map(v => v * v).sum / n - m * m, 0.0))
-            if (sd <= 0) None
+            val s1 = frame.sum
+            val s2 = frame.map(v => v * v).sum
+            val varnum = n * s2 - s1 * s1
+            if (varnum <= 0) None
             else {
-              val z = BigDecimal((sorted(i).value - m) / sd)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (math.abs(z) > 2.5)
+              val x2 = math.round(sorted(i).value * 100)
+              val nn = x2 * n - s1
+              val z2e6 = (2 * nn * nn * 1000000L + varnum) / (2 * varnum)
+              if (z2e6 > 6250000L)
                 Some((k, sorted(i).eventId) -> ((BigDecimal(sorted(i).value)
-                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, z)))
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+                  java.lang.Long.signum(nn), z2e6)))
               else None
             }
           }
