@@ -130,19 +130,28 @@ object RelationalQueries {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        // exact e-4 integer revenue (q01's pc/d2 pattern; r13 sf1
+        // lesson): price*(1-disc) is a 4-decimal true value, so
+        // round(float-sum, 2) sits ON a rounding boundary whenever the
+        // true value ends in .xx50 - and the top-50 ORDER itself was
+        // ulp-sensitive at the cut; exact integers settle both
+        .agg(sum((expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .cast("decimal(38,0)")).cast("long").as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))
         .limit(50)
     },
     Some("""SELECT l_orderkey,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        AS revenue_e4
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
       AND c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l_orderkey
-    ORDER BY revenue DESC, l_orderkey
+    ORDER BY revenue_e4 DESC, l_orderkey
     LIMIT 50"""),
     bench = true)
 
@@ -183,11 +192,16 @@ object RelationalQueries {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // exact e-4 integer revenue (see q03)
+        .agg(sum((expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .cast("decimal(38,0)")).cast("long").as("revenue_e4"))
         .orderBy("n_name")
     },
     Some("""SELECT n_name,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        AS revenue_e4
     FROM lineitem, orders, customer, supplier, nation, region
     WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       AND o_custkey = c_custkey AND c_nationkey = s_nationkey
@@ -208,8 +222,11 @@ object RelationalQueries {
             col("l_shipdate") < ts("1997-01-01 00:00:00") &&
             col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
             col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
-    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        .agg(sum((expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            expr("CAST(round(l_discount * 100) AS BIGINT)"))
+            .cast("decimal(38,0)")).cast("long").as("revenue_e4")), // exact e-4 (see q03)
+    Some("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -1352,36 +1369,44 @@ object RelationalQueries {
       val o = Tables(s, d, "orders")
       val c = Tables(s, d, "customer")
       val n = Tables(s, d, "nation")
+      // per-nation revenue in exact e-4 integers (see q03): the
+      // absolute column hashes as an integer, and the share ratios
+      // divide IDENTICAL exact ints on both engines, so the only
+      // remaining round() risk is the measure-zero exact-boundary case
       val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("_rev"))
+        .agg(sum((expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .cast("decimal(38,0)")).cast("long").as("_rev"))
       val wAll = Window.partitionBy()
       val wRun = Window.orderBy(col("_rev").desc, col("n_name"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       rev
         .withColumn("_tot", sum(col("_rev")).over(wAll))
         .select(col("n_name"),
-          round(col("_rev"), 2).as("revenue"),
-          round(col("_rev") / col("_tot"), 6).as("share"),
-          round(sum(col("_rev")).over(wRun) / col("_tot"), 6)
+          col("_rev").as("revenue_e4"),
+          round(col("_rev").cast("double") / col("_tot"), 6).as("share"),
+          round(sum(col("_rev")).over(wRun).cast("double") / col("_tot"), 6)
             .as("running_share"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .orderBy(col("revenue_e4").desc, col("n_name"))
     },
     Some("""WITH rev AS (
-        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS r
+        SELECT n_name,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS r
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name)
-      SELECT n_name, round(r, 2) AS revenue,
-        round(r / sum(r) OVER (), 6) AS share,
-        round(sum(r) OVER (ORDER BY r DESC, n_name
-            ROWS UNBOUNDED PRECEDING) / sum(r) OVER (), 6) AS running_share
-      FROM rev ORDER BY revenue DESC, n_name"""))
+      SELECT n_name, r AS revenue_e4,
+        round(CAST(r AS DOUBLE) / CAST(sum(r) OVER () AS DOUBLE), 6) AS share,
+        round(CAST(sum(r) OVER (ORDER BY r DESC, n_name
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+          / CAST(sum(r) OVER () AS DOUBLE), 6) AS running_share
+      FROM rev ORDER BY revenue_e4 DESC, n_name"""))
 
   // --- q47: ranking-function parity in one frame ----------------------
   // rank / dense_rank / percent_rank / cume_dist over a DELIBERATELY
@@ -1583,10 +1608,19 @@ object RelationalQueries {
             col("l_discount"), col("l_tax")),
           variableColumnName = "measure",
           valueColumnName = "value")
+        // exact integer units (the q21/r13-sf1 migration class): all
+        // four measures are 2-decimal-quantized, so float sum/avg +
+        // round is one corpus-size increase away from an
+        // engine-defined boundary; totals ship as exact cents (through
+        // DECIMAL(38,0) so 100 TB overflows loudly) and means as
+        // round-half-away e-6 integers
+        .withColumn("_v2", expr("CAST(round(value * 100) AS BIGINT)"))
         .groupBy(col("measure"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 2).as("total"),
-          round(avg(col("value")), 6).as("mean"))
+          sum(col("_v2").cast("decimal(38,0)")).cast("long").as("total_c"))
+        .withColumn("mean_e6",
+          expr("(total_c * 20000 + n) DIV (2 * n)"))
+        .select(col("measure"), col("n"), col("total_c"), col("mean_e6"))
         .orderBy("measure")
     },
     Some("""WITH long AS (
@@ -1600,11 +1634,15 @@ object RelationalQueries {
           FROM lineitem WHERE l_linenumber = 1
         UNION ALL
         SELECT l_orderkey, 'l_tax', l_tax
-          FROM lineitem WHERE l_linenumber = 1)
+          FROM lineitem WHERE l_linenumber = 1),
+      c2 AS (
+        SELECT measure, CAST(round(value * 100) AS BIGINT) AS v2
+        FROM long)
       SELECT measure, count(*) AS n,
-        round(CAST(sum(value) AS DOUBLE), 2) AS total,
-        round(CAST(avg(value) AS DOUBLE), 6) AS mean
-      FROM long GROUP BY measure ORDER BY measure"""))
+        CAST(sum(v2) AS BIGINT) AS total_c,
+        (CAST(sum(v2) AS BIGINT) * 20000 + count(*)) // (2 * count(*))
+          AS mean_e6
+      FROM c2 GROUP BY measure ORDER BY measure"""))
 
   // --- q52: per-type daily OHLC (time-series candle aggregation) -------
   // The telemetry roll-up a metrics store serves: for each
