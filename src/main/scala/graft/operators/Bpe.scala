@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *     `^[a-z0-9]+$` (makes every symbol SQL-literal-safe and keeps
   *     the two-space separator representation unambiguous; the corpus
   *     tables are lowercase words, so nothing real is dropped — a
-  *     production vocabulary would widen the class and the machinery
-  *     is unchanged);
+  *     production vocabulary would widen the character class, which
+  *     changes only the regex and the alphabet size);
   *   - training operates on the word-TYPE table (word, freq) — the
   *     classic BPE formulation — so corpus-sized work is exactly ONE
   *     (word)-keyed aggregate up front; every merge round touches only
@@ -30,16 +30,43 @@ import org.apache.spark.sql.functions._
   *     creates adjacencies only WITH its new symbol (never between two
   *     older symbols), and no earlier merge's operands can equal a
   *     later merge's output, so no earlier pattern ever reappears.
-  *     Encoding is therefore a stateless chain of `numMerges` literal
-  *     replaces — one whole-stage-codegen'd projection, no joins, no
-  *     shuffles, no state.
+  *     Encoding any word is therefore a stateless chain of `numMerges`
+  *     literal replaces — no joins, no shuffles, no state.
+  *
+  * SCALE, honestly, per axis (the vocabulary axis is a tokenizer's
+  * defining one — gated at 512 merges over a ≥5k-type fixture by
+  * t39/t40, not just the 24-merge documents gate t34/t35):
+  *   - encode plan depth: one expression chaining ALL merges breaks
+  *     past a few hundred (whole-stage-codegen's 64 KB method limit,
+  *     then the analyzer). [[encode]] therefore applies merges in
+  *     chunks of `chunkEvery` with a `localCheckpoint` between chunks
+  *     — and pays the chain once per word TYPE, not per token: the
+  *     chunked fold runs over the distinct-word table (vocabulary-
+  *     sized, so each checkpoint materializes kilobytes–megabytes, not
+  *     the corpus), then one broadcast join maps corpus words to their
+  *     segmentation. Plan depth is O(chunkEvery); values are provably
+  *     unchanged (checkpoint placement never changes the arithmetic).
+  *   - train barriers: greedy BPE is inherently sequential — one
+  *     argmax per merge, so [[train]] is `numMerges` Spark jobs each
+  *     ending in a 1-row collect (the model-parameter pattern). That
+  *     constant is MEASURED (evidence/bpe_scale_r14.json: wall vs
+  *     merge count at 64/128/256/512). At a production 32k–64k vocab
+  *     the scheduling alone is hours, so the production path is
+  *     [[trainCutoff]]: ONE corpus aggregate, keep the top `maxTypes`
+  *     word types under the total (freq DESC, word) order, train
+  *     locally on that bounded table ([[trainLocal]], property-pinned
+  *     equal to the distributed trainer), broadcast the model. The
+  *     cutoff changes the trained model iff a cut type would have
+  *     contributed to some round's winning pair — the standard
+  *     corpus-frequency-threshold tradeoff every production tokenizer
+  *     makes, here with a deterministic boundary.
   *
   * 100 TB shape: train = one corpus aggregate + R vocabulary-sized
   * rounds (each one narrow groupBy on fixed-width pair keys + a 1-row
-  * driver collect — the IvfIndex centroid pattern: model parameters,
-  * not data, cross the driver); encode = map-side projection with the
-  * merge table as plan literals + one broadcast vocab join for ids.
-  * The per-round body is plan-audited via [[IterTrace]] ("bpe_merge").
+  * driver collect); encode = chunked type-table fold + broadcast
+  * joins — corpus text never shuffles. The per-round train body is
+  * plan-audited via [[IterTrace]] ("bpe_merge"), the per-chunk encode
+  * body via "bpe_encode_chunk".
   */
 object Bpe {
 
@@ -50,10 +77,19 @@ object Bpe {
       merges: Seq[(String, String, Long)]) {
     require(alphabet == alphabet.sorted && alphabet.distinct == alphabet,
       "alphabet must be sorted and distinct")
-    def vocab: Seq[(String, Long)] =
-      alphabet.zipWithIndex.map { case (s, i) => (s, i.toLong) } ++
+
+    /** Token-id table. Two merges CAN concatenate to the same surface
+      * string (e.g. (a,bc) after (ab,c) both yield "abc"); the table
+      * keeps the SMALLEST id per token string so `vocab` stays a
+      * FUNCTION — encode's id join emits exactly one row per token,
+      * and the SQL oracles dedup identically (min(token_id) GROUP BY
+      * token). */
+    def vocab: Seq[(String, Long)] = {
+      val raw = alphabet.zipWithIndex.map { case (s, i) => (s, i.toLong) } ++
         merges.zipWithIndex.map { case ((l, r, _), i) =>
           (l + r, (alphabet.size + i).toLong) }
+      raw.groupMapReduce(_._1)(_._2)(math.min).toSeq.sortBy(_._2)
+    }
   }
 
   /** Word-type table (word, freq) over the whitespace pre-tokens that
@@ -93,7 +129,9 @@ object Bpe {
     * operator. Requires the corpus to still have at least one adjacent
     * pair at every round (i.e. `numMerges` below the corpus's merge
     * capacity Σ(|word|−1) over types) — a silent early stop would
-    * diverge from the oracle's fixed unroll, so running dry throws. */
+    * diverge from the oracle's fixed unroll, so running dry throws.
+    * Sequential by nature (see the object doc's train-barriers note);
+    * [[trainCutoff]] is the bounded-driver-table production variant. */
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
       numMerges: Int, checkpointEvery: Int = 8): Model = {
     require(checkpointEvery >= 1, "checkpointEvery >= 1")
@@ -134,35 +172,135 @@ object Bpe {
     Model(alphabet, merges.result())
   }
 
+  /** Greedy BPE over an in-memory type table — the exact same total
+    * order and leftmost-first application as [[train]] (BpeSpec pins
+    * the two equal on the gated fixtures). Pure Scala: `numMerges`
+    * rounds over `types.size` symbol vectors, no Spark jobs. */
+  def trainLocal(types: Seq[(String, Long)], numMerges: Int): Model = {
+    require(types.nonEmpty, "empty type table")
+    val alphabet =
+      types.flatMap(_._1.split("")).filter(_.nonEmpty).distinct.sorted
+    var states = types.toVector.map { case (w, f) =>
+      (w.split("").filter(_.nonEmpty).toVector, f) }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var rank = 1
+    while (rank <= numMerges) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      states.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      require(counts.nonEmpty,
+        s"BPE ran out of pairs at merge $rank/$numMerges — corpus too " +
+          "small for the requested vocabulary")
+      // argmax under (cnt DESC, lhs ASC, rhs ASC) — String compareTo is
+      // the same binary order Spark/DuckDB use on [a-z0-9] symbols
+      val ((l, r), c) = counts.minBy { case ((pl, pr), pc) =>
+        (-pc, pl, pr) }
+      merges += ((l, r, c))
+      states = states.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2 // leftmost-first non-overlapping
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      rank += 1
+    }
+    Model(alphabet, merges.result())
+  }
+
+  /** Production-scale training: ONE corpus aggregate, keep the top
+    * `maxTypes` word types under the total (freq DESC, word ASC)
+    * order, train locally on the bounded survivor table. At 32k–64k
+    * merges the distributed trainer's one-job-per-merge scheduling is
+    * hours of pure barriers; this path makes training driver-local
+    * over a few-MB table while the corpus-sized work stays exactly one
+    * Spark aggregate. The cutoff is part of the model's definition: a
+    * cut type's pair counts no longer vote, so models coincide with
+    * [[train]] exactly when `maxTypes` covers every type (pinned in
+    * BpeSpec) and diverge only the standard frequency-threshold way
+    * otherwise. */
+  def trainCutoff(spark: SparkSession, docs: DataFrame, textCol: String,
+      numMerges: Int, maxTypes: Int): Model = {
+    require(maxTypes >= 1, "maxTypes >= 1")
+    val types = wordFreqs(docs, textCol)
+      .orderBy(desc("freq"), col("word")).limit(maxTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainLocal(types, numMerges)
+  }
+
   /** Segmentation state of ANY word under the trained merges — a
     * stateless chain of literal replaces in rank order (the fixpoint
-    * argument in the object doc): pure map-side, fully codegen'd. */
+    * argument in the object doc): pure map-side, fully codegen'd.
+    * Plan-depth warning: fine to a few hundred merges; past that use
+    * [[encode]]'s chunked type-table path. */
   def encodeState(word: Column, model: Model): Column =
     model.merges.foldLeft(initialState(word)) {
       case (acc, (l, r, _)) => applyMerge(acc, l, r) }
 
   /** Encode documents to token-id sequences: (id, pos, token,
     * token_id), pos = 0-based position over the doc's whole token
-    * stream. Scale shape: split → per-word encode chain (map-side) →
-    * posexplode → one BROADCAST join against the ≤|vocab| id table;
-    * the only window is per-document (never global). Pre-tokens
-    * outside the `[a-z0-9]+` contract are dropped exactly as training
-    * dropped them. */
+    * stream. Pre-tokens outside the `[a-z0-9]+` contract are dropped
+    * exactly as training dropped them; a CONTRACT-PASSING word whose
+    * segmentation contains a symbol missing from the trained vocab
+    * (i.e. a character never seen in training) fails LOUDLY via
+    * `raise_error` — silently dropping symbols while positions stay
+    * dense would shorten token streams with no signal.
+    *
+    * Scale shape: ≤ `chunkEvery` merges inline as one codegen'd
+    * replace chain (zero extra stages); above that the chain is paid
+    * once per word TYPE — distinct words → chunked fold with a
+    * `localCheckpoint` every `chunkEvery` merges (type-table-sized
+    * materializations, plan depth O(chunkEvery)) → broadcast join back
+    * to corpus words. Then posexplode + one broadcast vocab join for
+    * ids; the only window is per-document (never global). */
   def encode(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, model: Model): DataFrame = {
+      textCol: String, model: Model, chunkEvery: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(chunkEvery >= 1, "chunkEvery >= 1")
     val vocabDf = spark.createDataFrame(model.vocab)
       .toDF("token", "token_id")
     val w = Window.partitionBy(col(idCol)).orderBy(col("widx"), col("j"))
-    docs
+    val words = docs
       .select(col(idCol),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("widx", "word")))
       .filter(col("word").rlike("^[a-z0-9]+$"))
-      .withColumn("_st", encodeState(col("word"), model))
+    val staged =
+      if (model.merges.size <= chunkEvery)
+        words.withColumn("_st", encodeState(col("word"), model))
+      else {
+        var types = words.select(col("word")).distinct()
+          .withColumn("_st", initialState(col("word")))
+          .localCheckpoint()
+        model.merges.grouped(chunkEvery).foreach { chunk =>
+          types = IterTrace.record("bpe_encode_chunk",
+            types.withColumn("_st",
+              chunk.foldLeft(col("_st")) { case (acc, (l, r, _)) =>
+                applyMerge(acc, l, r) }))
+            .localCheckpoint()
+        }
+        words.join(broadcast(types), Seq("word"))
+      }
+    staged
       .select(col(idCol), col("widx"),
         posexplode(split(expr("substring(_st, 2, length(_st) - 2)"), "  "))
           .as(Seq("j", "token")))
-      .join(broadcast(vocabDf), Seq("token"))
+      .join(broadcast(vocabDf), Seq("token"), "left")
+      .withColumn("token_id",
+        when(col("token_id").isNull,
+          raise_error(concat(
+            lit("Bpe.encode: symbol outside the trained vocabulary: '"),
+            col("token"), lit("'"))))
+          .otherwise(col("token_id")))
       .withColumn("pos", row_number().over(w).cast("long") - 1)
       .select(col(idCol), col("pos"), col("token"), col("token_id"))
   }

@@ -84,11 +84,23 @@ object Sampling {
     * the aggregate form (which is now defined on top of this one). */
   def tokenBudgetMixFilter(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame =
+    tokenBudgetMixFilterCounted(docs, idCol,
+      TextAnalysis.tokenCount(col(textCol)).cast("long"),
+      sourceCol, weights, budgetTokens)
+
+  /** [[tokenBudgetMixFilter]] with the token counter INJECTED — `tok`
+    * is whatever counter the pipeline budgets in (the whitespace
+    * default above, or REAL subword counts from [[Bpe.encode]] as in
+    * the c02 composition gate). Same float-op sequence, same deviate,
+    * same broadcast-ratio shape; the budget just changes units with
+    * the counter. */
+  def tokenBudgetMixFilterCounted(docs: DataFrame, idCol: String,
+      tok: Column, sourceCol: String, weights: Map[String, Double],
       budgetTokens: Long): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ >= 0),
       "mixture weights must be non-negative")
-    val base = docs
-      .withColumn("_tok", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    val base = docs.withColumn("_tok", tok)
     val wMap = map(weights.toSeq.flatMap {
       case (k, v) => Seq(lit(k), lit(v))
     }: _*)

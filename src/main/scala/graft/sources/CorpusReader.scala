@@ -35,21 +35,23 @@ object CorpusReader {
     * airlift's `ZstdCodec` (already on Spark's classpath; no native
     * libhadoop) — in the session's Hadoop configuration. Setting
     * `io.compression.codecs` REPLACES Hadoop's default codec list, so
-    * the defaults the other readers rely on (gzip, bzip2, deflate) are
-    * restated explicitly; the airlift codec comes LAST so its `.zst`
-    * extension mapping wins over any native-backed default. Idempotent
-    * and cheap — every reader calls it. */
+    * the new list is the session's CURRENT EFFECTIVE list (whatever
+    * `CompressionCodecFactory` resolves — explicit config or the
+    * ServiceLoader defaults, Snappy/Lz4/native-zstd included) with the
+    * airlift codec appended LAST, so its `.zst` extension mapping wins
+    * over any native-backed default while every other extension keeps
+    * decompressing exactly as before. Idempotent and cheap — every
+    * reader calls it. */
   def ensureZstdCodec(spark: SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val zc = classOf[io.airlift.compress.zstd.ZstdCodec].getName
-    val codecs = Seq(
-      "org.apache.hadoop.io.compress.DefaultCodec",
-      "org.apache.hadoop.io.compress.GzipCodec",
-      "org.apache.hadoop.io.compress.BZip2Codec",
-      "org.apache.hadoop.io.compress.DeflateCodec",
-      zc).mkString(",")
-    if (conf.get("io.compression.codecs") != codecs)
-      conf.set("io.compression.codecs", codecs)
+    val zc = classOf[io.airlift.compress.zstd.ZstdCodec]
+    import scala.jdk.CollectionConverters._
+    val effective = org.apache.hadoop.io.compress.CompressionCodecFactory
+      .getCodecClasses(conf).asScala.toSeq
+    val want = (effective.filterNot(_ == zc) :+ zc).map(_.getName)
+      .mkString(",")
+    if (conf.get("io.compression.codecs") != want)
+      conf.set("io.compression.codecs", want)
   }
 
   // Collapse-THEN-trim: trim only strips spaces (both Spark and

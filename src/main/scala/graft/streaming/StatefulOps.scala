@@ -743,7 +743,15 @@ object StatefulOps {
     zSign: Int, z2e6: Long)
   /** Rolling-window state for [[streamingZscore]]: the last <= `window`
     * values in event order AS EXACT CENTS plus the latest event time
-    * (public: the codegen'd state serializer instantiates it). */
+    * (public: the codegen'd state serializer instantiates it).
+    *
+    * STATE-SCHEMA BREAK (r13): `values` changed `Seq[Double]` (dollars)
+    * → `Seq[Long]` (exact cents), and [[ZFlag]]'s output schema changed
+    * with it (`z` → `zSign`/`z2e6`). A streaming checkpoint written
+    * before that change is NOT resumable against this operator — Spark
+    * would deserialize the old state bytes into the new encoder layout
+    * (failing, or worse, silently misreading doubles as cents). Restart
+    * pre-r13 queries from a FRESH checkpoint directory. */
   final case class ZWindow(values: Seq[Long], lastTs: Long)
 
   private def roundHalfUp(v: Double, scale: Int): Double =
@@ -805,12 +813,23 @@ object StatefulOps {
               val x2 = math.round(r.value * 100)
               val n = buf.length.toLong
               if (n >= minN) {
+                // Exact-integer kernel with LOUD overflow: the batch
+                // query escapes int64 through DECIMAL(38,0); this
+                // generic operator instead fails with ArithmeticException
+                // the moment deviation·window leaves the int64 domain
+                // (|x·n − Σx| ≳ 2.1e6 cents) rather than silently
+                // wrapping into wrong/dropped flags.
+                import java.lang.Math.{addExact, multiplyExact, subtractExact}
                 var s1 = 0L; var s2 = 0L
-                buf.foreach { v => s1 += v; s2 += v * v }
-                val varnum = n * s2 - s1 * s1
+                buf.foreach { v =>
+                  s1 = addExact(s1, v); s2 = addExact(s2, multiplyExact(v, v)) }
+                val varnum =
+                  subtractExact(multiplyExact(n, s2), multiplyExact(s1, s1))
                 if (varnum > 0) {
-                  val nn = x2 * n - s1
-                  val z2e6 = (2 * nn * nn * 1000000L + varnum) / (2 * varnum)
+                  val nn = subtractExact(multiplyExact(x2, n), s1)
+                  val z2e6 = addExact(
+                    multiplyExact(2000000L, multiplyExact(nn, nn)),
+                    varnum) / (2 * varnum)
                   if (z2e6 > cut)
                     out += ZFlag(key, r.eventId, roundHalfUp(r.value, 4),
                       java.lang.Long.signum(nn), z2e6)

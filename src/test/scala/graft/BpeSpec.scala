@@ -157,4 +157,63 @@ class BpeSpec extends SparkSpec {
         assert(toks == refStates(byId(id)), s"trial $trial word ${byId(id)}")
     }
   }
+
+  test("trainLocal == distributed train (the production cutoff path's core)") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist = Bpe.train(spark, docs, "text", 24)
+    val types = Bpe.wordFreqs(docs, "text").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(Bpe.trainLocal(types, 24) == dist)
+  }
+
+  test("trainCutoff covering every type == train; a real cutoff re-votes") {
+    import spark.implicits._
+    val docs = Seq("aa aa aa ab ab zz zz zz zz").toDF("text")
+    // full coverage: identical to the distributed trainer
+    assert(Bpe.trainCutoff(spark, docs, "text", 2, maxTypes = Int.MaxValue) ==
+      Bpe.train(spark, docs, "text", 2))
+    // cutoff to the top-2 types under (freq DESC, word): zz(4), aa(3) —
+    // 'ab' no longer votes, and 'b' leaves the alphabet entirely
+    val cut = Bpe.trainCutoff(spark, docs, "text", 2, maxTypes = 2)
+    assert(cut.alphabet == Seq("a", "z"))
+    assert(cut.merges.map(t => (t._1, t._2, t._3)) ==
+      Seq(("z", "z", 4L), ("a", "a", 3L)))
+  }
+
+  test("chunked encode (merges > chunkEvery) == the inline expression chain") {
+    import spark.implicits._
+    val docs = Seq("low low low lower lowest slow slower glow")
+      .toDF("text").withColumn("id", lit(1L))
+    val m = Bpe.train(spark, docs, "text", 8)
+    def runs(chunk: Int) = Bpe.encode(spark, docs, "id", "text", m,
+        chunkEvery = chunk)
+      .orderBy("pos").select("pos", "token", "token_id").collect().toSeq
+    assert(runs(2) == runs(100)) // type-table chunk path vs inline chain
+    assert(runs(3) == runs(100)) // chunk boundary not aligned to merges
+  }
+
+  test("vocab keeps the smallest id when two merges make the same string") {
+    // (b,c)→bc, (a,b)→ab, (ab,c)→abc, (a,bc)→abc: "abc" minted twice;
+    // vocab must stay a FUNCTION — min id wins (what the oracles'
+    // min(token_id) GROUP BY token replays)
+    val m = Bpe.Model(Seq("a", "b", "c"),
+      Seq(("b", "c", 9L), ("a", "b", 8L), ("ab", "c", 7L), ("a", "bc", 6L)))
+    val v = m.vocab.toMap
+    assert(m.vocab.size == 6) // 3 alphabet + ab + bc + ONE abc
+    assert(v("abc") == 5L) // rank-3 merge (id 5), not rank-4 (id 6)
+  }
+
+  test("encode fails loudly on a character never seen in training") {
+    import spark.implicits._
+    val m = Bpe.train(spark, Seq("abc abc").toDF("text"), "text", 1)
+    val ex = intercept[Exception] {
+      Bpe.encode(spark, Seq((1L, "xyz")).toDF("id", "text"),
+        "id", "text", m).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("outside the trained vocabulary")))
+  }
 }
