@@ -126,8 +126,15 @@ object Bench {
         assert(graft.operators.OpCaches.trackedCount == 0,
           s"$name left tracked operator caches behind")
       }
-    val (measured, queriesPhase) =
-      PlaybackBench.sampledPhase(measure(names, once))
+    // the queries phase samples PER QUERY: mark() tags the sampler with
+    // the query about to run (outside its timed region), so every bench
+    // entry carries its own contention evidence instead of the phase
+    // pool's (r13 verdict item 3)
+    val qSampler = new PlaybackBench.PhaseSampler()
+    val measured =
+      try measure(names, once, beforeEach = qSampler.mark)
+      finally ()
+    val queriesPhase = qSampler.stop()
 
     println(renderJson(measured, playbackRps, playbackAgg8, sfDir,
       probes = Seq(probe0, probe1, probe2),
@@ -135,8 +142,46 @@ object Bench {
       stopInterrupts = PlaybackBench.stopInterrupts.get,
       taskFailed = taskFailed.get, taskKilled = taskKilled.get,
       phases = Seq("playback" -> playbackPhase, "agg8" -> agg8Phase,
-        "queries" -> queriesPhase)))
+        "queries" -> queriesPhase),
+      queryContention = qSampler.labelStats,
+      prior = loadPriorBench()))
     spark.stop()
+  }
+
+  /** Previous round's per-query seconds, for in-band regression
+    * annotation: GRAFT_PRIOR_BENCH names the JSON explicitly, else the
+    * highest-numbered BENCH_r*.json in the working directory (where
+    * the driver runs). Absent/unparseable → empty map, no annotation. */
+  def loadPriorBench(): Map[String, Double] = {
+    val path = sys.env.get("GRAFT_PRIOR_BENCH").orElse {
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName.replaceAll("\\D", "").toInt)
+        .lastOption.map(_.getPath)
+    }
+    path.flatMap { p =>
+      try Some(parsePriorQueries(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)))))
+      catch { case _: Throwable => None }
+    }.getOrElse(Map.empty)
+  }
+
+  /** Minimal extraction of `"queries":{"name":sec,...}` from a prior
+    * bench JSON line (no JSON lib in the runtime classpath — the shape
+    * is this main's own output). */
+  def parsePriorQueries(json: String): Map[String, Double] = {
+    val m = java.util.regex.Pattern.compile("\"queries\":\\{(.*?)\\}")
+      .matcher(json)
+    if (!m.find()) Map.empty
+    else {
+      val pair = java.util.regex.Pattern
+        .compile("\"([A-Za-z0-9_]+)\":(-?[0-9.]+)")
+      val it = pair.matcher(m.group(1))
+      val out = Map.newBuilder[String, Double]
+      while (it.find()) out += (it.group(1) -> it.group(2).toDouble)
+      out.result()
+    }
   }
 
   /** One query's bench outcome: best wall time over the sample rounds
@@ -151,11 +196,14 @@ object Bench {
     * Pure harness logic, separated from SparkSession wiring so the
     * failure-accounting contract is unit-testable (BenchHarnessSpec). */
   def measure(names: Seq[String], once: String => Long,
-      rounds: Int = 3): Seq[(String, QueryResult)] = {
-    val rowCounts = names.map(n => n -> once(n)).toMap // warmup pass
+      rounds: Int = 3,
+      beforeEach: String => Unit = _ => ()): Seq[(String, QueryResult)] = {
+    val rowCounts = names.map { n =>
+      beforeEach(n); n -> once(n) }.toMap // warmup pass
     val best = scala.collection.mutable.Map.empty[String, Double]
     val broken = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to rounds; name <- names) {
+      beforeEach(name) // un-timed: sampler mark (~8 ms probe)
       val t0 = System.nanoTime()
       val rc = once(name)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -179,7 +227,9 @@ object Bench {
       sentinels: Seq[PlaybackBench.HostSentinel] = Nil,
       stopInterrupts: Long = 0L,
       taskFailed: Long = 0L, taskKilled: Long = 0L,
-      phases: Seq[(String, PlaybackBench.PhaseStats)] = Nil): String = {
+      phases: Seq[(String, PlaybackBench.PhaseStats)] = Nil,
+      queryContention: Map[String, PlaybackBench.PhaseStats] = Map.empty,
+      prior: Map[String, Double] = Map.empty): String = {
     val qs = results.map { case (k, r) => "\"" + k + f"""":${r.sec}%.3f""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, r) if r.failed => "\"" + k + "\"" }
@@ -208,6 +258,23 @@ object Bench {
     val phaseJson = phases
       .map { case (k, p) => "\"" + k + "\":" + p.json }
       .mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"host_probe_sec":$probeJson,"host_noise_factor":$noise%.2f,"host_sentinel":$sentJson,"host_scaling_ratio":$worstScaling%.2f,"phase_contention":$phaseJson,"playback_stop_interrupts":$stopInterrupts,"task_failed":$taskFailed,"task_killed":$taskKilled,"sf":"$sfDir"}"""
+    // per-QUERY contention: the samples taken while each bench entry
+    // was the one running (mark-at-start + periodic ticks), so a
+    // single-query outlier carries its own window's evidence
+    val qcJson = results.flatMap { case (k, _) =>
+      queryContention.get(k).map(p => "\"" + k + "\":" + p.json) }
+      .mkString("{", ",", "}")
+    // in-band round-over-round annotation: every successful query
+    // >1.3× its prior-round seconds, with ITS contention factor next
+    // to the ratio — a regression under probe_factor ~1 is an engine
+    // change; under 2+ it's the window
+    val regressions = results.collect {
+      case (k, r) if !r.failed && prior.get(k).exists(p =>
+          p > 0 && r.sec / p > 1.3) =>
+        val pf = queryContention.get(k).map(_.probeFactor).getOrElse(-1.0)
+        val lm = queryContention.get(k).map(_.loadMean).getOrElse(-1.0)
+        f"""{"query":"$k","prev_sec":${prior(k)}%.3f,"sec":${r.sec}%.3f,"ratio":${r.sec / prior(k)}%.2f,"probe_factor":$pf%.2f,"loadavg_mean":$lm%.2f}"""
+    }.mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"host_probe_sec":$probeJson,"host_noise_factor":$noise%.2f,"host_sentinel":$sentJson,"host_scaling_ratio":$worstScaling%.2f,"phase_contention":$phaseJson,"query_contention":$qcJson,"regressions":$regressions,"playback_stop_interrupts":$stopInterrupts,"task_failed":$taskFailed,"task_killed":$taskKilled,"sf":"$sfDir"}"""
   }
 }

@@ -101,10 +101,29 @@ object PlaybackBench {
   final class PhaseSampler(periodMs: Long = 1000L) {
     private val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
     private val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // per-LABEL buckets (r13 verdict: the phase pool couldn't attribute
+    // a single-query outlier like v34's 1.69× — now every bench entry
+    // carries the samples taken while IT was the one running)
+    private val byLabel = scala.collection.mutable.LinkedHashMap
+      .empty[String, (scala.collection.mutable.ArrayBuffer[Double],
+                      scala.collection.mutable.ArrayBuffer[Double])]
+    @volatile private var label: String = ""
+    private def bucket(l: String) = byLabel.getOrElseUpdate(l,
+      (scala.collection.mutable.ArrayBuffer.empty[Double],
+        scala.collection.mutable.ArrayBuffer.empty[Double]))
+    private def record(l: String, ld: Double, p: Double): Unit =
+      synchronized {
+        loads += ld
+        if (p >= 0) probes += p
+        if (l.nonEmpty) {
+          val b = bucket(l)
+          b._1 += ld
+          if (p >= 0) b._2 += p
+        }
+      }
     // tick 0 runs SYNCHRONOUSLY before the thread starts, so even a
     // phase that returns in microseconds carries one reading
-    loads += readLoadAvg()
-    probes += miniProbe()
+    record(label, readLoadAvg(), miniProbe())
     @volatile private var running = true
     private val t = new Thread(() => {
       var tick = 1
@@ -112,12 +131,8 @@ object PlaybackBench {
         try Thread.sleep(periodMs)
         catch { case _: InterruptedException => () }
         if (running) {
-          val l = readLoadAvg()
-          PhaseSampler.this.synchronized { loads += l }
-          if (tick % 2 == 0) {
-            val p = miniProbe()
-            PhaseSampler.this.synchronized { probes += p }
-          }
+          record(label, readLoadAvg(),
+            if (tick % 2 == 0) miniProbe() else -1.0)
           tick += 1
         }
       }
@@ -126,20 +141,39 @@ object PlaybackBench {
     t.setName("graft-phase-sampler")
     t.start()
 
+    /** Tag subsequent ticks with `l` and take one synchronous
+      * loadavg+probe sample under it NOW — a sub-second query would
+      * otherwise fall between ticks and carry no reading. Call this
+      * OUTSIDE the timed region (the ~8 ms probe must not be billed
+      * to the query). */
+    def mark(l: String): Unit = {
+      label = l
+      record(l, readLoadAvg(), miniProbe())
+    }
+
+    private def fold(ls0: Seq[Double], ps0: Seq[Double]): PhaseStats = {
+      val ls = ls0.sorted
+      val ps = ps0.sorted
+      PhaseStats(ls.size,
+        if (ls.isEmpty) -1.0 else ls.head,
+        if (ls.isEmpty) -1.0 else ls.sum / ls.size,
+        if (ls.isEmpty) -1.0 else ls.last,
+        if (ps.isEmpty) -1.0 else ps(ps.size / 2),
+        if (ps.isEmpty) -1.0 else ps.last)
+    }
+
     def stop(): PhaseStats = {
       running = false
       t.interrupt()
       t.join(3000)
-      this.synchronized {
-        val ls = loads.toSeq.sorted
-        val ps = probes.toSeq.sorted
-        PhaseStats(ls.size,
-          if (ls.isEmpty) -1.0 else ls.head,
-          if (ls.isEmpty) -1.0 else ls.sum / ls.size,
-          if (ls.isEmpty) -1.0 else ls.last,
-          if (ps.isEmpty) -1.0 else ps(ps.size / 2),
-          if (ps.isEmpty) -1.0 else ps.last)
-      }
+      this.synchronized { fold(loads.toSeq, probes.toSeq) }
+    }
+
+    /** Per-label stats (call after [[stop]]): all samples taken while
+      * that label was current, across every round it ran in. */
+    def labelStats: Map[String, PhaseStats] = this.synchronized {
+      byLabel.map { case (k, (ls, ps)) =>
+        k -> fold(ls.toSeq, ps.toSeq) }.toMap
     }
   }
 

@@ -97,4 +97,45 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(json.contains(""""probe_med_sec":"""), json)
     assert(json.count(_ == '{') == json.count(_ == '}'), json)
   }
+
+  test("per-query contention buckets: marked samples land on their query") {
+    val s = new PlaybackBench.PhaseSampler()
+    s.mark("q_one"); s.mark("q_one"); s.mark("q_two")
+    s.stop()
+    val by = s.labelStats
+    assert(by.keySet == Set("q_one", "q_two"), by)
+    assert(by("q_one").samples >= 2, by)
+    assert(by("q_two").samples >= 1, by)
+    assert(by("q_two").probeFactor > 0, by)
+    val json = Bench.renderJson(
+      Seq("q_one" -> Bench.QueryResult(1.0, 5L),
+        "q_two" -> Bench.QueryResult(2.0, 5L)),
+      -1.0, -1.0, "/tmp/sf", queryContention = by)
+    assert(json.contains(""""query_contention":{"q_one":{"""), json)
+    assert(json.count(_ == '{') == json.count(_ == '}'), json)
+  }
+
+  test("measure calls beforeEach outside the timed region, every pass") {
+    val marks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r = Bench.measure(Seq("a", "b"),
+      once = _ => 1L, rounds = 3, beforeEach = marks += _)
+    assert(r.forall(!_._2.failed))
+    assert(marks.count(_ == "a") == 4 && marks.count(_ == "b") == 4) // warmup + 3
+  }
+
+  test("prior-round regression annotation: ratio > 1.3 only, with its window") {
+    val prior = Bench.parsePriorQueries(
+      """{"metric":"total","queries":{"fast":0.500,"slow":1.000,"gone":2.0},"sf":"x"}""")
+    assert(prior == Map("fast" -> 0.5, "slow" -> 1.0, "gone" -> 2.0))
+    val json = Bench.renderJson(
+      Seq("fast" -> Bench.QueryResult(0.55, 5L), // 1.1× — quiet
+        "slow" -> Bench.QueryResult(1.70, 5L), // 1.7× — annotated
+        "fresh" -> Bench.QueryResult(9.0, 5L)), // no prior — skipped
+      -1.0, -1.0, "/tmp/sf", prior = prior)
+    assert(json.contains(""""regressions":[{"query":"slow""""), json)
+    assert(json.contains(""""ratio":1.70""") || json.contains(""""ratio":1.7"""), json)
+    assert(!json.contains("\"query\":\"fast\""), json)
+    assert(!json.contains("\"query\":\"fresh\""), json)
+    assert(json.count(_ == '{') == json.count(_ == '}'), json)
+  }
 }
