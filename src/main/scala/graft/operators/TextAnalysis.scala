@@ -500,4 +500,93 @@ object TextAnalysis {
           sum(col("_pb") * log(col("_pb") / col("_m"))) * 0.5,
         6).as("js_div"))
   }
+
+  /** Kneser–Ney-smoothed bigram scorer — the production upgrade of the
+    * add-k model ([[bigramLmScore]]): absolute discount with the
+    * EXACT-RATIONAL d = 3/4, continuation probability from bigram-type
+    * counts. Every probability is then a ratio of integers,
+    *
+    *   P(w|v) = [max(4·c(vw)−3, 0)·B + 3·N1+(v·)·N1+(·w)]
+    *            / [4·c(v·)·B]
+    *
+    * (B = distinct bigram types in train), so the per-bigram score
+    * ships as the exact integer `floor(10⁶·num/den)` and the per-doc
+    * sum is exact — SQL-replayable with no float variance anywhere
+    * (the q48 lesson applied from the start). Scoring contract: a doc
+    * bigram is scored iff its context v AND continuation w were both
+    * seen in train (c(v·) > 0 and N1+(·w) > 0) — there is no unigram
+    * back-off level in a bigram-only model, so out-of-model bigrams
+    * are skipped rather than given an arbitrary floor; `n_bigrams`
+    * counts what was scored. Int64 domain: num·10⁶ ≤ 7·T²·10⁶ for T
+    * train tokens — exact to T ≈ 3·10⁷ per train corpus, far past any
+    * single reference shard; beyond that widen to DECIMAL(38,0) (the
+    * q01 escape hatch).
+    *
+    * Scale shape: one train-side token-stream aggregate (the only
+    * corpus-sized shuffle), three vocab-bounded model tables broadcast
+    * to a map-side scoring join, one (doc)-keyed aggregate. The B
+    * scalar crosses the driver as a model parameter (IvfIndex
+    * centroid pattern). */
+  def knBigramScore(docs: DataFrame, train: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def explodedBigrams(df: DataFrame, extra: Column*): DataFrame =
+      df.select(extra :+ explode(bigrams(col(textCol))).as("_bg"): _*)
+        .select(extra :+ col("_bg.w1").as("w1") :+ col("_bg.w2").as("w2"): _*)
+    val cb = explodedBigrams(train).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("_cb"))
+    val ctx = cb.groupBy("w1")
+      .agg(sum(col("_cb")).as("_cv"), count(lit(1)).as("_n1f"))
+    val cont = cb.groupBy("w2").agg(count(lit(1)).as("_n1b"))
+    val bTypes = cb.count() // 1 scalar: the model parameter, not data
+    explodedBigrams(docs, col(idCol))
+      .join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(cont), Seq("w2"))
+      .join(broadcast(cb), Seq("w1", "w2"), "left")
+      .withColumn("_kn_ppm", expr(
+        s"""(1000000 * (greatest(4 * coalesce(_cb, CAST(0 AS BIGINT)) - 3,
+              CAST(0 AS BIGINT)) * CAST($bTypes AS BIGINT)
+            + 3 * _n1f * _n1b))
+          DIV (4 * _cv * CAST($bTypes AS BIGINT))"""))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("_kn_ppm")).as("kn_ppm_sum"))
+  }
+
+  /** Fixed-round, deterministic logistic-regression training over
+    * ready-made feature columns — the fastText-style quality-classifier
+    * production step (t17/t32/c01 SCORE with fixed coefficients; this
+    * is where such coefficients come from). Plain batch gradient
+    * descent, `iters` rounds, zero init:
+    *
+    *   w ← w − lr · avg_docs( (σ(w·x) − y) · x )
+    *
+    * Returns the coefficient vector (intercept first). Every round is
+    * ONE narrow aggregate over the checkpointed feature frame (map-side
+    * partials; only the |w|+1 partial sums cross the shuffle) and a
+    * 1-row collect — the model-parameter pattern; the round body is
+    * plan-audited via [[IterTrace]] ("logit_gd"). Deterministic given
+    * the frame: no sampling, no shuffling-order dependence beyond
+    * float-sum association (gated outputs round to 6 dp — the
+    * continuous-value class of the rounding-safety triage). */
+  def trainLogisticGd(feats: DataFrame, featCols: Seq[String],
+      labelCol: String, iters: Int, lr: Double): Seq[Double] = {
+    require(iters >= 1 && featCols.nonEmpty)
+    val f = feats
+      .select((labelCol +: featCols).map(c => col(c).cast("double")): _*)
+      .localCheckpoint()
+    var w = Vector.fill(featCols.size + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val z = featCols.zipWithIndex.foldLeft(lit(w(0))) {
+        case (acc, (c, i)) => acc + lit(w(i + 1)) * col(c) }
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val g = IterTrace.record("logit_gd",
+        f.select(
+          avg(p - col(labelCol)).as("g0") +:
+            featCols.zipWithIndex.map { case (c, i) =>
+              avg((p - col(labelCol)) * col(c)).as(s"g${i + 1}") }: _*))
+        .head()
+      w = w.indices.map(i => w(i) - lr * g.getDouble(i)).toVector
+    }
+    w
+  }
 }

@@ -1576,6 +1576,152 @@ object TextQueries {
       FROM perdoc p JOIN documents d USING (doc_id)
       GROUP BY d.source ORDER BY d.source"""))
 
+  // --- t37: Kneser–Ney bigram LM, cross-corpus -------------------------
+  // The CCNet-production upgrade of t11/t33's add-k models: absolute
+  // discount d = 3/4 EXACT-RATIONAL + continuation probabilities from
+  // bigram-type counts (TextAnalysis.knBigramScore). Every probability
+  // is a ratio of integers, per-bigram scores ship as floor(1e6·num/
+  // den), per-doc and per-source sums are exact integers — the q48
+  // exact-units rule applied from the start, so there is no float
+  // anywhere for an engine to round differently. Train = src1 (the
+  // t33 cross-corpus contract); a doc bigram is scored iff its
+  // context AND continuation were both seen in train.
+  private val t37 = GraftQuery(
+    "t37_kneser_ney_lm",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val ref = docs.filter(col("source") === "src1")
+      TextAnalysis.knBigramScore(docs, ref, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          sum(col("kn_ppm_sum")).as("kn_ppm_sum"),
+          min(col("kn_ppm_sum")).as("min_doc_kn"),
+          max(col("kn_ppm_sum")).as("max_doc_kn"))
+        .orderBy("source")
+    },
+    Some("""WITH tr AS MATERIALIZED (
+        SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE source = 'src1'),
+      alltoks AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      big AS MATERIALIZED (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM (
+          SELECT t[g] AS w1, t[g + 1] AS w2
+          FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS g
+            FROM tr))
+        GROUP BY 1, 2),
+      ctx AS MATERIALIZED (
+        SELECT w1, CAST(sum(cb) AS BIGINT) AS cv,
+          CAST(count(*) AS BIGINT) AS n1f
+        FROM big GROUP BY 1),
+      cont AS MATERIALIZED (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM big GROUP BY 1),
+      bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM big),
+      docbi AS (
+        SELECT doc_id, t[g] AS w1, t[g + 1] AS w2
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS g
+          FROM alltoks)),
+      scored AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+          CAST(sum(
+            (1000000 * (greatest(4 * coalesce(b2.cb, 0) - 3, 0) * bt.b
+               + 3 * ctx.n1f * cont.n1b))
+            // (4 * ctx.cv * bt.b)) AS BIGINT) AS kn
+        FROM docbi d
+        JOIN ctx ON ctx.w1 = d.w1
+        JOIN cont ON cont.w2 = d.w2
+        LEFT JOIN big b2 ON b2.w1 = d.w1 AND b2.w2 = d.w2
+        CROSS JOIN bt
+        GROUP BY doc_id)
+      SELECT doc.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(s.nb) AS BIGINT) AS n_bigrams,
+        CAST(sum(s.kn) AS BIGINT) AS kn_ppm_sum,
+        CAST(min(s.kn) AS BIGINT) AS min_doc_kn,
+        CAST(max(s.kn) AS BIGINT) AS max_doc_kn
+      FROM scored s JOIN documents doc USING (doc_id)
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  // --- t38: TRAIN the quality classifier ------------------------------
+  // t17/t32/c01 score with literal coefficients; this is where such
+  // coefficients come from — fixed-round deterministic logistic GD
+  // (TextAnalysis.trainLogisticGd) over the t17 feature columns, with
+  // labels from a planted EXACT-INTEGER rule (5·|stopword tokens| ≥
+  // |tokens| — no float in the label, so both engines label
+  // identically). The oracle unrolls the 12 GD rounds as CTEs (the
+  // q68 iterative pattern); coefficients are the genuinely continuous
+  // class (sums of logistics), gated at 6 dp.
+  private val t38 = GraftQuery(
+    "t38_quality_classifier_train",
+    (s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val stopCnt = size(filter(toks,
+        t => t.isin(TextAnalysis.defaultStopwords: _*)))
+      val feats = Tables(s, d, "documents").select(
+        // planted label, EXACT-INTEGER rule: stopword ratio ≥ 1/15
+        // (≈43/57 split on the driver corpus — balanced, learnable)
+        when(lit(15) * stopCnt >= size(toks), lit(1.0))
+          .otherwise(lit(0.0)).as("y"),
+        TextAnalysis.stopwordRatio(col("text"), stop).as("f1"),
+        TextAnalysis.digitRatio(col("text")).as("f2"),
+        TextAnalysis.punctRatio(col("text")).as("f3"),
+        TextAnalysis.avgTokenLen(col("text")).as("f4"))
+      val w = TextAnalysis.trainLogisticGd(feats,
+        Seq("f1", "f2", "f3", "f4"), "y", iters = 12, lr = 1.0)
+      import s.implicits._
+      Seq("intercept" -> w(0), "stopword_ratio" -> w(1),
+        "digit_ratio" -> w(2), "punct_ratio" -> w(3),
+        "avg_token_len" -> w(4))
+        .toDF("feature", "coef")
+        .select(col("feature"), round(col("coef"), 6).as("coef"))
+        .orderBy("feature")
+    },
+    Some({
+      // max(w_j) = the round's (constant) weight carried through the
+      // per-doc subquery; the update w_j − lr·avg(grad_j) then matches
+      // the engine's driver-side scalar arithmetic exactly
+      val grad = (k: Int) => s"""
+        i$k AS MATERIALIZED (
+          SELECT max(w0) - 1.0 * avg(p - y) AS w0,
+                 max(w1) - 1.0 * avg((p - y) * f1) AS w1,
+                 max(w2) - 1.0 * avg((p - y) * f2) AS w2,
+                 max(w3) - 1.0 * avg((p - y) * f3) AS w3,
+                 max(w4) - 1.0 * avg((p - y) * f4) AS w4
+          FROM (SELECT f.y, f.f1, f.f2, f.f3, f.f4,
+                  i.w0, i.w1, i.w2, i.w3, i.w4,
+                  1.0 / (1.0 + exp(-(i.w0 + i.w1 * f.f1 + i.w2 * f.f2
+                    + i.w3 * f.f3 + i.w4 * f.f4))) AS p
+                FROM feats f CROSS JOIN i${k - 1} i))"""
+      s"""WITH feats AS MATERIALIZED (
+        SELECT
+          CASE WHEN 15 * len(list_filter(string_split_regex(trim(text), '$WS+'),
+              t -> t IN ($stopSql)))
+            >= len(string_split_regex(trim(text), '$WS+'))
+            THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+          CAST(len(list_filter(string_split_regex(trim(text), '$WS+'),
+            t -> t IN ($stopSql))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '$WS+')) AS f1,
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS DOUBLE) / length(text) AS f2,
+          CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+            AS DOUBLE) / length(text) AS f3,
+          CAST(length(regexp_replace(text, '$WS', '', 'g')) AS DOUBLE)
+            / len(string_split_regex(trim(text), '$WS+')) AS f4
+        FROM documents),
+      i0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+        CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,
+        CAST(0 AS DOUBLE) AS w4),${(1 to 12).map(grad).mkString(",")}
+      SELECT 'intercept' AS feature, round(w0, 6) AS coef FROM i12
+      UNION ALL SELECT 'stopword_ratio', round(w1, 6) FROM i12
+      UNION ALL SELECT 'digit_ratio', round(w2, 6) FROM i12
+      UNION ALL SELECT 'punct_ratio', round(w3, 6) FROM i12
+      UNION ALL SELECT 'avg_token_len', round(w4, 6) FROM i12
+      ORDER BY feature"""
+    }))
+
   // --- t39/t40: BPE at REALISTIC vocabulary scale ----------------------
   // The r13 gate (t34/t35) proved the algorithm at 24 merges over 31
   // word types; these gate the same train+encode at 512 MERGES over a
@@ -1752,5 +1898,6 @@ object TextQueries {
   val all: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-      t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t39, t40)
+      t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
+      t40)
 }
