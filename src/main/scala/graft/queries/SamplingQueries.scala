@@ -544,11 +544,20 @@ object SamplingQueries {
              WHERE s1.split = 'train'),
       ho AS (SELECT s1.doc_id, sh.sh FROM sp s1 JOIN sh ON s1.doc_id = sh.doc_id
              WHERE s1.split = 'held'),
+      -- EXACT candidate restriction (r14, for the 10x sf1 sweep):
+      -- J(h,t) >= 0.5 > 0 requires a shared shingle, so the pair join
+      -- runs over the shingle inverted index instead of |ho| x |tr| —
+      -- same result set at any positive threshold, linear-ish work
+      cand AS MATERIALIZED (
+        SELECT DISTINCT eh.doc_id AS hid, et.doc_id AS tid
+        FROM (SELECT doc_id, unnest(sh) AS s FROM ho) eh
+        JOIN (SELECT doc_id, unnest(sh) AS s FROM tr) et ON eh.s = et.s),
       j AS (
         SELECT h.doc_id AS held_out_id, t.doc_id AS train_id,
           CAST(len(list_intersect(h.sh, t.sh)) AS DOUBLE) /
             (len(h.sh) + len(t.sh) - len(list_intersect(h.sh, t.sh))) AS jac
-        FROM ho h CROSS JOIN tr t)
+        FROM cand c JOIN ho h ON h.doc_id = c.hid
+                    JOIN tr t ON t.doc_id = c.tid)
       SELECT held_out_id, train_id, round(jac, 4) AS jaccard FROM j
       WHERE jac >= 0.5 ORDER BY held_out_id, train_id"""))
 
