@@ -1357,11 +1357,21 @@ object TextQueries {
       val v = ref
         .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
         .agg(countDistinct(col("w"))).head().getLong(0)
+      // p50 ships as 2·median of the EXACT e-6 integers (the salt-61
+      // catch, r14): an interpolated median of an EVEN count of
+      // 6-dp-rounded values is quantized at 5e-7, so round(median, 6)
+      // sits on an engine-defined boundary — the r13 exact-units rule
+      // applies to the MEDIAN even when the inputs are already exact.
+      // round(avg_nll·1e6) recovers each doc's exact 6-dp decimal as
+      // an integer; median interpolation over integers is k or k+0.5,
+      // both exact in doubles, and ×2 makes the gate a pure BIGINT.
       TextAnalysis.bigramLmScore(docs, ref, "doc_id", "text", vocabSize = v)
         .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("_nll_e6", round(col("avg_nll") * 1e6).cast("long"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          round(expr("percentile(avg_nll, 0.5)"), 6).as("p50_nll"),
+          expr("cast(2 * percentile(_nll_e6, 0.5) as bigint)")
+            .as("p50_nll_e6x2"),
           min(col("avg_nll")).as("min_nll"),
           max(col("avg_nll")).as("max_nll"))
         .orderBy("source")
@@ -1393,7 +1403,8 @@ object TextQueries {
         FROM docbi LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
         GROUP BY doc_id)
       SELECT d.source, count(*) AS n_docs,
-        round(quantile_cont(s.avg_nll, 0.5), 6) AS p50_nll,
+        CAST(2 * quantile_cont(CAST(round(s.avg_nll * 1e6) AS BIGINT), 0.5)
+          AS BIGINT) AS p50_nll_e6x2,
         min(s.avg_nll) AS min_nll, max(s.avg_nll) AS max_nll
       FROM scored s JOIN documents d USING (doc_id)
       GROUP BY 1 ORDER BY 1"""),
