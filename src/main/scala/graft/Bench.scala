@@ -133,9 +133,11 @@ object Bench {
     val qSampler = new PlaybackBench.PhaseSampler()
     val measured =
       try measure(names, once, beforeEach = qSampler.mark)
-      finally ()
+      finally qSampler.stop() // idempotent: a query throw must still
+                              // stop the ticker and keep its samples
     val queriesPhase = qSampler.stop()
 
+    val (priorName, prior) = loadPriorBench()
     println(renderJson(measured, playbackRps, playbackAgg8, sfDir,
       probes = Seq(probe0, probe1, probe2),
       sentinels = Seq(sent0, sent1),
@@ -144,27 +146,42 @@ object Bench {
       phases = Seq("playback" -> playbackPhase, "agg8" -> agg8Phase,
         "queries" -> queriesPhase),
       queryContention = qSampler.labelStats,
-      prior = loadPriorBench()))
+      prior = prior, priorName = priorName))
     spark.stop()
   }
 
   /** Previous round's per-query seconds, for in-band regression
-    * annotation: GRAFT_PRIOR_BENCH names the JSON explicitly, else the
-    * highest-numbered BENCH_r*.json in the working directory (where
-    * the driver runs). Absent/unparseable → empty map, no annotation. */
-  def loadPriorBench(): Map[String, Double] = {
-    val path = sys.env.get("GRAFT_PRIOR_BENCH").orElse {
-      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(_.getName.replaceAll("\\D", "").toInt)
-        .lastOption.map(_.getPath)
-    }
+    * annotation, plus WHICH file supplied them (emitted in the JSON as
+    * `prior_bench` so a comparison against the current round's own
+    * committed file — possible on a post-commit re-run, when the
+    * highest-numbered BENCH_r*.json IS this round's — is visible in
+    * the output, never a silently-empty regressions list).
+    * GRAFT_PRIOR_BENCH names the JSON explicitly (`none` disables the
+    * comparison entirely), else the highest-numbered BENCH_r*.json in
+    * the working directory — correct on the driver's own cadence,
+    * where round N's artifacts are committed only after round N's
+    * bench ran. Absent/unparseable → empty map, no annotation. */
+  def loadPriorBench(): (Option[String], Map[String, Double]) = {
+    val path = sys.env.get("GRAFT_PRIOR_BENCH")
+      .filter(_.trim.toLowerCase != "none")
+      .orElse {
+        if (sys.env.get("GRAFT_PRIOR_BENCH").exists(
+            _.trim.toLowerCase == "none")) None
+        else Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName.replaceAll("\\D", "").toInt)
+          .lastOption.map(_.getPath)
+      }
     path.flatMap { p =>
-      try Some(parsePriorQueries(
+      try Some(p -> parsePriorQueries(
         new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p)))))
       catch { case _: Throwable => None }
-    }.getOrElse(Map.empty)
+    } match {
+      case Some((p, m)) => (Some(p), m)
+      case None => (None, Map.empty)
+    }
   }
 
   /** Minimal extraction of `"queries":{"name":sec,...}` from a prior
@@ -186,10 +203,22 @@ object Bench {
 
   /** One query's bench outcome: best wall time over the sample rounds
     * (−1 if ANY sample failed — a fast-failing query must read as
-    * broken, never as a 0.05 s win) and the warmup-pass row count. */
-  final case class QueryResult(sec: Double, rows: Long) {
+    * broken, never as a 0.05 s win), the warmup-pass row count, and
+    * the warmup-pass wall seconds (the one run that pays one-time
+    * costs: Janino/JIT, page cache, and any memoized model builds —
+    * e.g. t39's 512-merge BPE train, whose steady-state min prices
+    * only the cached-model read). */
+  final case class QueryResult(sec: Double, rows: Long,
+      warmupSec: Double = -1.0) {
     def failed: Boolean = sec < 0 || rows < 0
   }
+
+  /** Bench rows whose steady-state timing reads a per-JVM memoized
+    * model (trained once, on the warmup pass) rather than re-running
+    * the full build — emitted in the JSON so the number can never be
+    * quoted as a train cost; the train wall is the row's
+    * `warmup_queries` entry. */
+  val MemoizedBench: Set[String] = Set("t39_bpe_wide_train")
 
   /** Runs the warmup pass + 3 interleaved timing rounds over `names`
     * through `once` (which returns the row count, or −1 on failure).
@@ -198,8 +227,12 @@ object Bench {
   def measure(names: Seq[String], once: String => Long,
       rounds: Int = 3,
       beforeEach: String => Unit = _ => ()): Seq[(String, QueryResult)] = {
-    val rowCounts = names.map { n =>
-      beforeEach(n); n -> once(n) }.toMap // warmup pass
+    val warmup = names.map { n => // warmup pass, timed: its wall is the
+      beforeEach(n)               // only place one-time costs (JIT, page
+      val t0 = System.nanoTime()  // cache, memoized model trains) show up
+      val rc = once(n)
+      n -> (rc, (System.nanoTime() - t0) / 1e9)
+    }.toMap
     val best = scala.collection.mutable.Map.empty[String, Double]
     val broken = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to rounds; name <- names) {
@@ -211,8 +244,9 @@ object Bench {
       else if (best.getOrElse(name, Double.MaxValue) > sec) best(name) = sec
     }
     names.map { name =>
-      val ok = !broken(name) && rowCounts(name) >= 0 && best.contains(name)
-      name -> QueryResult(if (ok) best(name) else -1.0, rowCounts(name))
+      val (rows, wsec) = warmup(name)
+      val ok = !broken(name) && rows >= 0 && best.contains(name)
+      name -> QueryResult(if (ok) best(name) else -1.0, rows, wsec)
     }
   }
 
@@ -229,9 +263,17 @@ object Bench {
       taskFailed: Long = 0L, taskKilled: Long = 0L,
       phases: Seq[(String, PlaybackBench.PhaseStats)] = Nil,
       queryContention: Map[String, PlaybackBench.PhaseStats] = Map.empty,
-      prior: Map[String, Double] = Map.empty): String = {
+      prior: Map[String, Double] = Map.empty,
+      priorName: Option[String] = None): String = {
     val qs = results.map { case (k, r) => "\"" + k + f"""":${r.sec}%.3f""" }
       .mkString("{", ",", "}")
+    // warmup-pass walls: where one-time costs live (JIT, page cache,
+    // memoized model trains) — t39's 512-merge train wall is THIS
+    // map's entry, never the steady-state row
+    val wq = results.collect { case (k, r) if r.warmupSec >= 0 =>
+      "\"" + k + f"""":${r.warmupSec}%.3f""" }.mkString("{", ",", "}")
+    val memo = results.collect { case (k, _) if MemoizedBench(k) =>
+      "\"" + k + "\"" }.mkString("[", ",", "]")
     val failed = results.collect { case (k, r) if r.failed => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val nFailed = results.count(_._2.failed)
@@ -275,6 +317,7 @@ object Bench {
         val lm = queryContention.get(k).map(_.loadMean).getOrElse(-1.0)
         f"""{"query":"$k","prev_sec":${prior(k)}%.3f,"sec":${r.sec}%.3f,"ratio":${r.sec / prior(k)}%.2f,"probe_factor":$pf%.2f,"loadavg_mean":$lm%.2f}"""
     }.mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"host_probe_sec":$probeJson,"host_noise_factor":$noise%.2f,"host_sentinel":$sentJson,"host_scaling_ratio":$worstScaling%.2f,"phase_contention":$phaseJson,"query_contention":$qcJson,"regressions":$regressions,"playback_stop_interrupts":$stopInterrupts,"task_failed":$taskFailed,"task_killed":$taskKilled,"sf":"$sfDir"}"""
+    val priorJson = priorName.map("\"" + _ + "\"").getOrElse("null")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"warmup_queries":$wq,"memoized":$memo,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"host_probe_sec":$probeJson,"host_noise_factor":$noise%.2f,"host_sentinel":$sentJson,"host_scaling_ratio":$worstScaling%.2f,"phase_contention":$phaseJson,"query_contention":$qcJson,"regressions":$regressions,"prior_bench":$priorJson,"playback_stop_interrupts":$stopInterrupts,"task_failed":$taskFailed,"task_killed":$taskKilled,"sf":"$sfDir"}"""
   }
 }

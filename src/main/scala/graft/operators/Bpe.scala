@@ -260,9 +260,15 @@ object Bpe {
     * replace chain (zero extra stages); above that the chain is paid
     * once per word TYPE — distinct words → chunked fold with a
     * `localCheckpoint` every `chunkEvery` merges (type-table-sized
-    * materializations, plan depth O(chunkEvery)) → broadcast join back
-    * to corpus words. Then posexplode + one broadcast vocab join for
-    * ids; the only window is per-document (never global). */
+    * materializations, plan depth O(chunkEvery)) → plain equi-join
+    * back to corpus words on `word`. The type table grows as Heaps'
+    * law on a raw crawl (10⁷–10⁸ types at 100 TB — far past any
+    * broadcast), so the join carries NO broadcast hint: the corpus
+    * side shuffles on `word` either way, and AQE still broadcasts
+    * whenever the type table is genuinely small. Then posexplode +
+    * one broadcast vocab join for ids (the MERGE vocab is
+    * `merges`-bounded, a true model table); the only window is
+    * per-document (never global). */
   def encode(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, model: Model, chunkEvery: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -288,7 +294,7 @@ object Bpe {
                 applyMerge(acc, l, r) }))
             .localCheckpoint()
         }
-        words.join(broadcast(types), Seq("word"))
+        words.join(types, Seq("word"))
       }
     staged
       .select(col(idCol), col("widx"),

@@ -108,10 +108,16 @@ object Sampling {
       .agg(sum(col("_tok")).as("_total"))
       .select(col("_rsrc"),
         // (w · budget) / total in exactly this association — the
-        // oracle mirrors the float ops verbatim
-        least(lit(1.0),
-          coalesce(element_at(wMap, col("_rsrc")), lit(0.0)) *
-            lit(budgetTokens.toDouble) / col("_total")).as("_ratio"))
+        // oracle mirrors the float ops verbatim. A source whose token
+        // sum is 0 (possible with injected counters that coalesce to
+        // 0, e.g. BPE token sums — unlike whitespace counts, which
+        // are ≥ 1) keeps everything: Spark's x/0 → Infinity and
+        // DuckDB's 0-divisor semantics vary by version, so the edge
+        // is pinned explicitly on BOTH sides rather than inherited.
+        when(col("_total") === 0, lit(1.0)).otherwise(
+          least(lit(1.0),
+            coalesce(element_at(wMap, col("_rsrc")), lit(0.0)) *
+              lit(budgetTokens.toDouble) / col("_total"))).as("_ratio"))
     base.join(broadcast(ratios), col(sourceCol) === col("_rsrc"))
       .filter(md5Unit(col(idCol)) < col("_ratio"))
       .drop("_rsrc")

@@ -260,10 +260,12 @@ object TextAnalysis {
 
   /** Top-k tf-idf terms per document: tf = term count in doc, idf =
     * ln(N / df). Two shuffle aggregations (doc-term tf, then term df)
-    * plus one broadcast join of the df table back onto tf — the vocab
-    * side is orders of magnitude smaller than the corpus, so the join
-    * never shuffles the tf rows (at extreme vocabularies AQE would fall
-    * back to a shuffle join; the plan stays correct either way).
+    * plus one UNHINTED equi-join of the df table back onto tf — the
+    * vocab table is usually orders of magnitude smaller than the
+    * corpus, and AQE broadcasts it when its measured size allows; but
+    * it is data-derived (Heaps' law on a raw crawl), so no explicit
+    * `broadcast()` hint, which would be honored regardless of size
+    * and fail with a broadcast limit instead of falling back.
     * Ranking is on the ROUNDED score with the term as tiebreak, so
     * downstream hash-comparison is engine-independent. `docCount` is
     * one distributed count job, passed in as a literal. */
@@ -274,7 +276,7 @@ object TextAnalysis {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(dfreq, "term")
       .withColumn("tfidf",
         round(col("tf") * log(lit(docCount.toDouble) / col("df")), roundTo))
     val w = Window.partitionBy(col(idCol))
@@ -517,14 +519,21 @@ object TextAnalysis {
     * seen in train (c(v·) > 0 and N1+(·w) > 0) — there is no unigram
     * back-off level in a bigram-only model, so out-of-model bigrams
     * are skipped rather than given an arbitrary floor; `n_bigrams`
-    * counts what was scored. Int64 domain: num·10⁶ ≤ 7·T²·10⁶ for T
-    * train tokens — exact to T ≈ 3·10⁷ per train corpus, far past any
-    * single reference shard; beyond that widen to DECIMAL(38,0) (the
-    * q01 escape hatch).
+    * counts what was scored. Exactness domain: the per-bigram
+    * numerator is ≤ 7·T²·10⁶ for T train tokens, which overflows
+    * int64 at T ≈ 1.1·10⁶ — and Spark with ANSI off WRAPS long
+    * overflow silently while the DuckDB oracle errors, so the ratio
+    * is computed in DECIMAL(38,0) (the q01 escape hatch): exact to
+    * T ≈ 5·10¹⁵, i.e. any conceivable corpus. `DIV` on decimals
+    * still returns BIGINT, so the gated output schema is unchanged.
     *
     * Scale shape: one train-side token-stream aggregate (the only
-    * corpus-sized shuffle), three vocab-bounded model tables broadcast
-    * to a map-side scoring join, one (doc)-keyed aggregate. The B
+    * corpus-sized shuffle). `ctx` (keyed by w1) and `cont` (keyed by
+    * w2) are vocab-bounded model tables and broadcast; `cb` — the
+    * bigram-TYPE table — is NOT vocab-bounded (it grows with train
+    * tokens under Heaps' law, the same shape [[bigramLmScore]]
+    * refuses to broadcast), so its join carries no hint: AQE
+    * broadcasts it when measured-small, shuffles otherwise. The B
     * scalar crosses the driver as a model parameter (IvfIndex
     * centroid pattern). */
   def knBigramScore(docs: DataFrame, train: DataFrame, idCol: String,
@@ -541,12 +550,16 @@ object TextAnalysis {
     explodedBigrams(docs, col(idCol))
       .join(broadcast(ctx), Seq("w1"))
       .join(broadcast(cont), Seq("w2"))
-      .join(broadcast(cb), Seq("w1", "w2"), "left")
+      .join(cb, Seq("w1", "w2"), "left")
       .withColumn("_kn_ppm", expr(
-        s"""(1000000 * (greatest(4 * coalesce(_cb, CAST(0 AS BIGINT)) - 3,
-              CAST(0 AS BIGINT)) * CAST($bTypes AS BIGINT)
-            + 3 * _n1f * _n1b))
-          DIV (4 * _cv * CAST($bTypes AS BIGINT))"""))
+        s"""(CAST(1000000 AS DECIMAL(38,0)) *
+             (CAST(greatest(4 * coalesce(_cb, CAST(0 AS BIGINT)) - 3,
+                 CAST(0 AS BIGINT)) AS DECIMAL(38,0))
+                * CAST($bTypes AS DECIMAL(38,0))
+              + CAST(3 AS DECIMAL(38,0)) * CAST(_n1f AS DECIMAL(38,0))
+                * CAST(_n1b AS DECIMAL(38,0))))
+          DIV (CAST(4 AS DECIMAL(38,0)) * CAST(_cv AS DECIMAL(38,0))
+               * CAST($bTypes AS DECIMAL(38,0)))"""))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("_kn_ppm")).as("kn_ppm_sum"))
@@ -564,15 +577,21 @@ object TextAnalysis {
     * ONE narrow aggregate over the checkpointed feature frame (map-side
     * partials; only the |w|+1 partial sums cross the shuffle) and a
     * 1-row collect — the model-parameter pattern; the round body is
-    * plan-audited via [[IterTrace]] ("logit_gd"). Deterministic given
-    * the frame: no sampling, no shuffling-order dependence beyond
-    * float-sum association (gated outputs round to 6 dp — the
-    * continuous-value class of the rounding-safety triage). */
+    * plan-audited via [[IterTrace]] ("logit_gd"). Fully deterministic:
+    * the feature frame is coalesced to ONE partition before the
+    * checkpoint, so each round's `avg` folds the doubles in a single
+    * fixed order — partition-count changes (bigger sf, different
+    * shuffle settings) cannot re-associate the float sums and flake
+    * the 6-dp coefficient gate. The frame is |w|+2 doubles per doc —
+    * at a corpus size where one partition of doubles is a problem,
+    * the 12-round 1-row-collect pattern is the wrong trainer anyway
+    * (sample the feature frame first). */
   def trainLogisticGd(feats: DataFrame, featCols: Seq[String],
       labelCol: String, iters: Int, lr: Double): Seq[Double] = {
     require(iters >= 1 && featCols.nonEmpty)
     val f = feats
       .select((labelCol +: featCols).map(c => col(c).cast("double")): _*)
+      .coalesce(1)
       .localCheckpoint()
     var w = Vector.fill(featCols.size + 1)(0.0)
     for (_ <- 1 to iters) {

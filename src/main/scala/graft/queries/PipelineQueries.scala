@@ -300,10 +300,10 @@ object PipelineQueries {
         FROM g4 LEFT JOIN perdoc pd USING (doc_id)),
       r AS MATERIALIZED (
         SELECT source,
-          least(1.0,
+          CASE WHEN sum(tok) = 0 THEN 1.0 ELSE least(1.0,
             CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.25
               WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.2 ELSE 0.0 END
-            * 9000.0 / sum(tok)) AS ratio
+            * 9000.0 / sum(tok)) END AS ratio
         FROM base GROUP BY source),
       kept AS MATERIALIZED (
         SELECT b.doc_id, b.text, b.source, b.tok

@@ -424,4 +424,85 @@ class PlanAssertionsSpec extends SparkSpec {
       .get.group(1)
     assert(schema.split(",").length == 2, schema)
   }
+
+  test("broadcast() hints only on whitelisted bounded frames") {
+    // An explicit broadcast() hint is honored REGARDLESS of size — no
+    // AQE demotion — so a hint on a data-derived frame is a latent
+    // broadcast-limit/driver-OOM at scale (the r14 t37/Bpe.encode/
+    // tfidf class). This lint greps every main-source hint site and
+    // pins (file, hinted identifier, count) against a whitelist of
+    // frames that are bounded BY CONSTRUCTION: literal model tables
+    // (vocab/centroid/codebook), per-source or per-stratum aggregates
+    // (≤|sources| rows), 1-row scalars, and literal-bounded query
+    // sets. Adding, moving, or re-aiming a hint fails here until the
+    // whitelist is consciously updated with the boundedness argument.
+    val whitelist: Map[String, Map[String, Int]] = Map(
+      // ratios/sumPw/lam/lim/tot/lr: per-source or per-stratum agg
+      // tables (≤|sources| / ≤|strata| rows) and 1-row scalars
+      "Sampling.scala" -> Map("ratios" -> 2, "sumPw" -> 2, "lam" -> 1,
+        "lim" -> 1, "tot" -> 1, "lr" -> 1),
+      // q/qu/cands/poolIds/members/qUnits: literal-bounded query sets
+      // (the ANN contract: queries are a bounded set, the corpus
+      // streams); b: |sources|×vocabSize grid half
+      "Similarity.scala" -> Map("q" -> 6, "poolIds" -> 1,
+        "members" -> 2, "cands" -> 2, "qu" -> 2, "b" -> 1,
+        "qUnits" -> 1),
+      // dfreq: per-QUERY-TERM df in bm25TopK (≤|queryTerms| rows —
+      // NOT tfidfTopK's corpus-vocab df, which is unhinted since
+      // r15); vocab/b: heap-cut vocabSize grids; ctx/cont: KN model
+      // tables keyed by single words (vocab-bounded — the bigram
+      // table cb is NOT hinted)
+      "TextAnalysis.scala" -> Map("dfreq" -> 1, "vocab" -> 1,
+        "b" -> 1, "ctx" -> 1, "cont" -> 1),
+      // q: query set; cellCounts: ≤nlist rows (centroid table size)
+      "IvfIndex.scala" -> Map("q" -> 1, "cellCounts" -> 1),
+      // perSource: per-source aggregate, ≤|sources| rows
+      "Dedup.scala" -> Map("perSource" -> 4),
+      "PqIndex.scala" -> Map("q" -> 2),
+      // vocabDf: the trained merge vocab, |merges|-bounded (the word-
+      // TYPE table join is deliberately unhinted since r15)
+      "Bpe.scala" -> Map("vocabDf" -> 1),
+      "SamplingQueries.scala" -> Map("cnts" -> 1),
+      // centroids: k-bounded; deg: per-neighbor degree of a bounded
+      // candidate set
+      "VectorQueries.scala" -> Map("centroids" -> 1, "deg" -> 1),
+      // TPC-H dimension tables (nation/region/supplier/customer/part
+      // filtered) and 1-row scalar denominators
+      "RelationalQueries.scala" -> Map("c" -> 2, "part" -> 3,
+        "su" -> 1, "n" -> 2, "r" -> 1, "med" -> 1, "cust" -> 1,
+        "nat" -> 3, "reg" -> 1, "supp" -> 2, "avgBal" -> 1,
+        "tot" -> 1, "totO" -> 1),
+      // vocab: heap-cut; total/totals: per-source aggregates
+      "TextQueries.scala" -> Map("vocab" -> 1, "total" -> 1,
+        "totals" -> 1))
+    import scala.jdk.CollectionConverters._
+    val hint = "\\bbroadcast\\(\\s*([A-Za-z_][A-Za-z0-9_]*)".r
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val found = scala.collection.mutable.Map
+      .empty[(String, String), Int].withDefaultValue(0)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).foreach { p =>
+        val name = p.getFileName.toString
+        // ISO-8859-1 never throws on stray bytes; the regex is ASCII
+        new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+          .linesIterator
+          .map(_.trim)
+          .filterNot(l => l.startsWith("//") || l.startsWith("*") ||
+            l.startsWith("/*"))
+          .foreach { l =>
+            hint.findAllMatchIn(l).foreach { m =>
+              found((name, m.group(1))) += 1 }
+          }
+      }
+    val flat = whitelist.flatMap { case (f, m) =>
+      m.map { case (id, n) => (f, id) -> n } }
+    val unexpected = found.toMap.filter { case (k, n) =>
+      flat.get(k) != Some(n) }
+    val missing = flat.filter { case (k, _) => !found.contains(k) }
+    assert(unexpected.isEmpty && missing.isEmpty,
+      s"broadcast-hint whitelist drift — new/moved hints need a " +
+        s"boundedness argument here.\nunexpected: $unexpected\n" +
+        s"missing: $missing")
+  }
 }
