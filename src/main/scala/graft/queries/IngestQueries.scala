@@ -303,5 +303,263 @@ object IngestQueries {
         CAST(used AS BIGINT) AS budget_used
       FROM fold WHERE adm ORDER BY source, doc_num"""))
 
-  val all: Seq[GraftQuery] = Seq(i01, i02, i03, i04, i05, i06)
+  // --- i07: streaming sessionization under the hash gate ---------------
+  // streamingSessionize driver-gated via the i06 pattern (r14 verdict
+  // item 2): durable parquet fixture → AvailableNow file stream →
+  // session_window aggregate in append mode → parquet sink. What the
+  // gate pins beyond the batch-parity spec: the WATERMARK EMISSION
+  // CONTRACT. Append mode emits a session only once the watermark
+  // passes its window end; AvailableNow runs a final no-data
+  // micro-batch that advances the watermark to max(event time) −
+  // delay, so with delay=0 the emitted set is exactly the sessions
+  // with last_event + gap <= global max ts, BOUNDARY INCLUSIVE (both
+  // facts pinned empirically in spark-shell before this oracle was
+  // written; the sessions still open at end-of-stream live on in the
+  // checkpoint, exactly what a restarted stream must be free to
+  // extend). The oracle replays that closure rule in SQL on top of
+  // q49's gaps-and-islands sessionization. One input file ⇒ one data
+  // batch ⇒ the in-batch ordering contract covers the whole fixture.
+  private val i07 = GraftQuery(
+    "i07_streaming_sessionize",
+    (s, d) => {
+      import graft.streaming.StatefulOps
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-i07").toString
+      Tables(s, d, "events").select(col("user_id"), col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+      StatefulOps.streamingSessionize(
+          stream, "user_id", "ts", "30 minutes", "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy("user_id", "start_us")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      mx AS (SELECT max(us) AS wm FROM e),
+      t AS (
+        SELECT user_id, event_id, us,
+          CASE WHEN us - lag(us) OVER w >= 1800000000 OR
+                    lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      s AS (
+        SELECT user_id, us, sum(new_sess) OVER (PARTITION BY user_id
+          ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        FROM t),
+      sess AS (
+        SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid)
+      SELECT user_id, start_us, end_us, n_events
+      FROM sess, mx WHERE end_us + 1800000000 <= wm
+      ORDER BY user_id, start_us"""))
+
+  // --- i08: streaming timed funnel under the hash gate ------------------
+  // streamingFunnel's INCREMENTAL semantics gated row-exactly: each
+  // advance emits one stage row when reached (flatMapGroupsWithState,
+  // no watermark dependence), so the full output lands in the single
+  // data batch. The oracle encodes the incremental rule, which is
+  // STRICTER than q55's batch windows on one edge: a next-stage event
+  // tied on timestamp with the previous stage's completion but with a
+  // SMALLER event_id was already processed when the stage filled, so
+  // it cannot advance the funnel — hence the row-value comparison
+  // (us, event_id) > (prev_us, prev_eid), not q55's us >= prev_us.
+  // Under the (ts, event_id) in-batch sort the advance picks the
+  // minimum eligible (us, event_id), which is what the row_number
+  // over that order replays.
+  private val i08 = GraftQuery(
+    "i08_streaming_funnel",
+    (s, d) => {
+      import graft.streaming.StatefulOps
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-i08").toString
+      Tables(s, d, "events").select(
+          col("user_id").cast("string").as("key"),
+          unix_micros(col("ts")).as("tsMicros"),
+          col("event_id").as("eventId"),
+          col("event_type").as("eventType"),
+          col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      import s.implicits._
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+        .as[StatefulOps.TouchEvent]
+      StatefulOps.streamingFunnel(stream)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("key"), col("stage"), col("tsMicros").as("ts_us"),
+          col("eventId").as("event_id"))
+        .orderBy("key", "stage")
+    },
+    Some("""WITH e AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, event_id, event_type,
+          epoch_us(ts) AS us
+        FROM events),
+      v AS (
+        SELECT key, us AS v_us, event_id AS v_eid FROM (
+          SELECT key, us, event_id, row_number() OVER (
+            PARTITION BY key ORDER BY us, event_id) AS rn
+          FROM e WHERE event_type = 'view') WHERE rn = 1),
+      c AS (
+        SELECT key, us AS c_us, event_id AS c_eid FROM (
+          SELECT e.key, e.us, e.event_id, row_number() OVER (
+            PARTITION BY e.key ORDER BY e.us, e.event_id) AS rn
+          FROM e JOIN v USING (key)
+          WHERE e.event_type = 'click'
+            AND (e.us, e.event_id) > (v.v_us, v.v_eid)
+            AND e.us <= v.v_us + 3600000000) WHERE rn = 1),
+      p AS (
+        SELECT key, us AS p_us, event_id AS p_eid FROM (
+          SELECT e.key, e.us, e.event_id, row_number() OVER (
+            PARTITION BY e.key ORDER BY e.us, e.event_id) AS rn
+          FROM e JOIN c USING (key)
+          WHERE e.event_type = 'purchase'
+            AND (e.us, e.event_id) > (c.c_us, c.c_eid)
+            AND e.us <= c.c_us + 3600000000) WHERE rn = 1)
+      SELECT key, '1_view' AS stage, v_us AS ts_us, v_eid AS event_id
+      FROM v
+      UNION ALL
+      SELECT key, '2_click', c_us, c_eid FROM c
+      UNION ALL
+      SELECT key, '3_purchase', p_us, p_eid FROM p
+      ORDER BY key, stage"""))
+
+  // --- i09: streaming SCD2 compaction under the hash gate ---------------
+  // streamingScd2's closed intervals gated against the q57 batch
+  // run-collapse: a state change closes the open interval (emitted
+  // immediately — no watermark), the LAST run per key stays open in
+  // state and never emits, so the oracle is q57's interval build
+  // minus each key's open tail (valid_to IS NULL). Version numbers,
+  // the (ts, event_id) run order, and per-run event counts are all
+  // hashed. Bounded to 20 users like q57: the gate hashes the whole
+  // interval table.
+  private val i09 = GraftQuery(
+    "i09_streaming_scd2",
+    (s, d) => {
+      import graft.streaming.StatefulOps
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-i09").toString
+      Tables(s, d, "events").filter(col("user_id") < 20).select(
+          col("user_id").cast("string").as("key"),
+          unix_micros(col("ts")).as("tsMicros"),
+          col("event_id").as("eventId"),
+          col("event_type").as("state"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      import s.implicits._
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+        .as[StatefulOps.Scd2Event]
+      StatefulOps.streamingScd2(stream)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("key"), col("version"), col("state"),
+          col("validFromUs").as("valid_from_us"),
+          col("validToUs").as("valid_to_us"),
+          col("nEvents").as("n_events"))
+        .orderBy("key", "version")
+    },
+    Some("""WITH e AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, event_id, event_type,
+          epoch_us(ts) AS us
+        FROM events WHERE user_id < 20),
+      r AS (
+        SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+            OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        FROM e WINDOW w AS (PARTITION BY key ORDER BY us, event_id)),
+      v AS (
+        SELECT *, sum(chg) OVER (PARTITION BY key
+          ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS version
+        FROM r),
+      iv AS (
+        SELECT key, version, min(event_type) AS state,
+          min(us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+        FROM v GROUP BY 1, 2),
+      cl AS (
+        SELECT key, CAST(version AS BIGINT) AS version, state,
+          valid_from_us,
+          lead(valid_from_us) OVER (
+            PARTITION BY key ORDER BY version) AS valid_to_us,
+          n_events
+        FROM iv)
+      SELECT * FROM cl WHERE valid_to_us IS NOT NULL
+      ORDER BY key, version"""))
+
+  // --- i10: streaming heavy hitters, exact-under-capacity regime -------
+  // streamingHeavyHitters gated where the Space-Saving guarantee makes
+  // the sketch EXACT: items are the props.k values (a 100-value domain
+  // at every sf — the k%4 sharding puts ~25 distinct items on each
+  // shard, far under capacity 64), so no counter is ever evicted,
+  // estCount is the true count and maxError is 0 — an exact groupBy
+  // the DuckDB oracle replays directly. One data batch ⇒ exactly one
+  // top-10 snapshot per shard, stamped with the shard's max event
+  // time; the (count DESC, item) tie order is the operator's
+  // documented eviction/summary order and the oracle's row_number
+  // order. The sketch-not-exact regime stays spec-pinned
+  // (StatefulOpsSpec's over-capacity guarantees test) — a hash gate
+  // on an approximate summary would pin incidental internals, not a
+  // contract.
+  private val i10 = GraftQuery(
+    "i10_streaming_heavy_hitters",
+    (s, d) => {
+      import graft.streaming.StatefulOps
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-i10").toString
+      Tables(s, d, "events")
+        .withColumn("_k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("_k").isNotNull)
+        .select(pmod(col("_k"), lit(4)).cast("int").as("shard"),
+          col("_k").cast("string").as("item"),
+          unix_micros(col("ts")).as("tsMicros"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      import s.implicits._
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+        .as[StatefulOps.ShardedItem]
+      StatefulOps.streamingHeavyHitters(stream, capacity = 64, topJ = 10)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("shard"), col("item"),
+          col("estCount").as("est_count"),
+          col("maxError").as("max_error"),
+          col("asOfMicros").as("as_of_us"))
+        .orderBy("shard", "item")
+    },
+    Some("""WITH e AS (
+        SELECT CAST(TRY_CAST(props->>'$.k' AS INTEGER) % 4 AS INTEGER)
+            AS shard,
+          CAST(TRY_CAST(props->>'$.k' AS INTEGER) AS VARCHAR) AS item,
+          epoch_us(ts) AS us
+        FROM events
+        WHERE TRY_CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+      cnt AS (
+        SELECT shard, item, CAST(count(*) AS BIGINT) AS est_count
+        FROM e GROUP BY 1, 2),
+      mx AS (SELECT shard, max(us) AS as_of_us FROM e GROUP BY 1),
+      rk AS (
+        SELECT shard, item, est_count, row_number() OVER (
+          PARTITION BY shard ORDER BY est_count DESC, item) AS rn
+        FROM cnt)
+      SELECT r.shard, r.item, r.est_count, CAST(0 AS BIGINT) AS max_error,
+        m.as_of_us
+      FROM rk r JOIN mx m USING (shard) WHERE rn <= 10
+      ORDER BY shard, item"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10)
 }
