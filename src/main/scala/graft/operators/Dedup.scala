@@ -253,7 +253,12 @@ object Dedup {
       textCol: String, shingleK: Int): DataFrame =
     df.select(col(idCol).as("_id"),
         explode(TextAnalysis.wordShingles(col(textCol), shingleK)).as("_s"))
-      .select(col("_id"), md5(col("_s")).as("_fp"))
+      // RAW 16-byte digest, not the 32-char hex string: _fp is internal
+      // (outputs are ids + counts), every downstream exchange/join is
+      // keyed on it, and hex encoding is order-preserving byte-wise, so
+      // the prefix path's (_df, _fp) window order is unchanged while
+      // the key bytes halve
+      .select(col("_id"), unhex(md5(col("_s"))).as("_fp"))
 
   private def containmentFps(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int): DataFrame =

@@ -40,17 +40,21 @@ object GraphOps {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
-    // materialized ONCE: the loop re-executes its plan every round, so
-    // an uncheckpointed degree table would re-aggregate the full edge
-    // set per iteration — one extra 100 TB pass per round for nothing
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // materialized ONCE, with the out-degree already ATTACHED to each
+    // edge: the loop re-executes its plan every round, so an
+    // uncheckpointed degree table would re-aggregate the full edge set
+    // per iteration — and joining ranks ⋈ deg ⋈ edges inside the loop
+    // would pay an extra join + exchange per round. Pre-joining deg
+    // onto the edge list (one edge-sized column) leaves each iteration
+    // exactly one rank ⋈ edges join + one groupBy(dst) shuffle.
+    val eDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint()
     var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
     var i = 0
     while (i < iters) {
       val contribs = ranks
-        .join(outDeg, ranks("node") === outDeg("src"))
-        .join(e, "src")
+        .join(eDeg, ranks("node") === eDeg("src"))
         .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("cin"))
@@ -94,14 +98,14 @@ object GraphOps {
       .select(col("node"),
         when(col("isSeed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("p0"))
       .localCheckpoint()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // once, not per round (see pageRank)
+    val eDeg = e // deg pre-joined onto edges, once (see pageRank)
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
     var ranks = base.select(col("node"), col("p0").as("r")).localCheckpoint()
     var i = 0
     while (i < iters) {
       val contribs = ranks
-        .join(outDeg, ranks("node") === outDeg("src"))
-        .join(e, "src")
+        .join(eDeg, ranks("node") === eDeg("src"))
         .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("cin"))
@@ -168,14 +172,14 @@ object GraphOps {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
-    val outW = e.groupBy("src").agg(sum(col("w")).as("wtot"))
-      .localCheckpoint() // once, not per round (see pageRank)
+    val eW = e // out-weight sum pre-joined onto edges, once (see pageRank)
+      .join(e.groupBy("src").agg(sum(col("w")).as("wtot")), "src")
+      .localCheckpoint()
     var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
     var i = 0
     while (i < iters) {
       val contribs = ranks
-        .join(outW, ranks("node") === outW("src"))
-        .join(e, "src")
+        .join(eW, ranks("node") === eW("src"))
         .select(col("dst").as("node"),
           (col("r") * col("w") / col("wtot")).as("c"))
         .groupBy("node")

@@ -32,8 +32,11 @@ object OpCaches {
     (System.identityHashCode(df.sparkSession),
       df.queryExecution.analyzed.semanticHash())
 
-  /** Cache `df` and remember it for [[release]]. */
-  private[operators] def track(df: DataFrame): DataFrame = synchronized {
+  /** Cache `df` and remember it for [[release]]. Visible to the whole
+    * engine (not just operators): composition queries (c01/c02, q67)
+    * stage their reused pipeline intermediates through the same
+    * registry, so one release path covers every cached frame. */
+  private[graft] def track(df: DataFrame): DataFrame = synchronized {
     df.cache()
     frames.put(keyOf(df), df)
     df

@@ -164,11 +164,17 @@ object ScaleOps {
     * the window exactly once); callers that must see what the cap cut
     * run [[truncatedBaskets]] as an explicit audit pass. */
   def basketPairs(op: DataFrame, keyCol: String, itemCol: String,
-      maxBasketSize: Option[Int] = None): DataFrame = {
+      maxBasketSize: Option[Int] = None,
+      assumeDistinct: Boolean = false): DataFrame = {
     require(maxBasketSize.forall(_ >= 2),
       s"maxBasketSize=$maxBasketSize: below 2 no pair can form")
-    val base = op.select(col(keyCol).as("ok"), col(itemCol).as("pk"))
-      .distinct()
+    // assumeDistinct: callers that already hold the deduped
+    // (key, item) frame (and typically have it operator-cached) skip
+    // the internal distinct — on already-unique rows it would shuffle
+    // the whole frame again to remove nothing (ScaleOpsSpec pins the
+    // two paths equal on duplicated input vs its distinct)
+    val base0 = op.select(col(keyCol).as("ok"), col(itemCol).as("pk"))
+    val base = if (assumeDistinct) base0 else base0.distinct()
     val capped = maxBasketSize match {
       case None => base
       case Some(cap) =>

@@ -150,9 +150,16 @@ object TextAnalysis {
     * reference in PropertySpec). */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val ds = df
+    // fingerprints are the RAW 16-byte digest (unhex), not the 32-char
+    // hex string: the fp column is internal (outputs are counts), and
+    // halving the key halves the bytes of both fp-keyed exchanges
+    // below. Tracked/cached: ds feeds the df-count aggregate AND the
+    // join probe side — uncached, the corpus shingle explode runs
+    // twice. Fixed-width (id, 16 B) rows, spill-backed, released per
+    // run.
+    val ds = OpCaches.track(df
       .select(col(idCol), explode(wordShingles(col(textCol), k)).as("_s"))
-      .select(col(idCol), md5(col("_s")).as("_fp"))
+      .select(col(idCol), unhex(md5(col("_s"))).as("_fp")))
     // (id, fp) pairs are UNIQUE by construction (wordShingles is
     // distinct-ified per document), so the docs-per-shingle count is a
     // plain count — countDistinct would rebuild that distinctness with
@@ -318,6 +325,9 @@ object TextAnalysis {
     def explodedBigrams(df: DataFrame, extra: Column*): DataFrame =
       df.select(extra :+ explode(bigrams(col(textCol))).as("_bg"): _*)
         .select(extra :+ col("_bg.w1").as("w1") :+ col("_bg.w2").as("w2"): _*)
+    // NOT operator-cached, measured (r15): consumed twice, but
+    // exchange reuse dedups the train-side aggregate's shuffle within
+    // the job; caching was measured slower (t11 0.76→0.99 s at sf0.1).
     val bigramCounts = explodedBigrams(train)
       .groupBy("w1", "w2").agg(count(lit(1)).as("_cb"))
     // context (unigram) counts derive from the bigram aggregate: every
@@ -534,32 +544,42 @@ object TextAnalysis {
     * tokens under Heaps' law, the same shape [[bigramLmScore]]
     * refuses to broadcast), so its join carries no hint: AQE
     * broadcasts it when measured-small, shuffles otherwise. The B
-    * scalar crosses the driver as a model parameter (IvfIndex
-    * centroid pattern). */
+    * scalar rides the plan as a 1-row broadcast cross join (the hits
+    * L1-totals pattern) — never a separate driver count job. */
   def knBigramScore(docs: DataFrame, train: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     def explodedBigrams(df: DataFrame, extra: Column*): DataFrame =
       df.select(extra :+ explode(bigrams(col(textCol))).as("_bg"): _*)
         .select(extra :+ col("_bg.w1").as("w1") :+ col("_bg.w2").as("w2"): _*)
+    // NOT operator-cached, measured (r15): cb feeds four consumers,
+    // but within one job exchange reuse dedups its shuffle, and
+    // caching it was measured slower (t37 1.09→1.36 s at sf0.1).
     val cb = explodedBigrams(train).groupBy("w1", "w2")
       .agg(count(lit(1)).as("_cb"))
     val ctx = cb.groupBy("w1")
       .agg(sum(col("_cb")).as("_cv"), count(lit(1)).as("_n1f"))
     val cont = cb.groupBy("w2").agg(count(lit(1)).as("_n1b"))
-    val bTypes = cb.count() // 1 scalar: the model parameter, not data
+    // B (distinct bigram types) as a 1-row broadcast scalar IN the
+    // plan, not a separate driver count job: cb.count() was its own
+    // action, paying the whole train-side explode + aggregate once
+    // more before the scoring job even started (and a job boundary
+    // can never share exchanges). A 1-row cross join costs one
+    // broadcast of 8 bytes and keeps every consumer in one job.
+    val bt = cb.agg(count(lit(1)).as("_bt"))
     explodedBigrams(docs, col(idCol))
       .join(broadcast(ctx), Seq("w1"))
       .join(broadcast(cont), Seq("w2"))
       .join(cb, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(bt))
       .withColumn("_kn_ppm", expr(
-        s"""(CAST(1000000 AS DECIMAL(38,0)) *
+        """(CAST(1000000 AS DECIMAL(38,0)) *
              (CAST(greatest(4 * coalesce(_cb, CAST(0 AS BIGINT)) - 3,
                  CAST(0 AS BIGINT)) AS DECIMAL(38,0))
-                * CAST($bTypes AS DECIMAL(38,0))
+                * CAST(_bt AS DECIMAL(38,0))
               + CAST(3 AS DECIMAL(38,0)) * CAST(_n1f AS DECIMAL(38,0))
                 * CAST(_n1b AS DECIMAL(38,0))))
           DIV (CAST(4 AS DECIMAL(38,0)) * CAST(_cv AS DECIMAL(38,0))
-               * CAST($bTypes AS DECIMAL(38,0)))"""))
+               * CAST(_bt AS DECIMAL(38,0)))"""))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("_kn_ppm")).as("kn_ppm_sum"))

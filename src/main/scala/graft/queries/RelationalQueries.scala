@@ -2448,15 +2448,22 @@ object RelationalQueries {
   private val q67 = GraftQuery(
     "q67_basket_lift",
     (s, d) => {
+      // op feeds FOUR consumers (the pair self-join's two sides via
+      // basketPairs, the per-part support counts, and the
+      // distinct-order total); NOT operator-cached, measured (r15):
+      // exchange reuse dedups the repeated distinct's shuffle, and
+      // caching it was measured slower (2.06→2.73 s at sf0.1)
       val op = li(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       // pair generation via ScaleOps.basketPairs, whose optional
       // maxBasketSize cap bounds per-key fan-out on untrusted
       // basket-size distributions; default None here — TPC-H baskets
-      // are ≤7 items and the gated semantics stay exact
+      // are ≤7 items and the gated semantics stay exact.
+      // assumeDistinct: op IS the deduped frame, so the operator's
+      // internal distinct would re-shuffle it to remove nothing
       val co = graft.operators.ScaleOps
-        .basketPairs(li(s, d), "l_orderkey", "l_partkey")
+        .basketPairs(op, "ok", "pk", assumeDistinct = true)
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("co_orders"))
         .filter(col("co_orders") >= 2)
