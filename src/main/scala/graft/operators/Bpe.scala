@@ -238,6 +238,31 @@ object Bpe {
     trainLocal(types, numMerges)
   }
 
+  /** [[trainLocal]] over the COMPLETE type table, with a loud bound:
+    * collects every word type (requiring there are at most `maxTypes`
+    * of them — more fails with an error, never a silently different
+    * model) and trains locally. Because every type votes, the result
+    * is EXACTLY the distributed [[train]]'s model (the BpeSpec
+    * property), at one Spark aggregate instead of one job barrier per
+    * merge — the right trainer whenever the caller can assert a
+    * driver-side bound on vocabulary size (closed fixture
+    * vocabularies; any corpus whose type table is known-small).
+    * Unbounded raw-crawl vocabularies use [[trainCutoff]] and accept
+    * the standard frequency-threshold tradeoff instead. */
+  def trainFullLocal(spark: SparkSession, docs: DataFrame, textCol: String,
+      numMerges: Int, maxTypes: Int): Model = {
+    require(maxTypes >= 1, "maxTypes >= 1")
+    val rows = wordFreqs(docs, textCol)
+      .orderBy(desc("freq"), col("word")).limit(maxTypes + 1)
+      .collect()
+    require(rows.length <= maxTypes,
+      s"trainFullLocal: more than maxTypes=$maxTypes word types — the " +
+        "full-equality bound does not hold; raise the bound or use " +
+        "train/trainCutoff")
+    trainLocal(rows.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      numMerges)
+  }
+
   /** Segmentation state of ANY word under the trained merges — a
     * stateless chain of literal replaces in rank order (the fixpoint
     * argument in the object doc): pure map-side, fully codegen'd.

@@ -213,8 +213,17 @@ object PipelineQueries {
           col("source"))
       val p0 = docs.unionByName(near).unionByName(exact)
       val p4 = survivorDocs(s, d)
-      val model = graft.operators.Bpe.train(s, p0, "text",
-        TextQueries.bpeMergeRounds)
+      // trainFullLocal, not the distributed trainer: this gate is
+      // about stage COMPOSITION (t34/t35/t39 gate the distributed
+      // trainer itself), and the per-merge job barrier is pure cost
+      // here — the complete type table is collected under a LOUD
+      // 2^16 bound (31 types on this fixture at every sf; exceeding
+      // the bound errors, never silently diverges) and trained
+      // locally, which is property-pinned EQUAL to Bpe.train when
+      // every type votes. One corpus aggregate instead of one Spark
+      // job per merge round. Measured r15: c02 6.1 -> ~4 s at sf0.1.
+      val model = graft.operators.Bpe.trainFullLocal(s, p0, "text",
+        TextQueries.bpeMergeRounds, maxTypes = 1 << 16)
       val counts = graft.operators.Bpe
         .encode(s, p4, "doc_id", "text", model)
         .groupBy("doc_id").agg(count(lit(1)).as("_btok"))

@@ -181,6 +181,20 @@ class BpeSpec extends SparkSpec {
       Seq(("z", "z", 4L), ("a", "a", 3L)))
   }
 
+  test("trainFullLocal == train under the bound; over it fails LOUDLY") {
+    import spark.implicits._
+    val docs = Seq("aa aa aa ab ab zz zz zz zz").toDF("text")
+    // bound covers all 3 types: exactly the distributed trainer's model
+    assert(Bpe.trainFullLocal(spark, docs, "text", 2, maxTypes = 3) ==
+      Bpe.train(spark, docs, "text", 2))
+    // bound below the type count: an error, never a silently
+    // frequency-cut model (that is trainCutoff's explicit contract)
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainFullLocal(spark, docs, "text", 2, maxTypes = 2)
+    }
+    assert(e.getMessage.contains("more than maxTypes"))
+  }
+
   test("chunked encode (merges > chunkEvery) == the inline expression chain") {
     import spark.implicits._
     val docs = Seq("low low low lower lowest slow slower glow")
