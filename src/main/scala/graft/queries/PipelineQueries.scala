@@ -77,15 +77,16 @@ object PipelineQueries {
       lit(8.0) * TextAnalysis.digitRatio(col("text")) -
       lit(4.0) * TextAnalysis.punctRatio(col("text")) +
       lit(0.35) * TextAnalysis.avgTokenLen(col("text"))
-    // NOT cached, measured (r15): the survivor frame feeds 2 (c01) to
-    // 4 (c02) downstream branches, but Spark's exchange reuse already
-    // dedups the repeated subtree's shuffles — operator-caching it was
-    // tried and MEASURED SLOWER at sf0.1 (c01 2.33→2.62 s, c02 wash;
-    // the columnar cache build + InMemoryTableScan reads cost more
-    // than the reused-exchange recompute, and a cached subtree's
-    // output partitioning is frozen away from AQE). A pipeline over an
-    // expensive/remote source would still checkpoint here.
-    p3.filter(round(z, 6) >= 0)
+    // LAZY localCheckpoint (the d17 discipline): the survivor frame
+    // feeds 2 (c01) to 4 (c02) downstream branches, and uncheckpointed
+    // each re-ran URL dedup + the exact-dedup window + the minhash
+    // candidate join (12 scans / 7 windows in the audited c01 plan).
+    // Operator-CACHING it was tried first and measured SLOWER (the
+    // columnar cache round-trip beats nothing when exchange reuse
+    // already shares the shuffles); the row-format checkpoint avoids
+    // that conversion and truncates the subtree outright. Lazy, so the
+    // materialization happens inside the caller's own action.
+    p3.filter(round(z, 6) >= 0).localCheckpoint(false)
   }
 
   private val c01 = GraftQuery(
