@@ -309,15 +309,22 @@ object Bpe {
       if (model.merges.size <= chunkEvery)
         words.withColumn("_st", encodeState(col("word"), model))
       else {
+        // LAZY checkpoints (eager = false): each chunk's checkpoint
+        // still bounds plan depth at O(chunkEvery), but an EAGER one
+        // ran a scheduled job per chunk over the type table before the
+        // caller's action even started — 8 pre-jobs at 512 merges.
+        // Lazy folds every chunk materialization into the caller's own
+        // action; values are unchanged (checkpoint placement never
+        // changes the arithmetic).
         var types = words.select(col("word")).distinct()
           .withColumn("_st", initialState(col("word")))
-          .localCheckpoint()
+          .localCheckpoint(false)
         model.merges.grouped(chunkEvery).foreach { chunk =>
           types = IterTrace.record("bpe_encode_chunk",
             types.withColumn("_st",
               chunk.foldLeft(col("_st")) { case (acc, (l, r, _)) =>
                 applyMerge(acc, l, r) }))
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
         words.join(types, Seq("word"))
       }
