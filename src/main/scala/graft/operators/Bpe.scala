@@ -135,14 +135,15 @@ object Bpe {
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
       numMerges: Int, checkpointEvery: Int = 8): Model = {
     require(checkpointEvery >= 1, "checkpointEvery >= 1")
-    val words = wordFreqs(docs, textCol).localCheckpoint()
+    val words = wordFreqs(docs, textCol).localCheckpoint(false) // lazy:
+    // the alphabet collect below materializes it
     val alphabet = words
       .select(explode(split(col("word"), "")).as("sym"))
       .filter(col("sym") =!= "").distinct()
       .collect().map(_.getString(0)).toSeq.sorted // ≤36 by the pre-token contract
     var states = words
       .withColumn("state", initialState(col("word")))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: round 1's best-pair collect materializes it
     val merges = Seq.newBuilder[(String, String, Long)]
     var rank = 1
     while (rank <= numMerges) {
@@ -166,7 +167,13 @@ object Bpe {
       // checkpoint placement never changes the arithmetic.
       states = IterTrace.record("bpe_merge",
         states.withColumn("state", applyMerge(col("state"), l, r)))
-      if (rank % checkpointEvery == 0) states = states.localCheckpoint()
+      // LAZY (eager = false), the encode-chunk discipline: an eager
+      // checkpoint ran one scheduled job per `checkpointEvery` merges
+      // (64 extra jobs at 512 merges) just to materialize blocks the
+      // NEXT round's best-pair collect would compute anyway; lazy folds
+      // the materialization into that collect. Values unchanged —
+      // checkpoint placement never changes the arithmetic.
+      if (rank % checkpointEvery == 0) states = states.localCheckpoint(false)
       rank += 1
     }
     Model(alphabet, merges.result())

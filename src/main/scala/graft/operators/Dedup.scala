@@ -695,9 +695,9 @@ object Dedup {
       maxIters: Int = 25): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: round 1's changed-count materializes it
     var labels = nodes.select(col("node"), col("node").as("component"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -708,7 +708,7 @@ object Dedup {
           .select(labels("node"),
             least(col("component"), coalesce(col("_nbr"), col("component")))
               .as("component")))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the changed-count probe materializes it
       val changed = next
         .join(labels.withColumnRenamed("component", "_old"), "node")
         .filter(col("component") =!= col("_old")).count()
@@ -759,7 +759,7 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the count below materializes it
     var eCount = e.count()
     var converged = false
     var i = 0
@@ -776,7 +776,7 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ high→low
         .filter(col("u") =!= col("v"))
         .distinct())
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: next's count materializes the chain
       // small-star: edges already high→low; for each node u,
       // m = min of its smaller neighbors; relink them all (and u) to m
       val smallMin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -785,7 +785,7 @@ object Dedup {
         .select(col("n").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the convergence count materializes it
       // both sides are distinct sets, so set equality ⟺ equal size
       // AND next ⊆ e: one count over the fresh checkpoint plus (only
       // when sizes tie) a short-circuiting anti-join probe, instead of

@@ -38,7 +38,7 @@ object GraphOps {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the count below materializes it
     val n = nodes.count()
     // materialized ONCE, with the out-degree already ATTACHED to each
     // edge: the loop re-executes its plan every round, so an
@@ -47,10 +47,17 @@ object GraphOps {
     // would pay an extra join + exchange per round. Pre-joining deg
     // onto the edge list (one edge-sized column) leaves each iteration
     // exactly one rank ⋈ edges join + one groupBy(dst) shuffle.
+    // All loop checkpoints are LAZY (eager = false, the Bpe.encode /
+    // c01 discipline): each still truncates lineage so plans stay
+    // linear, but an eager one scheduled a driver job per round BEFORE
+    // the caller's action started; lazy folds every round's
+    // materialization into that one action (`nodes` stays eager — its
+    // count() is needed now). Values unchanged: checkpoint placement
+    // never changes the arithmetic.
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint()
-    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
+      .localCheckpoint(false)
+    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(false)
     var i = 0
     while (i < iters) {
       val contribs = ranks
@@ -63,7 +70,7 @@ object GraphOps {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("cin"), lit(0.0))).as("r")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       i += 1
     }
     ranks
@@ -97,11 +104,11 @@ object GraphOps {
       .join(sd.withColumn("isSeed", lit(true)), Seq("node"), "left")
       .select(col("node"),
         when(col("isSeed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("p0"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy, as pageRank: fold into the action
     val eDeg = e // deg pre-joined onto edges, once (see pageRank)
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint()
-    var ranks = base.select(col("node"), col("p0").as("r")).localCheckpoint()
+      .localCheckpoint(false)
+    var ranks = base.select(col("node"), col("p0").as("r")).localCheckpoint(false)
     var i = 0
     while (i < iters) {
       val contribs = ranks
@@ -114,7 +121,7 @@ object GraphOps {
         .select(col("node"),
           (lit(1.0 - damping) * col("p0") +
             lit(damping) * coalesce(col("cin"), lit(0.0))).as("r")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       i += 1
     }
     ranks
@@ -170,12 +177,12 @@ object GraphOps {
       col(weightCol).cast("double").as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the count below materializes it
     val n = nodes.count()
     val eW = e // out-weight sum pre-joined onto edges, once (see pageRank)
       .join(e.groupBy("src").agg(sum(col("w")).as("wtot")), "src")
-      .localCheckpoint()
-    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
+      .localCheckpoint(false) // lazy, as pageRank
+    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(false)
     var i = 0
     while (i < iters) {
       val contribs = ranks
@@ -189,7 +196,7 @@ object GraphOps {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("cin"), lit(0.0))).as("r")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       i += 1
     }
     ranks
@@ -205,26 +212,33 @@ object GraphOps {
     * Each round is one semi-join pass (edges restricted to the alive
     * set on both endpoints — fixed-width keys) + one degree
     * aggregate; the alive frame localCheckpoints per round
-    * ([[pageRank]]'s discipline). The round count is a FIXED unroll —
-    * a converged peel makes the remaining rounds no-ops — so the
-    * trajectory is exactly SQL-replayable with no data-dependent
-    * stopping rule; at 331-node fixture scale a dozen rounds is far
-    * past the fixpoint, and at warehouse scale bounded-round peeling
-    * is the standard contract (each extra round is one more linear
-    * pass). */
+    * ([[pageRank]]'s discipline). The round count is a bounded unroll
+    * that EXITS at the provable fixpoint: each round's alive set is a
+    * SUBSET of the previous one (survivors are endpoints of edges
+    * within the previous alive set), so an unchanged COUNT means an
+    * unchanged SET, and every remaining round would recompute the
+    * identical (node, core_deg) frame — the early-exited run equals
+    * the oracle's full unroll by construction, not approximately (the
+    * [[Dedup.connectedComponents]] convergence-check discipline; the
+    * count is a cheap job over the round's already-materialized
+    * checkpoint). At warehouse scale this turns `rounds` into a cap
+    * instead of a cost: a peel that stabilizes in 3 rounds pays 3
+    * linear passes, not 12. */
   def kCorePeel(spark: SparkSession, edges: DataFrame, srcCol: String,
       dstCol: String, k: Int, rounds: Int): DataFrame = {
     val und = edges
       .filter(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false) // lazy: round 1's count materializes it
     var alive = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var aliveCount = alive.count()
     var deg: DataFrame = null
     var r = 0
-    while (r < rounds) {
+    var fixed = false
+    while (r < rounds && !fixed) {
       val eAlive = und
         .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
@@ -233,8 +247,11 @@ object GraphOps {
         .unionAll(eAlive.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
         .filter(col("core_deg") >= k))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the convergence count materializes it
       alive = deg.select(col("node"))
+      val c = deg.count()
+      fixed = c == aliveCount // subset + equal count ⇒ equal set ⇒ fixpoint
+      aliveCount = c
       r += 1
     }
     if (deg == null) alive.withColumn("core_deg", lit(0L)) else deg
@@ -267,14 +284,14 @@ object GraphOps {
     val ranked = e
       .withColumn("rn",
         row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy (pageRank's discipline)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var frontier = nodes
       .select(col("node").as("start"), col("node").as("cur"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var out = frontier.select(col("start"), lit(0).as("step"),
       col("cur").as("node"))
     var t = 1
@@ -290,7 +307,7 @@ object GraphOps {
           Seq("cur"))
         .filter(col("pick") === col("rn"))
         .select(col("start"), col("dst").as("cur")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       out = out.unionAll(next.select(col("start"), lit(t).as("step"),
         col("cur").as("node")))
       frontier = next
@@ -339,8 +356,8 @@ object GraphOps {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
+      .localCheckpoint(false) // lazy (pageRank's discipline)
+    var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint(false)
     var authRaw: DataFrame = null
     var i = 0
     while (i < iters) {
@@ -352,7 +369,7 @@ object GraphOps {
         .join(authRaw.select(col("node"), col("ar")), col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("ar")).as("hr"))
         .select(col("src").as("node"), col("hr").as("hub")))
-        .localCheckpoint() // checkpoints compute authRaw in the same job
+        .localCheckpoint(false) // lazy; authRaw computes inside the same action
       i += 1
     }
     val aTot = authRaw.agg(sum(col("ar")).as("at")) // 1 row
@@ -383,7 +400,7 @@ object GraphOps {
   def linkGraphProfile(spark: SparkSession, edges: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: all six metric branches read it in one action
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outHist = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -423,26 +440,34 @@ object GraphOps {
     * frontier ⋈ edges on the node key + one LEFT ANTI join against
     * the visited set, both fixed-width; the visited/frontier frames
     * localCheckpoint per round (linear plans, as [[pageRank]]). The
-    * horizon is a FIXED unroll — an empty frontier makes the
-    * remaining rounds no-ops — so the trajectory is exactly
-    * SQL-replayable with no data-dependent stopping rule. */
+    * horizon is a bounded unroll that EXITS once the frontier empties:
+    * an empty frontier joins to an empty next layer forever, so every
+    * remaining round adds zero rows and the early-exited run equals
+    * the oracle's full unroll by construction (the emptiness probe is
+    * one cheap job over the round's already-materialized checkpoint).
+    * At warehouse scale a seed set that saturates its reachable
+    * neighborhood in 2 hops pays 2 frontier passes, not `maxDepth`. */
   def bfsLayers(spark: SparkSession, edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, seedCol: String,
       maxDepth: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     var visited = seeds.select(col(seedCol).as("node")).distinct()
-      .withColumn("depth", lit(0L)).localCheckpoint()
+      .withColumn("depth", lit(0L)).localCheckpoint(false)
     var frontier = visited.select(col("node"))
     var d = 1
-    while (d <= maxDepth) {
+    var drained = false
+    while (d <= maxDepth && !drained) {
       val next = IterTrace.record("bfs_layers",
         frontier.join(e, col("node") === col("src"))
           .select(col("dst").as("node")).distinct()
           .join(visited.select(col("node")), Seq("node"), "left_anti"))
-        .localCheckpoint()
-      visited = visited.unionAll(next.withColumn("depth", lit(d.toLong)))
-        .localCheckpoint()
-      frontier = next
+        .localCheckpoint(false) // lazy: the emptiness probe materializes it
+      drained = next.isEmpty // empty frontier ⇒ all later layers empty
+      if (!drained) {
+        visited = visited.unionAll(next.withColumn("depth", lit(d.toLong)))
+          .localCheckpoint(false)
+        frontier = next
+      }
       d += 1
     }
     visited
@@ -470,7 +495,7 @@ object GraphOps {
       .filter(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false) // lazy (pageRank's discipline)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -484,7 +509,7 @@ object GraphOps {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("b"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val paths = ori.as("e1")
       .join(ori.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e2.b").as("c"))

@@ -602,7 +602,7 @@ object Sampling {
     // write-and-reread, shapes unchanged).
     val ranged = df.repartitionByRange(nRanges, order: _*)
       .withColumn("_range", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the counts collect below materializes it
     val w = Window.partitionBy(col("_range")).orderBy(order: _*)
     val withPos = ranged.withColumn("_pos", row_number().over(w).cast("long"))
     // range partitions are ordered by construction: every row in range

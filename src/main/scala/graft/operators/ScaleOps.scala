@@ -119,7 +119,7 @@ object ScaleOps {
       s"nRanges=$nRanges: offsets ride the plan as literals, keep it bounded")
     val ranged = df.repartitionByRange(nRanges, order: _*)
       .withColumn("_range", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the counts collect below materializes it
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_range")).orderBy(order: _*)
     val withPos = ranged.withColumn("_pos", row_number().over(w).cast("long"))

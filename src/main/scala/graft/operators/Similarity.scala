@@ -186,7 +186,9 @@ object Similarity {
       // content is deterministic (rounded scores, id tie-breaks), so
       // checkpointing changes cost, never results.
       all = IterTrace.record("mmr_round", all.unionByName(picked))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy (Bpe.encode discipline): still truncates
+      // the 3^k lineage, but folds each round's materialization into the
+      // caller's one action instead of one scheduled job per round
     }
     all.select(col("query_id"), col("sel_round"), col("neighbor_id"),
       col("rel"), col("mmr_score"))

@@ -612,7 +612,7 @@ object TextAnalysis {
     val f = feats
       .select((labelCol +: featCols).map(c => col(c).cast("double")): _*)
       .coalesce(1)
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: round 1's head() materializes it
     var w = Vector.fill(featCols.size + 1)(0.0)
     for (_ <- 1 to iters) {
       val z = featCols.zipWithIndex.foldLeft(lit(w(0))) {

@@ -451,9 +451,11 @@ class PlanAssertionsSpec extends SparkSpec {
       // NOT tfidfTopK's corpus-vocab df, which is unhinted since
       // r15); vocab/b: heap-cut vocabSize grids; ctx/cont: KN model
       // tables keyed by single words (vocab-bounded — the bigram
-      // table cb is NOT hinted)
+      // table cb is NOT hinted); bt: the 1-row bigram-type-count
+      // scalar (cb.agg(count)) that replaced knBigramScore's separate
+      // cb.count() driver job in r15
       "TextAnalysis.scala" -> Map("dfreq" -> 1, "vocab" -> 1,
-        "b" -> 1, "ctx" -> 1, "cont" -> 1),
+        "b" -> 1, "ctx" -> 1, "cont" -> 1, "bt" -> 1),
       // q: query set; cellCounts: ≤nlist rows (centroid table size)
       "IvfIndex.scala" -> Map("q" -> 1, "cellCounts" -> 1),
       // perSource: per-source aggregate, ≤|sources| rows
