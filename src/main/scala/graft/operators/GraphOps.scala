@@ -104,7 +104,8 @@ object GraphOps {
       .join(sd.withColumn("isSeed", lit(true)), Seq("node"), "left")
       .select(col("node"),
         when(col("isSeed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("p0"))
-      .localCheckpoint(false) // lazy, as pageRank: fold into the action
+      .localCheckpoint() // EAGER: base is re-read by round 1's two branches
+      // concurrently (ranks0 chain + the densifying join) — see hits
     val eDeg = e // deg pre-joined onto edges, once (see pageRank)
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint(false)
@@ -354,9 +355,16 @@ object GraphOps {
       dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // nodes and the FINAL hub stay EAGER: both feed multiple parallel
+    // consumers of the read-time plan (the L1-total aggregates and the
+    // densifying joins), and a lazily-checkpointed frame whose first
+    // materialization happens under concurrent stages is computed by
+    // EACH of them (the cache-population race) — eager pre-populates
+    // the blocks once. Loop-internal rounds are consumed sequentially,
+    // so they stay lazy (pageRank's discipline).
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false) // lazy (pageRank's discipline)
+      .localCheckpoint()
     var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint(false)
     var authRaw: DataFrame = null
     var i = 0
@@ -369,7 +377,8 @@ object GraphOps {
         .join(authRaw.select(col("node"), col("ar")), col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("ar")).as("hr"))
         .select(col("src").as("node"), col("hr").as("hub")))
-        .localCheckpoint(false) // lazy; authRaw computes inside the same action
+        .localCheckpoint(i == iters - 1) // final round EAGER (fan-out read);
+      // earlier rounds lazy — consumed sequentially by the next round
       i += 1
     }
     val aTot = authRaw.agg(sum(col("ar")).as("at")) // 1 row
@@ -400,7 +409,8 @@ object GraphOps {
   def linkGraphProfile(spark: SparkSession, edges: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(false) // lazy: all six metric branches read it in one action
+      .localCheckpoint() // EAGER: six metric branches read it CONCURRENTLY
+      // in one action — lazy would race-compute it per branch (see hits)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outHist = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -495,7 +505,8 @@ object GraphOps {
       .filter(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
-      .distinct().localCheckpoint(false) // lazy (pageRank's discipline)
+      .distinct().localCheckpoint() // EAGER: deg and ori branches read it
+      // concurrently (see hits)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -509,7 +520,7 @@ object GraphOps {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("b"))
-      .localCheckpoint(false)
+      .localCheckpoint() // EAGER: the path self-join reads it twice concurrently
     val paths = ori.as("e1")
       .join(ori.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e2.b").as("c"))
