@@ -355,17 +355,19 @@ object GraphOps {
       dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    // nodes and the FINAL hub stay EAGER: both feed multiple parallel
-    // consumers of the read-time plan (the L1-total aggregates and the
-    // densifying joins), and a lazily-checkpointed frame whose first
-    // materialization happens under concurrent stages is computed by
-    // EACH of them (the cache-population race) — eager pre-populates
-    // the blocks once. Loop-internal rounds are consumed sequentially,
-    // so they stay lazy (pageRank's discipline).
+    // hits keeps ALL its checkpoints EAGER — measured, not assumed:
+    // the loop-lazy variant (pageRank's discipline) read bimodally
+    // slower in alternating probes (2.13–2.72 s vs 2.16–2.41 s
+    // all-eager at sf0.1) and slower in all three same-boot A/B bench
+    // pairings, because unlike the rank loops the read-time plan fans
+    // out into FOUR consumers (two L1-total aggregates + two
+    // densifying joins) over frames whose first materialization would
+    // otherwise race (the cache-population race: concurrent stages
+    // each compute an un-materialized lazy checkpoint).
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint(false)
+    var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
     var authRaw: DataFrame = null
     var i = 0
     while (i < iters) {
@@ -377,8 +379,8 @@ object GraphOps {
         .join(authRaw.select(col("node"), col("ar")), col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("ar")).as("hr"))
         .select(col("src").as("node"), col("hr").as("hub")))
-        .localCheckpoint(i == iters - 1) // final round EAGER (fan-out read);
-      // earlier rounds lazy — consumed sequentially by the next round
+        .localCheckpoint() // eager every round (see the note above;
+      // checkpoints compute authRaw in the same job)
       i += 1
     }
     val aTot = authRaw.agg(sum(col("ar")).as("at")) // 1 row
