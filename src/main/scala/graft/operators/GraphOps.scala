@@ -355,15 +355,19 @@ object GraphOps {
       dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    // hits keeps ALL its checkpoints EAGER — measured, not assumed:
-    // the loop-lazy variant (pageRank's discipline) read bimodally
-    // slower in alternating probes (2.13–2.72 s vs 2.16–2.41 s
-    // all-eager at sf0.1) and slower in all three same-boot A/B bench
-    // pairings, because unlike the rank loops the read-time plan fans
-    // out into FOUR consumers (two L1-total aggregates + two
-    // densifying joins) over frames whose first materialization would
-    // otherwise race (the cache-population race: concurrent stages
-    // each compute an un-materialized lazy checkpoint).
+    // Checkpoint discipline (r15 measured the failure mode, r16 fixed
+    // its cause): the read-time plan fans out into FOUR concurrent
+    // consumers — two L1-total aggregates + two densifying joins —
+    // so every frame those consumers read must be EAGER (materialized
+    // before the read action) or they race-compute it (the
+    // cache-population race that made the r15 all-lazy variant read
+    // bimodally slower). r16 therefore checkpoints the FINAL round's
+    // authRaw and hub eagerly — previously authRaw had no checkpoint
+    // at all and the read plan re-ran the full e ⋈ hub join +
+    // aggregate once per consumer — while the in-loop rounds go lazy
+    // (each round's frame has exactly ONE consumer, the next round's
+    // chain, so laziness folds their materialization into the final
+    // round's two jobs instead of scheduling one job per round).
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
@@ -375,12 +379,23 @@ object GraphOps {
         .join(hub.select(col("node"), col("hub")), col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("ar"))
         .select(col("dst").as("node"), col("ar"))
+      // FINAL round only: materialize authRaw itself. It is the other
+      // read-time fan-out root (two concurrent consumers: the aTot
+      // scalar aggregate + the densifying left join), and without its
+      // own checkpoint each consumer re-ran the full e ⋈ hub_prev
+      // join + aggregate — the read plan paid the last half-step twice
+      // more. Eager, per this operator's measured fan-out rule; the
+      // final hub checkpoint then reads these blocks instead of
+      // recomputing the subtree, so the round's total compute is
+      // unchanged while the read-time recomputes disappear.
+      if (i == iters - 1) authRaw = authRaw.localCheckpoint()
       hub = IterTrace.record("hits", e
         .join(authRaw.select(col("node"), col("ar")), col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("ar")).as("hr"))
         .select(col("src").as("node"), col("hr").as("hub")))
-        .localCheckpoint() // eager every round (see the note above;
-      // checkpoints compute authRaw in the same job)
+        .localCheckpoint(i == iters - 1) // lazy in-loop (single sequential
+      // consumer: the next round's chain), EAGER on the final round —
+      // its blocks are read by two concurrent consumers (hTot + densify)
       i += 1
     }
     val aTot = authRaw.agg(sum(col("ar")).as("at")) // 1 row
