@@ -286,10 +286,22 @@ object Dedup {
     val rare = fps.groupBy(col("_fp"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxShingleDocFreq)
-    val sizes = fps.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    // sizes feeds TWO consumers (the a- and b-side densifying joins of
+    // `merged`) and exchange reuse does not dedup the twin broadcast
+    // builds (measured r16, same finding as cand below) — one tracked
+    // doc-count-sized frame pays the corpus-sized groupBy once
+    val sizes = OpCaches.track(
+      fps.groupBy(col("_id")).agg(count(lit(1)).as("_n")))
     val shared =
       if (!prefixFilter) {
-        val cand = fps.join(rare.select(col("_fp")), "_fp")
+        // Staged through OpCaches (the t24/prefix-path pattern),
+        // measured r16: the executed plan showed exchange reuse does
+        // NOT cover the self-join's two cand occurrences — the rare
+        // aggregate was computed and broadcast TWICE (two identical
+        // 17 MB BroadcastExchanges at sf0.1, no ReusedExchange),
+        // because one side feeds a broadcast build and the other the
+        // probe stream. Caching cand pays the fps ⋈ rare pass once.
+        val cand = OpCaches.track(fps.join(rare.select(col("_fp")), "_fp"))
         cand.select(col("_fp"), col("_id").as("a"))
           .join(cand.select(col("_fp"), col("_id").as("b")), "_fp")
           .filter(col("a") < col("b"))
