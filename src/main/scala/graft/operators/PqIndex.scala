@@ -296,6 +296,25 @@ object PqIndex {
         .orderBy(col("_id")).limit(ivf.nlist + k).collect()
         .drop(ivf.nlist).map(_.getSeq[Double](1).toArray), ivf), m)
 
+  /** [[IvfIndex.parityModel]] + [[parityResidualModel]] from ONE
+    * bounded collect: both parity builds read the same ORDER BY id
+    * prefix of the corpus (the first `nlist` rows are the centroids,
+    * the next `k` supply the residual codebooks), so running them as
+    * two driver jobs scanned the corpus prefix twice for no reason —
+    * the id order is unique, the shared rows are identical, and each
+    * model's driver-side math is byte-for-byte the two-job result
+    * (PqSpec pins the equality). One TakeOrderedAndProject job
+    * replaces two in the v34 model chain. */
+  def parityIvfResidualModels(corpus: DataFrame, idCol: String,
+      embCol: String, nlist: Int, m: Int, k: Int): (IvfIndex.Model, Model) = {
+    val rows = Similarity.withUnit(corpus, embCol)
+      .select(col(idCol).as("_id"), col("_unit"))
+      .orderBy(col("_id")).limit(nlist + k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val ivf = IvfIndex.Model(rows.take(nlist))
+    (ivf, parityFromUnits(residualsOf(rows.drop(nlist), ivf), m))
+  }
+
   /** Residual IVF-PQ — the FAISS IndexIVFPQ ENCODING proper: PQ codes
     * quantize the residual u − c(cell(u)) rather than u itself. The
     * ADC estimate decomposes as dot(q, c_cell) + Σ_s dot(q_sub,

@@ -1719,15 +1719,15 @@ object VectorQueries {
     "v34_ann_residual_ivfpq",
     (s, d) => {
       val emb = Tables(s, d, "embeddings")
-      val ivfM = graft.operators.IvfIndex.parityModel(
-        emb, "vec_id", "embedding", 16)
+      // fused parity build (r16): both models read the same ORDER BY
+      // vec_id prefix, so one bounded collect replaces two driver jobs
+      val (ivfM, pqM) = graft.operators.PqIndex.parityIvfResidualModels(
+        emb, "vec_id", "embedding", nlist = 16, m = 16, k = 16)
       graft.operators.PqIndex.residualIvfPqTopK(
           emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
           m = 16, nCentroids = 16,
-          ivf0 = Some(ivfM),
-          pq0 = Some(graft.operators.PqIndex.parityResidualModel(
-            emb, "vec_id", "embedding", ivfM, m = 16, k = 16)))
+          ivf0 = Some(ivfM), pq0 = Some(pqM))
         .orderBy("query_id", "rank")
     },
     Some(s"""WITH ${parityIvfCteSql("vec_id, embedding::DOUBLE[] AS e",

@@ -145,6 +145,21 @@ class PqSpec extends SparkSpec {
     graft.operators.OpCaches.release(spark)
   }
 
+  test("fused parityIvfResidualModels == the two-collect parity builds") {
+    val ivf2 = graft.operators.IvfIndex.parityModel(
+      emb, "vec_id", "embedding", 16)
+    val pq2 = PqIndex.parityResidualModel(
+      emb, "vec_id", "embedding", ivf2, m = 16, k = 16)
+    val (ivf1, pq1) = PqIndex.parityIvfResidualModels(
+      emb, "vec_id", "embedding", nlist = 16, m = 16, k = 16)
+    assert(ivf1.centroids.map(_.toSeq).toSeq ==
+      ivf2.centroids.map(_.toSeq).toSeq,
+      "one-collect IVF centroids must equal parityModel's")
+    assert(pq1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq2.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "one-collect residual codebooks must equal parityResidualModel's")
+  }
+
   test("residual IVF-PQ: exhaustive probe + un-pruned re-rank is exact") {
     // nprobe = nlist removes the cell cut and a corpus-sized
     // rerankFactor removes the ADC cut, so whatever the residual
