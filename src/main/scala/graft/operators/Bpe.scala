@@ -141,11 +141,9 @@ object Bpe {
       .select(explode(split(col("word"), "")).as("sym"))
       .filter(col("sym") =!= "").distinct()
       .collect().map(_.getString(0)).toSeq.sorted // ≤36 by the pre-token contract
-    var states = words
-      .withColumn("state", initialState(col("word")))
-      .localCheckpoint(false) // lazy: round 1's best-pair collect materializes it
-    val merges = Seq.newBuilder[(String, String, Long)]
-    // AQE OFF for the merge loop only (restored in finally): every
+    // The merge loop plans in an ISOLATED cloned session ([[LoopSession]],
+    // r16 — r15 set/restored the caller's conf, a foot-gun for any
+    // concurrent caller) with AQE OFF and ONE shuffle partition: every
     // frame the loop plans is vocab-bounded BY CONSTRUCTION (the whole
     // point of training on the type table), so AQE's runtime
     // re-optimization — partition coalescing, skew splits — has
@@ -155,68 +153,50 @@ object Bpe {
     // constant is distributed BPE's bottleneck at ANY scale (measured:
     // evidence/bpe_scale_r*.json), so halving jobs-per-merge is a
     // scale win, not a local-mode tweak. Results are unaffected — AQE
-    // never changes values. Session-scoped side effect: a query
-    // planned CONCURRENTLY in the same session during train would
-    // also plan non-adaptively (the engine's mains are sequential).
+    // never changes values. The pair aggregate's reduce side holds
+    // DISTINCT adjacent pairs — O(vocab · avg word length) rows at ANY
+    // corpus scale (the map side already partially aggregated per
+    // partition), so one reduce task is the operator's correct
+    // parallelism for its bounded cardinality, not a local-mode tune.
     // The corpus-sized wordFreqs aggregate above stays under the
-    // caller's AQE setting — only the loop's tiny plans opt out.
-    // Shuffle partitions scoped to 1 alongside: the pair aggregate's
-    // reduce side holds DISTINCT adjacent pairs — O(vocab · avg word
-    // length) rows at ANY corpus scale (the map side already partially
-    // aggregated per partition), so one reduce task is the right
-    // parallelism for the operator's bounded cardinality, not a
-    // local-mode tune; without AQE's coalescing the session default
-    // would schedule `spark.sql.shuffle.partitions` near-empty tasks
-    // per merge. An extreme-vocabulary production run raises the
-    // session default it restores to — the loop conf is derived, not
-    // hard-coded elsewhere.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val partKey = "spark.sql.shuffle.partitions"
-    val aqePrev = spark.conf.getOption(aqeKey)
-    val partPrev = spark.conf.getOption(partKey)
-    spark.conf.set(aqeKey, "false")
-    spark.conf.set(partKey, "1")
-    try {
-      var rank = 1
-      while (rank <= numMerges) {
-        val best = pairFrame(states)
-          .orderBy(desc("cnt"), col("lhs"), col("rhs"))
-          .limit(1).collect() // 1 row: the model parameter, not data
-        require(best.nonEmpty,
-          s"BPE ran out of pairs at merge $rank/$numMerges — corpus too " +
-            "small for the requested vocabulary")
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((l, r, c))
-        // Unlike the graph loops, the loop-carried state here is a PURE
-        // PROJECTION (a chain of literal replaces over the checkpointed
-        // type table) — no joins, no shuffles — so re-computing a few
-        // chained replaces per round is cheaper than a materialization
-        // round-trip per merge. Checkpoint every `checkpointEvery`
-        // merges instead: plan depth stays bounded, per-round map work
-        // stays O(checkpointEvery), and the per-merge barrier is the
-        // (unavoidable) best-pair collect alone. Values are unaffected —
-        // checkpoint placement never changes the arithmetic.
-        states = IterTrace.record("bpe_merge",
-          states.withColumn("state", applyMerge(col("state"), l, r)))
-        // LAZY (eager = false), the encode-chunk discipline: an eager
-        // checkpoint ran one scheduled job per `checkpointEvery` merges
-        // (64 extra jobs at 512 merges) just to materialize blocks the
-        // NEXT round's best-pair collect would compute anyway; lazy folds
-        // the materialization into that collect. Values unchanged —
-        // checkpoint placement never changes the arithmetic.
-        if (rank % checkpointEvery == 0) states = states.localCheckpoint(false)
-        rank += 1
-      }
-    } finally {
-      aqePrev match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
-      }
-      partPrev match {
-        case Some(v) => spark.conf.set(partKey, v)
-        case None => spark.conf.unset(partKey)
-      }
+    // caller's session and conf — only the loop's tiny plans opt out.
+    val loop = LoopSession.cloned(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "1")
+    var states = LoopSession.rebind(
+        words.withColumn("state", initialState(col("word"))), loop)
+      .localCheckpoint(false) // lazy: round 1's best-pair collect materializes it
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var rank = 1
+    while (rank <= numMerges) {
+      val best = pairFrame(states)
+        .orderBy(desc("cnt"), col("lhs"), col("rhs"))
+        .limit(1).collect() // 1 row: the model parameter, not data
+      require(best.nonEmpty,
+        s"BPE ran out of pairs at merge $rank/$numMerges — corpus too " +
+          "small for the requested vocabulary")
+      val (l, r, c) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((l, r, c))
+      // Unlike the graph loops, the loop-carried state here is a PURE
+      // PROJECTION (a chain of literal replaces over the checkpointed
+      // type table) — no joins, no shuffles — so re-computing a few
+      // chained replaces per round is cheaper than a materialization
+      // round-trip per merge. Checkpoint every `checkpointEvery`
+      // merges instead: plan depth stays bounded, per-round map work
+      // stays O(checkpointEvery), and the per-merge barrier is the
+      // (unavoidable) best-pair collect alone. Values are unaffected —
+      // checkpoint placement never changes the arithmetic.
+      states = IterTrace.record("bpe_merge",
+        states.withColumn("state", applyMerge(col("state"), l, r)))
+      // LAZY (eager = false), the encode-chunk discipline: an eager
+      // checkpoint ran one scheduled job per `checkpointEvery` merges
+      // (64 extra jobs at 512 merges) just to materialize blocks the
+      // NEXT round's best-pair collect would compute anyway; lazy folds
+      // the materialization into that collect. Values unchanged —
+      // checkpoint placement never changes the arithmetic.
+      if (rank % checkpointEvery == 0) states = states.localCheckpoint(false)
+      rank += 1
     }
     Model(alphabet, merges.result())
   }
