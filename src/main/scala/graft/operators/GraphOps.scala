@@ -57,15 +57,34 @@ object GraphOps {
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint(false)
-    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(false)
+    // The loop plans in an isolated cloned session (r16): AQE OFF —
+    // each round's frames are node/edge-bounded with nothing for
+    // runtime re-optimization to improve, while AQE's stage
+    // materialization scheduled one submitMapStage job PER EXCHANGE
+    // PER ROUND when the caller's action finally computed the lazy
+    // chain (q68: 50 jobs for 10 rounds) — and a shuffle-partition
+    // count DERIVED from the measured node count (loopShufflePartitions:
+    // ~500k fixed-width rank rows per reduce partition, floor 1, cap =
+    // the caller's session setting), so partitioning stays scale-
+    // adaptive instead of inheriting a cluster-sized constant for a
+    // node-bounded frame. Values unchanged: AQE and partition counts
+    // never change arithmetic, and the result frame re-binds to the
+    // caller's session below.
+    val loop = LoopSession.cloned(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" ->
+        loopShufflePartitions(spark, n).toString)
+    val nodesL = LoopSession.rebind(nodes, loop)
+    val eDegL = LoopSession.rebind(eDeg, loop)
+    var ranks = nodesL.withColumn("r", lit(1.0 / n)).localCheckpoint(false)
     var i = 0
     while (i < iters) {
       val contribs = ranks
-        .join(eDeg, ranks("node") === eDeg("src"))
+        .join(eDegL, ranks("node") === eDegL("src"))
         .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("cin"))
-      ranks = IterTrace.record("pagerank", nodes
+      ranks = IterTrace.record("pagerank", nodesL
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
@@ -73,7 +92,21 @@ object GraphOps {
         .localCheckpoint(false)
       i += 1
     }
-    ranks
+    LoopSession.rebind(ranks, spark)
+  }
+
+  /** Shuffle-partition count for a node-bounded loop frame: ~500k
+    * fixed-width (key, double) rows per reduce partition — tens of MB,
+    * the low end of the guide's 100 MB–1 GB advisory band, leaving
+    * headroom for the edge-sized join stages that share the setting —
+    * floored at 1 and capped at the caller's session value so a large
+    * graph keeps the cluster's parallelism and a small one stops
+    * scheduling near-empty reduce tasks. Derived from the measured
+    * count, never a constant: the same code picks 1 at sf0.1 and the
+    * session cap on a 10⁹-node crawl graph. */
+  private def loopShufflePartitions(spark: SparkSession, n: Long): Int = {
+    val cap = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    math.max(1L, math.min(cap.toLong, n / 500000L + 1L)).toInt
   }
 
   /** Personalized (topic-sensitive) PageRank: the restart mass goes to
@@ -109,15 +142,25 @@ object GraphOps {
     val eDeg = e // deg pre-joined onto edges, once (see pageRank)
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint(false)
-    var ranks = base.select(col("node"), col("p0").as("r")).localCheckpoint(false)
+    // isolated non-adaptive loop session with derived partitions (see
+    // pageRank's note); the node count is a block scan over the
+    // already-eager base checkpoint, not a recompute
+    val loop = LoopSession.cloned(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" ->
+        loopShufflePartitions(spark, base.count()).toString)
+    val baseL = LoopSession.rebind(base, loop)
+    val eDegL = LoopSession.rebind(eDeg, loop)
+    var ranks = baseL.select(col("node"), col("p0").as("r"))
+      .localCheckpoint(false)
     var i = 0
     while (i < iters) {
       val contribs = ranks
-        .join(eDeg, ranks("node") === eDeg("src"))
+        .join(eDegL, ranks("node") === eDegL("src"))
         .select(col("dst").as("node"), (col("r") / col("deg")).as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("cin"))
-      ranks = IterTrace.record("seeded_pagerank", base
+      ranks = IterTrace.record("seeded_pagerank", baseL
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) * col("p0") +
@@ -125,7 +168,7 @@ object GraphOps {
         .localCheckpoint(false)
       i += 1
     }
-    ranks
+    LoopSession.rebind(ranks, spark)
   }
 
   /** Co-citation related-pair mining: two pages are related when many
@@ -183,16 +226,24 @@ object GraphOps {
     val eW = e // out-weight sum pre-joined onto edges, once (see pageRank)
       .join(e.groupBy("src").agg(sum(col("w")).as("wtot")), "src")
       .localCheckpoint(false) // lazy, as pageRank
-    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(false)
+    // isolated non-adaptive loop session with derived partitions — see
+    // pageRank's note
+    val loop = LoopSession.cloned(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" ->
+        loopShufflePartitions(spark, n).toString)
+    val nodesL = LoopSession.rebind(nodes, loop)
+    val eWL = LoopSession.rebind(eW, loop)
+    var ranks = nodesL.withColumn("r", lit(1.0 / n)).localCheckpoint(false)
     var i = 0
     while (i < iters) {
       val contribs = ranks
-        .join(eW, ranks("node") === eW("src"))
+        .join(eWL, ranks("node") === eWL("src"))
         .select(col("dst").as("node"),
           (col("r") * col("w") / col("wtot")).as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("cin"))
-      ranks = IterTrace.record("weighted_pagerank", nodes
+      ranks = IterTrace.record("weighted_pagerank", nodesL
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
@@ -200,7 +251,7 @@ object GraphOps {
         .localCheckpoint(false)
       i += 1
     }
-    ranks
+    LoopSession.rebind(ranks, spark)
   }
 
   /** Bounded-round k-core peel of the UNDIRECTED simple graph
@@ -236,11 +287,20 @@ object GraphOps {
       .union(und.select(col("v").as("node"))).distinct()
       .localCheckpoint(false)
     var aliveCount = alive.count()
+    // isolated non-adaptive loop session with derived partitions (see
+    // pageRank's note): each round is two node-keyed semi-joins + one
+    // degree aggregate over frames bounded by the shrinking alive set
+    val loop = LoopSession.cloned(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" ->
+        loopShufflePartitions(spark, aliveCount).toString)
+    val undL = LoopSession.rebind(und, loop)
+    alive = LoopSession.rebind(alive, loop)
     var deg: DataFrame = null
     var r = 0
     var fixed = false
     while (r < rounds && !fixed) {
-      val eAlive = und
+      val eAlive = undL
         .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
       deg = IterTrace.record("kcore_peel", eAlive
@@ -255,7 +315,8 @@ object GraphOps {
       aliveCount = c
       r += 1
     }
-    if (deg == null) alive.withColumn("core_deg", lit(0L)) else deg
+    LoopSession.rebind(
+      if (deg == null) alive.withColumn("core_deg", lit(0L)) else deg, spark)
   }
 
   /** Deterministic random-walk corpus over the link graph — the
@@ -371,11 +432,24 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
+    // isolated non-adaptive loop session with derived partitions (see
+    // pageRank's note); the node count is a block scan over the
+    // already-eager nodes checkpoint. The two final EAGER checkpoints
+    // below then compute the whole lazy chain as two plain jobs
+    // instead of one AQE stage-materialization job per exchange per
+    // round. The read-time projection re-binds to the caller's
+    // session at the end, so the caller's plans stay adaptive.
+    val loop = LoopSession.cloned(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" ->
+        loopShufflePartitions(spark, nodes.count()).toString)
+    val eL = LoopSession.rebind(e, loop)
+    val nodesL = LoopSession.rebind(nodes, loop)
+    var hub = nodesL.withColumn("hub", lit(1.0)).localCheckpoint(false)
     var authRaw: DataFrame = null
     var i = 0
     while (i < iters) {
-      authRaw = e
+      authRaw = eL
         .join(hub.select(col("node"), col("hub")), col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("ar"))
         .select(col("dst").as("node"), col("ar"))
@@ -389,7 +463,7 @@ object GraphOps {
       // recomputing the subtree, so the round's total compute is
       // unchanged while the read-time recomputes disappear.
       if (i == iters - 1) authRaw = authRaw.localCheckpoint()
-      hub = IterTrace.record("hits", e
+      hub = IterTrace.record("hits", eL
         .join(authRaw.select(col("node"), col("ar")), col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("ar")).as("hr"))
         .select(col("src").as("node"), col("hr").as("hub")))
@@ -398,11 +472,15 @@ object GraphOps {
       // its blocks are read by two concurrent consumers (hTot + densify)
       i += 1
     }
-    val aTot = authRaw.agg(sum(col("ar")).as("at")) // 1 row
-    val hTot = hub.agg(sum(col("hub")).as("ht"))    // 1 row
+    // read-time projection on the CALLER's session (adaptive again):
+    // both loop outputs are materialized block-backed frames by now
+    val authRawC = LoopSession.rebind(authRaw, spark)
+    val hubC = LoopSession.rebind(hub, spark)
+    val aTot = authRawC.agg(sum(col("ar")).as("at")) // 1 row
+    val hTot = hubC.agg(sum(col("hub")).as("ht"))    // 1 row
     nodes
-      .join(authRaw, Seq("node"), "left")
-      .join(hub.select(col("node"), col("hub").as("hr")), Seq("node"), "left")
+      .join(authRawC, Seq("node"), "left")
+      .join(hubC.select(col("node"), col("hub").as("hr")), Seq("node"), "left")
       .crossJoin(aTot).crossJoin(hTot) // 1-row scalar-aggregate broadcasts
       .select(col("node"),
         (coalesce(col("ar"), lit(0.0)) / col("at")).as("auth"),
