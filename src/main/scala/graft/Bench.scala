@@ -146,7 +146,8 @@ object Bench {
       phases = Seq("playback" -> playbackPhase, "agg8" -> agg8Phase,
         "queries" -> queriesPhase),
       queryContention = qSampler.labelStats,
-      prior = prior, priorName = priorName))
+      prior = prior, priorName = priorName,
+      cpus = cpus, master = s"local[$cpus]"))
     spark.stop()
   }
 
@@ -264,7 +265,8 @@ object Bench {
       phases: Seq[(String, PlaybackBench.PhaseStats)] = Nil,
       queryContention: Map[String, PlaybackBench.PhaseStats] = Map.empty,
       prior: Map[String, Double] = Map.empty,
-      priorName: Option[String] = None): String = {
+      priorName: Option[String] = None,
+      cpus: String = "", master: String = ""): String = {
     val qs = results.map { case (k, r) => "\"" + k + f"""":${r.sec}%.3f""" }
       .mkString("{", ",", "}")
     // warmup-pass walls: where one-time costs live (JIT, page cache,
@@ -318,6 +320,15 @@ object Bench {
         f"""{"query":"$k","prev_sec":${prior(k)}%.3f,"sec":${r.sec}%.3f,"ratio":${r.sec / prior(k)}%.2f,"probe_factor":$pf%.2f,"loadavg_mean":$lm%.2f}"""
     }.mkString("[", ",", "]")
     val priorJson = priorName.map("\"" + _ + "\"").getOrElse("null")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"warmup_queries":$wq,"memoized":$memo,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"host_probe_sec":$probeJson,"host_noise_factor":$noise%.2f,"host_sentinel":$sentJson,"host_scaling_ratio":$worstScaling%.2f,"phase_contention":$phaseJson,"query_contention":$qcJson,"regressions":$regressions,"prior_bench":$priorJson,"playback_stop_interrupts":$stopInterrupts,"task_failed":$taskFailed,"task_killed":$taskKilled,"sf":"$sfDir"}"""
+    // in-band scaling contract (r16): the knobs the harness actually
+    // honored, so the driver can confirm $SPARK_GRAFT_CPUS /
+    // $SPARK_GRAFT_SF_DIR reached the session without reading the code
+    // (Bench.scala builds master local[$cpus] + shuffle.partitions from
+    // the same env var; flat low/high-core ratios at sf0.1 are fixed-
+    // cost saturation, not an ignored knob — evidence/scaling_r16.json
+    // shows the same binary separating 8 vs 32 cores at sf1)
+    val envJson = if (cpus.isEmpty) ""
+      else s""""cpus":$cpus,"master":"$master","sf_dir":"$sfDir","""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec",$envJson"queries":$qs,"warmup_queries":$wq,"memoized":$memo,"failed":$failed,"bench_failures":$nFailed,"playback_rps":$playbackRps%.0f,"playback_rps_agg8":$playbackAgg8%.0f,"host_probe_sec":$probeJson,"host_noise_factor":$noise%.2f,"host_sentinel":$sentJson,"host_scaling_ratio":$worstScaling%.2f,"phase_contention":$phaseJson,"query_contention":$qcJson,"regressions":$regressions,"prior_bench":$priorJson,"playback_stop_interrupts":$stopInterrupts,"task_failed":$taskFailed,"task_killed":$taskKilled,"sf":"$sfDir"}"""
   }
 }

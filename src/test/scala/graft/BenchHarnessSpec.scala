@@ -51,6 +51,20 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(json.contains(""""bench_failures":0"""), json)
   }
 
+  test("renderJson emits the in-band scaling contract (cpus/master/sf_dir)") {
+    val json = Bench.renderJson(
+      Seq("a" -> Bench.QueryResult(1.0, 5L)), -1.0, -1.0, "/tmp/sf",
+      cpus = "32", master = "local[32]")
+    assert(json.contains(""""cpus":32"""), json)
+    assert(json.contains(""""master":"local[32]""""), json)
+    assert(json.contains(""""sf_dir":"/tmp/sf""""), json)
+    // legacy callers (no cpus) keep the old shape — no dangling comma
+    val legacy = Bench.renderJson(
+      Seq("a" -> Bench.QueryResult(1.0, 5L)), -1.0, -1.0, "/tmp/sf")
+    assert(!legacy.contains(""""cpus""""), legacy)
+    assert(legacy.contains(""""unit":"sec","queries""""), legacy)
+  }
+
   test("renderJson carries the parallelism sentinel and task accounting verbatim") {
     // the fields the r12 sentinel redesign added are the driver's only
     // window into a degraded measurement — pin their presence and that
