@@ -113,15 +113,22 @@ object Bpe {
   /** Adjacent symbol pairs of each state, freq-weighted — the round's
     * counting frame. All native: split + posexplode + element_at. */
   private def pairFrame(states: DataFrame): DataFrame =
-    states
-      .select(col("freq"),
-        split(expr("substring(state, 2, length(state) - 2)"), "  ").as("syms"))
-      .select(col("freq"), col("syms"),
+    weightedPairs(states.select(col("freq").as("w"), col("state").as("st")))
+      .groupBy(col("lhs"), col("rhs")).agg(sum(col("w")).as("cnt"))
+
+  /** (w, st) rows → one (w, lhs, rhs) row per adjacent symbol pair of
+    * `st` — the shared explode of [[pairFrame]] and the incremental
+    * delta in [[train]], so both paths count with byte-identical
+    * logic. All native: split + posexplode + element_at. */
+  private def weightedPairs(rows: DataFrame): DataFrame =
+    rows
+      .select(col("w"),
+        split(expr("substring(st, 2, length(st) - 2)"), "  ").as("syms"))
+      .select(col("w"), col("syms"),
         posexplode(col("syms")).as(Seq("i", "lhs")))
       .filter(col("i") < size(col("syms")) - 1)
-      .select(col("freq"), col("lhs"),
+      .select(col("w"), col("lhs"),
         element_at(col("syms"), col("i") + 2).as("rhs"))
-      .groupBy(col("lhs"), col("rhs")).agg(sum(col("freq")).as("cnt"))
 
   /** Train `numMerges` merges over `docs(textCol)`. Returns the model;
     * the loop checkpoints the type-table state per round and routes
@@ -166,10 +173,30 @@ object Bpe {
     var states = LoopSession.rebind(
         words.withColumn("state", initialState(col("word"))), loop)
       .localCheckpoint(false) // lazy: round 1's best-pair collect materializes it
+    // INCREMENTAL pair counts (r16): merging (l, r) only changes the
+    // adjacent-pair counts of word types whose state CONTAINS the
+    // pattern " l  r " — every other state is untouched by the replace
+    // — so instead of re-exploding and re-aggregating the FULL type
+    // table every round (the classic formulation, O(total symbols) per
+    // merge), the loop carries the (lhs, rhs, cnt) table forward and
+    // applies a signed delta over the affected types only: each
+    // affected state contributes its pre-merge pairs at −freq and its
+    // post-merge pairs at +freq, in ONE scan (the two states ride an
+    // exploded 2-array so the affected set is read once). The carried
+    // table equals pairFrame(states) EXACTLY at every round by
+    // induction — integer sums, same explode logic (weightedPairs),
+    // unaffected rows contribute zero — so the argmax under
+    // (cnt DESC, lhs, rhs) picks the identical merge; BpeSpec pins
+    // train == trainLocal and the t34/t35/t39 oracles replay the full
+    // recount formulation against it. Per-round work drops from
+    // O(all types · avg word length) to O(affected types + distinct
+    // pairs); the barrier count is unchanged (one argmax collect per
+    // merge — greedy BPE's sequential floor).
+    var counts = pairFrame(states).localCheckpoint(false)
     val merges = Seq.newBuilder[(String, String, Long)]
     var rank = 1
     while (rank <= numMerges) {
-      val best = pairFrame(states)
+      val best = counts
         .orderBy(desc("cnt"), col("lhs"), col("rhs"))
         .limit(1).collect() // 1 row: the model parameter, not data
       require(best.nonEmpty,
@@ -178,6 +205,25 @@ object Bpe {
       val (l, r, c) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((l, r, c))
+      // signed one-scan delta over the affected types (see note above);
+      // the raw signed pair rows union straight into the carried table
+      // ahead of ONE groupBy — a delta-side pre-aggregate would add an
+      // exchange per merge for rows the union agg absorbs anyway
+      val aff = states.filter(col("state").contains(s" $l  $r "))
+      val delta = weightedPairs(aff
+          .select(col("freq"), explode(array(
+            struct(col("state").as("st"), lit(-1L).as("sg")),
+            struct(applyMerge(col("state"), l, r).as("st"),
+              lit(1L).as("sg")))).as("x"))
+          .select((col("freq") * col("x.sg")).as("w"), col("x.st").as("st")))
+        .select(col("lhs"), col("rhs"), col("w").as("cnt"))
+      counts = IterTrace.record("bpe_pair_delta",
+        counts.unionByName(delta)
+          .groupBy(col("lhs"), col("rhs")).agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0)) // a zeroed pair has no occurrences —
+        // exactly pairFrame's "no row", keeping the induction invariant
+        .localCheckpoint(false) // lazy: the NEXT round's argmax collect
+        // materializes it (one job per merge, the sequential floor)
       // Unlike the graph loops, the loop-carried state here is a PURE
       // PROJECTION (a chain of literal replaces over the checkpointed
       // type table) — no joins, no shuffles — so re-computing a few
@@ -185,16 +231,10 @@ object Bpe {
       // round-trip per merge. Checkpoint every `checkpointEvery`
       // merges instead: plan depth stays bounded, per-round map work
       // stays O(checkpointEvery), and the per-merge barrier is the
-      // (unavoidable) best-pair collect alone. Values are unaffected —
+      // (unavoidable) argmax collect alone. Values are unaffected —
       // checkpoint placement never changes the arithmetic.
       states = IterTrace.record("bpe_merge",
         states.withColumn("state", applyMerge(col("state"), l, r)))
-      // LAZY (eager = false), the encode-chunk discipline: an eager
-      // checkpoint ran one scheduled job per `checkpointEvery` merges
-      // (64 extra jobs at 512 merges) just to materialize blocks the
-      // NEXT round's best-pair collect would compute anyway; lazy folds
-      // the materialization into that collect. Values unchanged —
-      // checkpoint placement never changes the arithmetic.
       if (rank % checkpointEvery == 0) states = states.localCheckpoint(false)
       rank += 1
     }
