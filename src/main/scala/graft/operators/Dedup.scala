@@ -710,10 +710,21 @@ object Dedup {
       .localCheckpoint(false) // lazy: round 1's changed-count materializes it
     var labels = nodes.select(col("node"), col("node").as("component"))
       .localCheckpoint(false)
+    // isolated non-adaptive loop session with node-derived partitions
+    // (the graph-loop discipline, see GraphOps.pageRank): each round is
+    // one node-keyed join + min aggregate + a changed-count probe —
+    // bounded frames AQE has nothing to improve on, while its stage
+    // materialization scheduled one job per exchange per round. The
+    // label count materializes the initial checkpoint round 1 reads
+    // anyway; the result re-binds to the caller's session below.
+    val spark = edges.sparkSession
+    val loop = LoopSession.nonAdaptive(spark, labels.count())
+    val symL = LoopSession.rebind(sym, loop)
+    labels = LoopSession.rebind(labels, loop)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+      val nbrMin = symL.join(labels, symL("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("component")).as("_nbr"))
       val next = IterTrace.record("cc_minlabel",
         labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
@@ -736,7 +747,7 @@ object Dedup {
         s"connectedComponents did not converge after $maxIters rounds; " +
           "labels would be partially propagated. Raise maxIters " +
           "(rounds needed = O(max component diameter)).")
-    labels
+    LoopSession.rebind(labels, spark)
   }
 
   /** Connected components by alternating large-star / small-star
@@ -773,6 +784,13 @@ object Dedup {
       .distinct()
       .localCheckpoint(false) // lazy: the count below materializes it
     var eCount = e.count()
+    // isolated non-adaptive loop session with edge-derived partitions
+    // (the graph-loop discipline, see GraphOps.pageRank); per-round
+    // edge multiplicity never exceeds the input edge count, so the
+    // canonical |E| is the right derivation input
+    val spark = edges.sparkSession
+    val loop = LoopSession.nonAdaptive(spark, eCount)
+    e = LoopSession.rebind(e, loop)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -814,8 +832,10 @@ object Dedup {
         s"connectedComponentsStar did not converge after $maxIters rounds " +
           "(expected O(log² n)); raise maxIters.")
     // fixpoint is a star per component: every non-root points at the
-    // component min; roots and isolated nodes label themselves
-    nodes.join(e.select(col("u").as("node"), col("v").as("_root")), Seq("node"), "left")
+    // component min; roots and isolated nodes label themselves — on
+    // the CALLER's session (e's blocks are materialized by now)
+    nodes.join(LoopSession.rebind(e, spark)
+        .select(col("u").as("node"), col("v").as("_root")), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("_root"), col("node")).as("component"))
   }

@@ -63,17 +63,14 @@ object GraphOps {
     // materialization scheduled one submitMapStage job PER EXCHANGE
     // PER ROUND when the caller's action finally computed the lazy
     // chain (q68: 50 jobs for 10 rounds) — and a shuffle-partition
-    // count DERIVED from the measured node count (loopShufflePartitions:
+    // count DERIVED from the measured node count (LoopSession.derivedPartitions:
     // ~500k fixed-width rank rows per reduce partition, floor 1, cap =
     // the caller's session setting), so partitioning stays scale-
     // adaptive instead of inheriting a cluster-sized constant for a
     // node-bounded frame. Values unchanged: AQE and partition counts
     // never change arithmetic, and the result frame re-binds to the
     // caller's session below.
-    val loop = LoopSession.cloned(spark,
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" ->
-        loopShufflePartitions(spark, n).toString)
+    val loop = LoopSession.nonAdaptive(spark, n)
     val nodesL = LoopSession.rebind(nodes, loop)
     val eDegL = LoopSession.rebind(eDeg, loop)
     var ranks = nodesL.withColumn("r", lit(1.0 / n)).localCheckpoint(false)
@@ -95,19 +92,6 @@ object GraphOps {
     LoopSession.rebind(ranks, spark)
   }
 
-  /** Shuffle-partition count for a node-bounded loop frame: ~500k
-    * fixed-width (key, double) rows per reduce partition — tens of MB,
-    * the low end of the guide's 100 MB–1 GB advisory band, leaving
-    * headroom for the edge-sized join stages that share the setting —
-    * floored at 1 and capped at the caller's session value so a large
-    * graph keeps the cluster's parallelism and a small one stops
-    * scheduling near-empty reduce tasks. Derived from the measured
-    * count, never a constant: the same code picks 1 at sf0.1 and the
-    * session cap on a 10⁹-node crawl graph. */
-  private def loopShufflePartitions(spark: SparkSession, n: Long): Int = {
-    val cap = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    math.max(1L, math.min(cap.toLong, n / 500000L + 1L)).toInt
-  }
 
   /** Personalized (topic-sensitive) PageRank: the restart mass goes to
     * a SEED set instead of uniformly everywhere — the crawl-
@@ -145,10 +129,7 @@ object GraphOps {
     // isolated non-adaptive loop session with derived partitions (see
     // pageRank's note); the node count is a block scan over the
     // already-eager base checkpoint, not a recompute
-    val loop = LoopSession.cloned(spark,
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" ->
-        loopShufflePartitions(spark, base.count()).toString)
+    val loop = LoopSession.nonAdaptive(spark, base.count())
     val baseL = LoopSession.rebind(base, loop)
     val eDegL = LoopSession.rebind(eDeg, loop)
     var ranks = baseL.select(col("node"), col("p0").as("r"))
@@ -228,10 +209,7 @@ object GraphOps {
       .localCheckpoint(false) // lazy, as pageRank
     // isolated non-adaptive loop session with derived partitions — see
     // pageRank's note
-    val loop = LoopSession.cloned(spark,
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" ->
-        loopShufflePartitions(spark, n).toString)
+    val loop = LoopSession.nonAdaptive(spark, n)
     val nodesL = LoopSession.rebind(nodes, loop)
     val eWL = LoopSession.rebind(eW, loop)
     var ranks = nodesL.withColumn("r", lit(1.0 / n)).localCheckpoint(false)
@@ -290,10 +268,7 @@ object GraphOps {
     // isolated non-adaptive loop session with derived partitions (see
     // pageRank's note): each round is two node-keyed semi-joins + one
     // degree aggregate over frames bounded by the shrinking alive set
-    val loop = LoopSession.cloned(spark,
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" ->
-        loopShufflePartitions(spark, aliveCount).toString)
+    val loop = LoopSession.nonAdaptive(spark, aliveCount)
     val undL = LoopSession.rebind(und, loop)
     alive = LoopSession.rebind(alive, loop)
     var deg: DataFrame = null
@@ -439,10 +414,7 @@ object GraphOps {
     // instead of one AQE stage-materialization job per exchange per
     // round. The read-time projection re-binds to the caller's
     // session at the end, so the caller's plans stay adaptive.
-    val loop = LoopSession.cloned(spark,
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" ->
-        loopShufflePartitions(spark, nodes.count()).toString)
+    val loop = LoopSession.nonAdaptive(spark, nodes.count())
     val eL = LoopSession.rebind(e, loop)
     val nodesL = LoopSession.rebind(nodes, loop)
     var hub = nodesL.withColumn("hub", lit(1.0)).localCheckpoint(false)

@@ -34,6 +34,27 @@ private[graft] object LoopSession {
     s
   }
 
+  /** A cloned session for a NON-ADAPTIVE bounded loop over ~`n` keyed
+    * rows: AQE off (nothing to re-optimize in a bounded round, and its
+    * stage materialization schedules one job per exchange per round)
+    * plus a shuffle-partition count DERIVED from `n` — ~500k
+    * fixed-width rows per reduce partition (tens of MB, the low end of
+    * the guide's advisory band, leaving headroom for the wider join
+    * stages that share the setting), floored at 1 and capped at the
+    * caller's session value. Scale-adaptive by construction: the same
+    * code picks 1 partition on a 300-node fixture and the cluster's
+    * own parallelism on a 10⁹-row input. */
+  def nonAdaptive(spark: SparkSession, n: Long): SparkSession =
+    cloned(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> derivedPartitions(spark, n).toString)
+
+  /** See [[nonAdaptive]]. */
+  def derivedPartitions(spark: SparkSession, n: Long): Int = {
+    val cap = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    math.max(1L, math.min(cap.toLong, n / 500000L + 1L)).toInt
+  }
+
   /** Re-bind `df` to `target` (same SparkContext): the logical plan
     * crosses sessions through a uniquely-named global temp view,
     * dropped immediately after the (eager) analysis of the returned
