@@ -702,7 +702,18 @@ object Dedup {
     * graphs switch to large-star/small-star — same join primitives.
     * `localCheckpoint` truncates lineage each round so plans don't grow
     * unboundedly with iterations.
-    */
+    *
+    * NOT a `LoopSession.nonAdaptive` loop — measured r16, kept
+    * adaptive (the v35/mmrTopK finding): the graph-loop treatment cut
+    * jobs 41 → 17 and shuffle bytes 22 → 9 KB on d07 but read ~1.2×
+    * slower in paired same-window probes (pass-2 medians 4.3 vs 3.6 s
+    * at sf0.1), because each round joins label frames freshly derived
+    * from the previous round (LogicalRDD-backed, no stats) — the
+    * static planner falls back to sort-merge joins where AQE's runtime
+    * size measurement converts them to broadcasts. PageRank-family
+    * loops won from the same treatment because their per-round join
+    * inputs are the SAME two checkpointed frames every round; CC's are
+    * not. */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       maxIters: Int = 25): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
@@ -710,21 +721,10 @@ object Dedup {
       .localCheckpoint(false) // lazy: round 1's changed-count materializes it
     var labels = nodes.select(col("node"), col("node").as("component"))
       .localCheckpoint(false)
-    // isolated non-adaptive loop session with node-derived partitions
-    // (the graph-loop discipline, see GraphOps.pageRank): each round is
-    // one node-keyed join + min aggregate + a changed-count probe —
-    // bounded frames AQE has nothing to improve on, while its stage
-    // materialization scheduled one job per exchange per round. The
-    // label count materializes the initial checkpoint round 1 reads
-    // anyway; the result re-binds to the caller's session below.
-    val spark = edges.sparkSession
-    val loop = LoopSession.nonAdaptive(spark, labels.count())
-    val symL = LoopSession.rebind(sym, loop)
-    labels = LoopSession.rebind(labels, loop)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val nbrMin = symL.join(labels, symL("dst") === labels("node"))
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("component")).as("_nbr"))
       val next = IterTrace.record("cc_minlabel",
         labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
@@ -747,7 +747,7 @@ object Dedup {
         s"connectedComponents did not converge after $maxIters rounds; " +
           "labels would be partially propagated. Raise maxIters " +
           "(rounds needed = O(max component diameter)).")
-    LoopSession.rebind(labels, spark)
+    labels
   }
 
   /** Connected components by alternating large-star / small-star
@@ -784,13 +784,6 @@ object Dedup {
       .distinct()
       .localCheckpoint(false) // lazy: the count below materializes it
     var eCount = e.count()
-    // isolated non-adaptive loop session with edge-derived partitions
-    // (the graph-loop discipline, see GraphOps.pageRank); per-round
-    // edge multiplicity never exceeds the input edge count, so the
-    // canonical |E| is the right derivation input
-    val spark = edges.sparkSession
-    val loop = LoopSession.nonAdaptive(spark, eCount)
-    e = LoopSession.rebind(e, loop)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -832,10 +825,8 @@ object Dedup {
         s"connectedComponentsStar did not converge after $maxIters rounds " +
           "(expected O(log² n)); raise maxIters.")
     // fixpoint is a star per component: every non-root points at the
-    // component min; roots and isolated nodes label themselves — on
-    // the CALLER's session (e's blocks are materialized by now)
-    nodes.join(LoopSession.rebind(e, spark)
-        .select(col("u").as("node"), col("v").as("_root")), Seq("node"), "left")
+    // component min; roots and isolated nodes label themselves
+    nodes.join(e.select(col("u").as("node"), col("v").as("_root")), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("_root"), col("node")).as("component"))
   }

@@ -150,6 +150,17 @@ object Similarity {
           col("_unit").as("_ub"))), "b_id")
         .withColumn("sim", round(Vec.dot(col("_ua"), col("_ub")), roundTo))
         .select(col("query_id"), col("a_id"), col("b_id"), col("sim")))
+    // NOT a LoopSession.nonAdaptive loop — measured r16, kept adaptive:
+    // the graph-loop treatment (AQE off + derived partitions) read
+    // 1.5× SLOWER here in paired same-window probes (pass-2 walls
+    // 6.9/7.6 s vs 4.5/5.5 s adaptive at sf0.1) even though it cut
+    // jobs 39 → 17, tasks 756 → 112 and halved shuffle bytes: unlike
+    // the rank loops' fixed-shape joins, each MMR round joins frames
+    // DERIVED from the growing selected set (LogicalRDD-backed, no
+    // stats), so the static planner falls back to sort-merge where
+    // AQE's runtime size measurement converts every one of them to a
+    // broadcast join. The per-exchange AQE jobs are the price of those
+    // conversions and worth it.
     val wSel = Window.partitionBy(col("query_id"))
       .orderBy(col("mmr_score").desc, col("neighbor_id"))
     var all = pool
