@@ -70,6 +70,13 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Merge count above which [[train]] switches from the classic
+    * full-recount round to the incremental carried-pair-count round —
+    * the measured crossover band on the widest gated fixture (see the
+    * threshold note inside [[train]]). Both sides produce the
+    * IDENTICAL model (BpeSpec pins equality straddling the bound). */
+  val IncrementalFrom: Int = 256
+
   /** A trained tokenizer: ordered merges + the base alphabet. Ids:
     * alphabet symbols get 0..|A|−1 in lexicographic order, merge of
     * rank r (1-based) gets |A|+r−1 — deterministic and replayable. */
@@ -140,7 +147,8 @@ object Bpe {
     * Sequential by nature (see the object doc's train-barriers note);
     * [[trainCutoff]] is the bounded-driver-table production variant. */
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
-      numMerges: Int, checkpointEvery: Int = 8): Model = {
+      numMerges: Int, checkpointEvery: Int = 8,
+      incrementalFrom: Int = IncrementalFrom): Model = {
     require(checkpointEvery >= 1, "checkpointEvery >= 1")
     val words = wordFreqs(docs, textCol).localCheckpoint(false) // lazy:
     // the alphabet collect below materializes it
@@ -173,30 +181,41 @@ object Bpe {
     var states = LoopSession.rebind(
         words.withColumn("state", initialState(col("word"))), loop)
       .localCheckpoint(false) // lazy: round 1's best-pair collect materializes it
-    // INCREMENTAL pair counts (r16): merging (l, r) only changes the
-    // adjacent-pair counts of word types whose state CONTAINS the
-    // pattern " l  r " — every other state is untouched by the replace
-    // — so instead of re-exploding and re-aggregating the FULL type
-    // table every round (the classic formulation, O(total symbols) per
-    // merge), the loop carries the (lhs, rhs, cnt) table forward and
-    // applies a signed delta over the affected types only: each
-    // affected state contributes its pre-merge pairs at −freq and its
-    // post-merge pairs at +freq, in ONE scan (the two states ride an
-    // exploded 2-array so the affected set is read once). The carried
-    // table equals pairFrame(states) EXACTLY at every round by
-    // induction — integer sums, same explode logic (weightedPairs),
-    // unaffected rows contribute zero — so the argmax under
-    // (cnt DESC, lhs, rhs) picks the identical merge; BpeSpec pins
-    // train == trainLocal and the t34/t35/t39 oracles replay the full
-    // recount formulation against it. Per-round work drops from
-    // O(all types · avg word length) to O(affected types + distinct
-    // pairs); the barrier count is unchanged (one argmax collect per
-    // merge — greedy BPE's sequential floor).
-    var counts = pairFrame(states).localCheckpoint(false)
+    // INCREMENTAL pair counts above IncrementalFrom merges (r16):
+    // merging (l, r) only changes the adjacent-pair counts of word
+    // types whose state CONTAINS the pattern " l  r " — every other
+    // state is untouched by the replace — so instead of re-exploding
+    // and re-aggregating the FULL type table every round (the classic
+    // formulation, O(total symbols) per merge), the loop carries the
+    // (lhs, rhs, cnt) table forward and applies a signed delta over
+    // the affected types only: each affected state contributes its
+    // pre-merge pairs at −freq and its post-merge pairs at +freq, in
+    // ONE scan (the two states ride an exploded 2-array so the
+    // affected set is read once). The carried table equals
+    // pairFrame(states) EXACTLY at every round by induction — integer
+    // sums, same explode logic (weightedPairs), unaffected rows
+    // contribute zero — so the argmax under (cnt DESC, lhs, rhs)
+    // picks the identical merge; BpeSpec pins train == trainLocal at
+    // counts on BOTH sides of the threshold and the t34/t35/t39
+    // oracles replay the full-recount formulation against it.
+    //
+    // Why a threshold and not incremental-always (measured r16, same-
+    // window pairs on the 18.9k-type wide fixture): the carried table
+    // adds one union-aggregate + one checkpoint per merge, and below a
+    // few hundred merges that constant outweighs the explode it saves
+    // — 24 merges read 1.4× slower, 128/256 read 1.1–1.2× slower,
+    // while 512 reads 0.90× and the gap widens with vocabulary (the
+    // affected fraction per merge shrinks as Heaps-law type tables
+    // grow, while the full explode stays O(all types · avg length)).
+    // Small gated trains keep the classic recount; big production
+    // vocabularies get the incremental table.
+    val incremental = numMerges > incrementalFrom
+    var counts =
+      if (incremental) pairFrame(states).localCheckpoint(false) else null
     val merges = Seq.newBuilder[(String, String, Long)]
     var rank = 1
     while (rank <= numMerges) {
-      val best = counts
+      val best = (if (incremental) counts else pairFrame(states))
         .orderBy(desc("cnt"), col("lhs"), col("rhs"))
         .limit(1).collect() // 1 row: the model parameter, not data
       require(best.nonEmpty,
@@ -205,25 +224,28 @@ object Bpe {
       val (l, r, c) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((l, r, c))
-      // signed one-scan delta over the affected types (see note above);
-      // the raw signed pair rows union straight into the carried table
-      // ahead of ONE groupBy — a delta-side pre-aggregate would add an
-      // exchange per merge for rows the union agg absorbs anyway
-      val aff = states.filter(col("state").contains(s" $l  $r "))
-      val delta = weightedPairs(aff
-          .select(col("freq"), explode(array(
-            struct(col("state").as("st"), lit(-1L).as("sg")),
-            struct(applyMerge(col("state"), l, r).as("st"),
-              lit(1L).as("sg")))).as("x"))
-          .select((col("freq") * col("x.sg")).as("w"), col("x.st").as("st")))
-        .select(col("lhs"), col("rhs"), col("w").as("cnt"))
-      counts = IterTrace.record("bpe_pair_delta",
-        counts.unionByName(delta)
-          .groupBy(col("lhs"), col("rhs")).agg(sum(col("cnt")).as("cnt"))
-          .filter(col("cnt") > 0)) // a zeroed pair has no occurrences —
-        // exactly pairFrame's "no row", keeping the induction invariant
-        .localCheckpoint(false) // lazy: the NEXT round's argmax collect
-        // materializes it (one job per merge, the sequential floor)
+      if (incremental) {
+        // signed one-scan delta over the affected types (see note
+        // above); the raw signed pair rows union straight into the
+        // carried table ahead of ONE groupBy — a delta-side
+        // pre-aggregate would add an exchange per merge for rows the
+        // union agg absorbs anyway
+        val aff = states.filter(col("state").contains(s" $l  $r "))
+        val delta = weightedPairs(aff
+            .select(col("freq"), explode(array(
+              struct(col("state").as("st"), lit(-1L).as("sg")),
+              struct(applyMerge(col("state"), l, r).as("st"),
+                lit(1L).as("sg")))).as("x"))
+            .select((col("freq") * col("x.sg")).as("w"), col("x.st").as("st")))
+          .select(col("lhs"), col("rhs"), col("w").as("cnt"))
+        counts = IterTrace.record("bpe_pair_delta",
+          counts.unionByName(delta)
+            .groupBy(col("lhs"), col("rhs")).agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") > 0)) // a zeroed pair has no occurrences —
+          // exactly pairFrame's "no row", keeping the induction invariant
+          .localCheckpoint(false) // lazy: the NEXT round's argmax collect
+          // materializes it (one job per merge, the sequential floor)
+      }
       // Unlike the graph loops, the loop-carried state here is a PURE
       // PROJECTION (a chain of literal replaces over the checkpointed
       // type table) — no joins, no shuffles — so re-computing a few

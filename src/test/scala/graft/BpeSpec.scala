@@ -37,6 +37,20 @@ class BpeSpec extends SparkSpec {
     assert(toks == Seq("aa", "a"))
   }
 
+  test("incremental pair-count path == classic recount path (threshold straddle)") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // force the incremental carried-counts loop at a merge count the
+    // default threshold would run classic, and pin model equality —
+    // the induction invariant (carried table == pairFrame(states)
+    // every round) made observable
+    val classic = Bpe.train(spark, docs, "text", 24)
+    val incremental = Bpe.train(spark, docs, "text", 24,
+      incrementalFrom = 0)
+    assert(incremental == classic,
+      "carried-pair-count loop must pick the identical merge sequence")
+  }
+
   test("encode chain equals the trained segmentation for every training word") {
     import spark.implicits._
     // the single-application fixpoint argument, checked empirically:
